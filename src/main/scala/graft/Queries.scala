@@ -1,0 +1,520 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.config.JobConfig
+import graft.connector.Sinks
+import graft.etl.Ops
+import graft.io.{Readers, Writers}
+import graft.streaming.FileRelay
+
+/** Oracle-checked queries over /root/testdata, one per SURVEY.md §2
+  * operator (ETL/connector families; LLM-pipeline families live in
+  * [[QueriesLlm]]).
+  *
+  * Conventions shared with the DuckDB oracle SQL in [[SparkEntry.oracleSql]]:
+  *  - IDs cast to string (the reference's IDs are strings, README.md:170);
+  *  - counts/sizes cast to long (DuckDB count() is BIGINT);
+  *  - doubles rounded to 6 places;
+  *  - every query deterministically ORDER BY'd on non-null keys;
+  *  - ordered array payloads compared as ','-joined strings with explicit
+  *    'NULL' placeholders (array_join drops nulls silently otherwise).
+  */
+object Queries {
+
+  /** Injected run clock (SURVEY.md §7.4#5) — fixed so hash_match is
+    * stable across runs.
+    */
+  val RunTs = "2024-01-01T00:00:00.000"
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag-").toString
+
+  // ---- shared builders -------------------------------------------------
+
+  /** Batch-inference-shaped frame built from orders+lineitem: per order,
+    * `input.itemId` = orderkey, `output.recommendedItems` = partkeys of
+    * its qty<48 lineitems ordered by linenumber, `error` set on 'F'
+    * status rows. Orders whose lineitems are all filtered keep a null
+    * rec array (exercises posexplode_outer's outer semantics).
+    */
+  def riBatch(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val recs = li.where(col("l_quantity") < 48)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(struct(col("l_linenumber"),
+        col("l_partkey")))).as("pr"))
+      .select(col("l_orderkey"),
+        transform(col("pr"), x => x.getField("l_partkey").cast("string"))
+          .as("recommendedItems"))
+    o.join(recs, col("o_orderkey") === col("l_orderkey"), "left_outer")
+      .select(
+        struct(col("o_orderkey").cast("string").as("itemId")).as("input"),
+        struct(col("recommendedItems")).as("output"),
+        when(col("o_orderstatus") === "F", lit("SIMULATED_ERROR"))
+          .as("error"))
+  }
+
+  /** User-item mapping: each order "item" maps to the suppliers that
+    * stocked it — a genuine 1-to-many reverse mapping like the
+    * reference's user_item_mapping CSV.
+    */
+  def riMapping(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_suppkey").cast("string").as("USER_ID"),
+        col("l_orderkey").cast("string").as("ITEM_ID"))
+      .distinct()
+
+  /** Item metadata keyed by string part id. */
+  def partMetadata(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(col("p_partkey").cast("string").as("id"),
+      col("p_brand"), col("p_name"), col("p_retailprice"))
+
+  /** Flatten an assembled recommendations frame to oracle-comparable
+    * columns.
+    */
+  private def flattenRecs(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.select(keys.map(col) ++ Seq(
+      size(col("recommendations")).cast("long").as("n_recs"),
+      when(size(col("recommendations")) === 0, lit(null))
+        .otherwise(array_join(
+          transform(col("recommendations"), r => r.getField("itemId")),
+          ",", "NULL")).as("rec_items"),
+      when(size(col("recommendations")) === 0, lit(null))
+        .otherwise(array_join(
+          transform(col("recommendations"), r => r.getField("p_brand")),
+          ",", "NULL")).as("rec_brands")): _*)
+
+  // ---- pipeline queries ------------------------------------------------
+
+  /** Flagship: the full related-items dataflow (S1,P1-P7,J1,J2,G1,W1/A1
+    * rewrite,U1) — reference `related_items_etl.py:99-315`.
+    */
+  def riPipeline(s: SparkSession, dir: String): DataFrame = {
+    val (ok, _) = Ops.splitErrors(riBatch(s, dir))
+    val merged = Ops.mapUsers(ok, riMapping(s, dir))
+    val exploded = Ops.explodeRecs(merged, "input.itemId", "queryItemId",
+      Seq("USER_ID" -> "userId"))
+    val decorated = Ops.decorate(exploded, Some(partMetadata(s, dir)),
+      Seq("p_brand"))
+    val assembled =
+      Ops.assembleRecommendations(decorated, Seq("queryItemId", "userId"))
+    val stamped = Ops.stampJobInfo(assembled, "related_items_job", RunTs,
+      Some(("recommendation_", Map("country" -> "US"))))
+    flattenRecs(stamped, Seq("queryItemId", "userId"))
+      .withColumn("jobName", lit("related_items_job"))
+      .withColumn("runDateTime", lit(RunTs))
+      .orderBy("queryItemId", "userId")
+  }
+
+  /** User-personalization variant (`user_personalization_etl.py:157-263`
+    * with quirks §2.13#1-2 fixed): keyed by queryUserId, no mapping join.
+    * "Users" are customers; their recs = parts across their orders.
+    */
+  def upPipeline(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val batch = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sort_array(collect_list(struct(col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey")))).as("pr"))
+      .select(
+        struct(col("o_custkey").cast("string").as("userId")).as("input"),
+        struct(transform(col("pr"),
+          x => x.getField("l_partkey").cast("string"))
+          .as("recommendedItems")).as("output"),
+        lit(null).cast("string").as("error"))
+    val (ok, _) = Ops.splitErrors(batch)
+    val exploded = Ops.explodeRecs(ok, "input.userId", "queryUserId", Nil)
+    val decorated = Ops.decorate(exploded, Some(partMetadata(s, dir)),
+      Seq("p_brand"))
+    val assembled =
+      Ops.assembleRecommendations(decorated, Seq("queryUserId"))
+    flattenRecs(assembled, Seq("queryUserId")).orderBy("queryUserId")
+  }
+
+  // ---- source / sink queries -------------------------------------------
+
+  /** S1 + §1.3: JSONL written WITHOUT an `error` field, read back with
+    * the explicit schema — backfill makes `WHERE error IS NULL` legal.
+    */
+  def jsonlBackfill(s: SparkSession, dir: String): DataFrame = {
+    val d = tmp("backfill")
+    t(s, dir, "orders")
+      .select(struct(col("o_orderkey").cast("string").as("itemId"))
+        .as("input"))
+      .write.mode("overwrite").json(d)
+    val schema = StructType(Seq(
+      StructField("input", StructType(Seq(StructField("itemId",
+        StringType)))),
+      StructField("error", StringType)))
+    Readers.jsonl(s, d, schema)
+      .where(col("error").isNull)
+      .select(col("input.itemId").as("queryItemId"), col("error"))
+      .orderBy("queryItemId")
+  }
+
+  /** S2: header/quoted CSV round-trip through [[Readers.csv]]. */
+  def csvScan(s: SparkSession, dir: String): DataFrame = {
+    val d = tmp("csv")
+    riMapping(s, dir).write.mode("overwrite")
+      .option("header", "true").option("quoteAll", "true").csv(d)
+    Readers.csv(s, d, graft.schema.Schemas.userItemMapping)
+      .orderBy("USER_ID", "ITEM_ID")
+  }
+
+  /** S6: gzip-compressed JSONL read transparently by the codec-aware
+    * source (reference streams .gz objects by hand, `enqueue.py:40-43`).
+    */
+  def jsonlGzip(s: SparkSession, dir: String): DataFrame = {
+    val d = tmp("gz")
+    t(s, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("nationkey"),
+        col("n_name").as("name"))
+      .write.mode("overwrite").option("compression", "gzip").json(d)
+    val schema = StructType(Seq(StructField("nationkey", LongType),
+      StructField("name", StringType)))
+    Readers.jsonl(s, d, schema).orderBy("nationkey")
+  }
+
+  /** S3: existence-gated metadata read — a present dir reads, an absent
+    * one yields None (not an exception), and the query proves both.
+    */
+  def metadataGated(s: SparkSession, dir: String): DataFrame = {
+    val d = tmp("meta")
+    partMetadata(s, dir).select("id", "p_brand").write
+      .mode("overwrite").json(d)
+    val present = Readers.jsonlInferIfExists(s, d)
+    val absent = Readers.jsonlInferIfExists(s, s"$d/__nope__")
+    require(absent.isEmpty, "existence gate failed")
+    present.get.select(col("id"), col("p_brand")).orderBy("id")
+  }
+
+  /** K1 + S4: run-time-partitioned JSONL sink, then read back through the
+    * state-style reader — proves the year=/month=/day=/time= layout and
+    * the write/read round-trip.
+    */
+  def sinkRuntimePartition(s: SparkSession, dir: String): DataFrame = {
+    val d = tmp("sink")
+    val out = t(s, dir, "region")
+      .select(col("r_regionkey").cast("long").as("regionkey"),
+        col("r_name").as("name"))
+    val clock = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+    val written = Writers.connectorOutput(out, d, "braze", clock)
+    require(written.endsWith("braze/year=2024/month=01/day=01/time=000000"),
+      s"bad partition layout: $written")
+    val schema = StructType(Seq(StructField("regionkey", LongType),
+      StructField("name", StringType)))
+    Readers.jsonl(s, s"$d/braze", schema).orderBy("regionkey")
+  }
+
+  /** S5: config JSON -> JobConfig (scoping rule §2.13#3: connector-level
+    * performDeltaCheck overrides top level).
+    */
+  def configParse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cfg = JobConfig.parse("""{
+      "batchInferencePath": "data/batch_inference/related_items",
+      "performDeltaCheck": true,
+      "saveBatchInferenceErrors": false,
+      "connectors": {
+        "braze": {
+          "itemMetadataFields": ["p_brand", "p_name"],
+          "attributePrefix": "rec_",
+          "otherAttributes": {"country": "US"},
+          "performDeltaCheck": false
+        },
+        "other": {}
+      }
+    }""")
+    Seq((
+      cfg.batchInferencePath,
+      cfg.performDeltaCheck.toString,
+      cfg.saveBatchInferenceErrors.toString,
+      cfg.deltaCheckFor("braze").toString,   // connector override -> false
+      cfg.deltaCheckFor("other").toString,   // falls back to top -> true
+      cfg.connectors("braze").attributePrefix,
+      cfg.connectors("braze").itemMetadataFields.mkString(","),
+      cfg.connectors("braze").otherAttributes("country")
+    )).toDF("batchInferencePath", "topDelta", "saveErrors", "brazeDelta",
+      "otherDelta", "prefix", "metaFields", "country")
+  }
+
+  // ---- filter / projection / join queries ------------------------------
+
+  /** P1+P3: success side of the error split. */
+  def errorSplitOk(s: SparkSession, dir: String): DataFrame = {
+    val (ok, _) = Ops.splitErrors(riBatch(s, dir))
+    ok.select(col("input.itemId").as("queryItemId"),
+        size(col("output.recommendedItems")).cast("long").as("n_recs"))
+      .orderBy("queryItemId")
+  }
+
+  /** P2: error side, error column intact. */
+  def errorSplitErr(s: SparkSession, dir: String): DataFrame = {
+    val (_, errs) = Ops.splitErrors(riBatch(s, dir))
+    errs.select(col("input.itemId").as("queryItemId"), col("error"))
+      .orderBy("queryItemId")
+  }
+
+  /** J1+P4: reverse mapping join on the nested key, ITEM_ID dropped. */
+  def joinMapUsers(s: SparkSession, dir: String): DataFrame = {
+    val (ok, _) = Ops.splitErrors(riBatch(s, dir))
+    val merged = Ops.mapUsers(ok, riMapping(s, dir))
+    require(!merged.columns.contains("ITEM_ID"), "ITEM_ID not dropped")
+    merged.select(col("input.itemId").as("queryItemId"),
+        col("USER_ID").as("userId"))
+      .orderBy("queryItemId", "userId")
+  }
+
+  /** J2+P7: left-outer decoration against a FILTERED metadata dim so
+    * misses are observable: missing items keep itemId, null brand.
+    */
+  def joinDecorateLeft(s: SparkSession, dir: String): DataFrame = {
+    val exploded = t(s, dir, "lineitem")
+      .select(col("l_orderkey").cast("string").as("queryItemId"),
+        col("l_linenumber").cast("long").as("pos"),
+        col("l_partkey").cast("string").as("recItemId"))
+    val meta = partMetadata(s, dir).where(col("p_retailprice") > 1500)
+    Ops.decorate(exploded, Some(meta), Seq("p_brand"))
+      .select(col("queryItemId"), col("pos"),
+        col("recItem.itemId").as("itemId"),
+        col("recItem.p_brand").as("brand"))
+      .orderBy("queryItemId", "pos")
+  }
+
+  /** G1+P5+P6: posexplode_outer round-trip — null arrays keep their
+    * parent with null pos/item.
+    */
+  def posexplodeOuter(s: SparkSession, dir: String): DataFrame = {
+    val (ok, _) = Ops.splitErrors(riBatch(s, dir))
+    Ops.explodeRecs(ok, "input.itemId", "queryItemId", Nil)
+      .select(col("queryItemId"), col("pos").cast("long").as("pos"),
+        col("recItemId"))
+      .orderBy(col("queryItemId"), col("pos").asc_nulls_first)
+  }
+
+  /** W1: running collect_list over an ordered window (prefix lists). */
+  def windowPrefix(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey").orderBy("l_linenumber")
+    t(s, dir, "lineitem")
+      .withColumn("prefix", collect_list(col("l_partkey")).over(w))
+      .select(col("l_orderkey"), col("l_linenumber").cast("long"),
+        size(col("prefix")).cast("long").as("prefix_len"),
+        element_at(col("prefix"), -1).cast("string").as("prefix_last"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private def decoratedLite(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      col("l_orderkey").cast("string").as("queryItemId"),
+      col("l_linenumber").as("pos"),
+      struct(col("l_partkey").cast("string").as("itemId")).as("recItem"))
+
+  private def flattenLite(df: DataFrame): DataFrame =
+    df.select(col("queryItemId"),
+        size(col("recommendations")).cast("long").as("n_recs"),
+        array_join(transform(col("recommendations"),
+          r => r.getField("itemId")), ",", "NULL").as("rec_items"))
+      .orderBy("queryItemId")
+
+  /** A1, optimized shape: single groupBy + sort_array(collect_list). */
+  def assembleGroupBy(s: SparkSession, dir: String): DataFrame =
+    flattenLite(Ops.assembleRecommendations(decoratedLite(s, dir),
+      Seq("queryItemId")))
+
+  /** A1, reference shape: window prefix lists + groupBy.max — same
+    * oracle as [[assembleGroupBy]] (the differential pair).
+    */
+  def assembleWindow(s: SparkSession, dir: String): DataFrame =
+    flattenLite(Ops.assembleRecommendationsWindowed(decoratedLite(s, dir),
+      "queryItemId", Seq("queryItemId")))
+
+  // ---- delta / set-op queries ------------------------------------------
+
+  private def deltaFrames(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val cur = t(s, dir, "lineitem").select(col("l_orderkey"),
+      col("l_linenumber").cast("long").as("l_linenumber"),
+      col("l_partkey"), col("l_quantity"))
+    val state = t(s, dir, "lineitem")
+      .where(col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+      .select(col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_partkey"), col("l_quantity"))
+    (cur, state)
+  }
+
+  /** A4+P8: whole-row EXCEPT DISTINCT against last-sync state. */
+  def deltaExcept(s: SparkSession, dir: String): DataFrame = {
+    val (cur, state) = deltaFrames(s, dir)
+    Ops.deltaCheck(cur, state).orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** A4 at scale: keyed xxhash64 variant — same rows as
+    * [[deltaExcept]] here (keys unique), one narrow shuffle instead of a
+    * wide-row EXCEPT aggregate (SURVEY.md §4.3#3).
+    */
+  def deltaKeyed(s: SparkSession, dir: String): DataFrame = {
+    val (cur, state) = deltaFrames(s, dir)
+    Ops.deltaCheckKeyed(cur, state, Seq("l_orderkey", "l_linenumber"))
+      .select(col("l_linenumber"), col("l_orderkey"), col("l_partkey"),
+        col("l_quantity"))  // canonical order, same as EXCEPT's
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** P8 standalone: canonical column order. */
+  def canonicalize(s: SparkSession, dir: String): DataFrame = {
+    val out = Ops.canonicalizeColumns(t(s, dir, "part"))
+    require(out.columns.sameElements(out.columns.sorted), "not sorted")
+    out.orderBy("p_partkey")
+  }
+
+  /** A2: the reference's 7 count() actions collapsed to one pass. */
+  def counts(s: SparkSession, dir: String): DataFrame = {
+    val batch = riBatch(s, dir).cache()
+    try {
+      val agg = batch.agg(
+        count(lit(1)).as("total"),
+        count(when(col("error").isNull, 1)).as("ok_cnt"),
+        count(col("error")).as("err_cnt"))
+      agg.crossJoin(riMapping(s, dir).agg(count(lit(1))
+        .as("mapping_cnt")))
+    } finally batch.unpersist()
+  }
+
+  // ---- stamp / scalar / pivot queries ----------------------------------
+
+  /** U1: constant-folded jobInfo/syncDirectives stamping. */
+  def stampJobInfo(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "region")
+      .select(col("r_regionkey").cast("string").as("userId"))
+    Ops.stampJobInfo(base, "graft_job", RunTs,
+        Some(("recommendation_", Map("country" -> "US", "tier" -> "gold"))))
+      .select(col("userId"), col("jobInfo.name").as("jobName"),
+        col("jobInfo.runDateTime").as("runDateTime"),
+        col("syncDirectives.attributePrefix").as("attributePrefix"),
+        col("syncDirectives.country").as("country"),
+        col("syncDirectives.tier").as("tier"))
+      .orderBy("userId")
+  }
+
+  /** F4: partition-path date formatting as a column op. */
+  def dateFormat(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy/MM/dd").as("datepath"),
+        date_format(col("o_orderdate"), "yyyy").as("year"))
+      .orderBy("o_orderkey")
+
+  /** F5: attribute-key prefixing. */
+  def prefixAttrs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey").cast("string").as("itemId"),
+        concat(lit("recommendation_"), col("p_brand"))
+          .as("prefixed_brand"))
+      .orderBy(col("itemId"))
+
+  /** U2: the dequeue pivot — array<struct> -> prefixed struct-of-arrays
+    * (reference `braze_dequeue_function/main.py:57-83`), arrays rendered
+    * as ordered CSV for the oracle.
+    */
+  def pivotAttributes(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey").cast("string").as("userId"))
+      .agg(sort_array(collect_list(struct(col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey")))).as("pr"))
+      .select(col("userId"), transform(col("pr"),
+        x => struct(x.getField("l_partkey").cast("string").as("itemId"),
+          (x.getField("l_orderkey") * 10 + x.getField("l_linenumber"))
+            .cast("string").as("slot"))).as("recommendations"))
+    Ops.pivotAttributes(perUser, "userId", Seq("itemId", "slot"),
+        "recommendation_", Map("country" -> "US", "external_id" -> "IGNORED"))
+      .select(col("external_id"),
+        array_join(col("recommendation_itemId"), ",").as("rec_items"),
+        array_join(col("recommendation_slot"), ",").as("rec_slots"),
+        col("country"))
+      .orderBy("external_id")
+  }
+
+  // ---- sink / streaming queries ----------------------------------------
+
+  /** K3 + §2.11: file-relay streaming source (bookmark-equivalent) into
+    * the batched queue sink; output = drained queue contents.
+    */
+  def queueRelay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = tmp("relay")
+    val qname = s"relay-${java.util.UUID.randomUUID()}"
+    t(s, dir, "supplier")
+      .select(col("s_suppkey").cast("string").as("userId"),
+        col("s_name").as("name"))
+      .write.mode("overwrite").json(s"$d/out")
+    val schema = StructType(Seq(StructField("userId", StringType),
+      StructField("name", StringType)))
+    FileRelay.relayToQueue(s, s"$d/out", schema, s"$d/ckpt",
+      Sinks.InMemoryQueueTransport(qname), "userId")
+    val drained = Sinks.InMemoryQueues.drain(qname).map(_.body)
+    s.read.json(drained.toDS())
+      .select(col("userId"), col("name")).orderBy("userId")
+  }
+
+  /** K4: REST sink with 75-batching and retry — transport stub counts
+    * posts; output is (n_posts, n_rows, n_dead).
+    */
+  def restSink(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val posts = s.sparkContext.longAccumulator("posts")
+    val rows = s.sparkContext.longAccumulator("rows")
+    val transport = new Sinks.RestTransport {
+      def post(objs: Seq[String]): Boolean = {
+        posts.add(1); rows.add(objs.size); true
+      }
+    }
+    val df = t(s, dir, "customer")
+      .select(col("c_custkey").cast("string").as("external_id"),
+        col("c_mktsegment"))
+      .repartition(1) // deterministic batch count for the oracle
+    Sinks.restSink(df, transport)
+    Seq((posts.value, rows.value, 0L)).toDF("n_posts", "n_rows", "n_dead")
+  }
+
+  /** All ETL-family queries. */
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ri_pipeline" -> (riPipeline _),
+    "q_up_pipeline" -> (upPipeline _),
+    "q_jsonl_backfill" -> (jsonlBackfill _),
+    "q_csv_scan" -> (csvScan _),
+    "q_jsonl_gzip" -> (jsonlGzip _),
+    "q_metadata_gated" -> (metadataGated _),
+    "q_sink_runtime_partition" -> (sinkRuntimePartition _),
+    "q_config_parse" -> (configParse _),
+    "q_error_split_ok" -> (errorSplitOk _),
+    "q_error_split_err" -> (errorSplitErr _),
+    "q_join_mapusers" -> (joinMapUsers _),
+    "q_join_decorate_left" -> (joinDecorateLeft _),
+    "q_posexplode_outer" -> (posexplodeOuter _),
+    "q_window_prefix" -> (windowPrefix _),
+    "q_assemble_groupby" -> (assembleGroupBy _),
+    "q_assemble_window" -> (assembleWindow _),
+    "q_delta_except" -> (deltaExcept _),
+    "q_delta_keyed" -> (deltaKeyed _),
+    "q_canonicalize" -> (canonicalize _),
+    "q_counts" -> (counts _),
+    "q_stamp_jobinfo" -> (stampJobInfo _),
+    "q_date_format" -> (dateFormat _),
+    "q_prefix_attrs" -> (prefixAttrs _),
+    "q_pivot_attributes" -> (pivotAttributes _),
+    "q_queue_relay" -> (queueRelay _),
+    "q_rest_sink" -> (restSink _)
+  )
+}

@@ -1,0 +1,217 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashFunctions => H, TextFunctions => T,
+  VectorFunctions => V}
+import graft.operators.{Ann, Dedup, Multimodal}
+
+/** LLM-training-data pipeline queries over documents/embeddings.
+  *
+  * Near-duplicates are PLANTED deterministically (the synthetic corpus
+  * has none): each doc gets a truncated twin at doc_id+100000 built with
+  * SQL-replicable `substr`, and each embedding a scaled twin — so the
+  * oracle can state the expected pair set exactly, and approximate
+  * methods are graded on finding ALL of it with no false positives.
+  */
+object QueriesLlm {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** documents + truncated twins (first `pct`% of each text) for
+    * doc_id<150 at doc_id+100000. Truncation keeps shingle Jaccard /
+    * SimHash distance in the "near-dup, not exact-dup" regime; built with
+    * SQL-replicable substr so the oracle can derive the same twins.
+    */
+  def docsWithTwins(s: SparkSession, dir: String, pct: Int = 60)
+      : DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val twins = docs.where(col("doc_id") < 150)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        substring(col("text"), lit(1),
+          (length(col("text")) * pct / 100).cast("int")).as("text"))
+    docs.unionByName(twins)
+  }
+
+  /** embeddings + exact-duplicate twins (same direction) at vec_id+100000
+    * for vec_id<50.
+    */
+  def vecsWithTwins(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val twins = e.where(col("vec_id") < 50)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    e.unionByName(twins)
+  }
+
+  // ---- dedup -----------------------------------------------------------
+
+  /** Exact dedup via content fingerprint: planted EXACT twins at
+    * doc_id+200000; output the duplicate groups.
+    */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val twins = docs.where(col("doc_id") < 100)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        // Same content modulo case+whitespace — the normalizer's job.
+        concat(upper(substring(col("text"), lit(1), lit(10))),
+          substring(col("text"), lit(11), length(col("text"))),
+          lit("  ")).as("text"))
+    Dedup.exact(docs.unionByName(twins), "doc_id", "text")
+      .groupBy("fp").agg(count(lit(1)).as("cnt"),
+        min(col("keeper")).as("keeper"))
+      .where(col("cnt") > 1)
+      .select(col("fp"), col("cnt"), col("keeper"))
+      .orderBy("keeper")
+  }
+
+  /** MinHash+LSH near-dup: must recover exactly the planted twin pairs
+    * (id, id+100000). Output keyed columns only (jaccard values are
+    * verified >= threshold inside the operator).
+    */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(docsWithTwins(s, dir), "doc_id", "text",
+        shingleWidth = 3, numHashes = 32, bands = 16, threshold = 0.3)
+      .select(col("id_a"), col("id_b"))
+      .orderBy("id_a", "id_b")
+
+  /** SimHash near-dup pairs on a 90%-truncation twin corpus (closer
+    * twins — SimHash distance grows fast with edit share); deterministic
+    * (fixed-seed xxhash) — rows-only check.
+    */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(docsWithTwins(s, dir, pct = 90), "doc_id",
+        "text", maxHamming = 15)
+      .orderBy("id_a", "id_b")
+
+  /** Exact n-gram Jaccard on an explicit candidate set (the planted
+    * pairs) — fully oracle-checkable including the similarity value.
+    */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithTwins(s, dir)
+    val pairs = t(s, dir, "documents").where(col("doc_id") < 150)
+      .select(col("doc_id").as("id_a"),
+        (col("doc_id") + 100000).as("id_b"))
+    Dedup.ngramJaccard(docs, pairs, "doc_id", "text", n = 3)
+      .orderBy("id_a")
+  }
+
+  /** Embedding-cosine near-dup via sign-LSH buckets: exactly the planted
+    * parallel twins at threshold 0.95 (max natural pairwise cosine in
+    * this corpus is ~0.51).
+    */
+  def embedNearDup(s: SparkSession, dir: String): DataFrame =
+    Ann.cosineNearDupPairs(vecsWithTwins(s, dir), threshold = 0.95,
+        dim = 64, numPlanes = 16, bands = 4, corpusIdCol = "vec_id")
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .orderBy("id_a", "id_b")
+
+  // ---- similarity search -----------------------------------------------
+
+  /** Exact brute-force cosine top-k (the ANN baseline). */
+  def annBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Ann.bruteForceTopK(
+        e.where(col("vec_id") < 10).select(col("vec_id").as("query_id"),
+          col("embedding")),
+        e.select(col("vec_id"), col("embedding")), k = 5)
+      .select(col("query_id"), col("vec_id"), col("cosine"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** LSH-bucketed ANN (the 100 TB path): same queries, deterministic
+    * seeded hyperplanes; rows-only check (recall is tunable, not exact).
+    */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Ann.lshTopK(
+        e.where(col("vec_id") < 10).select(col("vec_id").as("query_id"),
+          col("embedding")),
+        e.select(col("vec_id"), col("embedding")), k = 5, dim = 64,
+        numPlanes = 16, bands = 8)
+      .select(col("query_id"), col("vec_id"), col("cosine"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  // ---- text analysis ---------------------------------------------------
+
+  /** Token counts, length stats, punctuation/stopword ratios, quality
+    * score — all Catalyst built-ins, all SQL-replicated by the oracle.
+    */
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        T.tokenCount(col("text")).cast("long").as("n_tokens"),
+        T.tokenCountBpe(col("text")).cast("long").as("n_tokens_bpe"),
+        T.meanTokenLength(col("text")).as("mean_token_len"),
+        T.punctRatio(col("text")).as("punct_ratio"),
+        T.stopwordRatio(col("text")).as("stopword_ratio"),
+        T.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic (stopword argmax). */
+  def langId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        T.stopwordCount(col("text"), "en").cast("long").as("en_hits"),
+        T.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  /** Document fingerprints: md5-of-normalized (oracle-checked). The
+    * rolling polynomial hash is engine-only (crc32 has no DuckDB
+    * counterpart) and covered by FingerprintSpec instead.
+    */
+  def fingerprints(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+        col("doc_id"), T.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  // ---- multimodal ------------------------------------------------------
+
+  /** Binary-column plumbing + stubbed decode: text bytes as payload,
+    * deterministic fake features; rows-only (the stub hash has no SQL
+    * counterpart) but sizeBytes/meta are real.
+    */
+  def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    val mediaDf = Multimodal.asMedia(
+      t(s, dir, "documents").where(col("doc_id") < 100),
+      "doc_id", "text", kind = "image", format = "png")
+    Multimodal.decodeAndFeaturize(mediaDf, featureDim = 8)
+      .select(col("media_id"), col("meta.sizeBytes").as("size_bytes"),
+        col("width"), col("height"), col("channels"),
+        round(aggregate(col("features"), lit(0.0d),
+          (a, x) => a + x.cast("double")), 3).as("feat_sum"))
+      .orderBy("media_id")
+  }
+
+  /** Frame-sampling plumbing: chunk count per payload is oracle-
+    * computable from the text length.
+    */
+  def frameSample(s: SparkSession, dir: String): DataFrame = {
+    val mediaDf = Multimodal.asMedia(t(s, dir, "documents"),
+      "doc_id", "text", kind = "video", format = "mp4")
+    Multimodal.sampleFrames(mediaDf, frameBytes = 64, stride = 2)
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"))
+      .orderBy("media_id")
+  }
+
+  /** All LLM-family queries. */
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (dedupExact _),
+    "q_dedup_minhash" -> (dedupMinhash _),
+    "q_dedup_simhash" -> (dedupSimhash _),
+    "q_ngram_jaccard" -> (ngramJaccard _),
+    "q_embed_neardup" -> (embedNearDup _),
+    "q_ann_brute" -> (annBrute _),
+    "q_ann_lsh" -> (annLsh _),
+    "q_text_stats" -> (textStats _),
+    "q_langid" -> (langId _),
+    "q_fingerprints" -> (fingerprints _),
+    "q_multimodal_decode" -> (multimodalDecode _),
+    "q_frame_sample" -> (frameSample _)
+  )
+}

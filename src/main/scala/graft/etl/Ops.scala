@@ -1,0 +1,210 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's relational operators as composable
+  * `DataFrame => DataFrame` functions (SURVEY.md §2.3-§2.10).
+  *
+  * Design notes for 100 TB (SURVEY.md §4.3):
+  *  - joins against dimension-sized sides are `broadcast()` hinted;
+  *  - recommendation assembly defaults to a single partial-aggregatable
+  *    `groupBy` + `sort_array(collect_list(struct))` instead of the
+  *    reference's window + `max` (one shuffle/sort less); the reference
+  *    shape is kept behind [[assembleRecommendationsWindowed]] for
+  *    differential testing;
+  *  - the delta check offers a keyed `xxhash64` variant that avoids
+  *    shuffling whole `array<struct>` payloads.
+  */
+object Ops {
+
+  /** P1/P2/P3: split a batch-inference frame on `error` nullability
+    * (reference `related_items_etl.py:111-136`). Callers read the success
+    * side with `error` dropped plus the error side intact. The input must
+    * already be backfilled ([[graft.io.Readers.withBackfill]]) so `error`
+    * resolves even when absent from the files.
+    */
+  def splitErrors(df: DataFrame): (DataFrame, DataFrame) =
+    (df.where(col("error").isNull).drop("error"),
+     df.where(col("error").isNotNull))
+
+  /** J1 + P4: reverse-map item-keyed recommendations to users — inner join
+    * on the nested key `input.itemId = ITEM_ID`, then drop the redundant
+    * join key (reference `related_items_etl.py:159-172`). The mapping side
+    * fans out one row per (item, user) pair.
+    *
+    * At scale the recs side (one row per query item) is small next to the
+    * mapping (users x items); Catalyst/AQE picks the join strategy, and we
+    * leave both sides unhinted so a genuinely large mapping sort-merges.
+    */
+  def mapUsers(recs: DataFrame, mapping: DataFrame): DataFrame =
+    recs.join(mapping, col("input.itemId") === col("ITEM_ID"), "inner")
+      .drop("ITEM_ID")
+
+  /** G1 + P5/P6: project the query key and unnest the ordered rec array,
+    * keeping parents whose array is null/empty (reference
+    * `related_items_etl.py:205-206`; user-personalization variant keys by
+    * `input.userId`, `user_personalization_etl.py:167`).
+    *
+    * @param queryKeyPath  nested source path, e.g. "input.itemId"
+    * @param queryKeyAlias output name, e.g. "queryItemId"
+    * @param carryCols     extra columns carried through (e.g. userId)
+    */
+  def explodeRecs(df: DataFrame, queryKeyPath: String,
+      queryKeyAlias: String, carryCols: Seq[(String, String)]): DataFrame = {
+    val carried = carryCols.map { case (src, dst) => col(src).as(dst) }
+    df.select(
+      (col(queryKeyPath).as(queryKeyAlias) +: carried) :+
+        posexplode_outer(col("output.recommendedItems"))
+          .as(Seq("pos", "recItemId")): _*)
+  }
+
+  /** J2 + P7: decorate each recommended item with metadata — left-outer
+    * join on `recItemId = meta.id`, then build the `recItem` struct from
+    * either all metadata fields (star expansion) or a configured subset,
+    * always carrying `itemId` (reference `related_items_etl.py:195-211`).
+    * Null-guarded: an exploded row with no rec (outer explode) gets a null
+    * struct, and an unmatched item keeps its id with null metadata —
+    * matching the reference's `when(recItemId.isNull, None)` guard.
+    *
+    * Metadata is a dimension (items), broadcast-hinted.
+    */
+  def decorate(exploded: DataFrame, metadata: Option[DataFrame],
+      metadataFields: Seq[String]): DataFrame =
+    metadata match {
+      case None =>
+        // No-metadata branch: recItem is just {itemId} (reference
+        // `related_items_etl.py:218-228`, with the wrong-window-key bug of
+        // `user_personalization_etl.py:180` fixed by parameterization).
+        exploded.withColumn("recItem",
+          when(col("recItemId").isNull, lit(null))
+            .otherwise(struct(col("recItemId").as("itemId"))))
+          .drop("recItemId")
+      case Some(meta) =>
+        val fields =
+          if (metadataFields.nonEmpty) metadataFields
+          else meta.columns.filter(_ != "id").toSeq
+        val structCols = col("recItemId").as("itemId") +:
+          fields.map(f => col(s"meta.$f").as(f))
+        exploded
+          .join(broadcast(meta.alias("meta")),
+            col("recItemId") === col("meta.id"), "left_outer")
+          .withColumn("recItem",
+            when(col("recItemId").isNull, lit(null))
+              .otherwise(struct(structCols: _*)))
+          .drop("recItemId")
+          .drop(meta.columns.toIndexedSeq: _*)
+    }
+
+  /** W1 + A1, optimized shape (SURVEY.md §4.3#2): one hash aggregate with
+    * map-side partial aggregation — `sort_array` on `(pos, recItem)`
+    * structs restores order, then project the structs out. Semantically
+    * equal to the windowed variant because `pos` is unique per group.
+    */
+  def assembleRecommendations(decorated: DataFrame, groupKeys: Seq[String])
+      : DataFrame =
+    decorated
+      .groupBy(groupKeys.map(col): _*)
+      // The when-guard drops null recItems (outer-explode parents with
+      // no recs) BEFORE collection — collect_list skips nulls, matching
+      // the reference's windowed collect_list('recItem'), which yields []
+      // (not [null]) for such parents.
+      .agg(sort_array(collect_list(when(col("recItem").isNotNull,
+          struct(col("pos"), col("recItem")))))
+        .getField("recItem").as("recommendations"))
+
+  /** W1 + A1, reference shape: running `collect_list` over a window
+    * ordered by `pos` (frame RANGE UNBOUNDED PRECEDING..CURRENT ROW gives
+    * prefix lists), then `groupBy.max` picks the longest prefix = the full
+    * ordered list (reference `related_items_etl.py:202-214`). Kept for
+    * differential testing; costs an extra sort vs the aggregate shape.
+    */
+  def assembleRecommendationsWindowed(decorated: DataFrame,
+      partitionKey: String, groupKeys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(partitionKey).orderBy("pos")
+    decorated
+      .withColumn("recommendations", collect_list(col("recItem")).over(w))
+      .groupBy(groupKeys.map(col): _*)
+      .agg(max(col("recommendations")).as("recommendations"))
+  }
+
+  /** P8: canonical column order before set ops (reference
+    * `related_items_etl.py:262-264`).
+    */
+  def canonicalizeColumns(df: DataFrame): DataFrame =
+    df.select(df.columns.sorted.map(col).toIndexedSeq: _*)
+
+  /** A4: delta check — EXCEPT DISTINCT of the current frame against the
+    * last-sync state over whole rows, after column canonicalization
+    * (reference `related_items_etl.py:262-266`). Note EXCEPT also
+    * de-duplicates the current side; that is observable reference
+    * behaviour and preserved (SURVEY.md §7.4#3).
+    */
+  def deltaCheck(current: DataFrame, state: DataFrame): DataFrame =
+    canonicalizeColumns(current).except(canonicalizeColumns(state))
+
+  /** A4 at 100 TB (SURVEY.md §4.3#3): keyed variant — compare a 64-bit
+    * payload hash per key instead of shuffling whole `array<struct>` rows
+    * through EXCEPT's aggregate. Emits current rows whose key is absent
+    * from state or whose payload hash changed. Equivalent to
+    * [[deltaCheck]] when `keys` identify rows uniquely in both frames
+    * (proven differentially in DeltaCheckSpec), except it keeps current-
+    * side duplicates; pair with `dropDuplicates(keys)` for exact parity.
+    */
+  def deltaCheckKeyed(current: DataFrame, state: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val payload = (df: DataFrame) =>
+      xxhash64(to_json(struct(
+        df.columns.sorted.filterNot(keys.contains).map(col).toIndexedSeq: _*)))
+    val stateHashed = state
+      .select(keys.map(col) :+ payload(state).as("__stateHash"): _*)
+    current
+      .withColumn("__curHash", payload(current))
+      .join(stateHashed, keys, "left_outer")
+      .where(col("__stateHash").isNull ||
+        col("__curHash") =!= col("__stateHash"))
+      .drop("__curHash", "__stateHash")
+  }
+
+  /** U1 as constant-folded columns, not a row closure (reference uses a
+    * per-record Python `Map.apply` at `related_items_etl.py:277-297`,
+    * which blocks Catalyst; all values are run constants, so plain
+    * `lit`s constant-fold and stay inside whole-stage codegen).
+    */
+  def stampJobInfo(df: DataFrame, jobName: String, runDateTime: String,
+      syncDirectives: Option[(String, Map[String, String])]): DataFrame = {
+    val stamped = df.withColumn("jobInfo",
+      struct(lit(jobName).as("name"), lit(runDateTime).as("runDateTime")))
+    syncDirectives match {
+      case None => stamped
+      case Some((prefix, otherAttributes)) =>
+        val fields = lit(prefix).as("attributePrefix") +:
+          otherAttributes.toSeq.sortBy(_._1).map { case (k, v) =>
+            lit(v).as(k)
+          }
+        stamped.withColumn("syncDirectives", struct(fields: _*))
+    }
+  }
+
+  /** U2: dequeue pivot — transpose `recommendations: array<struct<...>>`
+    * into flat per-user attributes `{prefix}{field}: array<fieldType>`
+    * plus `external_id` (reference `braze_dequeue_function/main.py:57-83`,
+    * pure Python per message; here a relational projection: Spark's
+    * `array<struct>.field` extraction is a codegen'd `ExtractValue`, no
+    * UDF). `external_id` never collides: the reference strips it from
+    * otherAttributes (`main.py:74-76`); we drop the colliding key too.
+    */
+  def pivotAttributes(df: DataFrame, userIdCol: String, recFields: Seq[String],
+      prefix: String, otherAttributes: Map[String, String]): DataFrame = {
+    val attrs = recFields.map(f =>
+      col(s"recommendations.$f").as(s"$prefix$f"))
+    val others = (otherAttributes - "external_id").toSeq.sortBy(_._1)
+      .map { case (k, v) => lit(v).as(k) }
+    df.select((col(userIdCol).as("external_id") +: attrs) ++ others: _*)
+  }
+
+  /** Column expression for the pivot of one field — exposed for reuse. */
+  def pivotField(recCol: Column, field: String, prefix: String): Column =
+    recCol.getField(field).as(s"$prefix$field")
+}

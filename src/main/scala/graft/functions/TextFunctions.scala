@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for large-scale training-data pipelines.
+  * All pure Catalyst built-ins (codegen'd, no UDFs): every function here
+  * stays inside whole-stage codegen and is replicable as ANSI SQL for the
+  * DuckDB oracle.
+  */
+object TextFunctions {
+
+  /** Canonical whitespace/case normalization used by fingerprints and
+    * shingling: lowercase, trim, collapse runs of whitespace.
+    */
+  def normalize(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** Document fingerprint: md5 of the normalized text. Identical content
+    * modulo case/whitespace maps to one 128-bit key — the exact-dedup key.
+    */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Rolling polynomial fingerprint over word tokens (order-sensitive,
+    * cheap to maintain incrementally): acc = acc*31 + crc32(token),
+    * in 64-bit wraparound arithmetic.
+    */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc * lit(31L) + crc32(t))
+
+  /** Whitespace tokens of the normalized text; empty text -> empty array. */
+  def tokens(text: Column): Column =
+    filter(split(normalize(text), " "), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: letter runs, digit runs, and single
+    * non-letter-digit marks each count as one token — a deterministic
+    * stand-in for a real subword tokenizer's token count.
+    */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"),
+      lit(0)))
+
+  /** Stopword sets per language for the n-gram/stopword language-ID
+    * heuristic. Function words are the highest-frequency, most
+    * language-discriminative tokens; counting them needs no model.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "to", "and", "in", "is", "that", "it",
+      "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu",
+      "mit", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que", "pour",
+      "dans"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un", "una", "que", "por",
+      "para")
+  )
+
+  /** Count of tokens belonging to `lang`'s stopword set. */
+  def stopwordCount(text: Column, lang: String): Column = {
+    val set = stopwords(lang).map(lit(_))
+    size(filter(tokens(text), t => t.isin(set: _*)))
+  }
+
+  /** Language-ID heuristic: argmax of per-language stopword hits with a
+    * fixed priority order (en > de > fr > es) on ties; all-zero -> "und"
+    * (ISO 639-2 undetermined). Deterministic and SQL-replicable.
+    */
+  def langId(text: Column): Column = {
+    val en = stopwordCount(text, "en")
+    val de = stopwordCount(text, "de")
+    val fr = stopwordCount(text, "fr")
+    val es = stopwordCount(text, "es")
+    when(en <= 0 && de <= 0 && fr <= 0 && es <= 0, lit("und"))
+      .when(en >= de && en >= fr && en >= es, lit("en"))
+      .when(de >= fr && de >= es, lit("de"))
+      .when(fr >= es, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /** Ratio of non-alphanumeric, non-space characters to total characters
+    * (0 for empty text). Rounded to 6 places so double arithmetic hashes
+    * identically across engines.
+    */
+  def punctRatio(text: Column): Column =
+    round(
+      when(length(text) === 0, lit(0.0)).otherwise(
+        (length(text) -
+          length(regexp_replace(text, "[^\\p{L}\\p{N}\\s]", "")))
+          .cast("double") / length(text)),
+      6)
+
+  /** Mean token length (0 for empty text), rounded to 6 places. */
+  def meanTokenLength(text: Column): Column = {
+    val ts = tokens(text)
+    round(
+      when(size(ts) === 0, lit(0.0)).otherwise(
+        aggregate(ts, lit(0L), (acc, t) => acc + length(t))
+          .cast("double") / size(ts)),
+      6)
+  }
+
+  /** Stopword ratio across all supported languages, rounded to 6. */
+  def stopwordRatio(text: Column): Column = {
+    val all = stopwords.values.flatten.toSeq.distinct.map(lit(_))
+    val ts = tokens(text)
+    round(
+      when(size(ts) === 0, lit(0.0)).otherwise(
+        size(filter(ts, t => t.isin(all: _*))).cast("double") / size(ts)),
+      6)
+  }
+
+  /** Composite quality score in [0,1]: long enough, words of natural
+    * length, not punctuation soup. The exact formula is arbitrary by
+    * design; what matters is that it is deterministic, cheap, codegen'd
+    * and monotone in the signals quality filters actually use.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 50.0, lit(1.0))
+    val wordScore = when(
+      meanTokenLength(text).between(3.0, 10.0), 1.0).otherwise(0.5)
+    val punctScore = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
+    round((lenScore * 0.4 + wordScore * 0.3 + punctScore * 0.3), 6)
+  }
+}

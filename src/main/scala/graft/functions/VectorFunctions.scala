@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `array<float|double>` columns via higher-order
+  * functions (`zip_with` + `aggregate`): codegen'd, no UDFs, no MLlib
+  * dependency in the hot path. Inputs are cast to double first so the
+  * left-to-right summation order produces bit-identical results across
+  * engines (the DuckDB oracle sums in the same element order).
+  */
+object VectorFunctions {
+
+  /** Cast array<float> to array<double>. */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Dot product: sum over zip_with multiply, left-to-right. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity; 0 when either norm is 0. */
+  def cosine(a: Column, b: Column): Column = {
+    val na = norm(a)
+    val nb = norm(b)
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
+  }
+
+  /** Deterministic pseudo-random hyperplanes for sign-LSH: `numPlanes`
+    * vectors of `dim` components drawn from a seeded generator. Computed
+    * driver-side once and inlined as a literal (a few KB — broadcast by
+    * the plan), so every executor sees identical planes.
+    */
+  def hyperplanes(dim: Int, numPlanes: Int, seed: Long = 42L)
+      : Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket key: one bit per hyperplane (sign of the dot
+    * product), packed into a long. Vectors with high cosine similarity
+    * agree on most signs, so equal keys (or keys from [[signLshBands]])
+    * concentrate near neighbours into shared buckets.
+    */
+  def signLshKey(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit(_)): _*)
+      when(dot(v, plane) >= 0.0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Multi-probe style banding for sign-LSH: split the `numPlanes` sign
+    * bits into `bands` groups; a candidate pair must agree on ALL bits of
+    * at least one band. More bands -> higher recall, more candidates.
+    */
+  def signLshBandKeys(v: Column, planes: Seq[Seq[Double]], bands: Int)
+      : Column = {
+    val perBand = planes.size / bands
+    val keys = (0 until bands).map { b =>
+      val bandPlanes = planes.slice(b * perBand, (b + 1) * perBand)
+      val bits = bandPlanes.zipWithIndex.map { case (p, i) =>
+        val plane = array(p.map(lit(_)): _*)
+        when(dot(v, plane) >= 0.0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+      // Tag with the band index so different bands never collide.
+      bits.bitwiseOR(lit((b + 1).toLong << 56))
+    }
+    array(keys: _*)
+  }
+}

@@ -1,0 +1,140 @@
+package graft.jobs
+
+import java.time.LocalDateTime
+import java.time.format.DateTimeFormatter
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+import graft.config.JobConfig
+import graft.etl.Ops
+import graft.io.{Readers, Writers}
+import graft.schema.Schemas
+
+/** Result of one connector sync within a job run. */
+final case class ConnectorResult(connector: String, outputDir: String,
+    rowsWritten: Long)
+
+/** Result of a whole job run. */
+final case class JobResult(jobName: String, runDateTime: String,
+    errorsDir: Option[String], connectors: Seq[ConnectorResult])
+
+/** The two ETL jobs (reference `src/glue/related_items_etl.py` and
+  * `user_personalization_etl.py`) as one parameterized dataflow:
+  *
+  *   read -> split errors -> [map users] -> explode -> decorate
+  *        -> assemble -> [delta check] -> stamp -> write [-> state]
+  *
+  * Differences handled by [[JobSpec]]: related-items joins a user-item
+  * mapping and keys groups by (queryItemId, userId); user-personalization
+  * has no mapping and keys by queryUserId alone. Reference quirks fixed,
+  * not replicated (SURVEY.md §2.13): paths derive from the job's own type
+  * (#1), the decorate routine is shared so the wrong-window-key bug can't
+  * recur (#2), `performDeltaCheck` accepts both scopes (#3), and state IS
+  * written back after a sync (#4). The decorated frame is computed once
+  * and persisted across the connector loop (#5).
+  */
+object Jobs {
+
+  /** Serialized into `jobInfo.runDateTime` (SURVEY.md §7.4#4); partition
+    * paths and the stamp share one injected clock.
+    */
+  val runDateTimeFmt: DateTimeFormatter =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS")
+
+  sealed trait JobSpec {
+    def jobType: String
+    def queryKeyPath: String
+    def queryKeyAlias: String
+    def groupKeys: Seq[String]
+    def usesMapping: Boolean
+  }
+  case object RelatedItems extends JobSpec {
+    val jobType = "related_items"
+    val queryKeyPath = "input.itemId"
+    val queryKeyAlias = "queryItemId"
+    val groupKeys = Seq("queryItemId", "userId")
+    val usesMapping = true
+  }
+  case object UserPersonalization extends JobSpec {
+    val jobType = "user_personalization"
+    val queryKeyPath = "input.userId"
+    val queryKeyAlias = "queryUserId"
+    val groupKeys = Seq("queryUserId")
+    val usesMapping = false
+  }
+
+  /** Run a job end-to-end against a root directory laid out like the
+    * reference's `etl_jobs/<job>/` prefix (input/, output/, errors/).
+    *
+    * @param clock injected run time — an input, not a side effect
+    *   (SURVEY.md §7.4#5)
+    */
+  def run(spark: SparkSession, spec: JobSpec, jobRoot: String,
+      jobName: String, config: JobConfig, clock: LocalDateTime): JobResult = {
+    val runDateTime = runDateTimeFmt.format(clock)
+
+    val schema = spec match {
+      case RelatedItems => Schemas.relatedItemsBatchInference
+      case UserPersonalization => Schemas.userPersonalizationBatchInference
+    }
+    val raw = Readers.jsonl(spark, config.batchInferencePath, schema)
+    val (ok, errs) = Ops.splitErrors(raw)
+
+    val errorsDir = Writers.errors(errs, s"$jobRoot/errors", spec.jobType,
+      clock, config.saveBatchInferenceErrors)
+
+    val mapped =
+      if (spec.usesMapping) {
+        val mapping = Readers.csv(spark,
+          s"$jobRoot/input/user_item_mapping", Schemas.userItemMapping)
+        Ops.mapUsers(ok, mapping)
+      } else ok
+
+    val carry: Seq[(String, String)] =
+      if (spec.usesMapping) Seq("USER_ID" -> "userId") else Nil
+    val exploded = Ops.explodeRecs(mapped, spec.queryKeyPath,
+      spec.queryKeyAlias, carry)
+
+    // Item metadata is optional and open-schema (existence-gated read,
+    // reference `related_items_etl.py:175-189`).
+    val metadata = Readers.jsonlInferIfExists(spark,
+      s"$jobRoot/input/item_metadata")
+
+    val outputRoot = s"$jobRoot/output"
+    val results = config.connectors.toSeq.sortBy(_._1).map {
+      case (connector, cc) =>
+        val decorated = Ops.decorate(exploded, metadata, cc.itemMetadataFields)
+        val assembled =
+          Ops.assembleRecommendations(decorated, spec.groupKeys)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val stateDir = s"$outputRoot/$connector/state"
+          val afterDelta =
+            if (config.deltaCheckFor(connector) &&
+                Readers.pathExists(spark, stateDir)) {
+              val state = Readers.withBackfill(
+                spark.read.option("recursiveFileLookup", "true")
+                  .schema(assembled.schema).json(stateDir),
+                assembled.schema)
+              Ops.deltaCheck(assembled, state)
+            } else assembled
+
+          val stamped = Ops.stampJobInfo(afterDelta, jobName, runDateTime,
+            Some((cc.attributePrefix, cc.otherAttributes)))
+
+          val outDir = Writers.connectorOutput(stamped, outputRoot,
+            connector, clock)
+          val rows = spark.read.json(outDir).count()
+
+          // State = the full (pre-delta) assembled snapshot, so the next
+          // run's EXCEPT sees everything synced so far.
+          if (config.writeStateAfterSync)
+            Writers.state(assembled, outputRoot, connector)
+
+          ConnectorResult(connector, outDir, rows)
+        } finally assembled.unpersist()
+    }
+    JobResult(jobName, runDateTime, errorsDir, results)
+  }
+}

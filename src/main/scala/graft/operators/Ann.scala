@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{VectorFunctions => V}
+
+/** Approximate-nearest-neighbour search over an embedding column.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] — exact cosine top-k, broadcast query set x full
+  *    corpus scan. The BASELINE: correct for any data, linear in corpus
+  *    size, embarrassingly parallel (no shuffle on the corpus side; the
+  *    only shuffle is the final per-query top-k, k rows per partition
+  *    after partial aggregation via window-on-partition pruning).
+  *  - [[lshTopK]] — the 100 TB path: sign-LSH banding buckets corpus and
+  *    queries; candidates = bucket co-members; exact cosine re-rank of
+  *    candidates only. Recall tunable via planes/bands.
+  *
+  * Embedding-cosine near-dup ([[cosineNearDupPairs]]) reuses the same
+  * bucketing corpus-vs-itself.
+  */
+object Ann {
+
+  /** Exact top-k by cosine. `queries` must be small (it is broadcast).
+    * Output: (query_id, vec_id, cosine, rank), rank 1..k, ties broken by
+    * vec_id for determinism.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      queryIdCol: String = "query_id", corpusIdCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      V.toDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(corpusIdCol).as("vec_id"),
+      V.toDouble(col(vecCol)).as("cv"))
+    val scored = c.join(broadcast(q))
+      .select(col("query_id"), col("vec_id"),
+        round(V.cosine(col("qv"), col("cv")), 6).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Sign-LSH bucketed top-k: candidates are corpus vectors sharing at
+    * least one band key with the query; exact cosine re-ranks candidates.
+    * Planes are deterministic (seeded) so results are reproducible.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      numPlanes: Int = 16, bands: Int = 4,
+      queryIdCol: String = "query_id", corpusIdCol: String = "vec_id",
+      vecCol: String = "embedding", maxBucket: Int = 100000): DataFrame = {
+    val planes = V.hyperplanes(dim, numPlanes)
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      V.toDouble(col(vecCol)).as("qv"))
+      .withColumn("k", explode(V.signLshBandKeys(col("qv"), planes, bands)))
+    val c = corpus.select(col(corpusIdCol).as("vec_id"),
+      V.toDouble(col(vecCol)).as("cv"))
+      .withColumn("k", explode(V.signLshBandKeys(col("cv"), planes, bands)))
+    val bucketCounts = c.groupBy("k").count().where(col("count") <= maxBucket)
+    val candidates = c.join(bucketCounts.select("k"), "k")
+      .join(q, "k")
+      .select("query_id", "vec_id", "qv", "cv")
+      .dropDuplicates("query_id", "vec_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    candidates
+      .select(col("query_id"), col("vec_id"),
+        round(V.cosine(col("qv"), col("cv")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: sign-LSH self-join, exact
+    * cosine >= threshold, id_a < id_b. The 5th dedup family from the
+    * brief, sharing the Ann bucketing machinery.
+    */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double, dim: Int,
+      numPlanes: Int = 16, bands: Int = 4,
+      corpusIdCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucket: Int = 100000): DataFrame = {
+    val planes = V.hyperplanes(dim, numPlanes)
+    val c = corpus.select(col(corpusIdCol).as("id"),
+      V.toDouble(col(vecCol)).as("v"))
+      .withColumn("k", explode(V.signLshBandKeys(col("v"), planes, bands)))
+    val bucketCounts = c.groupBy("k").count()
+      .where(col("count") <= maxBucket && col("count") > 1)
+    val inBuckets = c.join(bucketCounts.select("k"), "k")
+    inBuckets.alias("a")
+      .join(inBuckets.alias("b"),
+        col("a.k") === col("b.k") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(V.cosine(col("va"), col("vb")), 6).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.{RowEncoder => CatalystRowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with a typed metadata struct, plus batch
+  * decode/feature-extract operators.
+  *
+  * The Spark-side machinery (schema, partition-sized batching, operator
+  * signature, columnar handoff) is real and tested; the actual media
+  * decode is STUBBED with a deterministic byte-derived fake because no
+  * image/audio codec libraries exist in this environment — swap
+  * [[decodeStub]] for a real decoder (JNI/ffmpeg/javacv) without touching
+  * any plan shape.
+  */
+object Multimodal {
+
+  /** Metadata carried alongside every binary payload. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("kind", StringType),      // image | audio | video
+    StructField("format", StringType),    // jpeg | png | wav | mp4 ...
+    StructField("sizeBytes", LongType)
+  ))
+
+  /** Wrap a string column as a media row: payload = utf8 bytes, metadata
+    * derived. Test-data adapter — real pipelines read binary files via
+    * `spark.read.format("binaryFile")`.
+    */
+  def asMedia(df: DataFrame, idCol: String, payloadFromCol: String,
+      kind: String, format: String): DataFrame =
+    df.select(
+      col(idCol).as("media_id"),
+      encode(col(payloadFromCol), "UTF-8").as("payload"),
+      struct(lit(kind).as("kind"), lit(format).as("format"),
+        length(encode(col(payloadFromCol), "UTF-8")).cast("long")
+          .as("sizeBytes")).as("meta"))
+
+  /** === STUB === Deterministic fake "decode": derives (width, height,
+    * channels) and a fixed-length feature vector purely from the payload
+    * bytes. Replace with a real codec; signature and batch shape stay.
+    */
+  def decodeStub(payload: Array[Byte], featureDim: Int)
+      : (Int, Int, Int, Array[Float]) = {
+    // FNV-1a over the bytes — cheap, deterministic, endian-stable.
+    var h = 0xcbf29ce484222325L
+    payload.foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+    val w = 64 + (math.floorMod(h, 961L)).toInt       // 64..1024
+    val ht = 64 + (math.floorMod(h >>> 10, 961L)).toInt
+    val feats = Array.tabulate(featureDim) { i =>
+      var x = h ^ (i * 0x9E3779B97F4A7C15L)
+      x ^= x >>> 33; x *= 0xff51afd7ed558ccdL; x ^= x >>> 33
+      (math.floorMod(x, 2000L) - 1000L).toFloat / 1000f
+    }
+    (w, ht, 3, feats)
+  }
+
+  private def decodedSchema(base: StructType): StructType =
+    StructType(base.fields ++ Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("features", ArrayType(FloatType))))
+
+  /** Batch decode operator: partition-wise iteration (the Scala analogue
+    * of a Pandas-batch UDF — one decoder init per partition, rows
+    * streamed through it, no driver collect). Appends width/height/
+    * channels/features columns.
+    */
+  def decodeAndFeaturize(df: DataFrame, payloadCol: String = "payload",
+      featureDim: Int = 16): DataFrame = {
+    val outSchema = decodedSchema(df.schema)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val enc = CatalystRowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      // Real decoders are initialized HERE, once per partition/task.
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val (w, h, c, f) =
+          if (bytes == null) (0, 0, 0, Array.empty[Float])
+          else decodeStub(bytes, featureDim)
+        Row.fromSeq(r.toSeq ++ Seq(w, h, c, f.toSeq))
+      }
+    }(enc)
+  }
+
+  /** Frame-sampling operator shape for video: explode a payload into
+    * every `stride`-th chunk of `frameBytes` bytes (a real implementation
+    * samples decoded frames; the chunking/explode plumbing is identical).
+    */
+  def sampleFrames(df: DataFrame, payloadCol: String = "payload",
+      frameBytes: Int = 256, stride: Int = 4): DataFrame =
+    df.withColumn("frame_no",
+        explode(sequence(lit(0),
+          greatest(ceil(length(col(payloadCol)).cast("double") /
+            (frameBytes * stride)).cast("int") - 1, lit(0)))))
+      .withColumn("frame",
+        substring(col(payloadCol),
+          (col("frame_no") * frameBytes * stride + 1).cast("int"),
+          lit(frameBytes)))
+}
