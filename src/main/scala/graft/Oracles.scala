@@ -1,0 +1,384 @@
+package graft
+
+/** DuckDB oracle SQL, one entry per [[SparkEntry.queries]] key that is
+  * ANSI-SQL-expressible. The driver runs each statement in DuckDB over
+  * views named after the parquet tables (`lineitem`, `orders`, ...) in the
+  * same sf dir the Spark query read, then compares row count, schema and a
+  * value hash with columns sorted by name — so ALIASES AND TYPES HERE MUST
+  * MATCH THE SPARK RESULT EXACTLY (see conventions in [[Queries]]).
+  *
+  * Omitted keys (weaker rows-only check, by design):
+  *  - q_dedup_simhash    — hamming values derive from xxhash64 seeding
+  *  - q_ann_lsh          — recall depends on seeded hyperplanes
+  *  - q_multimodal_decode— feature values derive from the FNV decode stub
+  *
+  * DuckDB 1.x portability notes baked into these statements:
+  *  - CAST(double AS INT) ROUNDS in DuckDB but truncates in Spark — every
+  *    fractional cast goes through floor() first;
+  *  - regexp_replace needs the explicit 'g' flag (Spark replaces all);
+  *  - default null sort order differs — ORDER BY spells NULLS FIRST
+  *    wherever a sort key can be null;
+  *  - aliases are double-quoted to preserve camelCase exactly.
+  */
+object Oracles {
+
+  /** Shared SQL fragment: normalized text (lowercase, trim, collapse
+    * whitespace) — mirror of [[graft.functions.TextFunctions.normalize]].
+    */
+  private def norm(c: String) =
+    s"regexp_replace(trim(lower($c)), '\\s+', ' ', 'g')"
+
+  /** Whitespace tokens of normalized text, empties dropped. */
+  private def toks(c: String) =
+    s"list_filter(string_split(${norm(c)}, ' '), x -> x <> '')"
+
+  /** documents + 60%-truncation twins at doc_id+100000 for doc_id<150 —
+    * mirror of [[QueriesLlm.docsWithTwins]] (floor() because Spark's
+    * cast-to-int truncates while DuckDB's rounds).
+    */
+  private val docsTwins60 =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 100000,
+      |       substr(text, 1, floor(length(text) * 60 / 100)::INT)
+      |FROM documents WHERE doc_id < 150""".stripMargin
+
+  private val stopEn = Seq("the","a","of","to","and","in","is","that","it","for")
+  private val stopDe = Seq("der","die","das","und","ist","nicht","ein","zu","mit","den")
+  private val stopFr = Seq("le","la","les","et","est","un","une","que","pour","dans")
+  private val stopEs = Seq("el","los","las","y","es","un","una","que","por","para")
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
+  private def hits(ws: Seq[String]) =
+    s"len(list_filter(t, x -> x IN ${inList(ws)}))"
+
+  val all: Map[String, String] = Map(
+
+    // ---- pipelines ------------------------------------------------------
+
+    "q_ri_pipeline" ->
+      """WITH mapping AS (
+        |  SELECT DISTINCT l_orderkey AS mo, l_suppkey AS ms FROM lineitem),
+        |recs AS (
+        |  SELECT l_orderkey AS ro, l_partkey AS rp,
+        |         row_number() OVER (PARTITION BY l_orderkey
+        |                            ORDER BY l_linenumber, l_partkey) AS rn
+        |  FROM lineitem WHERE l_quantity < 48)
+        |SELECT o_orderkey::VARCHAR AS "queryItemId",
+        |       ms::VARCHAR AS "userId",
+        |       count(rp)::BIGINT AS "n_recs",
+        |       string_agg(rp::VARCHAR, ',' ORDER BY rn) AS "rec_items",
+        |       string_agg(p.p_brand, ',' ORDER BY rn) AS "rec_brands",
+        |       'related_items_job' AS "jobName",
+        |       '2024-01-01T00:00:00.000' AS "runDateTime"
+        |FROM orders
+        |JOIN mapping ON o_orderkey = mo
+        |LEFT JOIN recs ON o_orderkey = ro
+        |LEFT JOIN part p ON rp = p.p_partkey
+        |WHERE o_orderstatus <> 'F'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_up_pipeline" ->
+      """SELECT o_custkey::VARCHAR AS "queryUserId",
+        |       count(*)::BIGINT AS "n_recs",
+        |       string_agg(l_partkey::VARCHAR, ','
+        |          ORDER BY l_orderkey, l_linenumber, l_partkey)
+        |         AS "rec_items",
+        |       string_agg(p_brand, ','
+        |          ORDER BY l_orderkey, l_linenumber, l_partkey)
+        |         AS "rec_brands"
+        |FROM orders
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // ---- sources / sinks / config ---------------------------------------
+
+    "q_jsonl_backfill" ->
+      """SELECT o_orderkey::VARCHAR AS "queryItemId", NULL::VARCHAR AS "error"
+        |FROM orders ORDER BY 1""".stripMargin,
+
+    "q_csv_scan" ->
+      """SELECT DISTINCT l_suppkey::VARCHAR AS "USER_ID",
+        |       l_orderkey::VARCHAR AS "ITEM_ID"
+        |FROM lineitem ORDER BY 1, 2""".stripMargin,
+
+    "q_jsonl_gzip" ->
+      """SELECT n_nationkey::BIGINT AS "nationkey", n_name AS "name"
+        |FROM nation ORDER BY 1""".stripMargin,
+
+    "q_metadata_gated" ->
+      """SELECT p_partkey::VARCHAR AS "id", p_brand
+        |FROM part ORDER BY 1""".stripMargin,
+
+    "q_sink_runtime_partition" ->
+      """SELECT r_regionkey::BIGINT AS "regionkey", r_name AS "name"
+        |FROM region ORDER BY 1""".stripMargin,
+
+    "q_config_parse" ->
+      """SELECT 'data/batch_inference/related_items' AS "batchInferencePath",
+        |       'true' AS "topDelta", 'false' AS "saveErrors",
+        |       'false' AS "brazeDelta", 'true' AS "otherDelta",
+        |       'rec_' AS "prefix", 'p_brand,p_name' AS "metaFields",
+        |       'US' AS "country"""".stripMargin,
+
+    // ---- filters / joins / explode / window / assemble ------------------
+
+    "q_error_split_ok" ->
+      """WITH recs AS (
+        |  SELECT l_orderkey, count(*) AS n FROM lineitem
+        |  WHERE l_quantity < 48 GROUP BY 1)
+        |SELECT o_orderkey::VARCHAR AS "queryItemId", n::BIGINT AS "n_recs"
+        |FROM orders LEFT JOIN recs ON o_orderkey = l_orderkey
+        |WHERE o_orderstatus <> 'F' ORDER BY 1""".stripMargin,
+
+    "q_error_split_err" ->
+      """SELECT o_orderkey::VARCHAR AS "queryItemId",
+        |       'SIMULATED_ERROR' AS "error"
+        |FROM orders WHERE o_orderstatus = 'F' ORDER BY 1""".stripMargin,
+
+    "q_join_mapusers" ->
+      """SELECT o_orderkey::VARCHAR AS "queryItemId",
+        |       m.l_suppkey::VARCHAR AS "userId"
+        |FROM orders
+        |JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) m
+        |  ON o_orderkey = m.l_orderkey
+        |WHERE o_orderstatus <> 'F' ORDER BY 1, 2""".stripMargin,
+
+    "q_join_decorate_left" ->
+      """SELECT l_orderkey::VARCHAR AS "queryItemId",
+        |       l_linenumber::BIGINT AS "pos",
+        |       l_partkey::VARCHAR AS "itemId", p.p_brand AS "brand"
+        |FROM lineitem
+        |LEFT JOIN (SELECT p_partkey, p_brand FROM part
+        |           WHERE p_retailprice > 1500) p
+        |  ON l_partkey = p.p_partkey
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_posexplode_outer" ->
+      """WITH recs AS (
+        |  SELECT l_orderkey, l_partkey::VARCHAR AS item,
+        |         row_number() OVER (PARTITION BY l_orderkey
+        |                            ORDER BY l_linenumber, l_partkey) - 1
+        |           AS p
+        |  FROM lineitem WHERE l_quantity < 48)
+        |SELECT o_orderkey::VARCHAR AS "queryItemId", p::BIGINT AS "pos",
+        |       item AS "recItemId"
+        |FROM orders LEFT JOIN recs ON o_orderkey = l_orderkey
+        |WHERE o_orderstatus <> 'F'
+        |ORDER BY 1, 2 NULLS FIRST""".stripMargin,
+
+    "q_window_prefix" ->
+      """SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+        |       l_partkey::VARCHAR AS "partkey",
+        |       count(*) OVER (PARTITION BY l_orderkey
+        |                      ORDER BY l_linenumber, l_partkey
+        |                      RANGE BETWEEN UNBOUNDED PRECEDING
+        |                      AND CURRENT ROW)::BIGINT AS "prefix_len",
+        |       l_partkey::VARCHAR AS "prefix_last"
+        |FROM lineitem ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_assemble_groupby" ->
+      """SELECT l_orderkey::VARCHAR AS "queryItemId",
+        |       count(*)::BIGINT AS "n_recs",
+        |       string_agg(l_partkey::VARCHAR, ','
+        |                  ORDER BY l_linenumber, l_partkey) AS "rec_items"
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_assemble_window" ->
+      """SELECT l_orderkey::VARCHAR AS "queryItemId",
+        |       count(*)::BIGINT AS "n_recs",
+        |       string_agg(l_partkey::VARCHAR, ','
+        |                  ORDER BY l_linenumber, l_partkey) AS "rec_items"
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // ---- delta / set ops / counts ---------------------------------------
+
+    "q_delta_except" ->
+      """SELECT * FROM (
+        |  SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+        |         l_partkey, l_quantity
+        |  FROM lineitem
+        |  EXCEPT
+        |  SELECT l_orderkey, l_linenumber::BIGINT, l_partkey, l_quantity
+        |  FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01')
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin,
+
+    "q_delta_keyed" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_canonicalize" ->
+      "SELECT * FROM part ORDER BY p_partkey",
+
+    "q_counts" ->
+      """SELECT (SELECT count(*) FROM orders)::BIGINT AS "total",
+        |  (SELECT count(*) FROM orders WHERE o_orderstatus <> 'F')::BIGINT
+        |    AS "ok_cnt",
+        |  (SELECT count(*) FROM orders WHERE o_orderstatus = 'F')::BIGINT
+        |    AS "err_cnt",
+        |  (SELECT count(*) FROM
+        |    (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem))::BIGINT
+        |    AS "mapping_cnt"""".stripMargin,
+
+    // ---- stamp / scalar / pivot -----------------------------------------
+
+    "q_stamp_jobinfo" ->
+      """SELECT r_regionkey::VARCHAR AS "userId", 'graft_job' AS "jobName",
+        |       '2024-01-01T00:00:00.000' AS "runDateTime",
+        |       'recommendation_' AS "attributePrefix", 'US' AS "country",
+        |       'gold' AS "tier"
+        |FROM region ORDER BY 1""".stripMargin,
+
+    "q_date_format" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y/%m/%d') AS "datepath",
+        |       strftime(o_orderdate, '%Y') AS "year"
+        |FROM orders ORDER BY 1""".stripMargin,
+
+    "q_prefix_attrs" ->
+      """SELECT p_partkey::VARCHAR AS "itemId",
+        |       'recommendation_' || p_brand AS "prefixed_brand"
+        |FROM part ORDER BY 1""".stripMargin,
+
+    "q_pivot_attributes" ->
+      """SELECT l_suppkey::VARCHAR AS "external_id",
+        |       string_agg(l_partkey::VARCHAR, ','
+        |          ORDER BY l_orderkey, l_linenumber, l_partkey)
+        |         AS "rec_items",
+        |       string_agg((l_orderkey * 10 + l_linenumber)::VARCHAR, ','
+        |          ORDER BY l_orderkey, l_linenumber, l_partkey)
+        |         AS "rec_slots",
+        |       'US' AS "country"
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_queue_relay" ->
+      """SELECT s_suppkey::VARCHAR AS "userId", s_name AS "name"
+        |FROM supplier ORDER BY 1""".stripMargin,
+
+    "q_rest_sink" ->
+      """SELECT ((count(*) + 74) // 75)::BIGINT AS "n_posts",
+        |       count(*)::BIGINT AS "n_rows", 0::BIGINT AS "n_dead"
+        |FROM customer""".stripMargin,
+
+    // ---- dedup ----------------------------------------------------------
+
+    "q_dedup_exact" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 200000,
+         |         upper(substr(text, 1, 10)) || substr(text, 11) || '  '
+         |  FROM documents WHERE doc_id < 100),
+         |fps AS (SELECT doc_id, md5(${norm("text")}) AS fp FROM all_docs)
+         |SELECT fp, count(*)::BIGINT AS "cnt", min(doc_id) AS "keeper"
+         |FROM fps GROUP BY fp HAVING count(*) > 1
+         |ORDER BY "keeper"""".stripMargin,
+
+    "q_dedup_minhash" ->
+      """SELECT doc_id AS "id_a", doc_id + 100000 AS "id_b"
+        |FROM documents WHERE doc_id < 150 ORDER BY 1, 2""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""WITH all_docs AS ($docsTwins60),
+         |tok AS (SELECT doc_id, ${toks("text")} AS t FROM all_docs),
+         |sh AS (SELECT doc_id,
+         |  list_distinct(CASE WHEN len(t) < 3
+         |    THEN [array_to_string(t, ' ')]
+         |    ELSE list_transform(generate_series(1, len(t) - 2),
+         |           i -> array_to_string(t[i:i+2], ' ')) END) AS s
+         |  FROM tok),
+         |pairs AS (SELECT doc_id AS ia, doc_id + 100000 AS ib
+         |          FROM documents WHERE doc_id < 150)
+         |SELECT ia AS "id_a", ib AS "id_b",
+         |  round(len(list_intersect(a.s, b.s))::DOUBLE /
+         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+         |    AS "jaccard"
+         |FROM pairs JOIN sh a ON a.doc_id = ia JOIN sh b ON b.doc_id = ib
+         |ORDER BY 1""".stripMargin,
+
+    "q_embed_neardup" ->
+      """SELECT vec_id AS "id_a", vec_id + 100000 AS "id_b",
+        |  round(list_dot_product(e, e) /
+        |    (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(e, e))), 6)
+        |    AS "cosine"
+        |FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        |      WHERE vec_id < 50)
+        |ORDER BY 1, 2""".stripMargin,
+
+    // ---- similarity search ----------------------------------------------
+
+    "q_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |s AS (SELECT qid, vec_id,
+        |        round(CASE WHEN sqrt(list_dot_product(qv, qv)) = 0
+        |                     OR sqrt(list_dot_product(cv, cv)) = 0 THEN 0.0
+        |              ELSE list_dot_product(qv, cv) /
+        |                   (sqrt(list_dot_product(qv, qv)) *
+        |                    sqrt(list_dot_product(cv, cv))) END, 6) AS cos
+        |      FROM q CROSS JOIN c),
+        |r AS (SELECT qid, vec_id, cos,
+        |        row_number() OVER (PARTITION BY qid
+        |                           ORDER BY cos DESC, vec_id ASC) AS rk
+        |      FROM s)
+        |SELECT qid AS "query_id", vec_id, cos AS "cosine",
+        |       rk::BIGINT AS "rank"
+        |FROM r WHERE rk <= 5 ORDER BY 1, 4""".stripMargin,
+
+    // ---- text analysis --------------------------------------------------
+
+    "q_text_stats" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, text, ${toks("text")} AS t FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    len(t)::BIGINT AS n_tok,
+         |    len(regexp_extract_all(text,
+         |      '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]'))::BIGINT AS n_bpe,
+         |    round(CASE WHEN len(t) = 0 THEN 0.0
+         |      ELSE list_sum(list_transform(t, x -> length(x)))::DOUBLE
+         |           / len(t) END, 6) AS mean_tok,
+         |    round(CASE WHEN length(text) = 0 THEN 0.0
+         |      ELSE (length(text) - length(regexp_replace(text,
+         |             '[^\\p{L}\\p{N}\\s]', '', 'g')))::DOUBLE
+         |           / length(text) END, 6) AS pr,
+         |    round(CASE WHEN len(t) = 0 THEN 0.0
+         |      ELSE len(list_filter(t, x -> x IN ${inList(
+              (stopEn ++ stopDe ++ stopFr ++ stopEs).distinct)}))::DOUBLE
+         |           / len(t) END, 6) AS sr
+         |  FROM tok)
+         |SELECT doc_id, n_tok AS "n_tokens", n_bpe AS "n_tokens_bpe",
+         |  mean_tok AS "mean_token_len", pr AS "punct_ratio",
+         |  sr AS "stopword_ratio",
+         |  round(least(n_tok / 50.0, 1.0) * 0.4 +
+         |        (CASE WHEN mean_tok BETWEEN 3.0 AND 10.0
+         |              THEN 1.0 ELSE 0.5 END) * 0.3 +
+         |        (1.0 - least(pr * 4.0, 1.0)) * 0.3, 6) AS "quality"
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_langid" ->
+      s"""WITH tok AS (SELECT doc_id, ${toks("text")} AS t FROM documents),
+         |h AS (SELECT doc_id,
+         |  ${hits(stopEn)} AS en, ${hits(stopDe)} AS de,
+         |  ${hits(stopFr)} AS fr, ${hits(stopEs)} AS es FROM tok)
+         |SELECT doc_id, en::BIGINT AS "en_hits",
+         |  CASE WHEN en <= 0 AND de <= 0 AND fr <= 0 AND es <= 0 THEN 'und'
+         |       WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+         |       WHEN de >= fr AND de >= es THEN 'de'
+         |       WHEN fr >= es THEN 'fr' ELSE 'es' END AS "lang_pred"
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprints" ->
+      s"""SELECT doc_id, md5(${norm("text")}) AS "fp"
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // ---- multimodal -----------------------------------------------------
+
+    "q_frame_sample" ->
+      """SELECT doc_id AS "media_id",
+        |  greatest(ceil(octet_length(encode(text)) / 128.0)::BIGINT, 1)
+        |    AS "n_frames"
+        |FROM documents ORDER BY 1""".stripMargin
+  )
+}

@@ -288,7 +288,7 @@ object Queries {
       .select(col("queryItemId"), col("pos"),
         col("recItem.itemId").as("itemId"),
         col("recItem.p_brand").as("brand"))
-      .orderBy("queryItemId", "pos")
+      .orderBy("queryItemId", "pos", "itemId")
   }
 
   /** G1+P5+P6: posexplode_outer round-trip — null arrays keep their
@@ -302,22 +302,34 @@ object Queries {
       .orderBy(col("queryItemId"), col("pos").asc_nulls_first)
   }
 
-  /** W1: running collect_list over an ordered window (prefix lists). */
+  /** W1: running collect_list over an ordered window (prefix lists).
+    * The window orders by (l_linenumber, l_partkey) because l_linenumber
+    * alone is NOT unique within an order in this data — remaining ties
+    * are whole-key peers whose payload (l_partkey) is equal, so the
+    * RANGE-frame peer inclusion stays deterministic.
+    */
   def windowPrefix(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("l_orderkey").orderBy("l_linenumber")
+      .partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
     t(s, dir, "lineitem")
       .withColumn("prefix", collect_list(col("l_partkey")).over(w))
       .select(col("l_orderkey"), col("l_linenumber").cast("long"),
+        col("l_partkey").cast("string").as("partkey"),
         size(col("prefix")).cast("long").as("prefix_len"),
         element_at(col("prefix"), -1).cast("string").as("prefix_last"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "partkey")
   }
 
+  /** pos must order rows uniquely up to payload equality: l_linenumber
+    * alone ties (non-unique in this data) and the tie would then break on
+    * the STRING itemId inside the struct — diverging from any numeric
+    * oracle. Composite numeric pos = linenumber*1e6 + partkey fixes both.
+    */
   private def decoratedLite(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").select(
       col("l_orderkey").cast("string").as("queryItemId"),
-      col("l_linenumber").as("pos"),
+      (col("l_linenumber").cast("long") * 1000000L + col("l_partkey"))
+        .as("pos"),
       struct(col("l_partkey").cast("string").as("itemId")).as("recItem"))
 
   private def flattenLite(df: DataFrame): DataFrame =
@@ -341,8 +353,11 @@ object Queries {
 
   // ---- delta / set-op queries ------------------------------------------
 
-  private def deltaFrames(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
+  /** A4+P8: whole-row EXCEPT DISTINCT against last-sync state. Output is
+    * totally ordered (all four columns) — (l_orderkey, l_linenumber) is
+    * not a unique key in this data.
+    */
+  def deltaExcept(s: SparkSession, dir: String): DataFrame = {
     val cur = t(s, dir, "lineitem").select(col("l_orderkey"),
       col("l_linenumber").cast("long").as("l_linenumber"),
       col("l_partkey"), col("l_quantity"))
@@ -351,25 +366,26 @@ object Queries {
       .select(col("l_orderkey"),
         col("l_linenumber").cast("long").as("l_linenumber"),
         col("l_partkey"), col("l_quantity"))
-    (cur, state)
+    Ops.deltaCheck(cur, state)
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
   }
 
-  /** A4+P8: whole-row EXCEPT DISTINCT against last-sync state. */
-  def deltaExcept(s: SparkSession, dir: String): DataFrame = {
-    val (cur, state) = deltaFrames(s, dir)
-    Ops.deltaCheck(cur, state).orderBy("l_orderkey", "l_linenumber")
-  }
-
-  /** A4 at scale: keyed xxhash64 variant — same rows as
-    * [[deltaExcept]] here (keys unique), one narrow shuffle instead of a
-    * wide-row EXCEPT aggregate (SURVEY.md §4.3#3).
+  /** A4 at scale: keyed xxhash64 variant over the orders table, whose
+    * o_orderkey IS unique (the keyed design's precondition — lineitem has
+    * none). State = pre-1999 orders, so the delta is exactly the 1999+
+    * rows: key-absent-from-state, payload hash never differing
+    * (SURVEY.md §4.3#3 — one narrow shuffle instead of a wide-row EXCEPT
+    * aggregate).
     */
   def deltaKeyed(s: SparkSession, dir: String): DataFrame = {
-    val (cur, state) = deltaFrames(s, dir)
-    Ops.deltaCheckKeyed(cur, state, Seq("l_orderkey", "l_linenumber"))
-      .select(col("l_linenumber"), col("l_orderkey"), col("l_partkey"),
-        col("l_quantity"))  // canonical order, same as EXCEPT's
-      .orderBy("l_orderkey", "l_linenumber")
+    val o = t(s, dir, "orders")
+    val cols = Seq(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"))
+    val cur = o.select(cols: _*)
+    val state = o.where(col("o_orderdate") < to_timestamp(lit("1999-01-01")))
+      .select(cols: _*)
+    Ops.deltaCheckKeyed(cur, state, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
   }
 
   /** P8 standalone: canonical column order. */

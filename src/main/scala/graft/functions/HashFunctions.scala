@@ -40,17 +40,17 @@ object HashFunctions {
       array_min(transform(array_distinct(shingles), s => xxhash64(s, lit(h))))
     }: _*)
 
-  /** LSH band keys for a MinHash signature: `numBands` keys, each a
-    * 64-bit mix of `rowsPerBand` consecutive signature components plus
-    * the band index (so band 0 and band 1 never collide with each other).
-    * Two docs share a band key iff their signatures agree on that whole
-    * band — P[share >= 1 band] ~ 1-(1-j^r)^b, the LSH S-curve.
+  /** LSH band keys for a MinHash signature: `numBands` keys, each the
+    * xxhash64 of the band's `rowsPerBand` consecutive signature components
+    * seeded with the band index (so band 0 and band 1 never collide with
+    * each other). Two docs share a band key iff their signatures agree on
+    * that whole band — P[share >= 1 band] ~ 1-(1-j^r)^b, the LSH S-curve.
+    * xxhash64 over the array slice instead of rolling multiply-add: the
+    * latter overflows under Spark 4's default ANSI arithmetic.
     */
   def bandKeys(signature: Column, numBands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(numBands - 1)), b =>
-      aggregate(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)),
-        b.cast("long") * 0x9E3779B97F4A7C15L,
-        (acc, x) => acc * lit(31L) + x))
+      xxhash64(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)), b))
 
   /** Exact Jaccard similarity of two shingle arrays (distinct-element
     * set semantics), rounded to 6 places.

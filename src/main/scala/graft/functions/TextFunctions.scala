@@ -22,11 +22,14 @@ object TextFunctions {
   def fingerprint(text: Column): Column = md5(normalize(text))
 
   /** Rolling polynomial fingerprint over word tokens (order-sensitive,
-    * cheap to maintain incrementally): acc = acc*31 + crc32(token),
-    * in 64-bit wraparound arithmetic.
+    * cheap to maintain incrementally): acc = (acc*31 + crc32(token)) mod
+    * 2^31-1. The modulus keeps every intermediate below 2^36, so the
+    * arithmetic never overflows under Spark 4's default ANSI mode (plain
+    * 64-bit wraparound would throw ARITHMETIC_OVERFLOW).
     */
   def rollingFingerprint(text: Column): Column =
-    aggregate(tokens(text), lit(0L), (acc, t) => acc * lit(31L) + crc32(t))
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * lit(31L) + crc32(t), lit(2147483647L)))
 
   /** Whitespace tokens of the normalized text; empty text -> empty array. */
   def tokens(text: Column): Column =
