@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Dedup}
+
+/** Dedup + ANN operator specs on small curated corpora where the exact
+  * answer is known; scale behaviour (bucketing, skew guard) is asserted
+  * structurally — no cartesian products in any plan.
+  */
+class DedupAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "THE QUICK  BROWN FOX jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),  // near dup of 1
+    (4L, "completely different text about spark engines and scale")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups case/whitespace-equal docs, keeper = min id") {
+    val out = Dedup.exact(corpus, "doc_id", "text")
+      .groupBy("fp").agg(count(lit(1)).as("n"), min("keeper").as("keep"))
+      .where(col("n") > 1).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("keep") == 1L)
+  }
+
+  test("minhash near-dup finds the near pair, skips the distinct doc") {
+    val pairs = Dedup.minhashNearDups(corpus, "doc_id", "text",
+        shingleWidth = 2, numHashes = 32, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // exact dup is also a near dup
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash skew guard drops degenerate buckets") {
+    val degenerate = (1L to 50L).map(i => (i, "same same same"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashNearDups(degenerate, "doc_id", "text",
+      shingleWidth = 2, numHashes = 16, bands = 8, threshold = 0.9,
+      maxBucket = 10)
+    assert(out.count() == 0) // all buckets over cap -> dropped, no blowup
+  }
+
+  test("simhash near-dups: exact dup at hamming 0 within radius") {
+    val pairs = Dedup.simhashNearDups(corpus, "doc_id", "text",
+        maxHamming = 3)
+      .select("id_a", "id_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngramJaccard scores an explicit candidate pair set") {
+    val pairs = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.ngramJaccard(corpus, pairs, "doc_id", "text", n = 2)
+      .orderBy("id_b").collect()
+    assert(out(0).getDouble(2) == 1.0) // 1 vs 2: identical after normalize
+    assert(out(1).getDouble(2) < 0.1)  // 1 vs 4: near-disjoint
+  }
+
+  private val vecs = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Seq(0.999f, 0.01f, 0.0f, 0.0f)), // ~parallel to 1
+    (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),    // orthogonal
+    (4L, Seq(0.0f, 0.0f, 1.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by cosine with id tie-break") {
+    val q = vecs.where(col("vec_id") === 1)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val out = Ann.bruteForceTopK(q, vecs, k = 2).orderBy("rank")
+      .select("vec_id").as[Long].collect()
+    assert(out.toSeq == Seq(1L, 2L)) // self first, near-parallel second
+  }
+
+  test("lshTopK finds identical/near-parallel vectors (recall on easy case)") {
+    val q = vecs.where(col("vec_id") === 1)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val out = Ann.lshTopK(q, vecs, k = 2, dim = 4, numPlanes = 8, bands = 8)
+      .orderBy("rank").select("vec_id").as[Long].collect()
+    assert(out.contains(1L) && out.contains(2L))
+  }
+
+  test("cosineNearDupPairs at high threshold keeps only the parallel pair") {
+    val out = Ann.cosineNearDupPairs(vecs, threshold = 0.99, dim = 4,
+        numPlanes = 8, bands = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L)))
+  }
+
+  test("no ANN/dedup plan contains a cartesian product") {
+    val q = vecs.select(col("vec_id").as("query_id"), col("embedding"))
+    val plans = Seq(
+      Dedup.minhashNearDups(corpus, "doc_id", "text").queryExecution
+        .executedPlan.toString,
+      Ann.lshTopK(q, vecs, 2, 4).queryExecution.executedPlan.toString,
+      Ann.cosineNearDupPairs(vecs, 0.9, 4).queryExecution.executedPlan
+        .toString)
+    plans.foreach(p => assert(!p.contains("CartesianProduct"), p.take(400)))
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.io.{Readers, Writers}
+import graft.schema.Schemas
+
+/** Source/sink specs (SURVEY.md §2.1-§2.2): schema backfill, codec
+  * transparency, existence gating, run-time-partitioned layout.
+  */
+class IoSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("withBackfill adds missing top-level and nested columns as nulls") {
+    val df = Seq("1").toDF("x")
+      .select(struct(col("x").as("itemId")).as("input"))
+    val out = Readers.withBackfill(df, Schemas.relatedItemsBatchInference)
+    // names+types must match exactly; nullability may tighten
+    assert(out.schema.simpleString ==
+      Schemas.relatedItemsBatchInference.simpleString)
+    val r = out.collect().head
+    assert(r.getStruct(0) == org.apache.spark.sql.Row("1"))
+    assert(r.isNullAt(1) || r.getStruct(1).isNullAt(0)) // output backfilled
+    assert(r.isNullAt(2))                               // error backfilled
+  }
+
+  test("withBackfill keeps present nested fields and drops extras") {
+    val df = Seq(("1", "keep", "extra")).toDF("a", "b", "c")
+      .select(struct(col("a").as("itemId"), col("c").as("junk")).as("input"),
+        col("b").as("error"))
+    val out = Readers.withBackfill(df, Schemas.relatedItemsBatchInference)
+    assert(out.select("input.itemId").as[String].collect().head == "1")
+    assert(out.select("input.*").columns.toSeq == Seq("itemId"))
+  }
+
+  test("jsonl reads gzip transparently and recursively") {
+    val dir = tmpDir("gz")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.mode("overwrite").option("compression", "gzip")
+      .json(s"$dir/nested/deeper")
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType)))
+    val out = Readers.jsonl(spark, dir, schema)
+    assert(out.orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("jsonlIfExists gates on path existence") {
+    val dir = tmpDir("gate")
+    val schema = StructType(Seq(StructField("k", LongType)))
+    assert(Readers.jsonlIfExists(spark, s"$dir/nope", schema).isEmpty)
+    Seq(1L).toDF("k").write.mode("overwrite").json(s"$dir/yes")
+    assert(Readers.jsonlIfExists(spark, s"$dir/yes", schema).isDefined)
+  }
+
+  test("csv reads header/quoted files with explicit schema") {
+    val dir = tmpDir("csv")
+    Seq(("u,1", "i\"2")).toDF("USER_ID", "ITEM_ID")
+      .write.mode("overwrite").option("header", "true")
+      .option("quoteAll", "true").csv(dir)
+    val out = Readers.csv(spark, dir, Schemas.userItemMapping).collect().head
+    assert(out.getString(0) == "u,1" && out.getString(1) == "i\"2")
+  }
+
+  test("connectorOutput writes the run-time-partitioned layout") {
+    val dir = tmpDir("sink")
+    val clock = LocalDateTime.of(2024, 3, 7, 14, 5, 9)
+    val written = Writers.connectorOutput(Seq(1L).toDF("k"), dir, "braze",
+      clock)
+    assert(written ==
+      s"$dir/braze/year=2024/month=03/day=07/time=140509")
+    assert(spark.read.json(written).count() == 1)
+  }
+
+  test("errors sink writes only when enabled and non-empty") {
+    val dir = tmpDir("err")
+    val clock = LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+    val empty = Seq.empty[Long].toDF("k")
+    val some = Seq(1L).toDF("k")
+    assert(Writers.errors(empty, dir, "ri", clock, enabled = true).isEmpty)
+    assert(Writers.errors(some, dir, "ri", clock, enabled = false).isEmpty)
+    assert(Writers.errors(some, dir, "ri", clock, enabled = true).isDefined)
+  }
+
+  test("state write-back overwrites the previous snapshot") {
+    val dir = tmpDir("state")
+    Writers.state(Seq(1L).toDF("k"), dir, "braze")
+    val p = Writers.state(Seq(2L, 3L).toDF("k"), dir, "braze")
+    assert(spark.read.json(p).count() == 2) // overwrite, not append
+  }
+}

@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.etl.Ops
+import graft.io.Readers
+import graft.schema.Schemas
+
+/** Per-operator specs for the relational core (SURVEY.md §2.3-§2.10),
+  * focused on the edge cases the reference's DynamicFrame semantics hide:
+  * absent columns, null/empty arrays, join misses, ties.
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def batch(rows: (String, Seq[String], String)*) =
+    rows.toSeq.toDF("itemId", "recs", "error")
+      .select(struct(col("itemId")).as("input"),
+        struct(col("recs").as("recommendedItems")).as("output"),
+        col("error"))
+
+  test("splitErrors partitions on error nullability and drops the column") {
+    val (ok, err) = Ops.splitErrors(batch(
+      ("1", Seq("a"), null), ("2", Seq("b"), "boom")))
+    assert(ok.columns.toSeq == Seq("input", "output"))
+    assert(ok.select("input.itemId").as[String].collect().toSeq == Seq("1"))
+    assert(err.select("error").as[String].collect().toSeq == Seq("boom"))
+  }
+
+  test("splitErrors works when no input line carried error (backfill)") {
+    val dir = tmpDir("backfill")
+    Seq("1", "2").toDF("itemId")
+      .select(struct(col("itemId")).as("input"),
+        struct(array(lit("x")).as("recommendedItems")).as("output"))
+      .write.mode("overwrite").json(dir)
+    val df = Readers.jsonl(spark, dir, Schemas.relatedItemsBatchInference)
+    val (ok, err) = Ops.splitErrors(df)
+    assert(ok.count() == 2 && err.count() == 0)
+  }
+
+  test("explodeRecs keeps parents with null and empty arrays (outer)") {
+    val df = batch(("1", Seq("a", "b"), null), ("2", null, null),
+      ("3", Seq.empty[String], null))
+    val out = Ops.explodeRecs(df, "input.itemId", "queryItemId", Nil)
+      .select("queryItemId", "pos", "recItemId").collect()
+    assert(out.length == 4) // 2 recs + 1 null-array parent + 1 empty-array
+    val parents = out.filter(r => r.isNullAt(1))
+    assert(parents.map(_.getString(0)).toSet == Set("2", "3"))
+  }
+
+  test("explodeRecs preserves array order via pos") {
+    val df = batch(("1", Seq("z", "a", "m"), null))
+    val out = Ops.explodeRecs(df, "input.itemId", "queryItemId", Nil)
+      .orderBy("pos").select("recItemId").as[String].collect()
+    assert(out.toSeq == Seq("z", "a", "m")) // NOT alphabetical: pos order
+  }
+
+  test("decorate left-join miss keeps itemId with null metadata") {
+    val exploded = Seq(("1", 0, "a"), ("1", 1, "missing"))
+      .toDF("queryItemId", "pos", "recItemId")
+    val meta = Seq(("a", "BrandA")).toDF("id", "p_brand")
+    val out = Ops.decorate(exploded, Some(meta), Seq("p_brand"))
+      .orderBy("pos")
+      .select("recItem.itemId", "recItem.p_brand").collect()
+    assert(out(0) == Row("a", "BrandA"))
+    assert(out(1) == Row("missing", null))
+  }
+
+  test("decorate without metadata yields bare {itemId} struct, null-guarded") {
+    val exploded = Seq(("1", Some(0), Some("a")), ("2", None, None))
+      .toDF("queryItemId", "pos", "recItemId")
+    val out = Ops.decorate(exploded, None, Nil).orderBy("queryItemId")
+      .select("recItem").collect()
+    assert(out(0).getStruct(0) == Row("a"))
+    assert(out(1).isNullAt(0)) // outer-explode parent stays null
+  }
+
+  test("decorate empty metadataFields means all metadata fields") {
+    val exploded = Seq(("1", 0, "a")).toDF("queryItemId", "pos", "recItemId")
+    val meta = Seq(("a", "B", 9.5)).toDF("id", "brand", "price")
+    val out = Ops.decorate(exploded, Some(meta), Nil).select("recItem.*")
+    assert(out.columns.toSeq == Seq("itemId", "brand", "price"))
+  }
+
+  test("assemble groupBy and windowed shapes agree (differential)") {
+    val decorated = Seq(
+      ("1", 1L, "b"), ("1", 0L, "a"), ("2", 0L, "x"))
+      .toDF("queryItemId", "pos", "id")
+      .withColumn("recItem", struct(col("id").as("itemId"))).drop("id")
+    val a = Ops.assembleRecommendations(decorated, Seq("queryItemId"))
+    val b = Ops.assembleRecommendationsWindowed(decorated, "queryItemId",
+      Seq("queryItemId"))
+    val fa = a.orderBy("queryItemId").collect().toSeq
+    val fb = b.orderBy("queryItemId").collect().toSeq
+    assert(fa == fb)
+    assert(fa.head.getSeq[Row](1).map(_.getString(0)) == Seq("a", "b"))
+  }
+
+  test("assemble drops null recItems so no-rec parents get []") {
+    val decorated = Seq(("1", Option.empty[Long])).toDF("queryItemId", "pos")
+      .withColumn("recItem",
+        lit(null).cast("struct<itemId:string>"))
+    val out = Ops.assembleRecommendations(decorated, Seq("queryItemId"))
+      .collect()
+    assert(out.head.getSeq[Row](1).isEmpty)
+  }
+
+  test("deltaCheck emits only rows absent from state, EXCEPT semantics") {
+    val cur = Seq((1, "a"), (1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val state = Seq((1, "a"), (2, "OLD")).toDF("k", "v")
+    val out = Ops.deltaCheck(cur, state).orderBy("k").collect()
+    // (1,a) suppressed (in state), dup collapsed; (2,b) changed; (3,c) new
+    assert(out.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((2, "b"), (3, "c")))
+  }
+
+  test("deltaCheckKeyed matches deltaCheck when keys are unique") {
+    val cur = Seq((1, "a", 10), (2, "b", 20), (3, "c", 30)).toDF("k", "v", "w")
+    val state = Seq((1, "a", 10), (2, "XX", 20)).toDF("k", "v", "w")
+    val except = Ops.deltaCheck(cur, state)
+      .select("k", "v", "w").orderBy("k").collect().toSeq
+    val keyed = Ops.deltaCheckKeyed(cur, state, Seq("k"))
+      .select("k", "v", "w").orderBy("k").collect().toSeq
+    assert(except == keyed)
+    assert(keyed.map(_.getInt(0)) == Seq(2, 3))
+  }
+
+  test("canonicalizeColumns sorts column order only") {
+    val out = Ops.canonicalizeColumns(Seq((1, "x", 2.0)).toDF("c", "a", "b"))
+    assert(out.columns.toSeq == Seq("a", "b", "c"))
+    assert(out.collect().head == Row("x", 2.0, 1))
+  }
+
+  test("stampJobInfo adds constant structs; syncDirectives optional") {
+    val base = Seq("u1").toDF("userId")
+    val none = Ops.stampJobInfo(base, "j", "t", None)
+    assert(!none.columns.contains("syncDirectives"))
+    val some = Ops.stampJobInfo(base, "j", "2024-01-01T00:00:00.000",
+      Some(("p_", Map("b" -> "2", "a" -> "1")))).collect().head
+    assert(some.getStruct(1) == Row("j", "2024-01-01T00:00:00.000"))
+    assert(some.getStruct(2) == Row("p_", "1", "2")) // keys sorted
+  }
+
+  test("pivotAttributes transposes array<struct> and drops external_id clash") {
+    val df = Seq(("u1", Seq(("i1", "s1"), ("i2", "s2"))))
+      .toDF("userId", "pairs")
+      .select(col("userId"), transform(col("pairs"),
+        p => struct(p.getField("_1").as("itemId"),
+          p.getField("_2").as("slot"))).as("recommendations"))
+    val out = Ops.pivotAttributes(df, "userId", Seq("itemId", "slot"),
+      "rec_", Map("country" -> "US", "external_id" -> "MUST_DROP"))
+    assert(out.columns.toSeq ==
+      Seq("external_id", "rec_itemId", "rec_slot", "country"))
+    val r = out.collect().head
+    assert(r.getString(0) == "u1")
+    assert(r.getSeq[String](1) == Seq("i1", "i2"))
+    assert(r.getString(3) == "US")
+  }
+}

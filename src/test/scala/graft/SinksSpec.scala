@@ -1,0 +1,58 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.connector.Sinks
+import graft.connector.Sinks.{QueueMessage, QueueTransport, RestTransport}
+
+/** Fan-out sink specs K3/K4: batch sizing, retry, dead-lettering. */
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("queueSink batches at most 10 messages per send") {
+    val name = s"q-${java.util.UUID.randomUUID()}"
+    val df = (1 to 23).map(_.toString).toDF("userId").repartition(1)
+    Sinks.queueSink(df, Sinks.InMemoryQueueTransport(name), "userId")
+    val got = Sinks.InMemoryQueues.drain(name)
+    assert(got.size == 23)
+    assert(got.forall(_.body.contains("userId")))
+  }
+
+  test("queueSink dead-letters ids the transport rejects") {
+    val dead = spark.sparkContext.collectionAccumulator[String]("dl")
+    object FailEven extends QueueTransport {
+      def send(batch: Seq[QueueMessage]): Seq[String] =
+        batch.filter(_.id.endsWith("-2")).map(_.id)
+    }
+    val df = Seq("1", "2", "3").toDF("userId").repartition(1)
+    Sinks.queueSink(df, FailEven, "userId", deadLetters = Some(dead))
+    assert(dead.value.size == 1 && dead.value.get(0).endsWith("-2"))
+  }
+
+  test("restSink groups 75 per POST and retries before dead-lettering") {
+    val posts = spark.sparkContext.longAccumulator("posts")
+    val rows = spark.sparkContext.longAccumulator("rows")
+    val transport = new RestTransport {
+      def post(objs: Seq[String]): Boolean = {
+        posts.add(1); rows.add(objs.size); true
+      }
+    }
+    val df = (1 to 160).map(_.toString).toDF("external_id").repartition(1)
+    Sinks.restSink(df, transport)
+    assert(posts.value == 3) // 75 + 75 + 10
+    assert(rows.value == 160)
+  }
+
+  test("restSink dead-letters a batch after maxAttempts failures") {
+    val dead = spark.sparkContext.collectionAccumulator[String]("dl2")
+    val attempts = spark.sparkContext.longAccumulator("attempts")
+    val alwaysFail = new RestTransport {
+      def post(objs: Seq[String]): Boolean = { attempts.add(1); false }
+    }
+    val df = Seq("1", "2").toDF("external_id").repartition(1)
+    Sinks.restSink(df, alwaysFail, maxAttempts = 3,
+      deadLetters = Some(dead))
+    assert(attempts.value == 3)  // retried exactly maxAttempts times
+    assert(dead.value.size == 2) // whole batch dead-lettered
+  }
+}
