@@ -1,0 +1,165 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression,
+  UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
+  ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the sketching hot path.
+  *
+  * Spark's higher-order functions (transform/aggregate/zip_with) never
+  * enter whole-stage codegen — every element op is an interpreted
+  * `Expression.eval` with closure dispatch and boxing. For sketches that
+  * touch every token x every hash component, that interpretive overhead
+  * dominated the sf0.1 benchmark (minhash 57s, simhash 24s for a 5k-doc
+  * corpus). Each expression here generates a single static call into a
+  * compiled [[Kernels]] loop, keeping the operator inside the
+  * WholeStageCodegen span (preference order (b) of the build brief:
+  * native Expression with doGenCode over UDF).
+  */
+object NativeExpressions {
+
+  private val kernels = Kernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+
+  /** array<string> tokens -> array<string> n-word shingles. */
+  case class WordShingles(child: Expression, n: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType)
+    override def prettyName: String = "word_shingles"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.wordShingles(input.asInstanceOf[ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        c => s"${ev.value} = $kernels.wordShingles($c, $n);")
+    override protected def withNewChildInternal(newChild: Expression)
+        : WordShingles = copy(child = newChild)
+  }
+
+  /** array<string> shingles -> array<long> MinHash signature. */
+  case class MinHashSignature(child: Expression, numHashes: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_signature"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.minhashSignature(input.asInstanceOf[ArrayData], numHashes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        c => s"${ev.value} = $kernels.minhashSignature($c, $numHashes);")
+    override protected def withNewChildInternal(newChild: Expression)
+        : MinHashSignature = copy(child = newChild)
+  }
+
+  /** array<long> MinHash signature -> array<long> LSH band keys. */
+  case class MinHashBandKeys(child: Expression, bands: Int, rowsPerBand: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_band_keys"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.minhashBandKeys(input.asInstanceOf[ArrayData], bands,
+        rowsPerBand)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $kernels.minhashBandKeys($c, $bands, $rowsPerBand);")
+    override protected def withNewChildInternal(newChild: Expression)
+        : MinHashBandKeys = copy(child = newChild)
+  }
+
+  /** array<string> tokens -> long SimHash. */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash64"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.simhash64(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kernels.simhash64($c);")
+    override protected def withNewChildInternal(newChild: Expression)
+        : SimHash64 = copy(child = newChild)
+  }
+
+  /** (array<string>, array<string>) -> double exact Jaccard. */
+  case class JaccardStrings(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "jaccard"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.jaccardStrings(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        (a, b) => s"${ev.value} = $kernels.jaccardStrings($a, $b);")
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression): JaccardStrings =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** (array<double>, array<double>) -> double cosine similarity.
+    * Inputs MUST already be array<double> (callers cast via
+    * [[graft.functions.VectorFunctions.toDouble]]) — AbstractDataType is
+    * private[sql] in Spark 4, so no implicit-cast contract here.
+    */
+  case class CosineSimilarity(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "cosine_similarity"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        (a, b) => s"${ev.value} = $kernels.cosine($a, $b);")
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression): CosineSimilarity =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** array<double> -> array<long> sign-LSH band keys against a fixed
+    * (driver-computed, deterministic-seed) plane matrix carried as an
+    * expression reference object.
+    */
+  case class SignLshBandKeys(child: Expression,
+      planes: Array[Array[Double]], bands: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "sign_lsh_band_keys"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.signLshBandKeys(input.asInstanceOf[ArrayData], planes, bands)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = {
+      val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+      nullSafeCodeGen(ctx, ev,
+        c => s"${ev.value} = $kernels.signLshBandKeys($c, $planesRef, $bands);")
+    }
+    override protected def withNewChildInternal(newChild: Expression)
+        : SignLshBandKeys = copy(child = newChild)
+  }
+
+  // ---- Column-API wrappers --------------------------------------------
+
+  private def c(e: Expression): Column = ColumnBridge.column(e)
+  private def e(col: Column): Expression = ColumnBridge.expression(col)
+
+  def wordShingles(tokens: Column, n: Int): Column =
+    c(WordShingles(e(tokens), n))
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    c(MinHashSignature(e(shingles), numHashes))
+  def minhashBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    c(MinHashBandKeys(e(sig), bands, rowsPerBand))
+  def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
+  def jaccard(a: Column, b: Column): Column =
+    c(JaccardStrings(e(a), e(b)))
+  def cosine(a: Column, b: Column): Column =
+    c(CosineSimilarity(e(a), e(b)))
+  def signLshBandKeys(v: Column, planes: Seq[Seq[Double]], bands: Int)
+      : Column =
+    c(SignLshBandKeys(e(v), planes.map(_.toArray).toArray, bands))
+}

@@ -12,13 +12,12 @@ object HashFunctions {
 
   /** n-word shingles of a token array: `["a","b","c"], n=2` ->
     * `["a b","b c"]`. Fewer than n tokens -> single shingle of the whole
-    * text (so short docs still participate).
+    * text (so short docs still participate). Native codegen'd expression
+    * — the `transform(sequence, slice+concat_ws)` formulation pays an
+    * interpreted slice copy + concat per shingle.
     */
   def wordShingles(tokens: Column, n: Int): Column =
-    when(size(tokens) < n, array(concat_ws(" ", tokens)))
-      .otherwise(transform(
-        sequence(lit(0), size(tokens) - n),
-        i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
+    graft.expressions.NativeExpressions.wordShingles(tokens, n)
 
   /** Character n-grams of a string (for CJK-ish text where word shingles
     * degenerate): positions 1..len-n+1.
@@ -30,59 +29,47 @@ object HashFunctions {
         i => text.substr(i, lit(n))))
 
   /** MinHash signature of length `numHashes`: the h-th component is
-    * min over shingles of xxhash64(shingle, h). Seeding the 64-bit hash
-    * with the component index gives `numHashes` independent-enough hash
-    * functions from one primitive (standard MinHash-from-one-hash
-    * construction).
+    * min over shingles of a per-component 64-bit hash (one string hash,
+    * then numHashes seeded long hashes — the standard MinHash-from-one-
+    * hash construction). Duplicate shingles are harmless: min() is
+    * duplicate-insensitive.
+    *
+    * Implemented as a native codegen'd expression
+    * ([[graft.expressions.NativeExpressions.MinHashSignature]]): the
+    * higher-order-function formulation evaluates every element op
+    * interpreted, which dominated the sf0.1 bench (57s for a 5k-doc
+    * corpus); the compiled kernel runs the same sketch in milliseconds.
     */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { h =>
-      array_min(transform(array_distinct(shingles), s => xxhash64(s, lit(h))))
-    }: _*)
+    graft.expressions.NativeExpressions.minhashSignature(shingles, numHashes)
 
-  /** LSH band keys for a MinHash signature: `numBands` keys, each the
-    * xxhash64 of the band's `rowsPerBand` consecutive signature components
-    * seeded with the band index (so band 0 and band 1 never collide with
-    * each other). Two docs share a band key iff their signatures agree on
-    * that whole band — P[share >= 1 band] ~ 1-(1-j^r)^b, the LSH S-curve.
-    * xxhash64 over the array slice instead of rolling multiply-add: the
-    * latter overflows under Spark 4's default ANSI arithmetic.
+  /** LSH band keys for a MinHash signature: `numBands` keys, each a
+    * band-index-seeded xxh64 fold of the band's `rowsPerBand` consecutive
+    * signature components (so band 0 and band 1 never collide with each
+    * other). Two docs share a band key iff their signatures agree on that
+    * whole band — P[share >= 1 band] ~ 1-(1-j^r)^b, the LSH S-curve.
+    * Native codegen'd expression: the `transform` + `xxhash64(slice(...))`
+    * formulation cost ~100us/row interpreted (9s of the sf0.1 bench).
     */
   def bandKeys(signature: Column, numBands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(numBands - 1)), b =>
-      xxhash64(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)), b))
+    graft.expressions.NativeExpressions.minhashBandKeys(signature, numBands,
+      rowsPerBand)
 
   /** Exact Jaccard similarity of two shingle arrays (distinct-element
-    * set semantics), rounded to 6 places.
+    * set semantics), rounded to 6 places. Native codegen'd expression —
+    * one hash-set pass instead of array_distinct x2 + array_intersect.
     */
-  def jaccard(a: Column, b: Column): Column = {
-    val ad = array_distinct(a)
-    val bd = array_distinct(b)
-    val inter = size(array_intersect(ad, bd))
-    val union = size(ad) + size(bd) - inter
-    round(when(union === 0, lit(0.0))
-      .otherwise(inter.cast("double") / union.cast("double")), 6)
-  }
+  def jaccard(a: Column, b: Column): Column =
+    graft.expressions.NativeExpressions.jaccard(a, b)
 
   /** 64-bit SimHash of a token array: hash each token to 64 bits; for
     * each bit position sum +1/-1 over tokens; the sign vector packed into
-    * a long. Near-duplicates have small Hamming distance.
+    * a long. Near-duplicates have small Hamming distance. Native
+    * codegen'd expression — the HOF formulation paid interpreted eval on
+    * every (token x bit) op, 24s on the sf0.1 corpus.
     */
-  def simhash64(tokens: Column): Column = {
-    val hashes = transform(tokens, t => xxhash64(t))
-    aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, bit) => {
-        // Scala wrappers for shiftright/shiftleft only take Int amounts;
-        // the SQL builtins accept column amounts, so call them directly.
-        val vote = aggregate(hashes, lit(0L),
-          (a, h) => a + when(call_function("shiftright", h, bit)
-            .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-        acc.bitwiseOR(when(vote > 0,
-          call_function("shiftleft", lit(1L), bit)).otherwise(lit(0L)))
-      })
-  }
+  def simhash64(tokens: Column): Column =
+    graft.expressions.NativeExpressions.simhash64(tokens)
 
   /** Hamming distance between two 64-bit SimHash values. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -21,12 +21,13 @@ object VectorFunctions {
   /** L2 norm. */
   def norm(v: Column): Column = sqrt(dot(v, v))
 
-  /** Cosine similarity; 0 when either norm is 0. */
-  def cosine(a: Column, b: Column): Column = {
-    val na = norm(a)
-    val nb = norm(b)
-    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
-  }
+  /** Cosine similarity; 0 when either norm is 0. Native codegen'd
+    * expression ([[graft.expressions.NativeExpressions.CosineSimilarity]]):
+    * one pass computes dot and both norms, summing left-to-right like the
+    * zip_with/aggregate formulation it replaces (oracle-bit-compatible).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.expressions.NativeExpressions.cosine(a, b)
 
   /** Deterministic pseudo-random hyperplanes for sign-LSH: `numPlanes`
     * vectors of `dim` components drawn from a seeded generator. Computed
@@ -53,19 +54,10 @@ object VectorFunctions {
   /** Multi-probe style banding for sign-LSH: split the `numPlanes` sign
     * bits into `bands` groups; a candidate pair must agree on ALL bits of
     * at least one band. More bands -> higher recall, more candidates.
+    * Native codegen'd expression carrying the plane matrix as a reference
+    * object — numPlanes interpreted dot products per row otherwise.
     */
   def signLshBandKeys(v: Column, planes: Seq[Seq[Double]], bands: Int)
-      : Column = {
-    val perBand = planes.size / bands
-    val keys = (0 until bands).map { b =>
-      val bandPlanes = planes.slice(b * perBand, (b + 1) * perBand)
-      val bits = bandPlanes.zipWithIndex.map { case (p, i) =>
-        val plane = array(p.map(lit(_)): _*)
-        when(dot(v, plane) >= 0.0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce((a, b) => a.bitwiseOR(b))
-      // Tag with the band index so different bands never collide.
-      bits.bitwiseOR(lit((b + 1).toLong << 56))
-    }
-    array(keys: _*)
-  }
+      : Column =
+    graft.expressions.NativeExpressions.signLshBandKeys(v, planes, bands)
 }

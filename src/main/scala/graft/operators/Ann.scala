@@ -81,20 +81,30 @@ object Ann {
       corpusIdCol: String = "vec_id", vecCol: String = "embedding",
       maxBucket: Int = 100000): DataFrame = {
     val planes = V.hyperplanes(dim, numPlanes)
-    val c = corpus.select(col(corpusIdCol).as("id"),
+    val vecs = corpus.select(col(corpusIdCol).as("id"),
       V.toDouble(col(vecCol)).as("v"))
-      .withColumn("k", explode(V.signLshBandKeys(col("v"), planes, bands)))
-    val bucketCounts = c.groupBy("k").count()
+    // Narrow candidate generation: only (bucket, id) shuffles; vectors
+    // re-enter late for candidate ids only (same shape as
+    // [[graft.operators.Dedup.minhashNearDups]]).
+    val banded = vecs.select(col("id"),
+      explode(V.signLshBandKeys(col("v"), planes, bands)).as("k"))
+    val bucketCounts = banded.groupBy("k").count()
       .where(col("count") <= maxBucket && col("count") > 1)
-    val inBuckets = c.join(bucketCounts.select("k"), "k")
-    inBuckets.alias("a")
+    val inBuckets = banded.join(bucketCounts.select("k"), "k")
+    val pairIds = inBuckets.alias("a")
       .join(inBuckets.alias("b"),
         col("a.k") === col("b.k") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val candIds = pairIds
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val candVecs = vecs.join(broadcast(candIds), "id")
+    def side(n: String) = candVecs
+      .select(col("id").as(n), col("v").as(s"v_$n"))
+    pairIds
+      .join(side("id_a"), "id_a").join(side("id_b"), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(V.cosine(col("va"), col("vb")), 6).as("cosine"))
+        round(V.cosine(col("v_id_a"), col("v_id_b")), 6).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 }

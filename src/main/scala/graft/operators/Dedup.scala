@@ -29,38 +29,48 @@ object Dedup {
   /** MinHash+LSH near-dup candidate pairs, exact-Jaccard verified.
     *
     * shingle -> minhash signature -> band keys -> explode bands ->
-    * self-join per bucket (id_a < id_b) -> distinct pair -> verify
+    * NARROW self-join per bucket (id_a < id_b) -> distinct pair ->
+    * late-fetch shingle arrays for candidate ids only -> verify
     * Jaccard(shingles_a, shingles_b) >= threshold.
     *
-    * The band join shuffles only (bandKey, id, shingles); signature
-    * params (numHashes=32, bands=8 -> r=4) put the S-curve knee near
-    * j~0.5. Verification re-joins shingle arrays for candidate ids only.
+    * Scale shape: everything that shuffles by band key is (band, id) —
+    * two longs — never the shingle arrays (carrying them through the
+    * band explode multiplies shuffle bytes by `bands` and dominated the
+    * sf0.1 runtime 19x). Arrays re-enter only for the candidate-id set,
+    * which the skew guard keeps small, via a broadcast semi-filter.
+    * Signature params (numHashes=32, bands=8 -> r=4) put the S-curve
+    * knee near j~0.5.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     val rpb = numHashes / bands
+    // No array_distinct: minhash minima and jaccard (which dedups
+    // internally) are both duplicate-insensitive.
     val shingled = df.select(
       col(idCol).as("id"),
-      array_distinct(H.wordShingles(T.tokens(col(textCol)), shingleWidth))
-        .as("shingles"))
-    val banded = shingled
-      .withColumn("band",
-        explode(H.bandKeys(H.minhashSignature(col("shingles"), numHashes),
-          bands, rpb)))
+      H.wordShingles(T.tokens(col(textCol)), shingleWidth).as("shingles"))
+    val banded = shingled.select(
+      col("id"),
+      explode(H.bandKeys(H.minhashSignature(col("shingles"), numHashes),
+        bands, rpb)).as("band"))
     // Skew guard: degenerate buckets out.
     val counts = banded.groupBy("band").count()
       .where(col("count") <= maxBucket && col("count") > 1)
-    val inBuckets = banded.join(counts, "band")
-      .select(col("band"), col("id"), col("shingles"))
-    val pairs = inBuckets.alias("a")
+    val inBuckets = banded.join(counts.select("band"), "band")
+    val pairIds = inBuckets.alias("a")
       .join(inBuckets.alias("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
-      .dropDuplicates("id_a", "id_b")
-    pairs
-      .withColumn("jaccard", H.jaccard(col("sh_a"), col("sh_b")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val candIds = pairIds
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val candShingles = shingled.join(broadcast(candIds), "id")
+    def side(n: String) = candShingles
+      .select(col("id").as(n), col("shingles").as(s"sh_$n"))
+    pairIds
+      .join(side("id_a"), "id_a").join(side("id_b"), "id_b")
+      .withColumn("jaccard", H.jaccard(col("sh_id_a"), col("sh_id_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -86,8 +96,11 @@ object Dedup {
         col("a.k") === col("b.k") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         H.hamming64(col("a.sim"), col("b.sim")).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+      // Verify BEFORE dedup: hamming is a codegen'd bit_count on columns
+      // already in hand, so filtering first shrinks the dropDuplicates
+      // shuffle from the full candidate set to the accepted pairs.
       .where(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** N-gram Jaccard similarity for an EXPLICIT candidate pair set
