@@ -251,6 +251,36 @@ object Oracles {
         |       'US' AS "country"
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q_events_window" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+        |         '%Y-%m-%d %H:%M:%S') AS "window_start",
+        |       event_type, count(*)::BIGINT AS "n",
+        |       sum(value::DECIMAL(18,6)) AS "sum_value"
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, ts,
+        |         epoch_ns(ts) // 1000000000 AS s
+        |  FROM events),
+        |marked AS (
+        |  SELECT user_id, ts, event_id, s,
+        |    CASE WHEN lag(s) OVER w IS NULL OR s - lag(s) OVER w > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, s,
+        |    sum(new_session) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING
+        |                           AND CURRENT ROW) AS session_seq
+        |  FROM marked)
+        |SELECT user_id, session_seq::BIGINT AS "session_seq",
+        |       count(*)::BIGINT AS "n_events",
+        |       (max(s) - min(s))::BIGINT AS "duration_s"
+        |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_queue_relay" ->
       """SELECT s_suppkey::VARCHAR AS "userId", s_name AS "name"
         |FROM supplier ORDER BY 1""".stripMargin,

@@ -462,6 +462,37 @@ object Queries {
       .orderBy("external_id")
   }
 
+  // ---- event-stream queries --------------------------------------------
+
+  /** Tumbling-window aggregation over the events table (batch shape of
+    * the streaming windowed agg; watermark variant in StreamingSpec).
+    * events.ts is TIMESTAMP(NANOS) parquet, which Spark reads as a nano
+    * long under `spark.sql.legacy.parquet.nanosAsLong` (set in Verify/
+    * Bench/tests) — `div` keeps the e18-scale arithmetic exact where
+    * double division would lose microseconds.
+    */
+  def eventsWindow(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+    graft.operators.Events.windowedAgg(ev, tsCol = "tstamp")
+      .orderBy("window_start", "event_type")
+  }
+
+  /** Gap-based sessionization + per-session rollup; event_id breaks
+    * ordering ties, and ordering uses microsecond precision to match
+    * what DuckDB sees after its ns->us parquet truncation.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      col("user_id"), col("event_id"),
+      expr("ts div 1000").as("ts_us"),
+      expr("ts div 1000000000").as("ts_s"))
+    val sessions = graft.operators.Events.sessionize(ev, "user_id", "ts_s",
+      gapMinutes = 30, orderCols = Seq("ts_us", "event_id"))
+    graft.operators.Events.sessionStats(sessions, "user_id", "ts_s")
+      .orderBy("user_id", "session_seq")
+  }
+
   // ---- sink / streaming queries ----------------------------------------
 
   /** K3 + §2.11: file-relay streaming source (bookmark-equivalent) into
@@ -530,6 +561,8 @@ object Queries {
     "q_date_format" -> (dateFormat _),
     "q_prefix_attrs" -> (prefixAttrs _),
     "q_pivot_attributes" -> (pivotAttributes _),
+    "q_events_window" -> (eventsWindow _),
+    "q_sessionize" -> (sessionize _),
     "q_queue_relay" -> (queueRelay _),
     "q_rest_sink" -> (restSink _)
   )

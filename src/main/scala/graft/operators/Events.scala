@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators over a (user, ts, type, value) log: tumbling-
+  * window aggregation and gap-based sessionization. Batch shapes here —
+  * the same transforms run under Structured Streaming with a watermark
+  * (see StreamingSpec); sums use decimal because double summation order
+  * is partition-dependent and would make results non-reproducible.
+  */
+object Events {
+
+  /** Tumbling-window aggregate: (window start, event_type) -> count +
+    * exact decimal sum. Shuffles once on the (window, type) grouping
+    * key; map-side partial aggregation applies.
+    */
+  def windowedAgg(events: DataFrame, tsCol: String = "ts",
+      typeCol: String = "event_type", valueCol: String = "value",
+      windowLength: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col(tsCol), windowLength).as("w"), col(typeCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(18,6)")).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("window_start"), col(typeCol), col("n"), col("sum_value"))
+
+  /** Gap-based sessionization: a new session starts when the gap to the
+    * previous event of the same user exceeds `gapMinutes`. One window
+    * (per-user sort) assigns `session_seq` via lag + running sum — the
+    * standard relational sessionize, identical in any warehouse, so the
+    * DuckDB oracle can state it exactly. `orderCols` must totally order
+    * events within a user (ties would make lag nondeterministic).
+    */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+      gapMinutes: Int, orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(orderCols.map(col): _*)
+    events
+      .withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          col(tsCol).cast("long") - col("__prev").cast("long") >
+            gapMinutes * 60L, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("__new")).over(w))
+      .drop("__prev", "__new")
+  }
+
+  /** Per-session rollup over [[sessionize]] output. */
+  def sessionStats(sessions: DataFrame, userCol: String,
+      tsCol: String): DataFrame =
+    sessions.groupBy(col(userCol), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col(tsCol)).cast("long") - min(col(tsCol)).cast("long"))
+          .as("duration_s"))
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expressions.NativeExpressions
+
+/** Native-expression semantics: differentials against the equivalent
+  * built-in (higher-order-function) formulations, and codegen-vs-
+  * interpreted agreement so `eval` and `doGenCode` can never drift.
+  */
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "a b", "", "single", "x y z x y z x y z")
+
+  test("wordShingles matches the HOF formulation on all edge shapes") {
+    val hof = (tokens: org.apache.spark.sql.Column, n: Int) =>
+      when(size(tokens) < n, array(concat_ws(" ", tokens)))
+        .otherwise(transform(sequence(lit(0), size(tokens) - n),
+          i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
+    val df = texts.toDF("t")
+      .select(split(col("t"), " ").as("tok"))
+      .select(
+        NativeExpressions.wordShingles(col("tok"), 3).as("native"),
+        hof(col("tok"), 3).as("ref"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString)
+    }
+  }
+
+  test("cosine matches the zip_with/aggregate formulation bit-for-bit") {
+    val dot = (a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0),
+        (acc, x) => acc + x)
+    val rnd = new scala.util.Random(1)
+    val vecs = Seq.fill(20)((Seq.fill(16)(rnd.nextGaussian()),
+      Seq.fill(16)(rnd.nextGaussian())))
+    val df = vecs.toDF("a", "b").select(
+      NativeExpressions.cosine(col("a"), col("b")).as("native"),
+      (dot(col("a"), col("b")) /
+        (sqrt(dot(col("a"), col("a"))) * sqrt(dot(col("b"), col("b")))))
+        .as("ref"))
+    df.collect().foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("jaccard matches the array_intersect formulation") {
+    val ref = (a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column) => {
+      val inter = size(array_intersect(array_distinct(a), array_distinct(b)))
+      val union = size(array_distinct(a)) + size(array_distinct(b)) - inter
+      round(when(union === 0, lit(0.0))
+        .otherwise(inter.cast("double") / union.cast("double")), 6)
+    }
+    val pairs = Seq(
+      (Seq("a", "b", "a"), Seq("b", "c")),
+      (Seq("a"), Seq("a")),
+      (Seq.empty[String], Seq.empty[String]),
+      (Seq("x", "y"), Seq("p", "q")))
+    val df = pairs.toDF("a", "b").select(
+      NativeExpressions.jaccard(col("a"), col("b")).as("native"),
+      ref(col("a"), col("b")).as("ref"))
+    df.collect().foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("minhash signature: permutation- and duplicate-invariant") {
+    val df = Seq(
+      (Seq("s1", "s2", "s3"), Seq("s3", "s1", "s2", "s1")),
+      (Seq("x"), Seq("x", "x"))).toDF("a", "b").select(
+      NativeExpressions.minhashSignature(col("a"), 16).as("sa"),
+      NativeExpressions.minhashSignature(col("b"), 16).as("sb"))
+    df.collect().foreach(r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("interpreted eval agrees with codegen for every expression") {
+    val planes = graft.functions.VectorFunctions.hyperplanes(8, 8)
+    def results(): Seq[org.apache.spark.sql.Row] = {
+      val docs = texts.toDF("t")
+        .select(split(col("t"), " ").as("tok"),
+          array(col("t"), lit("fixed")).as("pair"))
+      val vec = Seq((Seq.fill(8)(0.5), Seq.fill(8)(-0.25))).toDF("a", "b")
+      docs.select(
+        NativeExpressions.wordShingles(col("tok"), 2).as("sh"),
+        NativeExpressions.minhashSignature(col("tok"), 8).as("sig"),
+        NativeExpressions.simhash64(col("tok")).as("sim"),
+        NativeExpressions.jaccard(col("tok"), col("pair")).as("j"))
+        .collect().toSeq ++
+        vec.select(
+          NativeExpressions.cosine(col("a"), col("b")).as("c"),
+          NativeExpressions.signLshBandKeys(col("a"), planes, 4).as("k"))
+          .collect().toSeq
+    }
+    val codegen = results()
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = results()
+      assert(codegen.map(_.toString) == interpreted.map(_.toString))
+    } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
+}

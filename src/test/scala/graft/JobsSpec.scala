@@ -1,0 +1,113 @@
+package graft
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.functions._
+
+import graft.config.JobConfig
+import graft.jobs.Jobs
+
+/** Golden end-to-end test of the full job dataflow: read -> split ->
+  * map -> explode -> decorate -> assemble -> [delta] -> stamp -> write
+  * -> state, against a reference-shaped jobRoot layout.
+  */
+class JobsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeFixtures(root: String): Unit = {
+    // Batch inference output: 2 ok with recs, 1 ok with null recs, 1 error.
+    Seq(
+      """{"input":{"itemId":"i1"},"output":{"recommendedItems":["p1","p2"]}}""",
+      """{"input":{"itemId":"i2"},"output":{"recommendedItems":["p2"]}}""",
+      """{"input":{"itemId":"i3"},"output":{"recommendedItems":null}}""",
+      """{"input":{"itemId":"i4"},"error":"SIMULATED"}"""
+    ).toDF("value").coalesce(1).write.mode("overwrite")
+      .text(s"$root/input/batch")
+    // User-item mapping: i1 -> two users (fan-out), i2/i3 -> one.
+    Seq(("u1", "i1"), ("u2", "i1"), ("u1", "i2"), ("u3", "i3"))
+      .toDF("USER_ID", "ITEM_ID").coalesce(1)
+      .write.mode("overwrite").option("header", "true")
+      .csv(s"$root/input/user_item_mapping")
+    // Item metadata for p1 only: p2 is a decorate miss.
+    Seq("""{"id":"p1","brand":"B1","price":"9.99"}""").toDF("value")
+      .coalesce(1).write.mode("overwrite")
+      .text(s"$root/input/item_metadata")
+  }
+
+  private def config(root: String, delta: Boolean) = JobConfig.parse(
+    s"""{"batchInferencePath": "$root/input/batch",
+       |"performDeltaCheck": $delta,
+       |"saveBatchInferenceErrors": true,
+       |"connectors": {"braze": {"itemMetadataFields": ["brand"],
+       |  "attributePrefix": "rec_",
+       |  "otherAttributes": {"country": "US"}}}}""".stripMargin)
+
+  test("related-items job end-to-end: layout, decoration, stamping") {
+    val root = tmpDir("job")
+    writeFixtures(root)
+    val clock = LocalDateTime.of(2024, 1, 2, 3, 4, 5)
+    val result = Jobs.run(spark, Jobs.RelatedItems, root, "ri_job",
+      config(root, delta = false), clock)
+
+    // Errors written to the run-partitioned errors dir.
+    assert(result.errorsDir.exists(_.endsWith(
+      "errors/related_items/year=2024/month=01/day=02/time=030405")))
+    assert(spark.read.json(result.errorsDir.get).count() == 1)
+
+    // Connector output: one row per (queryItemId, userId) group.
+    val out = result.connectors.head
+    assert(out.outputDir.endsWith(
+      "output/braze/year=2024/month=01/day=02/time=030405"))
+    val df = spark.read.json(out.outputDir)
+    assert(out.rowsWritten == 4) // (i1,u1)(i1,u2)(i2,u1)(i3,u3)
+    // Decoration: p1 carries brand B1, p2 exists with null brand (miss).
+    val i1u1 = df.where(col("queryItemId") === "i1" && col("userId") === "u1")
+      .select(explode(col("recommendations")).as("r"))
+      .select("r.itemId", "r.brand").orderBy("itemId").collect()
+    assert(i1u1.map(_.getString(0)).toSeq == Seq("p1", "p2"))
+    assert(i1u1(0).getString(1) == "B1" && i1u1(1).isNullAt(1))
+    // Null-rec parent keeps an empty recommendations array.
+    assert(df.where(col("queryItemId") === "i3")
+      .select(size(col("recommendations"))).as[Int].collect().head == 0)
+    // Stamps.
+    val stamp = df.select("jobInfo.name", "jobInfo.runDateTime",
+      "syncDirectives.attributePrefix", "syncDirectives.country")
+      .distinct().collect()
+    assert(stamp.toSeq == Seq(
+      org.apache.spark.sql.Row("ri_job", "2024-01-02T03:04:05.000",
+        "rec_", "US")))
+  }
+
+  test("delta check across runs: second unchanged run emits zero rows") {
+    val root = tmpDir("jobdelta")
+    writeFixtures(root)
+    val cfg = config(root, delta = true)
+    val r1 = Jobs.run(spark, Jobs.RelatedItems, root, "j",
+      cfg, LocalDateTime.of(2024, 1, 1, 0, 0, 0))
+    assert(r1.connectors.head.rowsWritten == 4) // no state yet: full sync
+    val r2 = Jobs.run(spark, Jobs.RelatedItems, root, "j",
+      cfg, LocalDateTime.of(2024, 1, 2, 0, 0, 0))
+    assert(r2.connectors.head.rowsWritten == 0) // nothing changed
+    // State still holds the full snapshot after the empty delta run.
+    assert(spark.read.json(s"$root/output/braze/state").count() == 4)
+  }
+
+  test("user-personalization spec: no mapping, keyed by queryUserId") {
+    val root = tmpDir("jobup")
+    Seq(
+      """{"input":{"userId":"u1"},"output":{"recommendedItems":["p1"]}}""",
+      """{"input":{"userId":"u2"},"output":{"recommendedItems":["p1","p2"]}}"""
+    ).toDF("value").coalesce(1).write.mode("overwrite")
+      .text(s"$root/input/batch")
+    val cfg = JobConfig.parse(
+      s"""{"batchInferencePath": "$root/input/batch",
+         |"connectors": {"braze": {}}}""".stripMargin)
+    val result = Jobs.run(spark, Jobs.UserPersonalization, root, "up",
+      cfg, LocalDateTime.of(2024, 1, 1, 0, 0, 0))
+    val df = spark.read.json(result.connectors.head.outputDir)
+    assert(result.connectors.head.rowsWritten == 2)
+    assert(df.columns.contains("queryUserId"))
+    assert(df.where(col("queryUserId") === "u2")
+      .select(size(col("recommendations"))).as[Int].collect().head == 2)
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming semantics of the event operators: the same
+  * windowed aggregation as the batch shape, under a watermark, with
+  * append-mode emission of only CLOSED windows.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("value", DoubleType)))
+
+  test("windowed agg under watermark emits only closed windows (append)") {
+    val dir = tmpDir("stream")
+    // File 1: events in hour 0. File 2: events 10 hours later — its
+    // arrival advances the watermark past hour 0, closing those windows.
+    Seq("""{"user_id":1,"ts":"2024-01-01T00:10:00.000Z","value":1.0}""",
+      """{"user_id":2,"ts":"2024-01-01T00:40:00.000Z","value":2.0}""")
+      .toDF("value").coalesce(1).write.text(s"$dir/in/f1")
+    Seq("""{"user_id":1,"ts":"2024-01-01T10:00:00.000Z","value":5.0}""")
+      .toDF("value").coalesce(1).write.text(s"$dir/in/f2")
+
+    val src = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1") // one file per micro-batch
+      .json(s"$dir/in")
+    val agg = src
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("n"), col("sum_value"))
+    val q = agg.writeStream
+      .format("memory").queryName("win_agg")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val out = spark.table("win_agg")
+      .select(date_format(col("window_start"), "HH:mm").as("w"),
+        col("n"), col("sum_value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // Hour-0 window closed (watermark reached 09:00) and emitted once;
+    // the hour-10 window is still open, so append mode holds it back.
+    assert(out.toSeq == Seq(("00:00", 2L, 3.0)))
+  }
+
+  test("late rows behind the watermark are dropped") {
+    val dir = tmpDir("late")
+    // File sink: supports checkpoint recovery across runs (memory sink
+    // does not), so the second run resumes the first run's watermark.
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1").json(s"$dir/in")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("w.start"), "HH:mm").as("ws"), col("n"))
+        .writeStream.format("json").option("path", s"$dir/out")
+        .outputMode("append")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    Seq("""{"user_id":1,"ts":"2024-01-01T00:10:00.000Z","value":1.0}""")
+      .toDF("value").coalesce(1).write.text(s"$dir/in/f1")
+    Seq("""{"user_id":1,"ts":"2024-01-01T10:00:00.000Z","value":5.0}""")
+      .toDF("value").coalesce(1).write.text(s"$dir/in/f2")
+    runOnce() // watermark ends at 09:00; hour-0 window closed, emitted
+    // File 3 arrives with hour-0 data — behind the checkpointed
+    // watermark, so it must be dropped, not re-open the closed window.
+    Seq("""{"user_id":9,"ts":"2024-01-01T00:20:00.000Z","value":9.0}""")
+      .toDF("value").coalesce(1).write.text(s"$dir/in/f3")
+    runOnce()
+    val out = spark.read.json(s"$dir/out")
+      .select("ws", "n").collect().map(r => (r.getString(0), r.getLong(1)))
+    // Exactly the run-1 emission; the late row changed nothing.
+    assert(out.toSeq == Seq(("00:00", 1L)))
+  }
+}
