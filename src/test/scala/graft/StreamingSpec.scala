@@ -52,6 +52,53 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq(("00:00", 2L, 3.0)))
   }
 
+  test("stateful sessionizer closes sessions by gap and by timeout") {
+    import graft.streaming.{SessionEvent, Sessionizer}
+    val dir = tmpDir("sess")
+    // User 1: two events 5 min apart (one session), then one event
+    // 2 hours later (second session). User 2: one event. File 2's
+    // late-hour event advances the watermark far enough to time out
+    // and flush every open session.
+    Seq(
+      """{"user_id":1,"ts":"2024-01-01T00:00:00.000Z","event_id":1}""",
+      """{"user_id":1,"ts":"2024-01-01T00:05:00.000Z","event_id":2}""",
+      """{"user_id":1,"ts":"2024-01-01T02:05:00.000Z","event_id":3}""",
+      """{"user_id":2,"ts":"2024-01-01T00:30:00.000Z","event_id":4}""")
+      .toDF("value").coalesce(1).write.text(s"$dir/in/f1")
+    Seq("""{"user_id":9,"ts":"2024-01-02T00:00:00.000Z","event_id":9}""")
+      .toDF("value").coalesce(1).write.text(s"$dir/in/f2")
+
+    val evSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("event_id", LongType)))
+    val src = spark.readStream.schema(evSchema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1").json(s"$dir/in")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("userId"), col("ts"),
+        (unix_timestamp(col("ts"))).as("tsSec"),
+        col("event_id").as("eventId"))
+      .as[SessionEvent]
+    val q = Sessionizer.sessionize(src, gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val out = spark.table("sessions")
+      .orderBy("userId", "sessionSeq")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 2L, 300L),  // gap-closed: 2 events, 5 min duration
+      (1L, 2L, 1L, 0L),    // timeout-flushed second session
+      (2L, 1L, 1L, 0L)))   // timeout-flushed single-event session
+    // User 9's session stays OPEN: the final watermark never passes its
+    // lastTs+gap, so append mode correctly withholds it for a next run.
+  }
+
   test("late rows behind the watermark are dropped") {
     val dir = tmpDir("late")
     // File sink: supports checkpoint recovery across runs (memory sink
