@@ -130,6 +130,22 @@ object QueriesLlm {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-flat ANN (the second scale path): deterministic sample
+    * centroids, nProbe=2; rows-only check (cell recall is tunable, not
+    * exact) — self-recall proven in DedupAnnSpec.
+    */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Ann.ivfTopK(
+        e.where(col("vec_id") < 10).select(col("vec_id").as("query_id"),
+          col("embedding")),
+        e.select(col("vec_id"), col("embedding")), k = 5, nCells = 16,
+        nProbe = 2)
+      .select(col("query_id"), col("vec_id"), col("cosine"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** LSH-bucketed ANN (the 100 TB path): same queries, deterministic
     * seeded hyperplanes; rows-only check (recall is tunable, not exact).
     */
@@ -217,6 +233,7 @@ object QueriesLlm {
     "q_embed_neardup" -> (embedNearDup _),
     "q_ann_brute" -> (annBrute _),
     "q_ann_lsh" -> (annLsh _),
+    "q_ann_ivf" -> (annIvf _),
     "q_text_stats" -> (textStats _),
     "q_langid" -> (langId _),
     "q_fingerprints" -> (fingerprints _),

@@ -72,6 +72,55 @@ object Ann {
       .where(col("rank") <= k)
   }
 
+  /** IVF-flat ANN (the second scale path next to [[lshTopK]]): the
+    * corpus is partitioned into `nCells` Voronoi cells by
+    * nearest-centroid assignment; each query probes its `nProbe`
+    * closest cells and exact cosine re-ranks only those cells' members.
+    *
+    * Centroids here are a deterministic corpus sample (first `nCells`
+    * by id), collected once driver-side and inlined as literals — at
+    * 100 TB you train them with k-means on a sample instead, but the
+    * cell-assignment expression, the cell-equi-join, and the re-rank
+    * shapes are exactly what scales: corpus shuffles once on the cell
+    * key, candidates = nProbe/nCells of the corpus per query, never a
+    * cartesian.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 2,
+      queryIdCol: String = "query_id", corpusIdCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.Column
+    val centroids: Seq[Seq[Double]] = corpus
+      .select(col(corpusIdCol), V.toDouble(col(vecCol)).as("v"))
+      .orderBy(corpusIdCol).limit(nCells)
+      .collect().toSeq.map(_.getSeq[Double](1).toSeq)
+    // (similarity, cell) pairs against every centroid — native cosine
+    // per centroid, all inside codegen.
+    def scored(v: Column): Column = array(centroids.zipWithIndex.map {
+      case (c, i) =>
+        struct(V.cosine(v, array(c.map(lit(_)): _*)).as("s"),
+          lit(i).as("c"))
+    }: _*)
+    def bestCell(v: Column): Column =
+      array_max(scored(v)).getField("c")
+    def probeCells(v: Column, n: Int): Column =
+      transform(slice(reverse(array_sort(scored(v))), 1, n),
+        x => x.getField("c"))
+    val c = corpus.select(col(corpusIdCol).as("vec_id"),
+        V.toDouble(col(vecCol)).as("cv"))
+      .withColumn("cell", bestCell(col("cv")))
+    val q = queries.select(col(queryIdCol).as("query_id"),
+        V.toDouble(col(vecCol)).as("qv"))
+      .withColumn("cell", explode(probeCells(col("qv"), nProbe)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    c.join(q, "cell") // cells are disjoint per corpus row: no dup pairs
+      .select(col("query_id"), col("vec_id"),
+        round(V.cosine(col("qv"), col("cv")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: sign-LSH self-join, exact
     * cosine >= threshold, id_a < id_b. The 5th dedup family from the
     * brief, sharing the Ann bucketing machinery.

@@ -84,6 +84,18 @@ class DedupAnnSpec extends SparkSpec {
     assert(out.contains(1L) && out.contains(2L))
   }
 
+  test("ivfTopK: self always found at rank 1 (query is in its own cell)") {
+    val q = vecs.select(col("vec_id").as("query_id"), col("embedding"))
+    val out = Ann.ivfTopK(q, vecs, k = 2, nCells = 2, nProbe = 1)
+      .where(col("rank") === 1)
+      .select("query_id", "vec_id", "cosine").collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1)) // top hit is the query itself
+      assert(r.getDouble(2) == 1.0)
+    }
+  }
+
   test("cosineNearDupPairs at high threshold keeps only the parallel pair") {
     val out = Ann.cosineNearDupPairs(vecs, threshold = 0.99, dim = 4,
         numPlanes = 8, bands = 8)
