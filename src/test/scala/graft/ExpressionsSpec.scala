@@ -75,6 +75,24 @@ class ExpressionsSpec extends SparkSpec {
       assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("SQL registration: native expressions usable from spark.sql") {
+    graft.expressions.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  word_shingles(array('a','b','c'), 2) AS sh,
+        |  simhash64(array('x','y')) = simhash64(array('x','y')) AS simEq,
+        |  jaccard_sim(array('a','b'), array('b','c')) AS j,
+        |  round(cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)), 6) AS c,
+        |  size(minhash_band_keys(
+        |    minhash_signature(array('s1','s2'), 16), 4, 4)) AS nb
+        |""".stripMargin).collect().head
+    assert(r.getSeq[String](0) == Seq("a b", "b c"))
+    assert(r.getBoolean(1))
+    assert(r.getDouble(2) == 0.333333)
+    assert(r.getDouble(3) == 1.0)
+    assert(r.getInt(4) == 4)
+  }
+
   test("interpreted eval agrees with codegen for every expression") {
     val planes = graft.functions.VectorFunctions.hyperplanes(8, 8)
     def results(): Seq[org.apache.spark.sql.Row] = {
