@@ -387,6 +387,16 @@ object Oracles {
          |        (1.0 - least(pr * 4.0, 1.0)) * 0.3, 6) AS "quality"
          |FROM m ORDER BY doc_id""".stripMargin,
 
+    "q_term_df" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_distinct(${toks("text")}) AS t
+         |  FROM documents),
+         |terms AS (SELECT unnest(t) AS term FROM tok)
+         |SELECT term, count(*)::BIGINT AS "df"
+         |FROM terms GROUP BY term
+         |HAVING count(*) >= (SELECT count(*) FROM documents) // 20
+         |ORDER BY term""".stripMargin,
+
     "q_langid" ->
       s"""WITH tok AS (SELECT doc_id, ${toks("text")} AS t FROM documents),
          |h AS (SELECT doc_id,

@@ -177,6 +177,23 @@ object QueriesLlm {
         T.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
+  /** Corpus-level term statistics: document frequency per term
+    * (distinct-tokens explode -> count), restricted to terms appearing
+    * in at least 5% of documents — the document-frequency side of
+    * tf-idf and the vocabulary input of quality filters. One shuffle on
+    * the term key with map-side partial aggregation.
+    */
+  def termDf(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val total = docs.count()
+    docs.select(explode(array_distinct(T.tokens(col("text"))))
+        .as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .where(col("df") >= total / 20)
+      .select(col("term"), col("df"))
+      .orderBy("term")
+  }
+
   /** Language-ID heuristic (stopword argmax). */
   def langId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
@@ -235,6 +252,7 @@ object QueriesLlm {
     "q_ann_lsh" -> (annLsh _),
     "q_ann_ivf" -> (annIvf _),
     "q_text_stats" -> (textStats _),
+    "q_term_df" -> (termDf _),
     "q_langid" -> (langId _),
     "q_fingerprints" -> (fingerprints _),
     "q_multimodal_decode" -> (multimodalDecode _),
