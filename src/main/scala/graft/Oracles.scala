@@ -326,6 +326,23 @@ object Oracles {
          |FROM pairs JOIN sh a ON a.doc_id = ia JOIN sh b ON b.doc_id = ib
          |ORDER BY 1""".stripMargin,
 
+    "q_char_jaccard" ->
+      s"""WITH all_docs AS ($docsTwins60),
+         |nm AS (SELECT doc_id, ${norm("text")} AS t FROM all_docs),
+         |sh AS (SELECT doc_id,
+         |  list_distinct(CASE WHEN length(t) < 3 THEN [t]
+         |    ELSE list_transform(generate_series(1, length(t) - 2),
+         |           i -> substr(t, i, 3)) END) AS s
+         |  FROM nm),
+         |pairs AS (SELECT doc_id AS ia, doc_id + 100000 AS ib
+         |          FROM documents WHERE doc_id < 150)
+         |SELECT ia AS "id_a", ib AS "id_b",
+         |  round(len(list_intersect(a.s, b.s))::DOUBLE /
+         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+         |    AS "jaccard"
+         |FROM pairs JOIN sh a ON a.doc_id = ia JOIN sh b ON b.doc_id = ib
+         |ORDER BY 1""".stripMargin,
+
     "q_embed_neardup" ->
       """SELECT vec_id AS "id_a", vec_id + 100000 AS "id_b",
         |  round(list_dot_product(e, e) /

@@ -106,6 +106,18 @@ object QueriesLlm {
       .orderBy("id_a")
   }
 
+  /** Character-3-gram Jaccard on the same planted pairs — the shingling
+    * path for corpora where whitespace tokenization degenerates.
+    */
+  def charJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithTwins(s, dir)
+    val pairs = t(s, dir, "documents").where(col("doc_id") < 150)
+      .select(col("doc_id").as("id_a"),
+        (col("doc_id") + 100000).as("id_b"))
+    Dedup.charJaccard(docs, pairs, "doc_id", "text", n = 3)
+      .orderBy("id_a")
+  }
+
   /** Embedding-cosine near-dup via sign-LSH buckets: exactly the planted
     * parallel twins at threshold 0.95 (max natural pairwise cosine in
     * this corpus is ~0.51).
@@ -247,6 +259,7 @@ object QueriesLlm {
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_ngram_jaccard" -> (ngramJaccard _),
+    "q_char_jaccard" -> (charJaccard _),
     "q_embed_neardup" -> (embedNearDup _),
     "q_ann_brute" -> (annBrute _),
     "q_ann_lsh" -> (annLsh _),

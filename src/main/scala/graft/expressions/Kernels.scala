@@ -145,7 +145,10 @@ object Kernels {
     while (it.hasNext) if (sb.contains(it.next())) inter += 1
     val union = sa.size + sb.size - inter
     if (union == 0) 0.0
-    else math.rint(inter.toDouble / union * 1e6) / 1e6
+    // HALF_UP to 6 places (value is non-negative): matches Spark's and
+    // DuckDB's round(); math.rint would round half-even and diverge on
+    // exactly-representable midpoints like 81/128.
+    else math.floor(inter.toDouble / union * 1e6 + 0.5) / 1e6
   }
 
   /** Cosine similarity of two double arrays in ONE pass, summing

@@ -109,9 +109,23 @@ object Dedup {
     * checkable without the LSH layer.
     */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
-      textCol: String, n: Int = 3): DataFrame = {
+      textCol: String, n: Int = 3): DataFrame =
+    pairJaccard(docs, pairs, idCol,
+      d => H.wordShingles(T.tokens(col(textCol)), n))
+
+  /** Character-n-gram variant of [[ngramJaccard]] over NORMALIZED text —
+    * the shingling that still works where whitespace tokenization
+    * degenerates (CJK-ish corpora, code, concatenated text).
+    */
+  def charJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame =
+    pairJaccard(docs, pairs, idCol,
+      d => H.charShingles(T.normalize(col(textCol)), n))
+
+  private def pairJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
+      shingler: DataFrame => org.apache.spark.sql.Column): DataFrame = {
     val sh = docs.select(col(idCol).as("__id"),
-      array_distinct(H.wordShingles(T.tokens(col(textCol)), n)).as("__sh"))
+      array_distinct(shingler(docs)).as("__sh"))
     pairs
       .join(sh.withColumnRenamed("__id", "id_a")
         .withColumnRenamed("__sh", "sh_a"), "id_a")

@@ -68,6 +68,12 @@ class FunctionsSpec extends SparkSpec {
     assert(short == Seq("a b"))
   }
 
+  test("charShingles: sliding char n-grams, whole-text fallback") {
+    assert(onTextSeq("abcd", t => H.charShingles(t, 3)) ==
+      Seq("abc", "bcd"))
+    assert(onTextSeq("ab", t => H.charShingles(t, 3)) == Seq("ab"))
+  }
+
   test("jaccard: distinct-set semantics, 0 on disjoint and on empty") {
     def j(a: Seq[String], b: Seq[String]): Double =
       Seq((a, b)).toDF("a", "b")
