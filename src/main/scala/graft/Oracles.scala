@@ -255,7 +255,7 @@ object Oracles {
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
         |         '%Y-%m-%d %H:%M:%S') AS "window_start",
         |       event_type, count(*)::BIGINT AS "n",
-        |       sum(value::DECIMAL(18,6)) AS "sum_value"
+        |       sum(value::DECIMAL(18,6))::DOUBLE AS "sum_value"
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_sessionize" ->

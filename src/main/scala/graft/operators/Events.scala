@@ -22,7 +22,11 @@ object Events {
     events
       .groupBy(window(col(tsCol), windowLength).as("w"), col(typeCol))
       .agg(count(lit(1)).as("n"),
-        sum(col(valueCol).cast("decimal(18,6)")).as("sum_value"))
+        // exact decimal accumulation (order-independent), surfaced as
+        // double — a decimal output column hashes differently across
+        // engines (28,6 vs 38,6), double of the same exact value doesn't
+        sum(col(valueCol).cast("decimal(18,6)")).cast("double")
+          .as("sum_value"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
         .as("window_start"), col(typeCol), col("n"), col("sum_value"))
 
