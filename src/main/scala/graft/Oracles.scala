@@ -7,10 +7,11 @@ package graft
   * value hash with columns sorted by name — so ALIASES AND TYPES HERE MUST
   * MATCH THE SPARK RESULT EXACTLY (see conventions in [[Queries]]).
   *
-  * Omitted keys (weaker rows-only check, by design):
-  *  - q_dedup_simhash    — hamming values derive from xxhash64 seeding
-  *  - q_ann_lsh          — recall depends on seeded hyperplanes
-  *  - q_multimodal_decode— feature values derive from the FNV decode stub
+  * Since round 4 every registered query has an entry: the sketch seeds
+  * that used to be JVM-only (simhash token hash, LSH hyperplanes, the
+  * decode stub) are md5-derived, and DuckDB's md5 regenerates them
+  * bit-for-bit (`('0x'||substr(md5(s),1,15))::BIGINT` = the engine's
+  * [[graft.expressions.Kernels.md5_60]]).
   *
   * DuckDB 1.x portability notes baked into these statements:
   *  - CAST(double AS INT) ROUNDS in DuckDB but truncates in Spark — every
@@ -42,6 +43,22 @@ object Oracles {
       |SELECT doc_id + 100000,
       |       substr(text, 1, floor(length(text) * 60 / 100)::INT)
       |FROM documents WHERE doc_id < 150""".stripMargin
+
+  /** documents + 90%-truncation twins (the simhash/minhash corpus) —
+    * mirror of `QueriesLlm.docsWithTwins(pct = 90)`.
+    */
+  private val docsTwins90 =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 100000,
+      |       substr(text, 1, floor(length(text) * 90 / 100)::INT)
+      |FROM documents WHERE doc_id < 150""".stripMargin
+
+  /** The cross-engine 60-bit md5 hash — mirror of
+    * [[graft.expressions.Kernels.md5_60]].
+    */
+  private def md5_60(c: String) =
+    s"('0x' || substr(md5($c), 1, 15))::BIGINT"
 
   private val stopEn = Seq("the","a","of","to","and","in","is","that","it","for")
   private val stopDe = Seq("der","die","das","und","ist","nicht","ein","zu","mit","den")
@@ -308,6 +325,36 @@ object Oracles {
       """SELECT doc_id AS "id_a", doc_id + 100000 AS "id_b"
         |FROM documents WHERE doc_id < 150 ORDER BY 1, 2""".stripMargin,
 
+    // Full replication of the 60-bit md5 SimHash sketch: per-token hash
+    // -> per-bit +-1 votes -> packed sign vector -> 9-piece pigeonhole
+    // band keys (width ceil(60/9)=7) -> bucketed self-join -> exact
+    // Hamming verify <= 8, mirroring operators/Dedup.simhashNearDups.
+    "q_dedup_simhash" ->
+      s"""WITH all_docs AS ($docsTwins90),
+         |tok AS (SELECT doc_id, ${toks("text")} AS t FROM all_docs),
+         |th AS (SELECT doc_id, ${md5_60("tok")} AS h
+         |       FROM (SELECT doc_id, unnest(t) AS tok FROM tok)),
+         |bits AS (SELECT doc_id, r.b AS b,
+         |    CASE WHEN sum(CASE WHEN ((h >> r.b) & 1) = 1
+         |                      THEN 1 ELSE -1 END) > 0
+         |         THEN (1::BIGINT << r.b) ELSE 0::BIGINT END AS bit
+         |  FROM th CROSS JOIN range(60) r(b) GROUP BY doc_id, r.b),
+         |sims0 AS (SELECT doc_id, sum(bit)::BIGINT AS sim FROM bits
+         |          GROUP BY doc_id),
+         |sims AS (SELECT d.doc_id, coalesce(s.sim, 0::BIGINT) AS sim
+         |         FROM all_docs d LEFT JOIN sims0 s USING (doc_id)),
+         |keys AS (SELECT doc_id, sim,
+         |    ((sim >> (r.p * 7)) & 127) | ((r.p + 1)::BIGINT << 56) AS k
+         |  FROM sims CROSS JOIN range(9) r(p)),
+         |bc AS (SELECT k FROM keys GROUP BY k
+         |       HAVING count(*) > 1 AND count(*) <= 10000),
+         |ib AS (SELECT keys.* FROM keys JOIN bc USING (k))
+         |SELECT DISTINCT a.doc_id AS "id_a", b.doc_id AS "id_b",
+         |  bit_count(xor(a.sim, b.sim))::INT AS "hamming"
+         |FROM ib a JOIN ib b ON a.k = b.k AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 8
+         |ORDER BY 1, 2""".stripMargin,
+
     "q_ngram_jaccard" ->
       s"""WITH all_docs AS ($docsTwins60),
          |tok AS (SELECT doc_id, ${toks("text")} AS t FROM all_docs),
@@ -373,6 +420,86 @@ object Oracles {
         |       rk::BIGINT AS "rank"
         |FROM r WHERE rk <= 5 ORDER BY 1, 4""".stripMargin,
 
+    // Full replication of the sign-LSH path (operators/Ann.lshTopK):
+    // md5-derived hyperplanes (16 planes x dim 64), 8 bands of 2 sign
+    // bits, bucket co-membership candidates, exact cosine re-rank.
+    "q_ann_lsh" ->
+      s"""WITH plc AS (SELECT pr.range AS p, dr.range AS d,
+         |    ${md5_60("'plane_' || pr.range || '_' || dr.range")}::DOUBLE
+         |      / 1152921504606846976.0 * 2 - 1 AS comp
+         |  FROM range(16) pr, range(64) dr),
+         |pl AS (SELECT p, list(comp ORDER BY d) AS plane FROM plc
+         |       GROUP BY p),
+         |vec AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sgn AS (SELECT vec_id, (p // 2) AS b,
+         |    CASE WHEN list_dot_product(v, plane) >= 0.0
+         |         THEN (1::BIGINT << (p % 2)::INT) ELSE 0::BIGINT END AS bit
+         |  FROM vec CROSS JOIN pl),
+         |keys AS (SELECT vec_id,
+         |    (sum(bit) | ((b + 1)::BIGINT << 56))::BIGINT AS k
+         |  FROM sgn GROUP BY vec_id, b),
+         |bc AS (SELECT k FROM keys GROUP BY k HAVING count(*) <= 100000),
+         |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+         |  FROM keys q JOIN keys c ON q.k = c.k JOIN bc ON bc.k = c.k
+         |  WHERE q.vec_id < 10),
+         |sc AS (SELECT qid, cid,
+         |    round(CASE WHEN sqrt(list_dot_product(qv.v, qv.v)) = 0
+         |                 OR sqrt(list_dot_product(cv.v, cv.v)) = 0 THEN 0.0
+         |          ELSE list_dot_product(qv.v, cv.v) /
+         |               (sqrt(list_dot_product(qv.v, qv.v)) *
+         |                sqrt(list_dot_product(cv.v, cv.v))) END, 6) AS cos
+         |  FROM cand JOIN vec qv ON qv.vec_id = qid
+         |            JOIN vec cv ON cv.vec_id = cid),
+         |r AS (SELECT qid, cid, cos,
+         |        row_number() OVER (PARTITION BY qid
+         |                           ORDER BY cos DESC, cid ASC) AS rk
+         |      FROM sc)
+         |SELECT qid AS "query_id", cid AS "vec_id", cos AS "cosine",
+         |       rk::BIGINT AS "rank"
+         |FROM r WHERE rk <= 5 ORDER BY 1, 4""".stripMargin,
+
+    // Full replication of the IVF-flat path (operators/Ann.ivfTopK):
+    // centroids = first 16 corpus vectors by id, nearest-centroid cell
+    // assignment (ties -> higher cell, matching array_max on (s, c)
+    // structs), queries probe their 2 best cells, exact cosine re-rank.
+    "q_ann_ivf" ->
+      """WITH vec AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |             FROM embeddings),
+        |cent AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cell,
+        |                v AS cv
+        |         FROM (SELECT vec_id, v FROM vec ORDER BY vec_id LIMIT 16)),
+        |sc AS (SELECT vec_id, cell,
+        |    CASE WHEN list_dot_product(v, v) = 0
+        |           OR list_dot_product(cv, cv) = 0 THEN 0.0
+        |         ELSE list_dot_product(v, cv) /
+        |              (sqrt(list_dot_product(v, v)) *
+        |               sqrt(list_dot_product(cv, cv))) END AS s
+        |  FROM vec CROSS JOIN cent),
+        |asg AS (SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY s DESC, cell DESC) AS rn FROM sc) WHERE rn = 1),
+        |prb AS (SELECT vec_id AS qid, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY s DESC, cell DESC) AS rn FROM sc WHERE vec_id < 10)
+        |  WHERE rn <= 2),
+        |cand AS (SELECT p.qid, a.vec_id AS cid
+        |         FROM prb p JOIN asg a ON a.cell = p.cell),
+        |cs AS (SELECT qid, cid,
+        |    round(CASE WHEN sqrt(list_dot_product(qv.v, qv.v)) = 0
+        |                 OR sqrt(list_dot_product(cv.v, cv.v)) = 0 THEN 0.0
+        |          ELSE list_dot_product(qv.v, cv.v) /
+        |               (sqrt(list_dot_product(qv.v, qv.v)) *
+        |                sqrt(list_dot_product(cv.v, cv.v))) END, 6) AS cos
+        |  FROM cand JOIN vec qv ON qv.vec_id = qid
+        |            JOIN vec cv ON cv.vec_id = cid),
+        |r AS (SELECT qid, cid, cos,
+        |        row_number() OVER (PARTITION BY qid
+        |                           ORDER BY cos DESC, cid ASC) AS rk
+        |      FROM cs)
+        |SELECT qid AS "query_id", cid AS "vec_id", cos AS "cosine",
+        |       rk::BIGINT AS "rank"
+        |FROM r WHERE rk <= 5 ORDER BY 1, 4""".stripMargin,
+
     // ---- text analysis --------------------------------------------------
 
     "q_text_stats" ->
@@ -431,6 +558,28 @@ object Oracles {
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     // ---- multimodal -----------------------------------------------------
+
+    // Full replication of the md5-derived decode stub
+    // (operators/Multimodal.decodeStub): dims from the payload's 60-bit
+    // md5, features k_i = md5_60(md5hex || '_' || i) % 2001 mapped to
+    // [-1, 1] floats, summed left-to-right as doubles.
+    "q_multimodal_decode" ->
+      s"""WITH m AS (SELECT doc_id, text, md5(text) AS hx,
+         |    ${md5_60("text")} AS h
+         |  FROM documents WHERE doc_id < 100),
+         |f AS (SELECT doc_id,
+         |    list_transform(generate_series(0, 7), i ->
+         |      ((((${md5_60("hx || '_' || i")}) % 2001) - 1000)::FLOAT
+         |        / 1000.0::FLOAT)::DOUBLE) AS feats
+         |  FROM m)
+         |SELECT m.doc_id AS "media_id",
+         |  octet_length(encode(m.text))::BIGINT AS "size_bytes",
+         |  (64 + (m.h % 961))::INT AS "width",
+         |  (64 + ((m.h >> 10) % 961))::INT AS "height",
+         |  3::INT AS "channels",
+         |  round(list_reduce(list_prepend(0.0::DOUBLE, f.feats),
+         |    (a, b) -> a + b), 3) AS "feat_sum"
+         |FROM m JOIN f USING (doc_id) ORDER BY 1""".stripMargin,
 
     "q_frame_sample" ->
       """SELECT doc_id AS "media_id",

@@ -84,8 +84,9 @@ object QueriesLlm {
       .orderBy("id_a", "id_b")
 
   /** SimHash near-dup pairs on a 90%-truncation twin corpus,
-    * unrestricted output; deterministic (fixed-seed xxhash) —
-    * rows-only check. Radius 8: the planted twins' median distance is 4;
+    * unrestricted output; the md5-derived 60-bit sketch is replicated
+    * end-to-end by the DuckDB oracle (hash -> votes -> band keys ->
+    * verified pairs). Radius 8: the planted twins' median distance is 4;
     * radius 15 drowns the result in template-level matches (54k pairs at
     * sf0.001 vs 1.8k at radius 8).
     */
@@ -143,8 +144,8 @@ object QueriesLlm {
   }
 
   /** IVF-flat ANN (the second scale path): deterministic sample
-    * centroids, nProbe=2; rows-only check (cell recall is tunable, not
-    * exact) — self-recall proven in DedupAnnSpec.
+    * centroids, nProbe=2; cell assignment, probing and re-rank are all
+    * replicated by the DuckDB oracle (exact match, not rows-only).
     */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
@@ -158,8 +159,9 @@ object QueriesLlm {
       .orderBy("query_id", "rank")
   }
 
-  /** LSH-bucketed ANN (the 100 TB path): same queries, deterministic
-    * seeded hyperplanes; rows-only check (recall is tunable, not exact).
+  /** LSH-bucketed ANN (the 100 TB path): same queries; the md5-derived
+    * hyperplanes are regenerated by the DuckDB oracle, which replicates
+    * banding, bucketing and re-rank exactly (not rows-only).
     */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
@@ -226,8 +228,8 @@ object QueriesLlm {
   // ---- multimodal ------------------------------------------------------
 
   /** Binary-column plumbing + stubbed decode: text bytes as payload,
-    * deterministic fake features; rows-only (the stub hash has no SQL
-    * counterpart) but sizeBytes/meta are real.
+    * md5-derived fake features the DuckDB oracle reproduces value-for-
+    * value (dims, features, running sum).
     */
   def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
     val mediaDf = Multimodal.asMedia(

@@ -52,10 +52,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => NativeExpressions.MinHashBandKeys(args(0),
         intArg(args(1), "bands", "minhash_band_keys"),
         intArg(args(2), "rowsPerBand", "minhash_band_keys"))),
-    ("simhash64",
-      new ExpressionInfo(classOf[NativeExpressions.SimHash64].getName,
-        "simhash64"),
-      (args: Seq[Expression]) => NativeExpressions.SimHash64(args(0))),
+    ("simhash60",
+      new ExpressionInfo(classOf[NativeExpressions.SimHash60].getName,
+        "simhash60"),
+      (args: Seq[Expression]) => NativeExpressions.SimHash60(args(0))),
     ("jaccard_sim",
       new ExpressionInfo(classOf[NativeExpressions.JaccardStrings].getName,
         "jaccard_sim"),

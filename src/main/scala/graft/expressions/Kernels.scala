@@ -21,6 +21,46 @@ object Kernels {
   private def hashString(s: UTF8String): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, Seed)
 
+  private val md5Digest =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  private def md5(bytes: Array[Byte]): Array[Byte] = {
+    val d = md5Digest.get()
+    d.reset()
+    d.digest(bytes)
+  }
+
+  /** First 60 bits of md5(bytes): the value of the digest's first 15 hex
+    * characters, always non-negative. The cross-engine hash — DuckDB (and
+    * any ANSI engine with md5) reproduces it as
+    * `('0x' || substr(md5(s), 1, 15))::BIGINT`, which is what makes the
+    * sketches built on it oracle-checkable end to end.
+    */
+  def md5_60(bytes: Array[Byte]): Long = {
+    val h = md5(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    v >>> 4 // drop the 16th hex char's low nibble
+  }
+
+  /** Lowercase 32-char hex of md5(bytes) — DuckDB's `md5(s)` output. */
+  def md5Hex(bytes: Array[Byte]): String = {
+    val h = md5(bytes)
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < 16) {
+      val b = h(i) & 0xff
+      sb.append(Character.forDigit(b >>> 4, 16))
+      sb.append(Character.forDigit(b & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
   /** n-word shingles of a token array: sliding windows of n tokens
     * joined by a single space; fewer than n tokens -> one shingle of the
     * whole text (so short docs still participate). Null tokens are
@@ -96,18 +136,21 @@ object Kernels {
     new GenericArrayData(keys)
   }
 
-  /** 64-bit SimHash over tokens: per-bit +1/-1 votes of each token's
-    * 64-bit hash, sign vector packed into a long.
+  /** 60-bit SimHash over tokens: per-bit +1/-1 votes of each token's
+    * 60-bit md5 hash ([[md5_60]]), sign vector packed into a long. 60
+    * bits (not 64) so both the per-token hash and every band-key shift
+    * stay inside signed-BIGINT range in SQL engines, making the whole
+    * sketch DuckDB-oracle-checkable.
     */
-  def simhash64(tokens: ArrayData): Long = {
-    val votes = new Array[Int](64)
+  def simhash60(tokens: ArrayData): Long = {
+    val votes = new Array[Int](60)
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        val h = hashString(tokens.getUTF8String(i))
+        val h = md5_60(tokens.getUTF8String(i).getBytes)
         var b = 0
-        while (b < 64) {
+        while (b < 60) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
           b += 1
         }
@@ -116,7 +159,7 @@ object Kernels {
     }
     var out = 0L
     var b = 0
-    while (b < 64) {
+    while (b < 60) {
       if (votes(b) > 0) out |= (1L << b)
       b += 1
     }

@@ -72,17 +72,17 @@ object NativeExpressions {
   }
 
   /** array<string> tokens -> long SimHash. */
-  case class SimHash64(child: Expression)
+  case class SimHash60(child: Expression)
       extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def prettyName: String = "simhash64"
+    override def prettyName: String = "simhash60"
     override protected def nullSafeEval(input: Any): Any =
-      Kernels.simhash64(input.asInstanceOf[ArrayData])
+      Kernels.simhash60(input.asInstanceOf[ArrayData])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
         : ExprCode =
-      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kernels.simhash64($c);")
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kernels.simhash60($c);")
     override protected def withNewChildInternal(newChild: Expression)
-        : SimHash64 = copy(child = newChild)
+        : SimHash60 = copy(child = newChild)
   }
 
   /** (array<string>, array<string>) -> double exact Jaccard. */
@@ -154,7 +154,7 @@ object NativeExpressions {
     c(MinHashSignature(e(shingles), numHashes))
   def minhashBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     c(MinHashBandKeys(e(sig), bands, rowsPerBand))
-  def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
+  def simhash60(tokens: Column): Column = c(SimHash60(e(tokens)))
   def jaccard(a: Column, b: Column): Column =
     c(JaccardStrings(e(a), e(b)))
   def cosine(a: Column, b: Column): Column =

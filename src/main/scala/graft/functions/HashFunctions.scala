@@ -62,25 +62,28 @@ object HashFunctions {
   def jaccard(a: Column, b: Column): Column =
     graft.expressions.NativeExpressions.jaccard(a, b)
 
-  /** 64-bit SimHash of a token array: hash each token to 64 bits; for
-    * each bit position sum +1/-1 over tokens; the sign vector packed into
-    * a long. Near-duplicates have small Hamming distance. Native
+  /** 60-bit SimHash of a token array: hash each token to 60 bits
+    * (md5-derived, [[graft.expressions.Kernels.md5_60]] — reproducible
+    * in any md5-equipped SQL engine, so the sketch is oracle-checkable);
+    * for each bit position sum +1/-1 over tokens; the sign vector packed
+    * into a long. Near-duplicates have small Hamming distance. Native
     * codegen'd expression — the HOF formulation paid interpreted eval on
     * every (token x bit) op, 24s on the sf0.1 corpus.
     */
-  def simhash64(tokens: Column): Column =
-    graft.expressions.NativeExpressions.simhash64(tokens)
+  def simhash60(tokens: Column): Column =
+    graft.expressions.NativeExpressions.simhash60(tokens)
 
-  /** Hamming distance between two 64-bit SimHash values. */
+  /** Hamming distance between two SimHash values. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash LSH keys: split the 64-bit value into `pieces` equal chunks;
-    * docs within Hamming distance < pieces must agree on at least one
-    * chunk (pigeonhole), so exact-match bucketing on chunks is a complete
+  /** SimHash LSH keys: split the 60-bit value into `pieces` chunks of
+    * ceil(60/pieces) bits (ceil so the union covers every bit); docs
+    * within Hamming distance < pieces must agree on at least one chunk
+    * (pigeonhole), so exact-match bucketing on chunks is a complete
     * candidate generator for distance <= pieces-1.
     */
   def simhashBandKeys(sim: Column, pieces: Int): Column = {
-    val width = 64 / pieces
+    val width = (60 + pieces - 1) / pieces
     val mask = (1L << width) - 1
     transform(sequence(lit(0), lit(pieces - 1)), p =>
       call_function("shiftright", sim, p * width).bitwiseAND(lit(mask))

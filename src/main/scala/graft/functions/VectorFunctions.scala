@@ -29,16 +29,24 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     graft.expressions.NativeExpressions.cosine(a, b)
 
-  /** Deterministic pseudo-random hyperplanes for sign-LSH: `numPlanes`
-    * vectors of `dim` components drawn from a seeded generator. Computed
-    * driver-side once and inlined as a literal (a few KB — broadcast by
-    * the plan), so every executor sees identical planes.
+  /** Deterministic pseudo-random hyperplanes for sign-LSH: component
+    * (p, d) is uniform in [-1, 1), derived from md5("plane_p_d") — NOT a
+    * JVM PRNG, so any md5-equipped SQL engine regenerates the identical
+    * planes (`('0x'||substr(md5('plane_'||p||'_'||d),1,15))::BIGINT /
+    * 2^60 * 2 - 1`), which makes the LSH output oracle-checkable.
+    * Uniform (vs gaussian) components still give an unbiased random
+    * direction per sign test in practice. Computed driver-side once and
+    * inlined as a literal (a few KB — broadcast by the plan), so every
+    * executor sees identical planes.
     */
-  def hyperplanes(dim: Int, numPlanes: Int, seed: Long = 42L)
-      : Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
-  }
+  def hyperplanes(dim: Int, numPlanes: Int): Seq[Seq[Double]] =
+    Seq.tabulate(numPlanes) { p =>
+      Seq.tabulate(dim) { d =>
+        val h = graft.expressions.Kernels.md5_60(
+          s"plane_${p}_$d".getBytes("UTF-8"))
+        h.toDouble / 1152921504606846976.0 * 2 - 1 // / 2^60
+      }
+    }
 
   /** Sign-LSH bucket key: one bit per hyperplane (sign of the dot
     * product), packed into a long. Vectors with high cosine similarity

@@ -84,7 +84,7 @@ object Dedup {
       maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
     val pieces = maxHamming + 1
     val sims = df.select(col(idCol).as("id"),
-      H.simhash64(T.tokens(col(textCol))).as("sim"))
+      H.simhash60(T.tokens(col(textCol))).as("sim"))
     val banded = sims.withColumn("k",
       explode(H.simhashBandKeys(col("sim"), pieces)))
     val counts = banded.groupBy("k").count()

@@ -41,18 +41,20 @@ object Multimodal {
   /** === STUB === Deterministic fake "decode": derives (width, height,
     * channels) and a fixed-length feature vector purely from the payload
     * bytes. Replace with a real codec; signature and batch shape stay.
+    * All derivation is md5-based ([[graft.expressions.Kernels.md5_60]])
+    * so an md5-equipped SQL engine reproduces every output value — the
+    * stub is DuckDB-oracle-checkable, not just deterministic.
     */
   def decodeStub(payload: Array[Byte], featureDim: Int)
       : (Int, Int, Int, Array[Float]) = {
-    // FNV-1a over the bytes — cheap, deterministic, endian-stable.
-    var h = 0xcbf29ce484222325L
-    payload.foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
-    val w = 64 + (math.floorMod(h, 961L)).toInt       // 64..1024
-    val ht = 64 + (math.floorMod(h >>> 10, 961L)).toInt
+    import graft.expressions.Kernels.{md5_60, md5Hex}
+    val h = md5_60(payload) // in [0, 2^60)
+    val hex = md5Hex(payload)
+    val w = 64 + (h % 961L).toInt // 64..1024
+    val ht = 64 + ((h >>> 10) % 961L).toInt
     val feats = Array.tabulate(featureDim) { i =>
-      var x = h ^ (i * 0x9E3779B97F4A7C15L)
-      x ^= x >>> 33; x *= 0xff51afd7ed558ccdL; x ^= x >>> 33
-      (math.floorMod(x, 2000L) - 1000L).toFloat / 1000f
+      val k = md5_60(s"${hex}_$i".getBytes("UTF-8")) % 2001L // 0..2000
+      (k - 1000L).toFloat / 1000f
     }
     (w, ht, 3, feats)
   }

@@ -80,7 +80,7 @@ class ExpressionsSpec extends SparkSpec {
     val r = spark.sql(
       """SELECT
         |  word_shingles(array('a','b','c'), 2) AS sh,
-        |  simhash64(array('x','y')) = simhash64(array('x','y')) AS simEq,
+        |  simhash60(array('x','y')) = simhash60(array('x','y')) AS simEq,
         |  jaccard_sim(array('a','b'), array('b','c')) AS j,
         |  round(cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)), 6) AS c,
         |  size(minhash_band_keys(
@@ -103,7 +103,7 @@ class ExpressionsSpec extends SparkSpec {
       docs.select(
         NativeExpressions.wordShingles(col("tok"), 2).as("sh"),
         NativeExpressions.minhashSignature(col("tok"), 8).as("sig"),
-        NativeExpressions.simhash64(col("tok")).as("sim"),
+        NativeExpressions.simhash60(col("tok")).as("sim"),
         NativeExpressions.jaccard(col("tok"), col("pair")).as("j"))
         .collect().toSeq ++
         vec.select(

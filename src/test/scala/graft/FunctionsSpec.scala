@@ -98,7 +98,7 @@ class FunctionsSpec extends SparkSpec {
     val df = Seq(("a", "the quick brown fox"), ("b", "the quick brown fox"),
       ("c", "zzz qqq www uuu"))
       .toDF("id", "t").select(col("id"),
-        H.simhash64(T.tokens(col("t"))).as("s"))
+        H.simhash60(T.tokens(col("t"))).as("s"))
     val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
     assert(ham(m("a"), m("b")) == 0)
@@ -126,8 +126,12 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getSeq[Long](0).distinct.size == 4) // band tags disambiguate
   }
 
-  test("hyperplanes are deterministic for a fixed seed") {
+  test("hyperplanes are deterministic and md5-derived") {
     assert(V.hyperplanes(8, 4) == V.hyperplanes(8, 4))
-    assert(V.hyperplanes(8, 4) != V.hyperplanes(8, 4, seed = 7L))
+    val p = V.hyperplanes(2, 1)
+    assert(p.head.forall(c => c >= -1.0 && c < 1.0))
+    // component (0,0) reproduces the cross-engine md5 formula
+    val h = graft.expressions.Kernels.md5_60("plane_0_0".getBytes("UTF-8"))
+    assert(p.head.head == h.toDouble / 1152921504606846976.0 * 2 - 1)
   }
 }
