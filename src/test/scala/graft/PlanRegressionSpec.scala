@@ -1,0 +1,72 @@
+package graft
+
+/** Plan-shape regression tests: the scale-critical physical-plan
+  * properties (broadcasts on dimension sides, key-equi-joins only in
+  * bucketed candidate generation, filters pushed to the parquet scan)
+  * asserted as invariants, so a refactor that silently degrades a plan
+  * to a cartesian product or a full-corpus shuffle fails CI rather than
+  * surfacing as a 100x regression on a real cluster.
+  */
+class PlanRegressionSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+      .toString
+
+  /** Bucketed candidate generation must never degenerate into an
+    * all-pairs comparison: no cartesian product, no nested-loop join.
+    */
+  for (q <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_embed_neardup",
+      "q_ann_lsh", "q_ann_ivf", "q_ngram_jaccard", "q_char_jaccard"))
+    test(s"$q: candidate generation is equi-join only") {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"cartesian in $q")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in $q")
+    }
+
+  test("q_ann_brute: corpus side streams, only the query set broadcasts") {
+    val p = plan("q_ann_brute")
+    // brute force IS a deliberate all-pairs scan — but the corpus must
+    // stay partition-local; only the (tiny) query set may broadcast.
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_ri_pipeline: dimension joins broadcast, filters reach the scan") {
+    val p = plan("q_ri_pipeline")
+    assert(!p.contains("CartesianProduct"))
+    // metadata decorate + mapping joins resolve to broadcast hash joins
+    // (dimension sides are small); the big exploded side never shuffles
+    // for them.
+    assert(p.contains("BroadcastHashJoin"))
+    // the qty<48 rec filter is pushed into the lineitem parquet scan
+    assert(p.contains("PushedFilters: [") &&
+      p.contains("LessThan(l_quantity"), "qty filter not pushed to scan")
+  }
+
+  test("q_join_mapusers: mapping join needs no cartesian or nested loop") {
+    val p = plan("q_join_mapusers")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_assemble_groupby: assembly is a single-shuffle aggregate") {
+    val p = plan("q_assemble_groupby")
+    // one hash exchange for the groupBy (+ the final orderBy range
+    // exchange); a window/max formulation would add a second sort+shuffle
+    val hashExchanges = "Exchange hashpartitioning".r
+      .findAllMatchIn(p).length
+    assert(hashExchanges <= 2, s"$hashExchanges hash exchanges:\n$p")
+  }
+
+  test("q_delta_keyed: keyed delta joins on the key, not the payload") {
+    val p = plan("q_delta_keyed")
+    assert(!p.contains("CartesianProduct"))
+    // payload comparison happens via xxhash64 columns, never by shuffling
+    // the array<struct> payload as a join key
+    assert(p.contains("xxhash64"))
+  }
+}
