@@ -60,6 +60,40 @@ object Oracles {
   private def md5_60(c: String) =
     s"('0x' || substr(md5($c), 1, 15))::BIGINT"
 
+  /** Cosine with the zero-norm guard of
+    * [[graft.expressions.Kernels.cosine]].
+    */
+  private def cosSql(a: String, b: String) =
+    s"""CASE WHEN list_dot_product($a, $a) = 0
+       |          OR list_dot_product($b, $b) = 0 THEN 0.0
+       |     ELSE list_dot_product($a, $b) /
+       |          (sqrt(list_dot_product($a, $a)) *
+       |           sqrt(list_dot_product($b, $b))) END""".stripMargin
+
+  /** One unrolled Lloyd's iteration (mirror of
+    * `Ann.trainIvfCentroids`): cosine assignment against cent`i`, then
+    * per-(cell, dim) means via a vec_id-ordered fold — the exact
+    * summation order the engine uses, so centroids match bit-for-bit.
+    */
+  private def lloydIter(i: Int, dim: Int): String = {
+    val n = i + 1
+    s"""sc$i AS (SELECT vec_id, cell, ${cosSql("v", "cv")} AS s
+       |  FROM vec CROSS JOIN cent$i),
+       |asg$i AS (SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY s DESC, cell DESC) AS rn FROM sc$i) WHERE rn = 1),
+       |mean$i AS (SELECT a.cell, dr.range AS d,
+       |    list_reduce(list_prepend(0.0::DOUBLE,
+       |        list(v.v[dr.range + 1] ORDER BY v.vec_id)),
+       |      (x, y) -> x + y) / count(*) AS m
+       |  FROM asg$i a JOIN vec v USING (vec_id) CROSS JOIN range($dim) dr
+       |  GROUP BY a.cell, dr.range),
+       |cm$i AS (SELECT cell, list(m ORDER BY d) AS cv FROM mean$i
+       |         GROUP BY cell),
+       |cent$n AS (SELECT p.cell, coalesce(c.cv, p.cv) AS cv
+       |           FROM cent$i p LEFT JOIN cm$i c USING (cell))""".stripMargin
+  }
+
   private val stopEn = Seq("the","a","of","to","and","in","is","that","it","for")
   private val stopDe = Seq("der","die","das","und","ist","nicht","ein","zu","mit","den")
   private val stopFr = Seq("le","la","les","et","est","un","une","que","pour","dans")
@@ -419,6 +453,41 @@ object Oracles {
         |SELECT qid AS "query_id", vec_id, cos AS "cosine",
         |       rk::BIGINT AS "rank"
         |FROM r WHERE rk <= 5 ORDER BY 1, 4""".stripMargin,
+
+    // IVF with k-means-trained centroids: both Lloyd's iterations
+    // unrolled in SQL (assignment + vec_id-ordered-fold means), then the
+    // same probe/re-rank as q_ann_ivf against the trained cells.
+    "q_ann_ivf_kmeans" ->
+      s"""WITH vec AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |             FROM embeddings),
+         |cent0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cell,
+         |                 v AS cv
+         |          FROM (SELECT vec_id, v FROM vec ORDER BY vec_id
+         |                LIMIT 8)),
+         |${lloydIter(0, 64)},
+         |${lloydIter(1, 64)},
+         |fsc AS (SELECT vec_id, cell, ${cosSql("v", "cv")} AS s
+         |  FROM vec CROSS JOIN cent2),
+         |fasg AS (SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY s DESC, cell DESC) AS rn FROM fsc) WHERE rn = 1),
+         |prb AS (SELECT vec_id AS qid, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY s DESC, cell DESC) AS rn FROM fsc
+         |    WHERE vec_id < 10) WHERE rn <= 2),
+         |cand AS (SELECT p.qid, a.vec_id AS cid
+         |         FROM prb p JOIN fasg a ON a.cell = p.cell),
+         |cs AS (SELECT qid, cid,
+         |         round(${cosSql("qv.v", "cv.v")}, 6) AS cos
+         |       FROM cand JOIN vec qv ON qv.vec_id = qid
+         |                 JOIN vec cv ON cv.vec_id = cid),
+         |r AS (SELECT qid, cid, cos,
+         |        row_number() OVER (PARTITION BY qid
+         |                           ORDER BY cos DESC, cid ASC) AS rk
+         |      FROM cs)
+         |SELECT qid AS "query_id", cid AS "vec_id", cos AS "cosine",
+         |       rk::BIGINT AS "rank"
+         |FROM r WHERE rk <= 5 ORDER BY 1, 4""".stripMargin,
 
     // Full replication of the sign-LSH path (operators/Ann.lshTopK):
     // md5-derived hyperplanes (16 planes x dim 64), 8 bands of 2 sign

@@ -159,6 +159,26 @@ object QueriesLlm {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF with k-means-TRAINED centroids (2 deterministic Lloyd's
+    * iterations from the same sample init): better-balanced cells than
+    * the raw sample, same probe/re-rank shape. The oracle unrolls both
+    * training iterations in SQL — assignment, ordered-fold means and the
+    * final search all hash-match.
+    */
+  def annIvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val corpus = e.select(col("vec_id"), col("embedding"))
+    val cents = Ann.trainIvfCentroids(corpus, nCells = 8, iters = 2)
+    Ann.ivfTopK(
+        e.where(col("vec_id") < 10).select(col("vec_id").as("query_id"),
+          col("embedding")),
+        corpus, k = 5, nCells = 8, nProbe = 2,
+        trainedCentroids = Some(cents))
+      .select(col("query_id"), col("vec_id"), col("cosine"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** LSH-bucketed ANN (the 100 TB path): same queries; the md5-derived
     * hyperplanes are regenerated by the DuckDB oracle, which replicates
     * banding, bucketing and re-rank exactly (not rows-only).
@@ -266,6 +286,7 @@ object QueriesLlm {
     "q_ann_brute" -> (annBrute _),
     "q_ann_lsh" -> (annLsh _),
     "q_ann_ivf" -> (annIvf _),
+    "q_ann_ivf_kmeans" -> (annIvfKmeans _),
     "q_text_stats" -> (textStats _),
     "q_term_df" -> (termDf _),
     "q_langid" -> (langId _),

@@ -72,14 +72,62 @@ object Ann {
       .where(col("rank") <= k)
   }
 
+  /** Deterministic k-means (Lloyd's) training for IVF centroids, run as
+    * DataFrame ops: init = first `nCells` vectors by id; each iteration
+    * assigns every vector to its max-cosine centroid (ties -> higher
+    * cell, matching [[ivfTopK]]'s assignment) and recomputes centroids
+    * as element-wise means. The per-dimension sum folds a vec_id-sorted
+    * list, so the result is BIT-DETERMINISTIC regardless of partitioning
+    * — reproducible by the DuckDB oracle, and stable across cluster
+    * sizes (a plain `avg()` of doubles is partition-order-dependent).
+    *
+    * Scale shape: the heavy step (assignment) is one embarrassingly-
+    * parallel scan per iteration; the mean aggregation shuffles
+    * (cell, dim) pairs — corpus-rows x dim narrow rows, not vectors;
+    * only the nCells x dim centroid matrix is ever collected. At 100 TB
+    * train on a sample (pass `corpus.limit(n)` or a filtered slice) —
+    * centroid quality converges long before the full corpus is seen.
+    */
+  def trainIvfCentroids(corpus: DataFrame, nCells: Int, iters: Int,
+      corpusIdCol: String = "vec_id", vecCol: String = "embedding")
+      : Seq[Seq[Double]] = {
+    val vecs = corpus.select(col(corpusIdCol).as("vec_id"),
+      V.toDouble(col(vecCol)).as("v"))
+    var centroids: Seq[Seq[Double]] = vecs.orderBy("vec_id").limit(nCells)
+      .collect().toSeq.map(_.getSeq[Double](1).toSeq)
+    for (_ <- 1 to iters) {
+      val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(V.cosine(col("v"), array(c.map(lit(_)): _*)).as("s"),
+          lit(i).as("c"))
+      }: _*)
+      val byCell = vecs
+        .withColumn("cell", array_max(scored).getField("c"))
+        .select(col("cell"), col("vec_id"),
+          posexplode(col("v")).as(Seq("d", "val")))
+        .groupBy("cell", "d")
+        .agg((aggregate(
+            sort_array(collect_list(struct(col("vec_id"), col("val")))),
+            lit(0.0), (acc, x) => acc + x.getField("val"))
+          / count(lit(1))).as("m"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1)
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_._2).map(_._3).toSeq }
+      // empty cells keep their previous centroid
+      centroids = Seq.tabulate(nCells)(i => byCell.getOrElse(i, centroids(i)))
+    }
+    centroids
+  }
+
   /** IVF-flat ANN (the second scale path next to [[lshTopK]]): the
     * corpus is partitioned into `nCells` Voronoi cells by
     * nearest-centroid assignment; each query probes its `nProbe`
     * closest cells and exact cosine re-ranks only those cells' members.
     *
-    * Centroids here are a deterministic corpus sample (first `nCells`
-    * by id), collected once driver-side and inlined as literals — at
-    * 100 TB you train them with k-means on a sample instead, but the
+    * Default centroids are a deterministic corpus sample (first `nCells`
+    * by id), collected once driver-side and inlined as literals; pass
+    * [[trainIvfCentroids]] output for k-means cells. Either way the
     * cell-assignment expression, the cell-equi-join, and the re-rank
     * shapes are exactly what scales: corpus shuffles once on the cell
     * key, candidates = nProbe/nCells of the corpus per query, never a
@@ -88,12 +136,13 @@ object Ann {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 2,
       queryIdCol: String = "query_id", corpusIdCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      trainedCentroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
     import org.apache.spark.sql.Column
-    val centroids: Seq[Seq[Double]] = corpus
+    val centroids: Seq[Seq[Double]] = trainedCentroids.getOrElse(corpus
       .select(col(corpusIdCol), V.toDouble(col(vecCol)).as("v"))
       .orderBy(corpusIdCol).limit(nCells)
-      .collect().toSeq.map(_.getSeq[Double](1).toSeq)
+      .collect().toSeq.map(_.getSeq[Double](1).toSeq))
     // (similarity, cell) pairs against every centroid — native cosine
     // per centroid, all inside codegen.
     def scored(v: Column): Column = array(centroids.zipWithIndex.map {

@@ -96,6 +96,19 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("trainIvfCentroids: deterministic, converging, keeps empty cells") {
+    val c1 = Ann.trainIvfCentroids(vecs, nCells = 2, iters = 2)
+    val c2 = Ann.trainIvfCentroids(vecs, nCells = 2, iters = 2)
+    assert(c1 == c2) // bit-deterministic across runs
+    assert(c1.length == 2 && c1.forall(_.length == 4))
+    // trained centroids still locate every vector's own cell: self at rank 1
+    val q = vecs.select(col("vec_id").as("query_id"), col("embedding"))
+    val out = Ann.ivfTopK(q, vecs, k = 1, nCells = 2, nProbe = 1,
+        trainedCentroids = Some(c1))
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+    assert(out.length == 4 && out.forall(p => p._1 == p._2))
+  }
+
   test("cosineNearDupPairs at high threshold keeps only the parallel pair") {
     val out = Ann.cosineNearDupPairs(vecs, threshold = 0.99, dim = 4,
         numPlanes = 8, bands = 8)
