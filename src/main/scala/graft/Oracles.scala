@@ -309,6 +309,18 @@ object Oracles {
         |       sum(value::DECIMAL(18,6))::DOUBLE AS "sum_value"
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // Two-phase salted top-k == plain per-group top-k (the salt only
+    // shapes intermediates), so the oracle is a window row_number.
+    "q_topk_group" ->
+      """SELECT l_orderkey, rk::BIGINT AS "rank", l_extendedprice,
+        |       l_partkey, l_linenumber
+        |FROM (SELECT l_orderkey, l_extendedprice, l_partkey, l_linenumber,
+        |        row_number() OVER (PARTITION BY l_orderkey
+        |          ORDER BY l_extendedprice DESC, l_partkey DESC,
+        |                   l_linenumber DESC) AS rk
+        |      FROM lineitem WHERE l_quantity < 10)
+        |WHERE rk <= 3 ORDER BY l_orderkey, rk""".stripMargin,
+
     "q_sessionize" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, ts,

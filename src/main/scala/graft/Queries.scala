@@ -535,8 +535,23 @@ object Queries {
     Seq((posts.value, rows.value, 0L)).toDF("n_posts", "n_rows", "n_dead")
   }
 
+  /** Skew-safe two-phase top-k per group (Ops.topKPerGroup): top-3
+    * cheap-quantity lineitems per order by price, with (partkey,
+    * linenumber) tiebreakers for a total order. The salted shape is
+    * exact regardless of salt assignment, so the oracle is a plain
+    * window row_number.
+    */
+  def topkGroup(s: SparkSession, dir: String): DataFrame =
+    Ops.topKPerGroup(
+        t(s, dir, "lineitem").where(col("l_quantity") < 10),
+        groupKeys = Seq("l_orderkey"),
+        payload = Seq("l_extendedprice", "l_partkey", "l_linenumber"),
+        k = 3)
+      .orderBy("l_orderkey", "rank")
+
   /** All ETL-family queries. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topk_group" -> (topkGroup _),
     "q_ri_pipeline" -> (riPipeline _),
     "q_up_pipeline" -> (upPipeline _),
     "q_jsonl_backfill" -> (jsonlBackfill _),

@@ -207,4 +207,40 @@ object Ops {
   /** Column expression for the pivot of one field — exposed for reuse. */
   def pivotField(recCol: Column, field: String, prefix: String): Column =
     recCol.getField(field).as(s"$prefix$field")
+
+  /** Skew-safe top-k rows per group: two-phase sorted-slice aggregation.
+    *
+    * Phase 1 keeps the top k within (groupKeys, salt) — map-side
+    * combinable, at most k rows out per salt bucket; phase 2 merges the
+    * buckets' survivors. A hot key's rows spread over `salts` reducers
+    * instead of one, and neither phase holds more than k payloads per
+    * bucket in the aggregation buffer — where the window `row_number()`
+    * formulation sorts the entire frame per key on one reducer. Every
+    * global top-k row survives its own bucket's phase-1 cut, so the
+    * result is exact.
+    *
+    * Ordering is descending over `payload` as a struct (field by field),
+    * so callers get a total order by listing a unique tiebreaker last.
+    * Output: groupKeys ++ rank (1..k) ++ payload columns.
+    */
+  def topKPerGroup(df: DataFrame, groupKeys: Seq[String],
+      payload: Seq[String], k: Int, salts: Int = 16): DataFrame = {
+    val pstruct = struct(payload.map(col): _*)
+    val topSlice = (c: Column) =>
+      slice(sort_array(c, asc = false), 1, k)
+    val phase1 = df
+      .withColumn("__salt", pmod(xxhash64(pstruct), lit(salts)))
+      .groupBy((groupKeys :+ "__salt").map(col): _*)
+      .agg(topSlice(collect_list(pstruct)).as("__top"))
+    val phase2 = phase1
+      .select(groupKeys.map(col) :+ explode(col("__top")).as("__p"): _*)
+      .groupBy(groupKeys.map(col): _*)
+      .agg(topSlice(collect_list(col("__p"))).as("__top"))
+    phase2
+      .select(groupKeys.map(col) :+
+        posexplode(col("__top")).as(Seq("__pos", "__p")): _*)
+      .select(groupKeys.map(col) ++
+        Seq((col("__pos") + 1).cast("long").as("rank")) ++
+        payload.map(f => col(s"__p.$f").as(f)): _*)
+  }
 }

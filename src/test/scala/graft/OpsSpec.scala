@@ -142,6 +142,26 @@ class OpsSpec extends SparkSpec {
     assert(some.getStruct(2) == Row("p_", "1", "2")) // keys sorted
   }
 
+  test("topKPerGroup matches the window formulation (differential)") {
+    import org.apache.spark.sql.expressions.Window
+    // a hot key (k1: 40 rows over 4 partitions) plus small keys and ties
+    val rows = (1 to 40).map(i => ("k1", i.toDouble % 7, i.toLong)) ++
+      Seq(("k2", 5.0, 1L), ("k2", 5.0, 2L), ("k3", 1.0, 1L))
+    val df = rows.toDF("key", "score", "id").repartition(4)
+    val twoPhase = Ops.topKPerGroup(df, Seq("key"), Seq("score", "id"),
+        k = 3, salts = 4)
+      .select("key", "rank", "score", "id").as[(String, Long, Double, Long)]
+      .collect().toSet
+    val w = Window.partitionBy("key")
+      .orderBy(col("score").desc, col("id").desc)
+    val windowed = df.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
+      .select("key", "rank", "score", "id").as[(String, Long, Double, Long)]
+      .collect().toSet
+    assert(twoPhase == windowed)
+    assert(twoPhase.count(_._1 == "k2") == 2) // k < group size is fine
+  }
+
   test("pivotAttributes transposes array<struct> and drops external_id clash") {
     val df = Seq(("u1", Seq(("i1", "s1"), ("i2", "s2"))))
       .toDF("userId", "pairs")
