@@ -132,4 +132,34 @@ class StreamingSpec extends SparkSpec {
     // Exactly the run-1 emission; the late row changed nothing.
     assert(out.toSeq == Seq(("00:00", 1L)))
   }
+
+  test("streaming dedup drops in-watermark duplicate content") {
+    import graft.streaming.StreamingDedup
+    val dir = tmpDir("sdedup")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    // Batch 1: two distinct docs. Batch 2 (separate micro-batch): a
+    // duplicate of doc 1 modulo case/whitespace, plus a fresh doc.
+    Seq("""{"doc_id":1,"ts":"2024-01-01T00:00:00.000Z","text":"Hello  World"}""",
+      """{"doc_id":2,"ts":"2024-01-01T00:01:00.000Z","text":"other"}""")
+      .toDF("value").coalesce(1).write.text(s"$dir/in/f1")
+    Seq("""{"doc_id":3,"ts":"2024-01-01T00:02:00.000Z","text":"hello world"}""",
+      """{"doc_id":4,"ts":"2024-01-01T00:03:00.000Z","text":"fresh"}""")
+      .toDF("value").coalesce(1).write.text(s"$dir/in/f2")
+    val src = spark.readStream.schema(docSchema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1").json(s"$dir/in")
+    val q = StreamingDedup.dedupByContent(src, "text", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val ids = spark.table("sdedup").select("doc_id").as[Long]
+      .collect().toSet
+    // doc 3 deduped against doc 1's fingerprint held in streaming state
+    assert(ids == Set(1L, 2L, 4L))
+  }
 }
