@@ -309,6 +309,19 @@ object Oracles {
         |       sum(value::DECIMAL(18,6))::DOUBLE AS "sum_value"
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // Merge-on-read over the two planted versions (v0 snapshot keys
+    // < 2000; v1 upserts keys < 500 at price*1.1 and tombstones
+    // [500, 600)) == this direct statement over orders.
+    "q_state_table" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey < 500 THEN o_totalprice * 1.1
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderstatus
+        |FROM orders
+        |WHERE o_orderkey < 2000
+        |  AND NOT (o_orderkey >= 500 AND o_orderkey < 600)
+        |ORDER BY o_orderkey""".stripMargin,
+
     // Two-phase salted top-k == plain per-group top-k (the salt only
     // shapes intermediates), so the oracle is a window row_number.
     "q_topk_group" ->

@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 import graft.config.JobConfig
 import graft.connector.Sinks
 import graft.etl.Ops
-import graft.io.{Readers, Writers}
+import graft.io.{Readers, StateTable, Writers}
 import graft.streaming.FileRelay
 
 /** Oracle-checked queries over /root/testdata, one per SURVEY.md §2
@@ -535,6 +535,27 @@ object Queries {
     Seq((posts.value, rows.value, 0L)).toDF("n_posts", "n_rows", "n_dead")
   }
 
+  /** Delta-style versioned state (io.StateTable): v0 = full keyed
+    * snapshot, v1 = an upsert + tombstone delta, then merge-on-read.
+    * The oracle states the post-merge table directly from `orders`.
+    */
+  def stateTable(s: SparkSession, dir: String): DataFrame = {
+    val d = tmp("statetbl")
+    val o = t(s, dir, "orders")
+    StateTable.append(
+      o.where(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus")), d)
+    StateTable.append(
+      o.where(col("o_orderkey") < 600)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") * 1.1).as("o_totalprice"),
+          col("o_orderstatus"),
+          (col("o_orderkey") >= 500).as(StateTable.DeletedCol)), d)
+    StateTable.readLatest(s, d, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
   /** Skew-safe two-phase top-k per group (Ops.topKPerGroup): top-3
     * cheap-quantity lineitems per order by price, with (partkey,
     * linenumber) tiebreakers for a total order. The salted shape is
@@ -552,6 +573,7 @@ object Queries {
   /** All ETL-family queries. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_topk_group" -> (topkGroup _),
+    "q_state_table" -> (stateTable _),
     "q_ri_pipeline" -> (riPipeline _),
     "q_up_pipeline" -> (upPipeline _),
     "q_jsonl_backfill" -> (jsonlBackfill _),

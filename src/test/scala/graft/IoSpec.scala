@@ -91,4 +91,23 @@ class IoSpec extends SparkSpec {
     val p = Writers.state(Seq(2L, 3L).toDF("k"), dir, "braze")
     assert(spark.read.json(p).count() == 2) // overwrite, not append
   }
+
+  test("StateTable: upserts, tombstones, and compaction preserve state") {
+    import graft.io.StateTable
+    val dir = tmpDir("statetbl") + "/tbl"
+    val v0 = StateTable.append(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "payload"), dir)
+    val v1 = StateTable.append(
+      Seq((2L, "b2", false), (3L, "c", true)).toDF("k", "payload",
+        StateTable.DeletedCol), dir)
+    assert(v0 == 0 && v1 == 1)
+    def state() = StateTable.readLatest(spark, dir, Seq("k"))
+      .as[(Long, String)].collect().toSet
+    assert(state() == Set((1L, "a"), (2L, "b2"))) // 3 tombstoned
+    val vc = StateTable.compact(spark, dir, Seq("k"))
+    assert(StateTable.versions(spark, dir) == Seq(vc)) // chain folded
+    assert(state() == Set((1L, "a"), (2L, "b2"))) // same state after
+    StateTable.append(Seq((4L, "d")).toDF("k", "payload"), dir)
+    assert(state() == Set((1L, "a"), (2L, "b2"), (4L, "d")))
+  }
 }
