@@ -309,6 +309,16 @@ object Oracles {
         |       sum(value::DECIMAL(18,6))::DOUBLE AS "sum_value"
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // Bucketing shapes the PLAN (no exchange), not the rows: the oracle
+    // is the plain join+agg.
+    "q_bucketed_join" ->
+      """SELECT o_orderkey, o_totalprice, n_items, sum_part
+        |FROM orders JOIN (
+        |  SELECT l_orderkey, count(*)::BIGINT AS n_items,
+        |         sum(l_partkey)::BIGINT AS sum_part
+        |  FROM lineitem GROUP BY 1) li ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
     // Merge-on-read over the two planted versions (v0 snapshot keys
     // < 2000; v1 upserts keys < 500 at price*1.1 and tombstones
     // [500, 600)) == this direct statement over orders.

@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 import graft.config.JobConfig
 import graft.connector.Sinks
 import graft.etl.Ops
-import graft.io.{Readers, StateTable, Writers}
+import graft.io.{Bucketing, Readers, StateTable, Writers}
 import graft.streaming.FileRelay
 
 /** Oracle-checked queries over /root/testdata, one per SURVEY.md §2
@@ -535,6 +535,29 @@ object Queries {
     Seq((posts.value, rows.value, 0L)).toDF("n_posts", "n_rows", "n_dead")
   }
 
+  /** Co-located join over bucketed tables (io.Bucketing): both sides
+    * bucketed+sorted on the join key at write time, so the join itself
+    * is Exchange-free (PlanRegressionSpec asserts it). Payload aggs are
+    * integer-only so the result is order-independent and oracle-exact.
+    */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val d = tmp("bkt")
+    Bucketing.writeBucketed(
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+      "graft_bkt_orders", s"$d/orders", "o_orderkey", nBuckets = 8)
+    Bucketing.writeBucketed(
+      t(s, dir, "lineitem").groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum("l_partkey").as("sum_part")),
+      "graft_bkt_li", s"$d/lineitem", "l_orderkey", nBuckets = 8)
+    s.table("graft_bkt_li").hint("merge")
+      .join(s.table("graft_bkt_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("n_items"),
+        col("sum_part"))
+      .orderBy("o_orderkey")
+  }
+
   /** Delta-style versioned state (io.StateTable): v0 = full keyed
     * snapshot, v1 = an upsert + tombstone delta, then merge-on-read.
     * The oracle states the post-merge table directly from `orders`.
@@ -574,6 +597,7 @@ object Queries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_topk_group" -> (topkGroup _),
     "q_state_table" -> (stateTable _),
+    "q_bucketed_join" -> (bucketedJoin _),
     "q_ri_pipeline" -> (riPipeline _),
     "q_up_pipeline" -> (upPipeline _),
     "q_jsonl_backfill" -> (jsonlBackfill _),

@@ -62,6 +62,16 @@ class PlanRegressionSpec extends SparkSpec {
     assert(hashExchanges <= 2, s"$hashExchanges hash exchanges:\n$p")
   }
 
+  test("q_bucketed_join: co-located join is exchange-free") {
+    val df = SparkEntry.queries("q_bucketed_join")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"))
+    // both sides are bucketed on the join key: the join itself must not
+    // repartition (the final orderBy's range exchange is the only one)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join shuffled:\n$p")
+  }
+
   test("q_delta_keyed: keyed delta joins on the key, not the payload") {
     val p = plan("q_delta_keyed")
     assert(!p.contains("CartesianProduct"))
