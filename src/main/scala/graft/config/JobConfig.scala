@@ -28,12 +28,18 @@ final case class ConnectorConfig(
 
 /** Job configuration (reference `sample/config.json:1-14`, read driver-side
   * at `related_items_etl.py:72-88`).
+  *
+  * @param stateFormat `"snapshot"` (reference semantics: full JSONL
+  *   state rewrite per sync) or `"keyed"` (the 100 TB path: versioned
+  *   keyed state table, O(delta) writes + keyed hash delta check —
+  *   `io.StateTable` + `Ops.deltaCheckKeyed`)
   */
 final case class JobConfig(
     batchInferencePath: String,
     performDeltaCheck: Boolean = false,
     saveBatchInferenceErrors: Boolean = true,
     writeStateAfterSync: Boolean = true,
+    stateFormat: String = "snapshot",
     connectors: Map[String, ConnectorConfig] = Map.empty
 ) {
   /** Effective delta-check flag for a connector: connector scope overrides
@@ -94,6 +100,7 @@ object JobConfig {
         bool(root \ "saveBatchInferenceErrors").getOrElse(true),
       writeStateAfterSync =
         bool(root \ "writeStateAfterSync").getOrElse(true),
+      stateFormat = str(root \ "stateFormat").getOrElse("snapshot"),
       connectors = connectors
     )
   }

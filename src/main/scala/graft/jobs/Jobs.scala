@@ -4,11 +4,12 @@ import java.time.LocalDateTime
 import java.time.format.DateTimeFormatter
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.storage.StorageLevel
 
 import graft.config.JobConfig
 import graft.etl.Ops
-import graft.io.{Readers, Writers}
+import graft.io.{Readers, StateTable, Writers}
 import graft.schema.Schemas
 
 /** Result of one connector sync within a job run. */
@@ -109,16 +110,28 @@ object Jobs {
           Ops.assembleRecommendations(decorated, spec.groupKeys)
             .persist(StorageLevel.MEMORY_AND_DISK)
         try {
-          val stateDir = s"$outputRoot/$connector/state"
-          val afterDelta =
-            if (config.deltaCheckFor(connector) &&
-                Readers.pathExists(spark, stateDir)) {
-              val state = Readers.withBackfill(
+          val keyed = config.stateFormat == "keyed"
+          val stateDir =
+            if (keyed) s"$outputRoot/$connector/state_keyed"
+            else s"$outputRoot/$connector/state"
+          val state: Option[DataFrame] =
+            if (!config.deltaCheckFor(connector)) None
+            else if (keyed) {
+              if (StateTable.versions(spark, stateDir).nonEmpty)
+                Some(StateTable.readLatest(spark, stateDir, spec.groupKeys))
+              else None
+            } else if (Readers.pathExists(spark, stateDir)) {
+              Some(Readers.withBackfill(
                 spark.read.option("recursiveFileLookup", "true")
                   .schema(assembled.schema).json(stateDir),
-                assembled.schema)
-              Ops.deltaCheck(assembled, state)
-            } else assembled
+                assembled.schema))
+            } else None
+          val afterDelta = state match {
+            case Some(st) if keyed =>
+              Ops.deltaCheckKeyed(assembled, st, spec.groupKeys)
+            case Some(st) => Ops.deltaCheck(assembled, st)
+            case None => assembled
+          }
 
           val stamped = Ops.stampJobInfo(afterDelta, jobName, runDateTime,
             Some((cc.attributePrefix, cc.otherAttributes)))
@@ -127,10 +140,23 @@ object Jobs {
             connector, clock)
           val rows = spark.read.json(outDir).count()
 
-          // State = the full (pre-delta) assembled snapshot, so the next
-          // run's EXCEPT sees everything synced so far.
-          if (config.writeStateAfterSync)
-            Writers.state(assembled, outputRoot, connector)
+          if (config.writeStateAfterSync) {
+            if (keyed) {
+              // O(delta) state maintenance: the changed rows upsert, and
+              // keys that left the snapshot tombstone — merge-on-read
+              // then reconstructs exactly the reference's full-snapshot
+              // semantics without ever rewriting unchanged state.
+              val tombstones = state.map(
+                _.join(assembled, spec.groupKeys.toSeq, "left_anti")
+                  .withColumn(StateTable.DeletedCol, lit(true)))
+              val delta = tombstones.fold(afterDelta)(t =>
+                afterDelta.unionByName(t, allowMissingColumns = true))
+              StateTable.append(delta, stateDir)
+            } else
+              // State = the full (pre-delta) assembled snapshot, so the
+              // next run's EXCEPT sees everything synced so far.
+              Writers.state(assembled, outputRoot, connector)
+          }
 
           ConnectorResult(connector, outDir, rows)
         } finally assembled.unpersist()

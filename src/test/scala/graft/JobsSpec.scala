@@ -92,6 +92,42 @@ class JobsSpec extends SparkSpec {
     assert(spark.read.json(s"$root/output/braze/state").count() == 4)
   }
 
+  test("keyed state format: O(delta) syncs with upserts and tombstones") {
+    val root = tmpDir("jobkeyed")
+    writeFixtures(root)
+    val cfg = JobConfig.parse(
+      s"""{"batchInferencePath": "$root/input/batch",
+         |"performDeltaCheck": true,
+         |"stateFormat": "keyed",
+         |"connectors": {"braze": {"itemMetadataFields": ["brand"]}}}"""
+        .stripMargin)
+    def runAt(day: Int) = Jobs.run(spark, Jobs.RelatedItems, root, "j",
+      cfg, LocalDateTime.of(2024, 1, day, 0, 0, 0))
+
+    assert(runAt(1).connectors.head.rowsWritten == 4) // cold: full sync
+
+    // i2's recs change, i3 disappears, i1 untouched.
+    Seq(
+      """{"input":{"itemId":"i1"},"output":{"recommendedItems":["p1","p2"]}}""",
+      """{"input":{"itemId":"i2"},"output":{"recommendedItems":["p9"]}}"""
+    ).toDF("value").coalesce(1).write.mode("overwrite")
+      .text(s"$root/input/batch")
+    assert(runAt(2).connectors.head.rowsWritten == 1) // only (i2,u1)
+
+    // Current state = i1's two rows + updated i2; i3 tombstoned out.
+    val stateDir = s"$root/output/braze/state_keyed"
+    val st = graft.io.StateTable.readLatest(spark, stateDir,
+      Seq("queryItemId", "userId"))
+    assert(st.count() == 3)
+    assert(st.where(col("queryItemId") === "i3").count() == 0)
+
+    // i3 reappears with its original payload: the tombstone (not some
+    // stale row) is what the delta compares against, so it re-emits.
+    writeFixtures(root)
+    assert(runAt(3).connectors.head.rowsWritten == 2) // i3 back, i2 revert
+    assert(graft.io.StateTable.versions(spark, stateDir).size == 3)
+  }
+
   test("user-personalization spec: no mapping, keyed by queryUserId") {
     val root = tmpDir("jobup")
     Seq(
