@@ -309,6 +309,22 @@ object Oracles {
         |       sum(value::DECIMAL(18,6))::DOUBLE AS "sum_value"
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // The union+window as-of formulation == DuckDB's native ASOF LEFT
+    // JOIN (backward, inclusive); (user_id, ts) is unique in events so
+    // no tie-break is needed.
+    "q_asof_join" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |                   event_type FROM events),
+        |p AS (SELECT user_id, ts_us, event_id AS purchase_id FROM ev
+        |      WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts_us AS vts, event_id AS view_id FROM ev
+        |      WHERE event_type = 'view')
+        |SELECT p.user_id, p.ts_us, p.purchase_id, v.view_id,
+        |       v.vts AS view_ts_us
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.ts_us >= v.vts
+        |ORDER BY p.user_id, p.ts_us""".stripMargin,
+
     // Bucketing shapes the PLAN (no exchange), not the rows: the oracle
     // is the plain join+agg.
     "q_bucketed_join" ->

@@ -493,6 +493,25 @@ object Queries {
       .orderBy("user_id", "session_seq")
   }
 
+  /** As-of join (operators/AsofJoin): each purchase decorated with the
+    * user's latest at-or-before view, via the union+window shape — the
+    * plan contains NO join operator at all (PlanRegressionSpec). Oracle:
+    * DuckDB's native ASOF LEFT JOIN.
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+      expr("ts div 1000").as("ts_us"), col("event_type"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"),
+        col("event_id").as("purchase_id"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"),
+        col("event_id").as("view_id"), col("ts_us").as("view_ts_us"))
+    graft.operators.AsofJoin.asofBackward(purchases, views,
+        Seq("user_id"), "ts_us")
+      .orderBy("user_id", "ts_us")
+  }
+
   // ---- sink / streaming queries ----------------------------------------
 
   /** K3 + §2.11: file-relay streaming source (bookmark-equivalent) into
@@ -598,6 +617,7 @@ object Queries {
     "q_topk_group" -> (topkGroup _),
     "q_state_table" -> (stateTable _),
     "q_bucketed_join" -> (bucketedJoin _),
+    "q_asof_join" -> (asofJoin _),
     "q_ri_pipeline" -> (riPipeline _),
     "q_up_pipeline" -> (upPipeline _),
     "q_jsonl_backfill" -> (jsonlBackfill _),

@@ -162,6 +162,24 @@ class OpsSpec extends SparkSpec {
     assert(twoPhase.count(_._1 == "k2") == 2) // k < group size is fine
   }
 
+  test("asofBackward: inclusive ties, misses, and null payload fields") {
+    import graft.operators.AsofJoin
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "t", "tag")
+    // k=1: rights at t=10 (inclusive tie) and t=15; a null-field right at
+    // t=18 must still beat the t=15 row. k=2 has no right at all.
+    val right = Seq((1L, 10L, Some("r10")), (1L, 15L, Some("r15")),
+      (1L, 18L, None)).toDF("k", "t", "rv")
+    val out = AsofJoin.asofBackward(left, right, Seq("k"), "t")
+      .select("k", "t", "tag", "rv")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) "NULL" else r.getString(3))).toSet
+    assert(out == Set(
+      (1L, 10L, "a", "r10"),   // equal time matches (inclusive)
+      (1L, 20L, "b", "NULL"),  // t=18 right wins though its field is null
+      (2L, 5L, "c", "NULL")))  // no right: left join semantics
+  }
+
   test("pivotAttributes transposes array<struct> and drops external_id clash") {
     val df = Seq(("u1", Seq(("i1", "s1"), ("i2", "s2"))))
       .toDF("userId", "pairs")

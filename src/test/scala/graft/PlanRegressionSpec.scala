@@ -72,6 +72,14 @@ class PlanRegressionSpec extends SparkSpec {
       s"bucketed join shuffled:\n$p")
   }
 
+  test("q_asof_join: the union+window shape contains no join at all") {
+    val p = plan("q_asof_join")
+    // the as-of decoration is one keyed window pass — any Join operator
+    // here means the formulation regressed to a range join
+    assert(!p.contains("Join"), s"join operator appeared:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"))
+  }
+
   test("q_delta_keyed: keyed delta joins on the key, not the payload") {
     val p = plan("q_delta_keyed")
     assert(!p.contains("CartesianProduct"))
