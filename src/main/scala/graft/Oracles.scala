@@ -309,6 +309,44 @@ object Oracles {
         |       sum(value::DECIMAL(18,6))::DOUBLE AS "sum_value"
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  GROUPING(o_orderstatus, o_orderpriority)::BIGINT AS "gid",
+        |  count(*)::BIGINT AS "n", sum(o_custkey)::BIGINT AS "sum_cust"
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST,
+        |         o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_pivot_wide" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O')::BIGINT AS "n_open",
+        |  count(*) FILTER (WHERE o_orderstatus = 'F')::BIGINT
+        |    AS "n_finished",
+        |  count(*) FILTER (WHERE o_orderstatus = 'P')::BIGINT
+        |    AS "n_pending"
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_semi_anti" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  c_custkey IN (SELECT o_custkey FROM orders) AS "has_orders"
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_token_percentiles" ->
+      s"""WITH tok AS (SELECT doc_id, ${toks("text")} AS t FROM documents),
+         |h AS (SELECT doc_id, len(t)::BIGINT AS n,
+         |  ${hits(stopEn)} AS en, ${hits(stopDe)} AS de,
+         |  ${hits(stopFr)} AS fr, ${hits(stopEs)} AS es FROM tok),
+         |l AS (SELECT n,
+         |  CASE WHEN en <= 0 AND de <= 0 AND fr <= 0 AND es <= 0 THEN 'und'
+         |       WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+         |       WHEN de >= fr AND de >= es THEN 'de'
+         |       WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang FROM h)
+         |SELECT lang, count(*)::BIGINT AS "n_docs",
+         |  round(quantile_cont(n, 0.5), 6) AS "p50",
+         |  round(quantile_cont(n, 0.9), 6) AS "p90",
+         |  min(n) AS "min_tok", max(n) AS "max_tok"
+         |FROM l GROUP BY lang ORDER BY lang""".stripMargin,
+
     // The union+window as-of formulation == DuckDB's native ASOF LEFT
     // JOIN (backward, inclusive); (user_id, ts) is unique in events so
     // no tie-break is needed.

@@ -512,6 +512,46 @@ object Queries {
       .orderBy("user_id", "ts_us")
   }
 
+  /** Multi-dimensional aggregate: ROLLUP over (status, priority) with
+    * grouping_id disambiguating subtotal levels. Integer-only payloads
+    * keep every total order-independent and oracle-exact.
+    */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sum(col("o_custkey")).as("sum_cust"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** Wide pivot: order counts per priority spread across status columns
+    * (fixed column set, so the plan is one aggregate — no second pass to
+    * discover pivot values).
+    */
+  def pivotWide(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("O", "F", "P")).count()
+      .select(col("o_orderpriority"),
+        coalesce(col("O"), lit(0L)).as("n_open"),
+        coalesce(col("F"), lit(0L)).as("n_finished"),
+        coalesce(col("P"), lit(0L)).as("n_pending"))
+      .orderBy("o_orderpriority")
+
+  /** Left-semi + left-anti joins: customers split by whether they have
+    * orders, in one union-tagged result.
+    */
+  def semiAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_custkey"),
+      col("c_mktsegment"))
+    val o = t(s, dir, "orders").select(col("o_custkey"))
+    val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .withColumn("has_orders", lit(true))
+    val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .withColumn("has_orders", lit(false))
+    semi.unionByName(anti).orderBy("c_custkey")
+  }
+
   // ---- sink / streaming queries ----------------------------------------
 
   /** K3 + §2.11: file-relay streaming source (bookmark-equivalent) into
@@ -618,6 +658,9 @@ object Queries {
     "q_state_table" -> (stateTable _),
     "q_bucketed_join" -> (bucketedJoin _),
     "q_asof_join" -> (asofJoin _),
+    "q_rollup" -> (rollupAgg _),
+    "q_pivot_wide" -> (pivotWide _),
+    "q_semi_anti" -> (semiAntiJoin _),
     "q_ri_pipeline" -> (riPipeline _),
     "q_up_pipeline" -> (upPipeline _),
     "q_jsonl_backfill" -> (jsonlBackfill _),

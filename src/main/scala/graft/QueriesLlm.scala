@@ -195,6 +195,22 @@ object QueriesLlm {
       .orderBy("query_id", "rank")
   }
 
+  /** Exact token-count percentiles per detected language: Spark's exact
+    * `percentile` (sort-based, interpolated) vs DuckDB `quantile_cont`.
+    * Rounded to 6 places so last-ulp interpolation differences between
+    * engines cannot surface.
+    */
+  def tokenPercentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(T.langId(col("text")).as("lang"),
+        T.tokenCount(col("text")).cast("long").as("n"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(expr("percentile(n, 0.5)"), 6).as("p50"),
+        round(expr("percentile(n, 0.9)"), 6).as("p90"),
+        min("n").as("min_tok"), max("n").as("max_tok"))
+      .orderBy("lang")
+
   // ---- text analysis ---------------------------------------------------
 
   /** Token counts, length stats, punctuation/stopword ratios, quality
@@ -289,6 +305,7 @@ object QueriesLlm {
     "q_ann_ivf_kmeans" -> (annIvfKmeans _),
     "q_text_stats" -> (textStats _),
     "q_term_df" -> (termDf _),
+    "q_token_percentiles" -> (tokenPercentiles _),
     "q_langid" -> (langId _),
     "q_fingerprints" -> (fingerprints _),
     "q_multimodal_decode" -> (multimodalDecode _),
