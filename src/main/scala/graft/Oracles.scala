@@ -309,6 +309,12 @@ object Oracles {
         |       sum(value::DECIMAL(18,6))::DOUBLE AS "sum_value"
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // Salting shapes the intermediates only: result == plain join.
+    "q_salted_join" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber, o_orderpriority
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_partkey, l_linenumber""".stripMargin,
+
     "q_rollup" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  GROUPING(o_orderstatus, o_orderpriority)::BIGINT AS "gid",

@@ -512,6 +512,22 @@ object Queries {
       .orderBy("user_id", "ts_us")
   }
 
+  /** Skew-safe salted equi-join (Ops.saltedJoin): lineitem facts
+    * scattered over 8 salted sub-partitions, orders dim replicated per
+    * salt. Row-identical to the plain join, so the oracle is the plain
+    * join.
+    */
+  def saltedJoinQ(s: SparkSession, dir: String): DataFrame =
+    Ops.saltedJoin(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"),
+          col("l_linenumber")),
+        t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderpriority")),
+        factKey = "l_orderkey", dimKey = "o_orderkey", salts = 8)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+        col("o_orderpriority"))
+      .orderBy("l_orderkey", "l_partkey", "l_linenumber")
+
   /** Multi-dimensional aggregate: ROLLUP over (status, priority) with
     * grouping_id disambiguating subtotal levels. Integer-only payloads
     * keep every total order-independent and oracle-exact.
@@ -659,6 +675,7 @@ object Queries {
     "q_bucketed_join" -> (bucketedJoin _),
     "q_asof_join" -> (asofJoin _),
     "q_rollup" -> (rollupAgg _),
+    "q_salted_join" -> (saltedJoinQ _),
     "q_pivot_wide" -> (pivotWide _),
     "q_semi_anti" -> (semiAntiJoin _),
     "q_ri_pipeline" -> (riPipeline _),

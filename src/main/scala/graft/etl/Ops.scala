@@ -208,6 +208,29 @@ object Ops {
   def pivotField(recCol: Column, field: String, prefix: String): Column =
     recCol.getField(field).as(s"$prefix$field")
 
+  /** Skew-safe equi-join for a hot-keyed fact side: scatter fact rows
+    * across `salts` sub-partitions by a payload-derived salt and
+    * replicate the dimension side once per salt, so one hot key's rows
+    * land on `salts` reducers instead of one. Result is exactly the
+    * plain inner equi-join (differential-tested); reach for this when a
+    * skewed first-stage join feeds a wider pipeline that reuses its
+    * partitioning, where AQE's skew split cannot apply. Dimension-side
+    * cost: x`salts` replication — keep the dim side small relative to
+    * the fact side (the usual case for the skewed joins this targets).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, salts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(struct(fact.columns.map(col).toIndexedSeq: _*)),
+        lit(salts.toLong)))
+    val saltedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    saltedFact
+      .join(saltedDim, col(factKey) === col(dimKey) &&
+        saltedFact("__salt") === saltedDim("__salt"))
+      .drop("__salt")
+  }
+
   /** Skew-safe top-k rows per group: two-phase sorted-slice aggregation.
     *
     * Phase 1 keeps the top k within (groupKeys, salt) — map-side

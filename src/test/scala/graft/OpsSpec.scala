@@ -162,6 +162,18 @@ class OpsSpec extends SparkSpec {
     assert(twoPhase.count(_._1 == "k2") == 2) // k < group size is fine
   }
 
+  test("saltedJoin matches the plain join (differential), incl. misses") {
+    val fact = ((1 to 30).map(i => ("hot", i)) ++
+      Seq(("cold", 1), ("orphan", 9))).toDF("k", "v").repartition(4)
+    val dim = Seq(("hot", "H"), ("cold", "C"), ("unused", "U"))
+      .toDF("dk", "tag")
+    val salted = Ops.saltedJoin(fact, dim, "k", "dk", salts = 4)
+      .select("k", "v", "tag").as[(String, Int, String)].collect().sorted
+    val plain = fact.join(dim, col("k") === col("dk"))
+      .select("k", "v", "tag").as[(String, Int, String)].collect().sorted
+    assert(salted.toSeq == plain.toSeq && salted.length == 31)
+  }
+
   test("asofBackward: inclusive ties, misses, and null payload fields") {
     import graft.operators.AsofJoin
     val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
