@@ -309,6 +309,12 @@ object Oracles {
         |       sum(value::DECIMAL(18,6))::DOUBLE AS "sum_value"
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "q_partition_pruned" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS "n",
+        |  sum(o_custkey)::BIGINT AS "sum_cust"
+        |FROM orders WHERE year(o_orderdate) = 1996
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Salting shapes the intermediates only: result == plain join.
     "q_salted_join" ->
       """SELECT l_orderkey, l_partkey, l_linenumber, o_orderpriority

@@ -528,6 +528,23 @@ object Queries {
         col("o_orderpriority"))
       .orderBy("l_orderkey", "l_partkey", "l_linenumber")
 
+  /** Partition-pruned scan: orders rewritten partitioned by year, then
+    * aggregated under a partition-key filter — the scan must list only
+    * the matching year directory (PartitionFilters in the plan, asserted
+    * in PlanRegressionSpec). At 100 TB this is the difference between
+    * reading one partition and reading everything.
+    */
+  def partitionPruned(s: SparkSession, dir: String): DataFrame = {
+    val d = tmp("pruned")
+    t(s, dir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(d)
+    s.read.parquet(d).where(col("o_year") === 1996)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("sum_cust"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Multi-dimensional aggregate: ROLLUP over (status, priority) with
     * grouping_id disambiguating subtotal levels. Integer-only payloads
     * keep every total order-independent and oracle-exact.
@@ -676,6 +693,7 @@ object Queries {
     "q_asof_join" -> (asofJoin _),
     "q_rollup" -> (rollupAgg _),
     "q_salted_join" -> (saltedJoinQ _),
+    "q_partition_pruned" -> (partitionPruned _),
     "q_pivot_wide" -> (pivotWide _),
     "q_semi_anti" -> (semiAntiJoin _),
     "q_ri_pipeline" -> (riPipeline _),

@@ -80,6 +80,15 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"))
   }
 
+  test("q_partition_pruned: the year filter prunes at the directory level") {
+    val df = SparkEntry.queries("q_partition_pruned")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("o_year"),
+      s"partition filter missing:\n$p")
+    // the filter must NOT degrade to a post-scan data filter
+    assert(!p.contains("PartitionFilters: []"), "no pruning happened")
+  }
+
   test("q_delta_keyed: keyed delta joins on the key, not the payload") {
     val p = plan("q_delta_keyed")
     assert(!p.contains("CartesianProduct"))
