@@ -133,6 +133,48 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq(("00:00", 1L)))
   }
 
+  test("stream-stream interval join emits view->purchase attributions") {
+    val dir = tmpDir("ssjoin")
+    val evSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("kind", StringType),
+      StructField("event_id", LongType)))
+    // user 1: view v1 then purchase p1 20 min later (attributed);
+    // user 2: purchase p2 with no view inside the hour (dropped by the
+    // inner interval join); a late view outside the window never joins.
+    Seq(
+      """{"user_id":1,"ts":"2024-01-01T00:00:00.000Z","kind":"view","event_id":10}""",
+      """{"user_id":1,"ts":"2024-01-01T00:20:00.000Z","kind":"purchase","event_id":11}""",
+      """{"user_id":2,"ts":"2024-01-01T02:00:00.000Z","kind":"purchase","event_id":20}""",
+      """{"user_id":2,"ts":"2024-01-01T05:00:00.000Z","kind":"view","event_id":21}""",
+      """{"user_id":9,"ts":"2024-01-01T12:00:00.000Z","kind":"view","event_id":90}"""
+    ).toDF("value").coalesce(1).write.text(s"$dir/in/f1")
+    val src = spark.readStream.schema(evSchema)
+      .option("recursiveFileLookup", "true").json(s"$dir/in")
+    val views = src.where(col("kind") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", "2 hours")
+    val purchases = src.where(col("kind") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "2 hours")
+    // attribution: purchase within [view_ts, view_ts + 1 hour]
+    val joined = views.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("view_ts") &&
+        col("p_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("ssjoin").select("view_id", "purchase_id")
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((10L, 11L)))
+  }
+
   test("streaming dedup drops in-watermark duplicate content") {
     import graft.streaming.StreamingDedup
     val dir = tmpDir("sdedup")
