@@ -69,9 +69,11 @@ object Queries {
     */
   def riMapping(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
+      // distinct on the raw longs (16-byte shuffle rows), cast after —
+      // not the other way around, which shuffles the formatted strings
+      .select(col("l_suppkey"), col("l_orderkey")).distinct()
       .select(col("l_suppkey").cast("string").as("USER_ID"),
         col("l_orderkey").cast("string").as("ITEM_ID"))
-      .distinct()
 
   /** Item metadata keyed by string part id. */
   def partMetadata(s: SparkSession, dir: String): DataFrame =

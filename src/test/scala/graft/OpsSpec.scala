@@ -162,6 +162,17 @@ class OpsSpec extends SparkSpec {
     assert(twoPhase.count(_._1 == "k2") == 2) // k < group size is fine
   }
 
+  test("decorate with empty field list star-expands all metadata columns") {
+    val exploded = Seq(("q1", 0, "p1")).toDF("queryItemId", "pos",
+      "recItemId")
+    val meta = Seq(("p1", "B", 9.99)).toDF("id", "brand", "price")
+    val out = Ops.decorate(exploded, Some(meta), Nil)
+      .select("recItem.itemId", "recItem.brand", "recItem.price")
+      .collect().head
+    assert(out.getString(0) == "p1" && out.getString(1) == "B" &&
+      out.getDouble(2) == 9.99)
+  }
+
   test("saltedJoin matches the plain join (differential), incl. misses") {
     val fact = ((1 to 30).map(i => ("hot", i)) ++
       Seq(("cold", 1), ("orphan", 9))).toDF("k", "v").repartition(4)
