@@ -309,6 +309,13 @@ object Oracles {
         |       sum(value::DECIMAL(18,6))::DOUBLE AS "sum_value"
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "q_sql_api" ->
+      """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS "n",
+        |  sum(l_quantity::DECIMAL(18,2))::DOUBLE AS "sum_qty",
+        |  sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS "sum_price"
+        |FROM lineitem WHERE l_quantity < 50
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_partition_pruned" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS "n",
         |  sum(o_custkey)::BIGINT AS "sum_cust"
@@ -409,6 +416,40 @@ object Oracles {
         |                   l_linenumber DESC) AS rk
         |      FROM lineitem WHERE l_quantity < 10)
         |WHERE rk <= 3 ORDER BY l_orderkey, rk""".stripMargin,
+
+    // Each event belongs to exactly 2 sliding (1h, 30min) windows:
+    // bucket(30min, ts) and that minus 30min.
+    "q_events_sliding" ->
+      """WITH ev AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS b,
+        |                   event_type, value FROM events),
+        |w AS (SELECT b - INTERVAL '30 minutes' * i.range AS ws,
+        |             event_type, value
+        |      FROM ev CROSS JOIN range(2) i)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS "window_start",
+        |       event_type, count(*)::BIGINT AS "n",
+        |       sum(value::DECIMAL(18,6))::DOUBLE AS "sum_value"
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // session_window semantics: new session when the gap REACHES 30 min
+    // (window end is exclusive); end = last event + gap.
+    "q_session_window" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |marked AS (SELECT user_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |              OR us - lag(us) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |sess AS (SELECT user_id, us,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY us
+        |                  ROWS UNBOUNDED PRECEDING) AS seq
+        |  FROM marked)
+        |SELECT user_id,
+        |  strftime(make_timestamp(min(us)), '%Y-%m-%d %H:%M:%S')
+        |    AS "session_start",
+        |  strftime(make_timestamp(max(us) + 1800000000),
+        |    '%Y-%m-%d %H:%M:%S') AS "session_end",
+        |  count(*)::BIGINT AS "n_events"
+        |FROM sess GROUP BY user_id, seq ORDER BY 1, 2""".stripMargin,
 
     "q_sessionize" ->
       """WITH ev AS (

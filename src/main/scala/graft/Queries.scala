@@ -480,6 +480,36 @@ object Queries {
       .orderBy("window_start", "event_type")
   }
 
+  /** Sliding-window variant of [[eventsWindow]]: 1-hour windows sliding
+    * every 30 minutes, so each event lands in exactly 2 windows.
+    */
+  def eventsSliding(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+    graft.operators.Events.windowedAgg(ev, tsCol = "tstamp",
+        slide = Some("30 minutes"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** Spark's native session_window operator (gap 30 min): session start
+    * = first event, end = last event + gap. Boundaries computed at
+    * microsecond precision, formatted to seconds for comparison.
+    */
+  def sessionWindowQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+    ev.groupBy(col("user_id"),
+        session_window(col("tstamp"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
   /** Gap-based sessionization + per-session rollup; event_id breaks
     * ordering ties, and ordering uses microsecond precision to match
     * what DuckDB sees after its ns->us parquet truncation.
@@ -529,6 +559,27 @@ object Queries {
       .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
         col("o_orderpriority"))
       .orderBy("l_orderkey", "l_partkey", "l_linenumber")
+
+  /** The SQL surface: the same engine driven through `spark.sql` over
+    * registered views — a TPC-H-Q1-flavored pricing summary. Decimal
+    * accumulation keeps the sums order-independent (the engine's
+    * convention for oracle-exact floating aggregates), surfaced as
+    * doubles.
+    */
+  def sqlApi(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    s.sql("""
+      SELECT l_returnflag, l_linestatus,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+      FROM lineitem_v
+      WHERE l_quantity < 50
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")
+  }
 
   /** Partition-pruned scan: orders rewritten partitioned by year, then
     * aggregated under a partition-key filter — the scan must list only
@@ -696,6 +747,7 @@ object Queries {
     "q_rollup" -> (rollupAgg _),
     "q_salted_join" -> (saltedJoinQ _),
     "q_partition_pruned" -> (partitionPruned _),
+    "q_sql_api" -> (sqlApi _),
     "q_pivot_wide" -> (pivotWide _),
     "q_semi_anti" -> (semiAntiJoin _),
     "q_ri_pipeline" -> (riPipeline _),
@@ -723,6 +775,8 @@ object Queries {
     "q_prefix_attrs" -> (prefixAttrs _),
     "q_pivot_attributes" -> (pivotAttributes _),
     "q_events_window" -> (eventsWindow _),
+    "q_events_sliding" -> (eventsSliding _),
+    "q_session_window" -> (sessionWindowQ _),
     "q_sessionize" -> (sessionize _),
     "q_queue_relay" -> (queueRelay _),
     "q_rest_sink" -> (restSink _)

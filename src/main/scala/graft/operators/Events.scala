@@ -12,15 +12,20 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
-  /** Tumbling-window aggregate: (window start, event_type) -> count +
-    * exact decimal sum. Shuffles once on the (window, type) grouping
-    * key; map-side partial aggregation applies.
+  /** Tumbling- or sliding-window aggregate: (window start, event_type)
+    * -> count + exact decimal sum. Shuffles once on the (window, type)
+    * grouping key; map-side partial aggregation applies. A `slide`
+    * shorter than `windowLength` replicates each row windowLength/slide
+    * times BEFORE the shuffle (Spark expands eagerly) — keep the ratio
+    * small at scale.
     */
   def windowedAgg(events: DataFrame, tsCol: String = "ts",
       typeCol: String = "event_type", valueCol: String = "value",
-      windowLength: String = "1 hour"): DataFrame =
+      windowLength: String = "1 hour", slide: Option[String] = None)
+      : DataFrame =
     events
-      .groupBy(window(col(tsCol), windowLength).as("w"), col(typeCol))
+      .groupBy(window(col(tsCol), windowLength,
+        slide.getOrElse(windowLength)).as("w"), col(typeCol))
       .agg(count(lit(1)).as("n"),
         // exact decimal accumulation (order-independent), surfaced as
         // double — a decimal output column hashes differently across
