@@ -27,11 +27,24 @@ object Writers {
     s"year=$y/month=$m/day=$d/time=$t"
   }
 
-  /** K1: connector output sink. */
+  /** K1: connector output sink.
+    *
+    * @param compression e.g. Some("gzip") — the reference's enqueue
+    *   stage consumes gzipped JSONL (`enqueue.py:40-43`), and at scale
+    *   compressed output is 5-10x fewer bytes to the object store
+    * @param maxRecordsPerFile bound file sizes independently of task
+    *   count, so a skewed task cannot emit one giant file that a
+    *   single downstream Lambda/consumer must stream alone
+    */
   def connectorOutput(df: DataFrame, outputRoot: String, connector: String,
-      runTime: LocalDateTime): String = {
+      runTime: LocalDateTime, compression: Option[String] = None,
+      maxRecordsPerFile: Option[Long] = None): String = {
     val dir = s"$outputRoot/$connector/${runTimePartition(runTime)}"
-    df.write.mode("append").json(dir)
+    val w0 = df.write.mode("append")
+    val w1 = compression.fold(w0)(c => w0.option("compression", c))
+    val w2 = maxRecordsPerFile.fold(w1)(n =>
+      w1.option("maxRecordsPerFile", n.toString))
+    w2.json(dir)
     dir
   }
 

@@ -92,6 +92,20 @@ class IoSpec extends SparkSpec {
     assert(spark.read.json(p).count() == 2) // overwrite, not append
   }
 
+  test("connectorOutput honors compression and maxRecordsPerFile") {
+    val root = tmpDir("sink")
+    val df = (1 to 10).map(i => (i.toLong, s"u$i")).toDF("id", "user")
+      .coalesce(1)
+    val dir = Writers.connectorOutput(df, root, "braze",
+      LocalDateTime.of(2024, 1, 2, 3, 4, 5),
+      compression = Some("gzip"), maxRecordsPerFile = Some(4L))
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".json.gz"))
+    // 10 rows / max 4 per file from one task -> 3 gzipped parts
+    assert(files.length == 3)
+    assert(spark.read.json(dir).count() == 10) // codec-transparent read
+  }
+
   test("StateTable: upserts, tombstones, and compaction preserve state") {
     import graft.io.StateTable
     val dir = tmpDir("statetbl") + "/tbl"
