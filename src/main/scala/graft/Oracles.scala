@@ -350,6 +350,16 @@ object Oracles {
         |  c_custkey IN (SELECT o_custkey FROM orders) AS "has_orders"
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
+    "q_hash_split" ->
+      s"""WITH b AS (SELECT doc_id,
+         |    ${md5_60("doc_id::VARCHAR")} % 1000000 AS bucket
+         |  FROM documents)
+         |SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 800000 THEN 'train'
+         |       WHEN bucket < 900000 THEN 'val'
+         |       ELSE 'test' END AS "split"
+         |FROM b ORDER BY doc_id""".stripMargin,
+
     "q_token_percentiles" ->
       s"""WITH tok AS (SELECT doc_id, ${toks("text")} AS t FROM documents),
          |h AS (SELECT doc_id, len(t)::BIGINT AS n,

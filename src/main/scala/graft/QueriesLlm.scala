@@ -195,6 +195,22 @@ object QueriesLlm {
       .orderBy("query_id", "rank")
   }
 
+  /** Deterministic 80/10/10 train/val/test split by md5 hash bucket
+    * (operators/Sampling) — the same row lands in the same split on any
+    * engine or cluster size, and the oracle recomputes membership in
+    * SQL.
+    */
+  def hashSplit(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        Sampling.hashBucket(col("doc_id")).as("bucket"),
+        Sampling.assignSplit(col("doc_id"),
+          Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L))
+          .as("split"))
+      .orderBy("doc_id")
+  }
+
   /** Exact token-count percentiles per detected language: Spark's exact
     * `percentile` (sort-based, interpolated) vs DuckDB `quantile_cont`.
     * Rounded to 6 places so last-ulp interpolation differences between
@@ -306,6 +322,7 @@ object QueriesLlm {
     "q_text_stats" -> (textStats _),
     "q_term_df" -> (termDf _),
     "q_token_percentiles" -> (tokenPercentiles _),
+    "q_hash_split" -> (hashSplit _),
     "q_langid" -> (langId _),
     "q_fingerprints" -> (fingerprints _),
     "q_multimodal_decode" -> (multimodalDecode _),

@@ -126,6 +126,28 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getSeq[Long](0).distinct.size == 4) // band tags disambiguate
   }
 
+  test("hash split: deterministic, exhaustive, and sample-consistent") {
+    import graft.operators.Sampling
+    val ids = (1L to 2000L).toDF("id")
+    val out = ids.select(col("id"),
+        Sampling.assignSplit(col("id"), Seq("train" -> 800000L,
+          "val" -> 100000L, "test" -> 100000L)).as("split"),
+        Sampling.hashSample(col("id"), 100000L).as("in10pct"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    val byName = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // uniform hash: fractions land near the 80/10/10 weights
+    assert(byName("train") > 1500 && byName("val") > 120 &&
+      byName("test") > 120)
+    assert(byName.values.sum == 2000) // every row gets exactly one split
+    // ~10% sampled, and a second evaluation returns the identical set
+    val n10 = out.count(_._3)
+    assert(n10 > 120 && n10 < 280)
+    val again = ids.select(col("id"),
+        Sampling.hashSample(col("id"), 100000L).as("s"))
+      .where(col("s")).select("id").as[Long].collect().toSet
+    assert(again == out.filter(_._3).map(_._1).toSet)
+  }
+
   test("hyperplanes are deterministic and md5-derived") {
     assert(V.hyperplanes(8, 4) == V.hyperplanes(8, 4))
     val p = V.hyperplanes(2, 1)
