@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.Ops
+import graft.functions.{HashFunctions => H}
+import graft.operators.AsofJoin
+
+/** Randomized invariants for the operators whose correctness arguments
+  * are algebraic (metric axioms, formulation equivalence) — seeded, so
+  * runs are reproducible, but the inputs cover edge shapes (empty
+  * tokens, ties, unmatched keys) that example tests miss.
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(20240812L)
+  private val alphabet = Vector("a", "b", "cc", "dd", "e f", "Ж", "")
+  private def randTokens(): List[String] =
+    List.fill(rnd.nextInt(7))(alphabet(rnd.nextInt(alphabet.size)))
+
+  test("jaccard: symmetric, bounded, duplicate-insensitive (20 cases)") {
+    val cases = List.fill(20)((randTokens(), randTokens()))
+    val rows = cases.toDF("a", "b").select(
+      H.jaccard(col("a"), col("b")).as("ab"),
+      H.jaccard(col("b"), col("a")).as("ba"),
+      H.jaccard(col("a"), col("a")).as("aa"),
+      H.jaccard(concat(col("a"), col("a")), col("b")).as("dup"),
+      size(array_distinct(col("a"))).as("na")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1))              // symmetry
+      assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0) // bounds
+      assert(r.getDouble(2) == (if (r.getInt(4) == 0) 0.0 else 1.0))
+      assert(r.getDouble(3) == r.getDouble(0))              // set semantics
+    }
+  }
+
+  test("simhash60: self-distance zero, 60-bit range (20 cases)") {
+    val cases = List.fill(20)(randTokens())
+    val rows = cases.map(t => (t, t)).toDF("a", "b").select(
+      H.hamming64(H.simhash60(col("a")), H.simhash60(col("b"))).as("d"),
+      H.simhash60(col("a")).as("s")).collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) == 0)
+      assert(r.getLong(1) >= 0L && r.getLong(1) < (1L << 60))
+    }
+  }
+
+  test("topKPerGroup equals window top-k on random frames (5 frames)") {
+    for (_ <- 1 to 5) {
+      val rows = List.fill(30)((s"g${rnd.nextInt(3)}", rnd.nextInt(6),
+        rnd.nextInt(100).toLong))
+      val df = rows.toDF("k", "score", "id").repartition(3)
+      val two = Ops.topKPerGroup(df, Seq("k"), Seq("score", "id"),
+          k = 2, salts = 3)
+        .select("k", "score", "id")
+        .as[(String, Int, Long)].collect().sorted.toSeq
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("k")
+        .orderBy(col("score").desc, col("id").desc)
+      val win = df.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 2).select("k", "score", "id")
+        .as[(String, Int, Long)].collect().sorted.toSeq
+      // NOTE identical payloads can repeat; both formulations keep
+      // exactly k rows per group, so the sorted multisets must agree
+      assert(two == win)
+    }
+  }
+
+  test("asofBackward equals the naive greatest-at-or-before join (5x)") {
+    for (_ <- 1 to 5) {
+      val l = List.fill(8)((1L + rnd.nextInt(2), rnd.nextInt(21).toLong))
+        .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      // unique (k, t) on the right so the expected winner is unique
+      val r = List.fill(8)((1L + rnd.nextInt(2), rnd.nextInt(21).toLong))
+        .distinct.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val left = l.toDF("k", "t", "lid")
+      val right = r.toDF("k", "t", "rid")
+      val out = AsofJoin.asofBackward(left, right, Seq("k"), "t")
+        .select("k", "t", "lid", "rid")
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+          if (x.isNullAt(3)) -1L else x.getLong(3))).toSet
+      val expected = l.map { case (k, t, lid) =>
+        val cand = r.filter(c => c._1 == k && c._2 <= t)
+        val rid = if (cand.isEmpty) -1L else cand.maxBy(_._2)._3
+        (k, t, lid, rid)
+      }.toSet
+      assert(out == expected)
+    }
+  }
+}
