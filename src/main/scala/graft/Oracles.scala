@@ -157,6 +157,10 @@ object Oracles {
       """SELECT n_nationkey::BIGINT AS "nationkey", n_name AS "name"
         |FROM nation ORDER BY 1""".stripMargin,
 
+    "q_corrupt_tolerant" ->
+      """SELECT count(*)::BIGINT AS "n_valid", 3::BIGINT AS "n_corrupt"
+        |FROM region""".stripMargin,
+
     "q_metadata_gated" ->
       """SELECT p_partkey::VARCHAR AS "id", p_brand
         |FROM part ORDER BY 1""".stripMargin,

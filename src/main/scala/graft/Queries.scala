@@ -173,6 +173,32 @@ object Queries {
       .orderBy("USER_ID", "ITEM_ID")
   }
 
+  /** Malformed-line tolerance: PERMISSIVE JSONL read with a captured
+    * corrupt-record column — bad lines become null-field rows with the
+    * raw text preserved, never a failed job (the DynamicFrame behaviour
+    * the reference relies on, made explicit).
+    */
+  def corruptTolerant(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = tmp("corrupt")
+    t(s, dir, "region")
+      .select(to_json(struct(col("r_regionkey").as("key"),
+        col("r_name").as("name"))).as("value"))
+      .unionByName(Seq("{not json", "xxx", "{\"key\":")
+        .toDF("value"))
+      .coalesce(1).write.mode("overwrite").text(d)
+    val schema = StructType(Seq(
+      StructField("key", LongType), StructField("name", StringType),
+      StructField("_corrupt_record", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(d)
+      .agg(
+        count(when(col("key").isNotNull, 1)).as("n_valid"),
+        count(when(col("key").isNull, 1)).as("n_corrupt"))
+  }
+
   /** S6: gzip-compressed JSONL read transparently by the codec-aware
     * source (reference streams .gz objects by hand, `enqueue.py:40-43`).
     */
@@ -755,6 +781,7 @@ object Queries {
     "q_jsonl_backfill" -> (jsonlBackfill _),
     "q_csv_scan" -> (csvScan _),
     "q_jsonl_gzip" -> (jsonlGzip _),
+    "q_corrupt_tolerant" -> (corruptTolerant _),
     "q_metadata_gated" -> (metadataGated _),
     "q_sink_runtime_partition" -> (sinkRuntimePartition _),
     "q_config_parse" -> (configParse _),

@@ -70,6 +70,17 @@ object StateTable {
     else latest
   }
 
+  /** Compact when the version chain exceeds `maxVersions` — the
+    * amortization policy callers wire after [[append]]: read cost grows
+    * with chain length, so bound it; write cost stays O(delta) on every
+    * non-compacting sync.
+    */
+  def maybeCompact(spark: SparkSession, dir: String, keyCols: Seq[String],
+      maxVersions: Int): Option[Int] =
+    if (versions(spark, dir).size > maxVersions)
+      Some(compact(spark, dir, keyCols))
+    else None
+
   /** Fold the version chain into a single snapshot version and drop the
     * older dirs. Not atomic (a transaction log would make it so); safe
     * under the single-sequential-writer assumption.

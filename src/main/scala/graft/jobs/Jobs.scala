@@ -152,6 +152,9 @@ object Jobs {
               val delta = tombstones.fold(afterDelta)(t =>
                 afterDelta.unionByName(t, allowMissingColumns = true))
               StateTable.append(delta, stateDir)
+              // bound merge-on-read cost; amortized across syncs
+              StateTable.maybeCompact(spark, stateDir, spec.groupKeys,
+                maxVersions = 16)
             } else
               // State = the full (pre-delta) assembled snapshot, so the
               // next run's EXCEPT sees everything synced so far.
