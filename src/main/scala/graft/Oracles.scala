@@ -766,6 +766,24 @@ object Oracles {
          |HAVING count(*) >= (SELECT count(*) FROM documents) // 20
          |ORDER BY term""".stripMargin,
 
+    "q_vocab_topk" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_distinct(${toks("text")}) AS t
+         |  FROM documents),
+         |terms AS (SELECT unnest(t) AS term FROM tok)
+         |SELECT term, count(*)::BIGINT AS "df"
+         |FROM terms GROUP BY term
+         |ORDER BY df DESC, term ASC LIMIT 40""".stripMargin,
+
+    "q_corpus_mix" ->
+      s"""SELECT doc_id, 'docs' AS "source" FROM documents
+         |WHERE ${md5_60("doc_id::VARCHAR")} % 1000000 < 800000
+         |UNION ALL
+         |SELECT doc_id + 100000, 'twins' FROM documents
+         |WHERE doc_id < 150
+         |  AND ${md5_60("(doc_id + 100000)::VARCHAR")} % 1000000 < 500000
+         |ORDER BY doc_id""".stripMargin,
+
     "q_langid" ->
       s"""WITH tok AS (SELECT doc_id, ${toks("text")} AS t FROM documents),
          |h AS (SELECT doc_id,

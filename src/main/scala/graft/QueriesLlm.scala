@@ -260,6 +260,36 @@ object QueriesLlm {
       .orderBy("term")
   }
 
+  /** Vocabulary head: global top-40 terms by document frequency with a
+    * total (df desc, term asc) order — the cutoff a tokenizer/vocab
+    * builder takes. At scale this is the two-phase top-k shape with a
+    * single global group (partial top-40 per partition, tiny final
+    * merge).
+    */
+  def vocabTopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(array_distinct(T.tokens(col("text")))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(40)
+
+  /** Deterministic corpus mixing: 80% of documents + 50% of the
+    * truncated twins by md5 hash bucket — the reproducible
+    * mixture-weighting step of a training-data pipeline, with per-row
+    * membership the oracle recomputes exactly.
+    */
+  def corpusMix(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+      .where(Sampling.hashSample(col("doc_id"), 800000L))
+      .withColumn("source", lit("docs"))
+    val twins = t(s, dir, "documents").where(col("doc_id") < 150)
+      .select((col("doc_id") + 100000).as("doc_id"))
+      .where(Sampling.hashSample(col("doc_id"), 500000L))
+      .withColumn("source", lit("twins"))
+    docs.unionByName(twins).orderBy("doc_id")
+  }
+
   /** Language-ID heuristic (stopword argmax). */
   def langId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
@@ -323,6 +353,8 @@ object QueriesLlm {
     "q_term_df" -> (termDf _),
     "q_token_percentiles" -> (tokenPercentiles _),
     "q_hash_split" -> (hashSplit _),
+    "q_vocab_topk" -> (vocabTopK _),
+    "q_corpus_mix" -> (corpusMix _),
     "q_langid" -> (langId _),
     "q_fingerprints" -> (fingerprints _),
     "q_multimodal_decode" -> (multimodalDecode _),

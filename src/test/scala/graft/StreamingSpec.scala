@@ -189,16 +189,13 @@ class StreamingSpec extends SparkSpec {
     val views = src.where(col("kind") === "view")
       .select(col("user_id"), col("ts").as("view_ts"),
         col("event_id").as("view_id"))
-      .withWatermark("view_ts", "2 hours")
     val purchases = src.where(col("kind") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
         col("event_id").as("purchase_id"))
-      .withWatermark("p_ts", "2 hours")
     // attribution: purchase within [view_ts, view_ts + 1 hour]
-    val joined = views.join(purchases,
-      col("user_id") === col("p_user") &&
-        col("p_ts") >= col("view_ts") &&
-        col("p_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+    val joined = graft.streaming.Attribution.viewConversionJoin(
+      views, "user_id", "view_ts", purchases, "p_user", "p_ts",
+      windowSpec = "1 HOUR", delay = "2 hours")
     val q = joined.writeStream.format("memory").queryName("ssjoin")
       .outputMode("append")
       .option("checkpointLocation", s"$dir/ckpt")
