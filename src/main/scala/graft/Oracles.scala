@@ -766,6 +766,22 @@ object Oracles {
          |HAVING count(*) >= (SELECT count(*) FROM documents) // 20
          |ORDER BY term""".stripMargin,
 
+    // Ordered-fold per-(group, dim) means == the engine's meanPool.
+    "q_embed_meanpool" ->
+      """WITH vec AS (SELECT vec_id, vec_id % 10 AS g,
+        |                    embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT g, dr.range AS d,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |        list(v[dr.range + 1] ORDER BY vec_id)),
+        |      (a, b) -> a + b) / count(*) AS m,
+        |    count(*) AS n
+        |  FROM vec CROSS JOIN range(64) dr GROUP BY g, dr.range)
+        |SELECT g, max(n)::BIGINT AS "n_vecs",
+        |  round(max(CASE WHEN d = 0 THEN m END), 6) AS "m0",
+        |  round(max(CASE WHEN d = 1 THEN m END), 6) AS "m1",
+        |  round(max(CASE WHEN d = 63 THEN m END), 6) AS "m63"
+        |FROM m GROUP BY g ORDER BY g""".stripMargin,
+
     "q_vocab_topk" ->
       s"""WITH tok AS (
          |  SELECT doc_id, list_distinct(${toks("text")}) AS t

@@ -260,6 +260,22 @@ object QueriesLlm {
       .orderBy("term")
   }
 
+  /** Embedding mean-pooling per (vec_id % 10) group: deterministic
+    * ordered-fold means, spot-checked on dimensions 0/1/63 (full-array
+    * string formatting of doubles is engine-specific, scalars are not).
+    */
+  def embedMeanPool(s: SparkSession, dir: String): DataFrame = {
+    val pooled = Ann.meanPool(
+      t(s, dir, "embeddings").withColumn("g", col("vec_id") % 10),
+      "g", "vec_id")
+    pooled.select(col("group").as("g"),
+        col("n_vecs"),
+        round(col("mean").getItem(0), 6).as("m0"),
+        round(col("mean").getItem(1), 6).as("m1"),
+        round(col("mean").getItem(63), 6).as("m63"))
+      .orderBy("g")
+  }
+
   /** Vocabulary head: global top-40 terms by document frequency with a
     * total (df desc, term asc) order — the cutoff a tokenizer/vocab
     * builder takes. At scale this is the two-phase top-k shape with a
@@ -354,6 +370,7 @@ object QueriesLlm {
     "q_token_percentiles" -> (tokenPercentiles _),
     "q_hash_split" -> (hashSplit _),
     "q_vocab_topk" -> (vocabTopK _),
+    "q_embed_meanpool" -> (embedMeanPool _),
     "q_corpus_mix" -> (corpusMix _),
     "q_langid" -> (langId _),
     "q_fingerprints" -> (fingerprints _),

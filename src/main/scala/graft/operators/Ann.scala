@@ -170,6 +170,29 @@ object Ann {
       .where(col("rank") <= k)
   }
 
+  /** Element-wise mean of vectors per group — embedding pooling
+    * (chunk->document, document->cluster rollups). Output:
+    * (group, n_vecs, mean: array<double> ordered by dimension). Same
+    * determinism technique as [[trainIvfCentroids]]: each (group, dim)
+    * sum folds an id-ordered list, so the result is bit-identical under
+    * any partitioning. Shuffles narrow (group, dim, id, value) rows,
+    * never whole vectors; both aggregations are map-side combinable.
+    */
+  def meanPool(df: DataFrame, groupCol: String, idCol: String,
+      vecCol: String = "embedding"): DataFrame =
+    df.select(col(groupCol).as("group"), col(idCol).as("id"),
+        posexplode(V.toDouble(col(vecCol))).as(Seq("d", "v")))
+      .groupBy("group", "d")
+      .agg(
+        (aggregate(sort_array(collect_list(struct(col("id"), col("v")))),
+          lit(0.0), (acc, x) => acc + x.getField("v"))
+          / count(lit(1))).as("m"),
+        count(lit(1)).as("n"))
+      .groupBy("group")
+      .agg(max(col("n")).as("n_vecs"),
+        transform(sort_array(collect_list(struct(col("d"), col("m")))),
+          x => x.getField("m")).as("mean"))
+
   /** Embedding-cosine near-duplicate pairs: sign-LSH self-join, exact
     * cosine >= threshold, id_a < id_b. The 5th dedup family from the
     * brief, sharing the Ann bucketing machinery.

@@ -89,6 +89,23 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!p.contains("PartitionFilters: []"), "no pruning happened")
   }
 
+  test("q_topk_group: two aggregate phases, no window sort") {
+    val p = plan("q_topk_group")
+    // the salted shape is aggregate->aggregate; a window regression
+    // would show a per-key sort + rangepartitioning before the filter
+    assert(!p.contains("RunningWindowFunction"), s"window appeared:\n$p")
+    assert("ObjectHashAggregate|SortAggregate|HashAggregate".r
+      .findAllMatchIn(p).length >= 2)
+  }
+
+  test("q_salted_join / q_hash_split: no cartesian, no stray shuffle") {
+    assert(!plan("q_salted_join").contains("CartesianProduct"))
+    val p = plan("q_hash_split")
+    // split assignment is a pure projection: only the presentation
+    // orderBy may exchange
+    assert(!p.contains("Exchange hashpartitioning"), s"shuffled:\n$p")
+  }
+
   test("q_delta_keyed: keyed delta joins on the key, not the payload") {
     val p = plan("q_delta_keyed")
     assert(!p.contains("CartesianProduct"))
