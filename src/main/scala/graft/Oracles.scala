@@ -102,6 +102,64 @@ object Oracles {
   private def hits(ws: Seq[String]) =
     s"len(list_filter(t, x -> x IN ${inList(ws)}))"
 
+  /** Shared with q_ann_recall, which composes both as subqueries. */
+  private val annBruteSql =
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |s AS (SELECT qid, vec_id,
+        |        round(CASE WHEN sqrt(list_dot_product(qv, qv)) = 0
+        |                     OR sqrt(list_dot_product(cv, cv)) = 0 THEN 0.0
+        |              ELSE list_dot_product(qv, cv) /
+        |                   (sqrt(list_dot_product(qv, qv)) *
+        |                    sqrt(list_dot_product(cv, cv))) END, 6) AS cos
+        |      FROM q CROSS JOIN c),
+        |r AS (SELECT qid, vec_id, cos,
+        |        row_number() OVER (PARTITION BY qid
+        |                           ORDER BY cos DESC, vec_id ASC) AS rk
+        |      FROM s)
+        |SELECT qid AS "query_id", vec_id, cos AS "cosine",
+        |       rk::BIGINT AS "rank"
+        |FROM r WHERE rk <= 5 ORDER BY 1, 4""".stripMargin
+
+  private val annIvfSql =
+      """WITH vec AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |             FROM embeddings),
+        |cent AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cell,
+        |                v AS cv
+        |         FROM (SELECT vec_id, v FROM vec ORDER BY vec_id LIMIT 16)),
+        |sc AS (SELECT vec_id, cell,
+        |    CASE WHEN list_dot_product(v, v) = 0
+        |           OR list_dot_product(cv, cv) = 0 THEN 0.0
+        |         ELSE list_dot_product(v, cv) /
+        |              (sqrt(list_dot_product(v, v)) *
+        |               sqrt(list_dot_product(cv, cv))) END AS s
+        |  FROM vec CROSS JOIN cent),
+        |asg AS (SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY s DESC, cell DESC) AS rn FROM sc) WHERE rn = 1),
+        |prb AS (SELECT vec_id AS qid, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY s DESC, cell DESC) AS rn FROM sc WHERE vec_id < 10)
+        |  WHERE rn <= 2),
+        |cand AS (SELECT p.qid, a.vec_id AS cid
+        |         FROM prb p JOIN asg a ON a.cell = p.cell),
+        |cs AS (SELECT qid, cid,
+        |    round(CASE WHEN sqrt(list_dot_product(qv.v, qv.v)) = 0
+        |                 OR sqrt(list_dot_product(cv.v, cv.v)) = 0 THEN 0.0
+        |          ELSE list_dot_product(qv.v, cv.v) /
+        |               (sqrt(list_dot_product(qv.v, qv.v)) *
+        |                sqrt(list_dot_product(cv.v, cv.v))) END, 6) AS cos
+        |  FROM cand JOIN vec qv ON qv.vec_id = qid
+        |            JOIN vec cv ON cv.vec_id = cid),
+        |r AS (SELECT qid, cid, cos,
+        |        row_number() OVER (PARTITION BY qid
+        |                           ORDER BY cos DESC, cid ASC) AS rk
+        |      FROM cs)
+        |SELECT qid AS "query_id", cid AS "vec_id", cos AS "cosine",
+        |       rk::BIGINT AS "rank"
+        |FROM r WHERE rk <= 5 ORDER BY 1, 4""".stripMargin
+
   val all: Map[String, String] = Map(
 
     // ---- pipelines ------------------------------------------------------
@@ -591,24 +649,7 @@ object Oracles {
 
     // ---- similarity search ----------------------------------------------
 
-    "q_ann_brute" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
-        |           FROM embeddings WHERE vec_id < 10),
-        |c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
-        |s AS (SELECT qid, vec_id,
-        |        round(CASE WHEN sqrt(list_dot_product(qv, qv)) = 0
-        |                     OR sqrt(list_dot_product(cv, cv)) = 0 THEN 0.0
-        |              ELSE list_dot_product(qv, cv) /
-        |                   (sqrt(list_dot_product(qv, qv)) *
-        |                    sqrt(list_dot_product(cv, cv))) END, 6) AS cos
-        |      FROM q CROSS JOIN c),
-        |r AS (SELECT qid, vec_id, cos,
-        |        row_number() OVER (PARTITION BY qid
-        |                           ORDER BY cos DESC, vec_id ASC) AS rk
-        |      FROM s)
-        |SELECT qid AS "query_id", vec_id, cos AS "cosine",
-        |       rk::BIGINT AS "rank"
-        |FROM r WHERE rk <= 5 ORDER BY 1, 4""".stripMargin,
+    "q_ann_brute" -> annBruteSql,
 
     // IVF with k-means-trained centroids: both Lloyd's iterations
     // unrolled in SQL (assignment + vec_id-ordered-fold means), then the
@@ -687,43 +728,19 @@ object Oracles {
     // centroids = first 16 corpus vectors by id, nearest-centroid cell
     // assignment (ties -> higher cell, matching array_max on (s, c)
     // structs), queries probe their 2 best cells, exact cosine re-rank.
-    "q_ann_ivf" ->
-      """WITH vec AS (SELECT vec_id, embedding::DOUBLE[] AS v
-        |             FROM embeddings),
-        |cent AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cell,
-        |                v AS cv
-        |         FROM (SELECT vec_id, v FROM vec ORDER BY vec_id LIMIT 16)),
-        |sc AS (SELECT vec_id, cell,
-        |    CASE WHEN list_dot_product(v, v) = 0
-        |           OR list_dot_product(cv, cv) = 0 THEN 0.0
-        |         ELSE list_dot_product(v, cv) /
-        |              (sqrt(list_dot_product(v, v)) *
-        |               sqrt(list_dot_product(cv, cv))) END AS s
-        |  FROM vec CROSS JOIN cent),
-        |asg AS (SELECT vec_id, cell FROM (
-        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY s DESC, cell DESC) AS rn FROM sc) WHERE rn = 1),
-        |prb AS (SELECT vec_id AS qid, cell FROM (
-        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY s DESC, cell DESC) AS rn FROM sc WHERE vec_id < 10)
-        |  WHERE rn <= 2),
-        |cand AS (SELECT p.qid, a.vec_id AS cid
-        |         FROM prb p JOIN asg a ON a.cell = p.cell),
-        |cs AS (SELECT qid, cid,
-        |    round(CASE WHEN sqrt(list_dot_product(qv.v, qv.v)) = 0
-        |                 OR sqrt(list_dot_product(cv.v, cv.v)) = 0 THEN 0.0
-        |          ELSE list_dot_product(qv.v, cv.v) /
-        |               (sqrt(list_dot_product(qv.v, qv.v)) *
-        |                sqrt(list_dot_product(cv.v, cv.v))) END, 6) AS cos
-        |  FROM cand JOIN vec qv ON qv.vec_id = qid
-        |            JOIN vec cv ON cv.vec_id = cid),
-        |r AS (SELECT qid, cid, cos,
-        |        row_number() OVER (PARTITION BY qid
-        |                           ORDER BY cos DESC, cid ASC) AS rk
-        |      FROM cs)
-        |SELECT qid AS "query_id", cid AS "vec_id", cos AS "cosine",
-        |       rk::BIGINT AS "rank"
-        |FROM r WHERE rk <= 5 ORDER BY 1, 4""".stripMargin,
+    "q_ann_ivf" -> annIvfSql,
+
+    // Recall@5 of IVF vs the exact baseline — the ANN quality metric
+    // as a first-class oracle-checked query (both sides are themselves
+    // SQL-expressible, so their agreement is too).
+    "q_ann_recall" ->
+      s"""WITH ivf AS (SELECT "query_id" AS q, vec_id AS v
+         |             FROM ($annIvfSql)),
+         |br AS (SELECT "query_id" AS q, vec_id AS v FROM ($annBruteSql))
+         |SELECT ivf.q AS "query_id",
+         |       round(count(br.v)::DOUBLE / 5.0, 6) AS "recall"
+         |FROM ivf LEFT JOIN br ON ivf.q = br.q AND ivf.v = br.v
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // ---- text analysis --------------------------------------------------
 

@@ -179,6 +179,21 @@ object QueriesLlm {
       .orderBy("query_id", "rank")
   }
 
+  /** Recall@5 of IVF against the exact brute-force baseline, per query
+    * — ANN quality measurement as a first-class oracle-checked query.
+    */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val ivf = annIvf(s, dir).select(col("query_id"), col("vec_id"))
+    val brute = annBrute(s, dir)
+      .select(col("query_id").as("bq"), col("vec_id").as("bv"))
+    ivf.join(brute,
+        col("query_id") === col("bq") && col("vec_id") === col("bv"),
+        "left_outer")
+      .groupBy("query_id")
+      .agg(round(count(col("bv")).cast("double") / 5.0, 6).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** LSH-bucketed ANN (the 100 TB path): same queries; the md5-derived
     * hyperplanes are regenerated by the DuckDB oracle, which replicates
     * banding, bucketing and re-rank exactly (not rows-only).
@@ -365,6 +380,7 @@ object QueriesLlm {
     "q_ann_lsh" -> (annLsh _),
     "q_ann_ivf" -> (annIvf _),
     "q_ann_ivf_kmeans" -> (annIvfKmeans _),
+    "q_ann_recall" -> (annRecall _),
     "q_text_stats" -> (textStats _),
     "q_term_df" -> (termDf _),
     "q_token_percentiles" -> (tokenPercentiles _),
