@@ -106,6 +106,20 @@ class IoSpec extends SparkSpec {
     assert(spark.read.json(dir).count() == 10) // codec-transparent read
   }
 
+  test("StateTable.maybeCompact fires only past the version threshold") {
+    import graft.io.StateTable
+    val dir = tmpDir("autocompact") + "/tbl"
+    StateTable.append(Seq((1L, "a")).toDF("k", "p"), dir)
+    StateTable.append(Seq((2L, "b")).toDF("k", "p"), dir)
+    assert(StateTable.maybeCompact(spark, dir, Seq("k"), 2).isEmpty)
+    assert(StateTable.versions(spark, dir).size == 2) // untouched
+    StateTable.append(Seq((1L, "a2")).toDF("k", "p"), dir)
+    assert(StateTable.maybeCompact(spark, dir, Seq("k"), 2).nonEmpty)
+    assert(StateTable.versions(spark, dir).size == 1) // folded
+    assert(StateTable.readLatest(spark, dir, Seq("k"))
+      .as[(Long, String)].collect().toSet == Set((1L, "a2"), (2L, "b")))
+  }
+
   test("StateTable: upserts, tombstones, and compaction preserve state") {
     import graft.io.StateTable
     val dir = tmpDir("statetbl") + "/tbl"
