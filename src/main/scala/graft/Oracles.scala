@@ -72,8 +72,9 @@ object Oracles {
 
   /** One unrolled Lloyd's iteration (mirror of
     * `Ann.trainIvfCentroids`): cosine assignment against cent`i`, then
-    * per-(cell, dim) means via a vec_id-ordered fold — the exact
-    * summation order the engine uses, so centroids match bit-for-bit.
+    * per-(cell, dim) means via DECIMAL(30,15) accumulation — decimal
+    * addition is exactly associative, so this matches the engine's
+    * order-independent decimal sums bit-for-bit.
     */
   private def lloydIter(i: Int, dim: Int): String = {
     val n = i + 1
@@ -83,9 +84,7 @@ object Oracles {
        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
        |      ORDER BY s DESC, cell DESC) AS rn FROM sc$i) WHERE rn = 1),
        |mean$i AS (SELECT a.cell, dr.range AS d,
-       |    list_reduce(list_prepend(0.0::DOUBLE,
-       |        list(v.v[dr.range + 1] ORDER BY v.vec_id)),
-       |      (x, y) -> x + y) / count(*) AS m
+       |    sum((v.v[dr.range + 1])::DECIMAL(30,15))::DOUBLE / count(*) AS m
        |  FROM asg$i a JOIN vec v USING (vec_id) CROSS JOIN range($dim) dr
        |  GROUP BY a.cell, dr.range),
        |cm$i AS (SELECT cell, list(m ORDER BY d) AS cv FROM mean$i
@@ -783,14 +782,13 @@ object Oracles {
          |HAVING count(*) >= (SELECT count(*) FROM documents) // 20
          |ORDER BY term""".stripMargin,
 
-    // Ordered-fold per-(group, dim) means == the engine's meanPool.
+    // DECIMAL(30,15)-accumulated per-(group, dim) means == the engine's
+    // meanPool (exactly associative, so order-independent on both sides).
     "q_embed_meanpool" ->
       """WITH vec AS (SELECT vec_id, vec_id % 10 AS g,
         |                    embedding::DOUBLE[] AS v FROM embeddings),
         |m AS (SELECT g, dr.range AS d,
-        |    list_reduce(list_prepend(0.0::DOUBLE,
-        |        list(v[dr.range + 1] ORDER BY vec_id)),
-        |      (a, b) -> a + b) / count(*) AS m,
+        |    sum((v[dr.range + 1])::DECIMAL(30,15))::DOUBLE / count(*) AS m,
         |    count(*) AS n
         |  FROM vec CROSS JOIN range(64) dr GROUP BY g, dr.range)
         |SELECT g, max(n)::BIGINT AS "n_vecs",

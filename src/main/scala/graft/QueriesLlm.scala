@@ -162,8 +162,8 @@ object QueriesLlm {
   /** IVF with k-means-TRAINED centroids (2 deterministic Lloyd's
     * iterations from the same sample init): better-balanced cells than
     * the raw sample, same probe/re-rank shape. The oracle unrolls both
-    * training iterations in SQL — assignment, ordered-fold means and the
-    * final search all hash-match.
+    * training iterations in SQL — assignment, decimal-accumulated means
+    * and the final search all hash-match.
     */
   def annIvfKmeans(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
@@ -276,8 +276,9 @@ object QueriesLlm {
   }
 
   /** Embedding mean-pooling per (vec_id % 10) group: deterministic
-    * ordered-fold means, spot-checked on dimensions 0/1/63 (full-array
-    * string formatting of doubles is engine-specific, scalars are not).
+    * decimal-accumulated means, spot-checked on dimensions 0/1/63
+    * (full-array string formatting of doubles is engine-specific,
+    * scalars are not).
     */
   def embedMeanPool(s: SparkSession, dir: String): DataFrame = {
     val pooled = Ann.meanPool(

@@ -76,10 +76,13 @@ object Ann {
     * DataFrame ops: init = first `nCells` vectors by id; each iteration
     * assigns every vector to its max-cosine centroid (ties -> higher
     * cell, matching [[ivfTopK]]'s assignment) and recomputes centroids
-    * as element-wise means. The per-dimension sum folds a vec_id-sorted
-    * list, so the result is BIT-DETERMINISTIC regardless of partitioning
-    * — reproducible by the DuckDB oracle, and stable across cluster
-    * sizes (a plain `avg()` of doubles is partition-order-dependent).
+    * as element-wise means. The per-dimension sum accumulates in
+    * `decimal(30,15)` — decimal addition is exactly associative and
+    * commutative, so the result is BIT-DETERMINISTIC regardless of
+    * partitioning (a plain `avg()` of doubles is partition-order-
+    * dependent) WITHOUT buffering group members: the aggregate stays a
+    * map-side-combinable partial/final HashAggregate whose buffer is
+    * one decimal per (cell, dim) key, never the whole cell.
     *
     * Scale shape: the heavy step (assignment) is one embarrassingly-
     * parallel scan per iteration; the mean aggregation shuffles
@@ -102,12 +105,9 @@ object Ann {
       }: _*)
       val byCell = vecs
         .withColumn("cell", array_max(scored).getField("c"))
-        .select(col("cell"), col("vec_id"),
-          posexplode(col("v")).as(Seq("d", "val")))
+        .select(col("cell"), posexplode(col("v")).as(Seq("d", "val")))
         .groupBy("cell", "d")
-        .agg((aggregate(
-            sort_array(collect_list(struct(col("vec_id"), col("val")))),
-            lit(0.0), (acc, x) => acc + x.getField("val"))
+        .agg((sum(col("val").cast("decimal(30,15)")).cast("double")
           / count(lit(1))).as("m"))
         .collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
@@ -174,18 +174,25 @@ object Ann {
     * (chunk->document, document->cluster rollups). Output:
     * (group, n_vecs, mean: array<double> ordered by dimension). Same
     * determinism technique as [[trainIvfCentroids]]: each (group, dim)
-    * sum folds an id-ordered list, so the result is bit-identical under
-    * any partitioning. Shuffles narrow (group, dim, id, value) rows,
-    * never whole vectors; both aggregations are map-side combinable.
+    * sum accumulates in `decimal(30,15)` (exactly associative +
+    * commutative), so the result is bit-identical under any
+    * partitioning and the aggregation buffer is ONE decimal per
+    * (group, dim) key — a corpus-level or hot-cluster rollup never
+    * holds its members. Shuffles narrow (group, dim, value) rows,
+    * never whole vectors; both phases are map-side combinable. The
+    * only bounded collect is the final dim-reassembly (`dim` entries
+    * per group).
     */
   def meanPool(df: DataFrame, groupCol: String, idCol: String,
       vecCol: String = "embedding"): DataFrame =
-    df.select(col(groupCol).as("group"), col(idCol).as("id"),
+    // idCol kept in the signature for source compatibility; the decimal
+    // accumulation no longer needs a member order, so the id never
+    // enters the plan and the exploded shuffle rows stay 3-wide.
+    df.select(col(groupCol).as("group"),
         posexplode(V.toDouble(col(vecCol))).as(Seq("d", "v")))
       .groupBy("group", "d")
       .agg(
-        (aggregate(sort_array(collect_list(struct(col("id"), col("v")))),
-          lit(0.0), (acc, x) => acc + x.getField("v"))
+        (sum(col("v").cast("decimal(30,15)")).cast("double")
           / count(lit(1))).as("m"),
         count(lit(1)).as("n"))
       .groupBy("group")

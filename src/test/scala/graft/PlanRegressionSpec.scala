@@ -106,6 +106,19 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), s"shuffled:\n$p")
   }
 
+  test("q_embed_meanpool: pooling sums are partial/final, never buffered") {
+    val p = plan("q_embed_meanpool")
+    // the (group, dim) mean must be a map-side-combinable HashAggregate
+    // over a decimal sum — an ObjectHashAggregate holding a collect_list
+    // of group members would OOM a hot-cluster rollup at scale. The ONLY
+    // allowed collect_list is the final dim-reassembly (bounded at `dim`
+    // entries per group).
+    assert("partial_sum|partial sum|Partial.*sum".r.findFirstIn(p).isDefined
+      || p.contains("sum(cast(v"), s"no partial decimal sum:\n$p")
+    assert("collect_list".r.findAllMatchIn(p).length <= 2,
+      s"group members buffered in an aggregate:\n$p")
+  }
+
   test("q_delta_keyed: keyed delta joins on the key, not the payload") {
     val p = plan("q_delta_keyed")
     assert(!p.contains("CartesianProduct"))
