@@ -248,6 +248,14 @@ object Oracles {
         |       'SIMULATED_ERROR' AS "error"
         |FROM orders WHERE o_orderstatus = 'F' ORDER BY 1""".stripMargin,
 
+    // K2: the errors-sink round-trip must surface exactly the error rows
+    // the split produced — same relation as q_error_split_err, but the
+    // Spark side goes through the gated write + partitioned read-back.
+    "q_errors_sink" ->
+      """SELECT o_orderkey::VARCHAR AS "queryItemId",
+        |       'SIMULATED_ERROR' AS "error"
+        |FROM orders WHERE o_orderstatus = 'F' ORDER BY 1""".stripMargin,
+
     "q_join_mapusers" ->
       """SELECT o_orderkey::VARCHAR AS "queryItemId",
         |       m.l_suppkey::VARCHAR AS "userId"

@@ -244,6 +244,30 @@ object Queries {
     Readers.jsonl(s, s"$d/braze", schema).orderBy("regionkey")
   }
 
+  /** K2: gated errors sink — the error split written through
+    * [[Writers.errors]] into the `errors/<jobType>/year=.../time=...`
+    * layout and read back (reference `related_items_etl.py:114-133`).
+    * Also proves the gate inline: a disabled write and an empty frame
+    * both return None and leave nothing on disk.
+    */
+  def errorsSink(s: SparkSession, dir: String): DataFrame = {
+    val d = tmp("errsink")
+    val (_, errs) = Ops.splitErrors(riBatch(s, dir))
+    val clock = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+    require(Writers.errors(errs, d, "related_items", clock,
+      enabled = false).isEmpty, "disabled gate wrote anyway")
+    require(Writers.errors(errs.limit(0), d, "related_items", clock,
+      enabled = true).isEmpty, "empty frame wrote anyway")
+    val written = Writers.errors(errs, d, "related_items", clock,
+      enabled = true)
+    require(written.exists(_.endsWith(
+      "related_items/year=2024/month=01/day=01/time=000000")),
+      s"bad errors layout: $written")
+    Readers.jsonl(s, written.get, errs.schema)
+      .select(col("input.itemId").as("queryItemId"), col("error"))
+      .orderBy("queryItemId")
+  }
+
   /** S5: config JSON -> JobConfig (scoping rule §2.13#3: connector-level
     * performDeltaCheck overrides top level).
     */
@@ -784,6 +808,7 @@ object Queries {
     "q_corrupt_tolerant" -> (corruptTolerant _),
     "q_metadata_gated" -> (metadataGated _),
     "q_sink_runtime_partition" -> (sinkRuntimePartition _),
+    "q_errors_sink" -> (errorsSink _),
     "q_config_parse" -> (configParse _),
     "q_error_split_ok" -> (errorSplitOk _),
     "q_error_split_err" -> (errorSplitErr _),
