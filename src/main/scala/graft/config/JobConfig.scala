@@ -42,6 +42,12 @@ final case class JobConfig(
     stateFormat: String = "snapshot",
     connectors: Map[String, ConnectorConfig] = Map.empty
 ) {
+  // Fail fast: a typo ("Keyed", "key") must not silently fall back to
+  // snapshot semantics and write state in the wrong place/format.
+  require(JobConfig.StateFormats(stateFormat),
+    s"stateFormat must be one of ${JobConfig.StateFormats.mkString("/")}, " +
+      s"got '$stateFormat'")
+
   /** Effective delta-check flag for a connector: connector scope overrides
     * top level (fixes reference quirk SURVEY.md §2.13#3).
     */
@@ -51,6 +57,9 @@ final case class JobConfig(
 }
 
 object JobConfig {
+
+  /** Closed set of valid [[JobConfig.stateFormat]] values. */
+  val StateFormats: Set[String] = Set("snapshot", "keyed")
 
   /** Parse a config JSON document (driver-side, mirrors the single S3 GET +
     * `json.loads` at reference `related_items_etl.py:72-88`). Tolerates

@@ -3,8 +3,8 @@ package graft.jobs
 import java.time.LocalDateTime
 import java.time.format.DateTimeFormatter
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions.{count, lit}
 import org.apache.spark.storage.StorageLevel
 
 import graft.config.JobConfig
@@ -32,8 +32,9 @@ final case class JobResult(jobName: String, runDateTime: String,
   * not replicated (SURVEY.md §2.13): paths derive from the job's own type
   * (#1), the decorate routine is shared so the wrong-window-key bug can't
   * recur (#2), `performDeltaCheck` accepts both scopes (#3), and state IS
-  * written back after a sync (#4). The decorated frame is computed once
-  * and persisted across the connector loop (#5).
+  * written back after a sync (#4). The exploded frame is persisted across
+  * the connector loop and decorate+assemble is memoized per metadata
+  * field list, so N connectors cost ONE scan of the batch input (#5).
   */
 object Jobs {
 
@@ -103,19 +104,37 @@ object Jobs {
       s"$jobRoot/input/item_metadata")
 
     val outputRoot = s"$jobRoot/output"
-    val results = config.connectors.toSeq.sortBy(_._1).map {
-      case (connector, cc) =>
-        val decorated = Ops.decorate(exploded, metadata, cc.itemMetadataFields)
-        val assembled =
-          Ops.assembleRecommendations(decorated, spec.groupKeys)
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        try {
+    // Shared upstream: every connector consumes the same exploded frame,
+    // and connectors that request the same metadata field list share one
+    // decorate+assemble subtree — N connectors cost ONE scan of the batch
+    // input, not N (the reference re-runs the whole Glue dataflow per
+    // connector).
+    val persistedExploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
+    val assembledByFields =
+      scala.collection.mutable.Map.empty[Seq[String], DataFrame]
+    def assembledFor(fields: Seq[String]): DataFrame =
+      assembledByFields.getOrElseUpdate(fields, {
+        val decorated = Ops.decorate(persistedExploded, metadata, fields)
+        Ops.assembleRecommendations(decorated, spec.groupKeys)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      })
+    try {
+      val results = config.connectors.toSeq.sortBy(_._1).map {
+        case (connector, cc) =>
+          val assembled = assembledFor(cc.itemMetadataFields)
           val keyed = config.stateFormat == "keyed"
           val stateDir =
             if (keyed) s"$outputRoot/$connector/state_keyed"
             else s"$outputRoot/$connector/state"
+          // Previous state is needed for the delta check AND — in keyed
+          // format — for tombstoning keys that left the snapshot. Reading
+          // it only under deltaCheck would mean keyed state with the check
+          // disabled never deletes anything (silent divergence from the
+          // snapshot format, which rewrites state wholesale).
+          val needState = config.deltaCheckFor(connector) ||
+            (keyed && config.writeStateAfterSync)
           val state: Option[DataFrame] =
-            if (!config.deltaCheckFor(connector)) None
+            if (!needState) None
             else if (keyed) {
               if (StateTable.versions(spark, stateDir).nonEmpty)
                 Some(StateTable.readLatest(spark, stateDir, spec.groupKeys))
@@ -127,6 +146,7 @@ object Jobs {
                 assembled.schema))
             } else None
           val afterDelta = state match {
+            case Some(_) if !config.deltaCheckFor(connector) => assembled
             case Some(st) if keyed =>
               Ops.deltaCheckKeyed(assembled, st, spec.groupKeys)
             case Some(st) => Ops.deltaCheck(assembled, st)
@@ -136,9 +156,14 @@ object Jobs {
           val stamped = Ops.stampJobInfo(afterDelta, jobName, runDateTime,
             Some((cc.attributePrefix, cc.otherAttributes)))
 
-          val outDir = Writers.connectorOutput(stamped, outputRoot,
+          // Count rows AS they are written (Dataset.observe piggybacks a
+          // free aggregate on the write job) — never re-read the output to
+          // count it, which at 100 TB is a second full pass per connector.
+          val obs = Observation(s"rows_${connector}_$runDateTime")
+          val observed = stamped.observe(obs, count(lit(1)).as("rows"))
+          val outDir = Writers.connectorOutput(observed, outputRoot,
             connector, clock)
-          val rows = spark.read.json(outDir).count()
+          val rows = obs.get("rows").asInstanceOf[Long]
 
           if (config.writeStateAfterSync) {
             if (keyed) {
@@ -162,8 +187,11 @@ object Jobs {
           }
 
           ConnectorResult(connector, outDir, rows)
-        } finally assembled.unpersist()
+      }
+      JobResult(jobName, runDateTime, errorsDir, results)
+    } finally {
+      assembledByFields.values.foreach(_.unpersist())
+      persistedExploded.unpersist()
     }
-    JobResult(jobName, runDateTime, errorsDir, results)
   }
 }

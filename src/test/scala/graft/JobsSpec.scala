@@ -128,6 +128,95 @@ class JobsSpec extends SparkSpec {
     assert(graft.io.StateTable.versions(spark, stateDir).size == 3)
   }
 
+  test("keyed state WITHOUT delta check still tombstones removed keys") {
+    val root = tmpDir("jobkeyednodelta")
+    writeFixtures(root)
+    val cfg = JobConfig.parse(
+      s"""{"batchInferencePath": "$root/input/batch",
+         |"performDeltaCheck": false,
+         |"stateFormat": "keyed",
+         |"connectors": {"braze": {"itemMetadataFields": ["brand"]}}}"""
+        .stripMargin)
+    def runAt(day: Int) = Jobs.run(spark, Jobs.RelatedItems, root, "j",
+      cfg, LocalDateTime.of(2024, 1, day, 0, 0, 0))
+
+    assert(runAt(1).connectors.head.rowsWritten == 4)
+
+    // i3 disappears from the source; with the check off, every sync is a
+    // full snapshot — but state must still DROP the vanished key, exactly
+    // as the snapshot format (wholesale rewrite) would.
+    Seq(
+      """{"input":{"itemId":"i1"},"output":{"recommendedItems":["p1","p2"]}}""",
+      """{"input":{"itemId":"i2"},"output":{"recommendedItems":["p2"]}}"""
+    ).toDF("value").coalesce(1).write.mode("overwrite")
+      .text(s"$root/input/batch")
+    assert(runAt(2).connectors.head.rowsWritten == 3) // full re-sync
+
+    val st = graft.io.StateTable.readLatest(spark,
+      s"$root/output/braze/state_keyed", Seq("queryItemId", "userId"))
+    assert(st.count() == 3)
+    assert(st.where(col("queryItemId") === "i3").count() == 0)
+  }
+
+  /** Total external+cached records read by tasks while `body` runs; polls
+    * the async listener bus until the counter goes quiet.
+    */
+  private def recordsReadDuring(body: => Unit): Long = {
+    val acc = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          acc.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      var prev = -1L
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val cur = acc.get
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
+      acc.get
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("connector loop shares ONE scan of the batch input across connectors") {
+    // Sizeable input so a per-connector re-scan would be visible in the
+    // task input metrics: 500 users, 2 recs each.
+    def fixture(tag: String): String = {
+      val root = tmpDir(tag)
+      (1 to 500).map(i =>
+        s"""{"input":{"userId":"u$i"},"output":{"recommendedItems":["a$i","b$i"]}}""")
+        .toDF("value").coalesce(1).write.mode("overwrite")
+        .text(s"$root/input/batch")
+      root
+    }
+    def cfg(root: String, connectors: String) = JobConfig.parse(
+      s"""{"batchInferencePath": "$root/input/batch",
+         |"connectors": {$connectors}}""".stripMargin)
+    val clock = LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+
+    val root1 = fixture("share1")
+    val rr1 = recordsReadDuring {
+      Jobs.run(spark, Jobs.UserPersonalization, root1, "j",
+        cfg(root1, """"a": {}"""), clock)
+    }
+    val root2 = fixture("share2")
+    val rr2 = recordsReadDuring {
+      val r = Jobs.run(spark, Jobs.UserPersonalization, root2, "j",
+        cfg(root2, """"a": {}, "b": {}"""), clock)
+      assert(r.connectors.map(_.rowsWritten) == Seq(500L, 500L))
+    }
+    // The second connector must reuse the persisted upstream: it may read
+    // the (small) cached assembled frame again, but NOT re-scan the batch
+    // input and rebuild the chain — which would roughly double the reads.
+    assert(rr2 < (rr1 * 1.6).toLong,
+      s"two-connector run read $rr2 records vs $rr1 for one connector")
+  }
+
   test("user-personalization spec: no mapping, keyed by queryUserId") {
     val root = tmpDir("jobup")
     Seq(

@@ -68,6 +68,20 @@ class MultimodalConfigSpec extends SparkSpec {
     assert(cfg.connectors("x").attributePrefix == "recommendation_")
   }
 
+  test("JobConfig rejects unknown stateFormat values fast") {
+    val ex = intercept[IllegalArgumentException] {
+      JobConfig.parse(
+        """{"batchInferencePath":"p","stateFormat":"Keyed"}""")
+    }
+    assert(ex.getMessage.contains("stateFormat"))
+    // the two valid spellings still parse
+    assert(JobConfig.parse(
+      """{"batchInferencePath":"p","stateFormat":"keyed"}""")
+      .stateFormat == "keyed")
+    assert(JobConfig.parse("""{"batchInferencePath":"p"}""")
+      .stateFormat == "snapshot")
+  }
+
   test("file relay processes each file exactly once across runs") {
     val dir = tmpDir("relay")
     val qname = s"relay-${java.util.UUID.randomUUID()}"
