@@ -562,6 +562,19 @@ object Oracles {
         |       count(*)::BIGINT AS "n_rows", 0::BIGINT AS "n_dead"
         |FROM customer""".stripMargin,
 
+    "q_dequeue_validate" ->
+      """WITH docs AS (
+        |  SELECT CASE WHEN c_custkey % 2 = 0
+        |              THEN c_custkey::VARCHAR END AS qid,
+        |         CASE WHEN c_custkey % 3 <> 0
+        |              THEN 'u' || c_custkey::VARCHAR END AS uid,
+        |         LEAST(2, c_custkey % 5) AS n
+        |  FROM customer)
+        |SELECT COALESCE(qid, uid) AS "external_id", n::INT AS "n_recs"
+        |FROM docs
+        |WHERE COALESCE(qid, uid) IS NOT NULL AND n > 0
+        |ORDER BY 1""".stripMargin,
+
     // ---- dedup ----------------------------------------------------------
 
     "q_dedup_exact" ->

@@ -730,6 +730,26 @@ object Queries {
     Seq((posts.value, rows.value, 0L)).toDF("n_posts", "n_rows", "n_dead")
   }
 
+  /** Dequeue-side validation (Sinks.validateDequeue): either user-id
+    * spelling resolves via coalesce, and rows with no id or an empty
+    * `recommendations` list reject (reference
+    * `braze_dequeue_function/main.py:57-65`). Synthesizes both spellings
+    * and both failure modes from `customer`; output is the accepted rows.
+    */
+  def dequeueValidate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "customer").select(
+      when(col("c_custkey") % 2 === 0, col("c_custkey").cast("string"))
+        .as("queryUserId"),
+      when(col("c_custkey") % 3 =!= 0, concat(lit("u"), col("c_custkey")))
+        .as("userId"),
+      expr("slice(array(c_mktsegment, c_name), 1, " +
+        "CAST(c_custkey % 5 AS INT))").as("recommendations"))
+    val (valid, _) = Sinks.validateDequeue(docs)
+    valid
+      .select(col("external_id"), size(col("recommendations")).as("n_recs"))
+      .orderBy("external_id")
+  }
+
   /** Co-located join over bucketed tables (io.Bucketing): both sides
     * bucketed+sorted on the join key at write time, so the join itself
     * is Exchange-free (PlanRegressionSpec asserts it). Payload aggs are
@@ -831,6 +851,7 @@ object Queries {
     "q_session_window" -> (sessionWindowQ _),
     "q_sessionize" -> (sessionize _),
     "q_queue_relay" -> (queueRelay _),
-    "q_rest_sink" -> (restSink _)
+    "q_rest_sink" -> (restSink _),
+    "q_dequeue_validate" -> (dequeueValidate _)
   )
 }

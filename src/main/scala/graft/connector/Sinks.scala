@@ -5,7 +5,7 @@ import java.util.concurrent.ConcurrentLinkedQueue
 import scala.collection.mutable.ArrayBuffer
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.CollectionAccumulator
 
@@ -89,6 +89,59 @@ object Sinks {
           deadLetters.foreach(acc => failed.foreach(acc.add))
         }
     }
+  }
+
+  /** Dequeue-side user-id resolution: `queryUserId` falling back to
+    * `userId`, whichever columns exist (the reference accepts both
+    * spellings because the two ETL jobs key their output differently —
+    * `braze_dequeue_function/main.py:57`, `enqueue.py:53-55`). Empty
+    * strings count as missing, matching Python's `if not user_id`.
+    */
+  def resolvedUserId(df: DataFrame): Column = {
+    val present = Seq("queryUserId", "userId")
+      .filter(df.columns.contains).map(c => col(c).cast("string"))
+    val uid = present.reduceOption(coalesce(_, _))
+      .getOrElse(lit(null).cast("string"))
+    when(uid === "", lit(null).cast("string")).otherwise(uid)
+  }
+
+  /** Dequeue-side row validation (reference
+    * `braze_dequeue_function/main.py:57-65`): a row must resolve a user id
+    * ([[resolvedUserId]]) and carry a non-empty `recommendations` array.
+    * Returns (valid rows with `external_id` resolved, rejected rows).
+    * The reference logs-and-ignores rejects; callers here should route the
+    * rejected side to the dead-letter collector (or an errors sink) so bad
+    * rows are observable rather than silently dropped.
+    */
+  def validateDequeue(df: DataFrame): (DataFrame, DataFrame) = {
+    val uid = resolvedUserId(df)
+    val recsOk =
+      if (df.columns.contains("recommendations"))
+        coalesce(size(col("recommendations")) > 0, lit(false))
+      else lit(false)
+    val ok = uid.isNotNull && recsOk
+    (df.where(ok).withColumn("external_id", uid), df.where(!ok))
+  }
+
+  /** K4 front door: validate, dead-letter the rejects, post the rest.
+    * `pivot` maps the validated rows (with `external_id` resolved) to the
+    * flat attribute objects the endpoint expects — typically
+    * `Ops.pivotAttributes`. Two actions run over `df`; persist upstream
+    * if it is expensive to recompute.
+    */
+  def dequeueToRest(df: DataFrame, transport: RestTransport,
+      pivot: DataFrame => DataFrame, maxAttributes: Int = 75,
+      maxAttempts: Int = 5,
+      deadLetters: Option[CollectionAccumulator[String]] = None): Unit = {
+    val (valid, rejected) = validateDequeue(df)
+    deadLetters.foreach { acc =>
+      rejected
+        .select(to_json(struct(rejected.columns.map(col).toIndexedSeq: _*))
+          .as("__body"))
+        .foreach((r: Row) => acc.add(r.getString(0)))
+    }
+    restSink(pivot(valid), transport, maxAttributes, maxAttempts,
+      deadLetters)
   }
 
   /** K4: REST sink with the U2 pivot applied upstream — takes rows that

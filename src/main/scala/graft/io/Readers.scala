@@ -42,12 +42,20 @@ object Readers {
   /** S1/S3/S4: JSON Lines scan with explicit schema, recursive listing
     * (reference reads whole S3 prefixes, `related_items_etl.py:99-107`)
     * and missing-column backfill.
+    *
+    * @param multiLine accept pretty-printed (multi-line) JSON documents —
+    *   the reference's one reader hint, `format_options={"multiline":
+    *   True}` at `related_items_etl.py:100`. Off by default: line-delimited
+    *   files split per-line across tasks, whereas a multiLine document is
+    *   one record and parses whole-file per task — keep batch-inference
+    *   output line-delimited at scale.
     */
-  def jsonl(spark: SparkSession, path: String, schema: StructType)
-      : DataFrame =
+  def jsonl(spark: SparkSession, path: String, schema: StructType,
+      multiLine: Boolean = false): DataFrame =
     withBackfill(
       spark.read
         .option("recursiveFileLookup", "true")
+        .option("multiLine", multiLine.toString)
         // Schema is explicit, but pass it as a *hint* via a permissive
         // read: columns absent in data come back null, extra columns in
         // data are dropped by the backfill projection.
@@ -91,6 +99,10 @@ object Readers {
 
   /** S3 variant with inferred schema, for open-schema item metadata whose
     * field set is config/data-driven (reference infers via DynamicFrame).
+    * Ragged corpora — the same field typed differently across files (Glue's
+    * "choice type", `related_items_etl.py:175-189`) — are handled by
+    * Spark's inference unioning conflicting scalar types up to string, so
+    * every file's value survives; IoSpec pins this behavior.
     */
   def jsonlInferIfExists(spark: SparkSession, path: String)
       : Option[DataFrame] =

@@ -48,6 +48,44 @@ class IoSpec extends SparkSpec {
       Seq((1L, "a"), (2L, "b")))
   }
 
+  test("jsonl multiLine mode reads pretty-printed JSON documents") {
+    val dir = tmpDir("multiline")
+    // A pretty-printed array document — the shape that, read line-
+    // delimited, comes back as corrupt-record rows.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/batch.json"),
+      """[
+        |  { "k": 1,
+        |    "v": "a" },
+        |  { "k": 2,
+        |    "v": "b" }
+        |]""".stripMargin.getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType)))
+    val out = Readers.jsonl(spark, dir, schema, multiLine = true)
+    assert(out.orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // default line-delimited read of the same file yields no usable rows
+    val broken = Readers.jsonl(spark, dir, schema)
+    assert(broken.where(col("k").isNotNull).count() == 0)
+  }
+
+  test("inferred read unions ragged field types across files to string") {
+    val dir = tmpDir("ragged")
+    // Same field, different JSON types per file (Glue "choice type"):
+    // price is a number in one batch and a string in another.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/part1.json"),
+      """{"id":"p1","price":9.99}""".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/part2.json"),
+      """{"id":"p2","price":"19.50"}""".getBytes("UTF-8"))
+    val out = Readers.jsonlInferIfExists(spark, dir).get
+    assert(out.schema("price").dataType == StringType) // unioned, not lost
+    assert(out.orderBy("id").select("price").as[String].collect().toSeq ==
+      Seq("9.99", "19.50"))
+  }
+
   test("jsonlIfExists gates on path existence") {
     val dir = tmpDir("gate")
     val schema = StructType(Seq(StructField("k", LongType)))

@@ -43,6 +43,51 @@ class SinksSpec extends SparkSpec {
     assert(rows.value == 160)
   }
 
+  test("validateDequeue accepts either id spelling, rejects bad rows") {
+    import org.apache.spark.sql.functions._
+    // (queryUserId, userId, n recs): q-only, fallback-to-userId, empty
+    // qid (Python-falsy -> reject, reference main.py:57-58), no id,
+    // empty recommendations.
+    val df = Seq(
+      (Some("q1"), None: Option[String], 2),
+      (None: Option[String], Some("u2"), 1),
+      (Some(""), Some("u3"), 1),
+      (None: Option[String], None: Option[String], 1),
+      (Some("q5"), None: Option[String], 0)
+    ).toDF("queryUserId", "userId", "n")
+      .select(col("queryUserId"), col("userId"),
+        expr("slice(transform(sequence(1, 2), " +
+          "i -> named_struct('itemId', concat('p', CAST(i AS STRING)))), " +
+          "1, n)").as("recommendations"))
+    val (valid, rejected) = Sinks.validateDequeue(df)
+    assert(valid.select("external_id").as[String].collect().sorted.toSeq ==
+      Seq("q1", "u2"))
+    assert(rejected.count() == 3)
+  }
+
+  test("dequeueToRest dead-letters rejects and posts the valid pivot") {
+    import org.apache.spark.sql.functions._
+    val dead = spark.sparkContext.collectionAccumulator[String]("dl3")
+    val posted = spark.sparkContext.collectionAccumulator[String]("posted")
+    val transport = new RestTransport {
+      def post(objs: Seq[String]): Boolean = { objs.foreach(posted.add); true }
+    }
+    val df = Seq(
+      ("u1", 2),  // valid
+      ("u2", 0)   // empty recommendations -> dead letter
+    ).toDF("userId", "n")
+      .select(col("userId"),
+        expr("slice(transform(sequence(1, 2), " +
+          "i -> named_struct('itemId', concat('p', CAST(i AS STRING)))), " +
+          "1, n)").as("recommendations"))
+    Sinks.dequeueToRest(df, transport,
+      v => graft.etl.Ops.pivotAttributes(v, "external_id", Seq("itemId"),
+        "rec_", Map.empty),
+      deadLetters = Some(dead))
+    assert(posted.value.size == 1 && posted.value.get(0).contains("u1"))
+    assert(dead.value.size == 1 && dead.value.get(0).contains("u2"))
+  }
+
   test("restSink dead-letters a batch after maxAttempts failures") {
     val dead = spark.sparkContext.collectionAccumulator[String]("dl2")
     val attempts = spark.sparkContext.longAccumulator("attempts")
