@@ -78,7 +78,8 @@ object QueriesLlm {
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(docsWithTwins(s, dir, pct = 90), "doc_id",
         "text", shingleWidth = 3, numHashes = 32, bands = 16,
-        threshold = 0.3)
+        threshold = 0.3,
+        cache = Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       .where(col("id_a") < 150 && col("id_b") === col("id_a") + 100000)
       .select(col("id_a"), col("id_b"))
       .orderBy("id_a", "id_b")

@@ -233,14 +233,18 @@ object Ops {
 
   /** Skew-safe top-k rows per group: two-phase sorted-slice aggregation.
     *
-    * Phase 1 keeps the top k within (groupKeys, salt) — map-side
-    * combinable, at most k rows out per salt bucket; phase 2 merges the
-    * buckets' survivors. A hot key's rows spread over `salts` reducers
-    * instead of one, and neither phase holds more than k payloads per
-    * bucket in the aggregation buffer — where the window `row_number()`
-    * formulation sorts the entire frame per key on one reducer. Every
-    * global top-k row survives its own bucket's phase-1 cut, so the
-    * result is exact.
+    * Phase 1 keeps the top k within (groupKeys, salt) — at most k rows
+    * OUT per salt bucket; phase 2 merges the buckets' survivors, so its
+    * buffers hold at most salts*k rows per key. A hot key's rows spread
+    * over `salts` reducers instead of one — where the window
+    * `row_number()` formulation sorts the entire frame per key on one
+    * reducer. Every global top-k row survives its own bucket's phase-1
+    * cut, so the result is exact. Honest bound: phase 1's collect_list
+    * BUFFER is O(rows/salts) per hot key (the slice happens after
+    * accumulation, and Spark's ObjectHashAggregate collect_list cannot
+    * cap mid-stream) — the salt count, not k, is the memory lever; size
+    * `salts` so rows/salts fits an executor. A truly O(k) buffer needs a
+    * custom heap Aggregator, which trades whole-stage codegen away.
     *
     * Ordering is descending over `payload` as a struct (field by field),
     * so callers get a total order by listing a unique tiebreaker last.

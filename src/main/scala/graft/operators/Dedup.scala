@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.{HashFunctions => H, TextFunctions => T}
 
@@ -40,20 +41,29 @@ object Dedup {
     * which the skew guard keeps small, via a broadcast semi-filter.
     * Signature params (numHashes=32, bands=8 -> r=4) put the S-curve
     * knee near j~0.5.
+    *
+    * @param cache storage level for the shingled and banded subtrees,
+    *   which the plan otherwise recomputes 3-4x (the bucket census and
+    *   both self-join sides re-derive them; see PLANS.md). Pass
+    *   `Some(MEMORY_AND_DISK)` when shingling the corpus costs more than
+    *   caching it; the cached blocks stay owned by this plan and age out
+    *   LRU after the caller materializes the result.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 1000,
+      cache: Option[StorageLevel] = None): DataFrame = {
     val rpb = numHashes / bands
+    def cached(d: DataFrame): DataFrame = cache.fold(d)(d.persist)
     // No array_distinct: minhash minima and jaccard (which dedups
     // internally) are both duplicate-insensitive.
-    val shingled = df.select(
+    val shingled = cached(df.select(
       col(idCol).as("id"),
-      H.wordShingles(T.tokens(col(textCol)), shingleWidth).as("shingles"))
-    val banded = shingled.select(
+      H.wordShingles(T.tokens(col(textCol)), shingleWidth).as("shingles")))
+    val banded = cached(shingled.select(
       col("id"),
       explode(H.bandKeys(H.minhashSignature(col("shingles"), numHashes),
-        bands, rpb)).as("band"))
+        bands, rpb)).as("band")))
     // Skew guard: degenerate buckets out.
     val counts = banded.groupBy("band").count()
       .where(col("count") <= maxBucket && col("count") > 1)
