@@ -553,6 +553,33 @@ object Oracles {
         |       (max(s) - min(s))::BIGINT AS "duration_s"
         |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // §2.12 streaming attribution run in batch: a plain range join.
+    // Microsecond epochs on both sides (epoch_us here, `ts div 1000`
+    // in Spark) so nano-precision boundary events cannot diverge.
+    "q_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |                   event_type FROM events)
+        |SELECT v.user_id AS "user_id", v.event_id AS "view_id",
+        |       c.event_id AS "conv_id"
+        |FROM ev v JOIN ev c
+        |  ON v.user_id = c.user_id
+        | AND c.ts_us >= v.ts_us
+        | AND c.ts_us <= v.ts_us + 86400000000
+        |WHERE v.event_type = 'view' AND c.event_type = 'purchase'
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    // §2.12 streaming dedup equivalence: the surviving-fingerprint set
+    // is order-independent, so DISTINCT over the same corpus as
+    // q_dedup_exact states it exactly.
+    "q_streaming_dedup_equiv" ->
+      s"""WITH all_docs AS (
+         |  SELECT text FROM documents
+         |  UNION ALL
+         |  SELECT upper(substr(text, 1, 10)) || substr(text, 11) || '  '
+         |  FROM documents WHERE doc_id < 100)
+         |SELECT DISTINCT md5(${norm("text")}) AS "fp"
+         |FROM all_docs ORDER BY 1""".stripMargin,
+
     "q_queue_relay" ->
       """SELECT s_suppkey::VARCHAR AS "userId", s_name AS "name"
         |FROM supplier ORDER BY 1""".stripMargin,

@@ -10,7 +10,7 @@ import graft.config.JobConfig
 import graft.connector.Sinks
 import graft.etl.Ops
 import graft.io.{Bucketing, Readers, StateTable, Writers}
-import graft.streaming.FileRelay
+import graft.streaming.{Attribution, FileRelay, StreamingDedup}
 
 /** Oracle-checked queries over /root/testdata, one per SURVEY.md §2
   * operator (ETL/connector families; LLM-pipeline families live in
@@ -750,6 +750,63 @@ object Queries {
       .orderBy("external_id")
   }
 
+  /** §2.12 attribution, driver-checkable: the streaming view->conversion
+    * interval join ([[Attribution.viewConversionJoin]]) run over static
+    * frames — batch execution of the same plan (EventTimeWatermark is
+    * eliminated on non-streaming inputs; the join condition is
+    * identical), so DuckDB can oracle it as a plain range join.
+    * Conversions = purchases within 1 day of a view by the same user.
+    */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("tstamp").as("view_ts"),
+        col("event_id").as("view_id"))
+    val convs = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("conv_user"), col("tstamp").as("conv_ts"),
+        col("event_id").as("conv_id"))
+    Attribution.viewConversionJoin(views, "user_id", "view_ts",
+        convs, "conv_user", "conv_ts", windowSpec = "1 DAY",
+        delay = "2 hours")
+      .select(col("user_id"), col("view_id"), col("conv_id"))
+      .orderBy("user_id", "view_id", "conv_id")
+  }
+
+  /** §2.12 streaming dedup, driver-checkable: an AvailableNow streaming
+    * run of [[StreamingDedup.dedupByContent]] over a JSONL fixture
+    * (documents plus case/whitespace-mangled duplicates of doc_id < 100,
+    * the q_dedup_exact corpus), equivalent to batch `dropDuplicates` on
+    * the content fingerprint. Output is the surviving fingerprint set —
+    * identical whichever duplicate of a group arrives first, so the
+    * oracle is `SELECT DISTINCT md5(normalized text)`.
+    */
+  def streamingDedupEquiv(s: SparkSession, dir: String): DataFrame = {
+    val d = tmp("sdedupq")
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val dups = docs.where(col("doc_id") < 100)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat(upper(col("text").substr(lit(1), lit(10))),
+          col("text").substr(lit(11), lit(Int.MaxValue)),
+          lit("  ")).as("text"))
+    docs.unionByName(dups)
+      .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .write.mode("overwrite").json(s"$d/in")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("ts", TimestampType), StructField("text", StringType)))
+    val src = s.readStream.schema(schema).json(s"$d/in")
+    val table =
+      "sdedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = StreamingDedup.dedupByContent(src, "text", "ts", "10 minutes")
+      .writeStream.format("memory").queryName(table)
+      .outputMode("append")
+      .option("checkpointLocation", s"$d/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(table).select(col("fp")).orderBy("fp")
+  }
+
   /** Co-located join over bucketed tables (io.Bucketing): both sides
     * bucketed+sorted on the join key at write time, so the join itself
     * is Exchange-free (PlanRegressionSpec asserts it). Payload aggs are
@@ -850,6 +907,8 @@ object Queries {
     "q_events_sliding" -> (eventsSliding _),
     "q_session_window" -> (sessionWindowQ _),
     "q_sessionize" -> (sessionize _),
+    "q_attribution" -> (attribution _),
+    "q_streaming_dedup_equiv" -> (streamingDedupEquiv _),
     "q_queue_relay" -> (queueRelay _),
     "q_rest_sink" -> (restSink _),
     "q_dequeue_validate" -> (dequeueValidate _)
