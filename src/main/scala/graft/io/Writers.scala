@@ -50,12 +50,23 @@ object Writers {
 
   /** K2: error sink — written only when enabled and non-empty
     * (reference `related_items_etl.py:114-133`). Returns the path if
-    * anything was written. The emptiness probe is `isEmpty` (scans at most
-    * one partition), not `count()` (full job) — SURVEY.md §2.13#5.
+    * anything was written.
+    *
+    * @param knownCount error-row count the caller already measured —
+    *   typically a `Dataset.observe` aggregate piggybacked on another
+    *   action over the same input ([[graft.jobs.Jobs.run]]). When given,
+    *   the emptiness gate is a driver-side comparison: the no-errors
+    *   happy path costs ZERO extra input scans, where the `isEmpty`
+    *   probe below would re-scan the whole filtered input to prove
+    *   emptiness (a full extra pass at 100 TB on every clean run).
+    *   Without it the probe is `isEmpty` (pushed limit 1) — cheap when
+    *   errors exist, full-scan when none do; standalone callers that
+    *   cannot piggyback a count keep that fallback.
     */
   def errors(df: DataFrame, errorRoot: String, jobType: String,
-      runTime: LocalDateTime, enabled: Boolean): Option[String] =
-    if (enabled && !df.isEmpty) {
+      runTime: LocalDateTime, enabled: Boolean,
+      knownCount: Option[Long] = None): Option[String] =
+    if (enabled && knownCount.fold(!df.isEmpty)(_ > 0)) {
       val dir = s"$errorRoot/$jobType/${runTimePartition(runTime)}"
       df.write.mode("append").json(dir)
       Some(dir)

@@ -4,7 +4,7 @@ import java.time.LocalDateTime
 import java.time.format.DateTimeFormatter
 
 import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
-import org.apache.spark.sql.functions.{count, lit}
+import org.apache.spark.sql.functions.{col, count, lit}
 import org.apache.spark.storage.StorageLevel
 
 import graft.config.JobConfig
@@ -81,10 +81,26 @@ object Jobs {
       case UserPersonalization => Schemas.userPersonalizationBatchInference
     }
     val raw = Readers.jsonl(spark, config.batchInferencePath, schema)
-    val (ok, errs) = Ops.splitErrors(raw)
 
-    val errorsDir = Writers.errors(errs, s"$jobRoot/errors", spec.jobType,
-      clock, config.saveBatchInferenceErrors)
+    // Error count piggybacks on the first connector write: the observe
+    // node sits BELOW the split's filters, so the action that
+    // materializes the persisted exploded frame flows every raw row
+    // through it and counts non-null `error`s for free. The errors sink
+    // then gates on that driver-side count — a clean run never scans the
+    // input again just to prove there were no errors (the old `isEmpty`
+    // probe was a full extra input pass on every clean run at 100 TB).
+    // The errs lineage deliberately comes from the UN-observed raw so
+    // the errors write is a second, independent query.
+    val observeErrors =
+      config.saveBatchInferenceErrors && config.connectors.nonEmpty
+    val errObs = Observation(
+      s"errcnt_${java.util.UUID.randomUUID().toString.take(8)}")
+    val observedRaw =
+      if (observeErrors)
+        raw.observe(errObs, count(col("error")).as("errors"))
+      else raw
+    val (ok, _) = Ops.splitErrors(observedRaw)
+    val (_, errs) = Ops.splitErrors(raw)
 
     val mapped =
       if (spec.usesMapping) {
@@ -188,6 +204,13 @@ object Jobs {
 
           ConnectorResult(connector, outDir, rows)
       }
+      // After the loop: the first connector write has completed, so the
+      // observed error count is available without any extra job.
+      val errorsDir = Writers.errors(errs, s"$jobRoot/errors", spec.jobType,
+        clock, config.saveBatchInferenceErrors,
+        knownCount =
+          if (observeErrors) Some(errObs.get("errors").asInstanceOf[Long])
+          else None)
       JobResult(jobName, runDateTime, errorsDir, results)
     } finally {
       assembledByFields.values.foreach(_.unpersist())

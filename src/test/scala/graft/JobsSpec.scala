@@ -217,6 +217,41 @@ class JobsSpec extends SparkSpec {
       s"two-connector run read $rr2 records vs $rr1 for one connector")
   }
 
+  test("errors gate adds no input scan on a clean (zero-errors) run") {
+    def fixture(tag: String): String = {
+      val root = tmpDir(tag)
+      (1 to 500).map(i =>
+        s"""{"input":{"userId":"u$i"},"output":{"recommendedItems":["a$i","b$i"]}}""")
+        .toDF("value").coalesce(1).write.mode("overwrite")
+        .text(s"$root/input/batch")
+      root
+    }
+    def cfg(root: String, save: Boolean) = JobConfig.parse(
+      s"""{"batchInferencePath": "$root/input/batch",
+         |"saveBatchInferenceErrors": $save,
+         |"connectors": {"a": {}}}""".stripMargin)
+    val clock = LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+
+    val rootOff = fixture("errgateoff")
+    val rrOff = recordsReadDuring {
+      val r = Jobs.run(spark, Jobs.UserPersonalization, rootOff, "j",
+        cfg(rootOff, save = false), clock)
+      assert(r.errorsDir.isEmpty)
+    }
+    val rootOn = fixture("errgateon")
+    val rrOn = recordsReadDuring {
+      val r = Jobs.run(spark, Jobs.UserPersonalization, rootOn, "j",
+        cfg(rootOn, save = true), clock)
+      assert(r.errorsDir.isEmpty)
+    }
+    // The observe-based gate decides emptiness driver-side: enabling the
+    // errors sink on a clean run must NOT re-scan the batch input. The
+    // old isEmpty probe re-read all 500 input records to prove emptiness.
+    assert(rrOn < rrOff + 250,
+      s"clean run with errors sink enabled read $rrOn records vs $rrOff " +
+        "with it disabled — the emptiness gate is scanning the input")
+  }
+
   test("user-personalization spec: no mapping, keyed by queryUserId") {
     val root = tmpDir("jobup")
     Seq(
