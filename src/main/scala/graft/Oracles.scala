@@ -371,6 +371,34 @@ object Oracles {
         |       'US' AS "country"
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Per-record directives: each user's rows keyed by ITS prefix; the
+    // JSON-array encoding is replicated with string_agg.
+    "q_pivot_per_record" ->
+      """WITH per AS (
+        |  SELECT l_suppkey AS uid,
+        |         '["' || string_agg(l_partkey::VARCHAR, '","'
+        |            ORDER BY l_orderkey, l_linenumber, l_partkey)
+        |           || '"]' AS items,
+        |         '["' || string_agg((l_orderkey * 10 + l_linenumber)::VARCHAR,
+        |            '","' ORDER BY l_orderkey, l_linenumber, l_partkey)
+        |           || '"]' AS slots
+        |  FROM lineitem GROUP BY 1),
+        |pfx AS (
+        |  SELECT uid, CASE WHEN uid % 2 = 0 THEN 'rec_a_'
+        |              ELSE 'recommendation_' END AS p,
+        |         items, slots FROM per),
+        |attrs AS (
+        |  SELECT uid, p || 'itemId' AS attr, items AS value FROM pfx
+        |  UNION ALL
+        |  SELECT uid, p || 'slot', slots FROM pfx
+        |  UNION ALL
+        |  SELECT uid, 'country', 'US' FROM pfx WHERE uid % 2 = 0
+        |  UNION ALL
+        |  SELECT uid, 'tier', 'gold' FROM pfx WHERE uid % 2 <> 0)
+        |SELECT uid::VARCHAR AS "external_id", attr AS "attr",
+        |       value AS "value"
+        |FROM attrs ORDER BY 1, 2""".stripMargin,
+
     "q_events_window" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
         |         '%Y-%m-%d %H:%M:%S') AS "window_start",

@@ -514,6 +514,35 @@ object Queries {
       .orderBy("external_id")
   }
 
+  /** U2 per-record variant (Ops.pivotAttributesPerRecord): ONE pivot
+    * over records stamped by two different connectors — even users carry
+    * the reference's nested wire shape (`attributePrefix` "rec_a_",
+    * nested otherAttributes.country), odd users carry no prefix (falls
+    * back to "recommendation_") and a flattened `tier` field. Output is
+    * the exploded (external_id, attr, value) long form.
+    */
+  def pivotPerRecord(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey").cast("string").as("userId"))
+      .agg(sort_array(collect_list(struct(col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey")))).as("pr"))
+      .select(col("userId"), transform(col("pr"),
+        x => struct(x.getField("l_partkey").cast("string").as("itemId"),
+          (x.getField("l_orderkey") * 10 + x.getField("l_linenumber"))
+            .cast("string").as("slot"))).as("recommendations"))
+    val mixed = perUser.withColumn("syncDirectives",
+      when(col("userId").cast("long") % 2 === 0,
+        struct(lit("rec_a_").as("attributePrefix"),
+          struct(lit("US").as("country")).as("otherAttributes"),
+          lit(null).cast("string").as("tier")))
+        .otherwise(struct(
+          lit(null).cast("string").as("attributePrefix"),
+          lit(null).cast("struct<country:string>").as("otherAttributes"),
+          lit("gold").as("tier"))))
+    Ops.pivotAttributesPerRecord(mixed, "userId", Seq("itemId", "slot"))
+      .orderBy("external_id", "attr")
+  }
+
   // ---- event-stream queries --------------------------------------------
 
   /** Tumbling-window aggregation over the events table (batch shape of
@@ -903,6 +932,7 @@ object Queries {
     "q_date_format" -> (dateFormat _),
     "q_prefix_attrs" -> (prefixAttrs _),
     "q_pivot_attributes" -> (pivotAttributes _),
+    "q_pivot_per_record" -> (pivotPerRecord _),
     "q_events_window" -> (eventsWindow _),
     "q_events_sliding" -> (eventsSliding _),
     "q_session_window" -> (sessionWindowQ _),

@@ -208,6 +208,66 @@ object Ops {
   def pivotField(recCol: Column, field: String, prefix: String): Column =
     recCol.getField(field).as(s"$prefix$field")
 
+  /** U2 with PER-RECORD sync directives (reference
+    * `braze_dequeue_function/main.py:67-81`): each record's OWN
+    * `syncDirectives.attributePrefix` names its pivoted keys (default
+    * `"recommendation_"`, `main.py:71`), and its own other attributes
+    * ride along — so one queue fed by connectors with different
+    * prefixes pivots every record correctly, where [[pivotAttributes]]
+    * would stamp one connector's prefix onto the other's records.
+    *
+    * Because attribute NAMES vary by record, a fixed wide schema cannot
+    * hold the result; the output is the exploded long form
+    * `(external_id, attr, value)` with array values JSON-encoded —
+    * still one relational pass (map + explode, no UDF, no shuffle).
+    * Both wire shapes are accepted: the reference's nested
+    * `syncDirectives.otherAttributes` struct (`related_items_etl
+    * .py:287`) and this library's flattened scalar fields
+    * ([[stampJobInfo]]); nested wins on a key collision, and
+    * `external_id` is never emitted as an attribute (`main.py:74-76`).
+    * Records with no syncDirectives at all fall back to the defaults.
+    */
+  def pivotAttributesPerRecord(df: DataFrame, userIdCol: String,
+      recFields: Seq[String],
+      defaultPrefix: String = "recommendation_"): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val sdType: Option[StructType] = df.schema.fields
+      .find(_.name == "syncDirectives")
+      .map(_.dataType).collect { case s: StructType => s }
+
+    val prefix: Column = sdType
+      .filter(_.fieldNames.contains("attributePrefix"))
+      .map(_ => coalesce(col("syncDirectives.attributePrefix"),
+        lit(defaultPrefix)))
+      .getOrElse(lit(defaultPrefix))
+
+    val reserved = Set("attributePrefix", "otherAttributes", "external_id")
+    def scalarPairs(parent: String, st: StructType): Seq[(String, Column)] =
+      st.fields.toSeq.collect {
+        case f if !reserved(f.name) && !f.dataType.isInstanceOf[StructType] =>
+          f.name -> col(s"$parent.${f.name}").cast("string")
+      }
+    val others: Seq[(String, Column)] = sdType.toSeq.flatMap { st =>
+      val nested = st.fields.find(_.name == "otherAttributes")
+        .map(_.dataType).collect { case n: StructType =>
+          scalarPairs("syncDirectives.otherAttributes", n)
+        }.getOrElse(Nil)
+      val flat = scalarPairs("syncDirectives", st)
+      (nested ++ flat).distinctBy(_._1)
+    }
+
+    val recPairs: Seq[Column] = recFields.flatMap { f =>
+      Seq(concat(prefix, lit(f)), to_json(col(s"recommendations.$f")))
+    }
+    val otherPairs: Seq[Column] = others.sortBy(_._1)
+      .flatMap { case (k, c) => Seq(lit(k), c) }
+    df.select(col(userIdCol).cast("string").as("external_id"),
+        explode(map(recPairs ++ otherPairs: _*)).as(Seq("attr", "value")))
+      // null values = attributes the record does not carry (e.g. no
+      // syncDirectives): dropped, matching the reference's dict merge
+      .where(col("value").isNotNull)
+  }
+
   /** Skew-safe equi-join for a hot-keyed fact side: scatter fact rows
     * across `salts` sub-partitions by a payload-derived salt and
     * replicate the dimension side once per salt, so one hot key's rows

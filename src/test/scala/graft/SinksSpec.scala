@@ -88,6 +88,39 @@ class SinksSpec extends SparkSpec {
     assert(dead.value.size == 1 && dead.value.get(0).contains("u2"))
   }
 
+  test("pivotAttributesPerRecord honors each record's own directives") {
+    import org.apache.spark.sql.functions._
+    import graft.etl.Ops
+    // Three wire shapes through ONE pivot: r1 = reference nested shape
+    // (own prefix + nested otherAttributes, whose external_id must be
+    // stripped); r2 = flattened scalar shape, no prefix (default
+    // applies); r3 = no syncDirectives at all.
+    val df = Seq(("u1", "a"), ("u2", "b"), ("u3", "c"))
+      .toDF("userId", "item")
+      .select(col("userId"),
+        array(struct(col("item").as("itemId"))).as("recommendations"))
+      .withColumn("syncDirectives",
+        when(col("userId") === "u1",
+          struct(lit("rx_").as("attributePrefix"),
+            struct(lit("US").as("country"),
+              lit("EVIL").as("external_id")).as("otherAttributes"),
+            lit(null).cast("string").as("tier")))
+          .when(col("userId") === "u2",
+            struct(lit(null).cast("string").as("attributePrefix"),
+              lit(null).cast("struct<country:string,external_id:string>")
+                .as("otherAttributes"),
+              lit("gold").as("tier"))))
+    val out = Ops.pivotAttributesPerRecord(df, "userId", Seq("itemId"))
+      .orderBy("external_id", "attr")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(out.toSeq == Seq(
+      ("u1", "country", "US"),
+      ("u1", "rx_itemId", """["a"]"""),
+      ("u2", "recommendation_itemId", """["b"]"""),
+      ("u2", "tier", "gold"),
+      ("u3", "recommendation_itemId", """["c"]""")))
+  }
+
   test("restSink dead-letters a batch after maxAttempts failures") {
     val dead = spark.sparkContext.collectionAccumulator[String]("dl2")
     val attempts = spark.sparkContext.longAccumulator("attempts")
