@@ -93,7 +93,8 @@ object QueriesLlm {
     */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDups(docsWithTwins(s, dir, pct = 90), "doc_id",
-        "text", maxHamming = 8)
+        "text", maxHamming = 8,
+        cache = Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       .orderBy("id_a", "id_b")
 
   /** Exact n-gram Jaccard on an explicit candidate set (the planted

@@ -89,14 +89,23 @@ object Dedup {
     * generation by the pigeonhole banding of [[H.simhashBandKeys]]
     * (complete for radius <= pieces-1), verified by exact Hamming
     * distance. Shuffles only (chunkKey, id, simhash).
+    *
+    * @param cache storage level for the sketch and banded subtrees,
+    *   which the plan otherwise recomputes 3x (the bucket census and
+    *   both self-join sides re-derive the per-token hashing; same knob
+    *   as [[minhashNearDups]]). Pass `Some(MEMORY_AND_DISK)` when
+    *   sketching the corpus costs more than caching (band, id, sim)
+    *   rows; blocks age out LRU after the caller materializes.
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 10000,
+      cache: Option[StorageLevel] = None): DataFrame = {
     val pieces = maxHamming + 1
-    val sims = df.select(col(idCol).as("id"),
-      H.simhash60(T.tokens(col(textCol))).as("sim"))
-    val banded = sims.withColumn("k",
-      explode(H.simhashBandKeys(col("sim"), pieces)))
+    def cached(d: DataFrame): DataFrame = cache.fold(d)(d.persist)
+    val sims = cached(df.select(col(idCol).as("id"),
+      H.simhash60(T.tokens(col(textCol))).as("sim")))
+    val banded = cached(sims.withColumn("k",
+      explode(H.simhashBandKeys(col("sim"), pieces))))
     val counts = banded.groupBy("k").count()
       .where(col("count") <= maxBucket && col("count") > 1)
     val inBuckets = banded.join(counts, "k")
