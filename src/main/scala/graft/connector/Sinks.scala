@@ -126,22 +126,32 @@ object Sinks {
   /** K4 front door: validate, dead-letter the rejects, post the rest.
     * `pivot` maps the validated rows (with `external_id` resolved) to the
     * flat attribute objects the endpoint expects — typically
-    * `Ops.pivotAttributes`. Two actions run over `df`; persist upstream
-    * if it is expensive to recompute.
+    * `Ops.pivotAttributes`. When a dead-letter collector is given the
+    * operator runs TWO actions (reject scan + REST post), so it pins
+    * the input for its own span — one upstream evaluation, released in
+    * a finally — rather than pushing the persist burden onto callers.
+    * An input the caller already persisted is left untouched.
     */
   def dequeueToRest(df: DataFrame, transport: RestTransport,
       pivot: DataFrame => DataFrame, maxAttributes: Int = 75,
       maxAttempts: Int = 5,
       deadLetters: Option[CollectionAccumulator[String]] = None): Unit = {
-    val (valid, rejected) = validateDequeue(df)
-    deadLetters.foreach { acc =>
-      rejected
-        .select(to_json(struct(rejected.columns.map(col).toIndexedSeq: _*))
-          .as("__body"))
-        .foreach((r: Row) => acc.add(r.getString(0)))
-    }
-    restSink(pivot(valid), transport, maxAttributes, maxAttempts,
-      deadLetters)
+    val spanPersist = deadLetters.nonEmpty &&
+      df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val pinned = if (spanPersist)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df
+    try {
+      val (valid, rejected) = validateDequeue(pinned)
+      deadLetters.foreach { acc =>
+        rejected
+          .select(to_json(struct(rejected.columns.map(col).toIndexedSeq: _*))
+            .as("__body"))
+          .foreach((r: Row) => acc.add(r.getString(0)))
+      }
+      restSink(pivot(valid), transport, maxAttributes, maxAttempts,
+        deadLetters)
+    } finally if (spanPersist) pinned.unpersist()
   }
 
   /** K4: REST sink with the U2 pivot applied upstream — takes rows that

@@ -88,6 +88,32 @@ class SinksSpec extends SparkSpec {
     assert(dead.value.size == 1 && dead.value.get(0).contains("u2"))
   }
 
+  test("dequeueToRest evaluates its upstream exactly once") {
+    import org.apache.spark.sql.functions._
+    val evals = spark.sparkContext.longAccumulator("upstream_evals")
+    val dead = spark.sparkContext.collectionAccumulator[String]("dl4")
+    val ok = new RestTransport {
+      def post(objs: Seq[String]): Boolean = true
+    }
+    // Instrumented upstream: counts one per row per evaluation. The
+    // operator runs two actions (reject scan + REST post); its internal
+    // span-persist must make them share ONE evaluation.
+    val base = Seq("u1", "u2", "").toDS()
+      .map { u => evals.add(1); u }
+      .toDF("userId")
+      .select(col("userId"),
+        when(col("userId") =!= "",
+          array(struct(lit("p1").as("itemId")))).as("recommendations"))
+    Sinks.dequeueToRest(base, ok,
+      v => graft.etl.Ops.pivotAttributes(v, "external_id", Seq("itemId"),
+        "rec_", Map.empty),
+      deadLetters = Some(dead))
+    assert(dead.value.size == 1) // the empty-id row rejected
+    assert(evals.value == 3,
+      s"upstream evaluated ${evals.value} row-passes for 3 rows — " +
+        "the two sink actions are not sharing one evaluation")
+  }
+
   test("pivotAttributesPerRecord honors each record's own directives") {
     import org.apache.spark.sql.functions._
     import graft.etl.Ops
