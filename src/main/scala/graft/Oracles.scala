@@ -524,6 +524,18 @@ object Oracles {
         |      FROM lineitem WHERE l_quantity < 10)
         |WHERE rk <= 3 ORDER BY l_orderkey, rk""".stripMargin,
 
+    // Same relation as q_topk_group: the bounded-heap physical shape
+    // must produce identical rows.
+    "q_topk_bounded" ->
+      """SELECT l_orderkey, rk::BIGINT AS "rank", l_extendedprice,
+        |       l_partkey, l_linenumber
+        |FROM (SELECT l_orderkey, l_extendedprice, l_partkey, l_linenumber,
+        |        row_number() OVER (PARTITION BY l_orderkey
+        |          ORDER BY l_extendedprice DESC, l_partkey DESC,
+        |                   l_linenumber DESC) AS rk
+        |      FROM lineitem WHERE l_quantity < 10)
+        |WHERE rk <= 3 ORDER BY l_orderkey, rk""".stripMargin,
+
     // Each event belongs to exactly 2 sliding (1h, 30min) windows:
     // bucket(30min, ts) and that minus 30min.
     "q_events_sliding" ->

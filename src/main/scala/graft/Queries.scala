@@ -894,9 +894,22 @@ object Queries {
         k = 3)
       .orderBy("l_orderkey", "rank")
 
+  /** O(k)-buffer variant of [[topkGroup]] (expressions.BoundedTopKAgg):
+    * one shuffle, heap buffers capped at k rows per key — same oracle,
+    * same result, different physical shape.
+    */
+  def topkBounded(s: SparkSession, dir: String): DataFrame =
+    Ops.topKPerGroup(
+        t(s, dir, "lineitem").where(col("l_quantity") < 10),
+        groupKeys = Seq("l_orderkey"),
+        payload = Seq("l_extendedprice", "l_partkey", "l_linenumber"),
+        k = 3, boundedBuffers = true)
+      .orderBy("l_orderkey", "rank")
+
   /** All ETL-family queries. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_topk_group" -> (topkGroup _),
+    "q_topk_bounded" -> (topkBounded _),
     "q_state_table" -> (stateTable _),
     "q_bucketed_join" -> (bucketedJoin _),
     "q_asof_join" -> (asofJoin _),

@@ -303,27 +303,43 @@ object Ops {
     * BUFFER is O(rows/salts) per hot key (the slice happens after
     * accumulation, and Spark's ObjectHashAggregate collect_list cannot
     * cap mid-stream) — the salt count, not k, is the memory lever; size
-    * `salts` so rows/salts fits an executor. A truly O(k) buffer needs a
-    * custom heap Aggregator, which trades whole-stage codegen away.
+    * `salts` so rows/salts fits an executor. For a truly O(k) buffer
+    * set `boundedBuffers = true`, which swaps in the custom heap
+    * aggregate at the cost of whole-stage codegen.
     *
     * Ordering is descending over `payload` as a struct (field by field),
     * so callers get a total order by listing a unique tiebreaker last.
     * Output: groupKeys ++ rank (1..k) ++ payload columns.
+    *
+    * @param boundedBuffers use the O(k) heap aggregate
+    *   ([[graft.expressions.BoundedTopKAgg]]) instead of the salted
+    *   collect_list shape: ONE shuffle, buffers capped at k rows per
+    *   key regardless of skew (map-side partials ship at most k rows
+    *   per key per mapper), at the cost of leaving whole-stage codegen
+    *   for the aggregate. Differential-tested equal to the salted
+    *   shape in OpsSpec.
     */
   def topKPerGroup(df: DataFrame, groupKeys: Seq[String],
-      payload: Seq[String], k: Int, salts: Int = 16): DataFrame = {
+      payload: Seq[String], k: Int, salts: Int = 16,
+      boundedBuffers: Boolean = false): DataFrame = {
     val pstruct = struct(payload.map(col): _*)
-    val topSlice = (c: Column) =>
-      slice(sort_array(c, asc = false), 1, k)
-    val phase1 = df
-      .withColumn("__salt", pmod(xxhash64(pstruct), lit(salts)))
-      .groupBy((groupKeys :+ "__salt").map(col): _*)
-      .agg(topSlice(collect_list(pstruct)).as("__top"))
-    val phase2 = phase1
-      .select(groupKeys.map(col) :+ explode(col("__top")).as("__p"): _*)
-      .groupBy(groupKeys.map(col): _*)
-      .agg(topSlice(collect_list(col("__p"))).as("__top"))
-    phase2
+    val topped =
+      if (boundedBuffers)
+        df.groupBy(groupKeys.map(col): _*)
+          .agg(graft.expressions.BoundedTopKAgg.topK(pstruct, k).as("__top"))
+      else {
+        val topSlice = (c: Column) =>
+          slice(sort_array(c, asc = false), 1, k)
+        val phase1 = df
+          .withColumn("__salt", pmod(xxhash64(pstruct), lit(salts)))
+          .groupBy((groupKeys :+ "__salt").map(col): _*)
+          .agg(topSlice(collect_list(pstruct)).as("__top"))
+        phase1
+          .select(groupKeys.map(col) :+ explode(col("__top")).as("__p"): _*)
+          .groupBy(groupKeys.map(col): _*)
+          .agg(topSlice(collect_list(col("__p"))).as("__top"))
+      }
+    topped
       .select(groupKeys.map(col) :+
         posexplode(col("__top")).as(Seq("__pos", "__p")): _*)
       .select(groupKeys.map(col) ++

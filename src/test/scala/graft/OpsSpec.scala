@@ -162,6 +162,29 @@ class OpsSpec extends SparkSpec {
     assert(twoPhase.count(_._1 == "k2") == 2) // k < group size is fine
   }
 
+  test("topKPerGroup bounded-buffer variant matches the salted shape") {
+    // Same fixture as the differential above, plus string payloads and a
+    // group smaller than k; both variants must agree exactly.
+    val rows = (1 to 40).map(i => ("k1", i.toDouble % 7, i.toLong)) ++
+      Seq(("k2", 5.0, 1L), ("k2", 5.0, 2L), ("k3", 1.0, 1L))
+    val df = rows.toDF("key", "score", "id").repartition(4)
+    def run(bounded: Boolean) =
+      Ops.topKPerGroup(df, Seq("key"), Seq("score", "id"), k = 3,
+          salts = 4, boundedBuffers = bounded)
+        .select("key", "rank", "score", "id")
+        .as[(String, Long, Double, Long)].collect().toSet
+    assert(run(bounded = true) == run(bounded = false))
+
+    // Skew probe: a 10k-row hot key through the O(k) buffer still yields
+    // exactly the global top 3.
+    val hot = (1 to 10000).map(i => ("h", i.toLong)).toDF("key", "v")
+      .repartition(8)
+    val top = Ops.topKPerGroup(hot, Seq("key"), Seq("v"), k = 3,
+        boundedBuffers = true)
+      .select("rank", "v").as[(Long, Long)].collect().toSet
+    assert(top == Set((1L, 10000L), (2L, 9999L), (3L, 9998L)))
+  }
+
   test("decorate with empty field list star-expands all metadata columns") {
     val exploded = Seq(("q1", 0, "p1")).toDF("queryItemId", "pos",
       "recItemId")
