@@ -119,6 +119,27 @@ class PlanRegressionSpec extends SparkSpec {
       s"group members buffered in an aggregate:\n$p")
   }
 
+  test("q_topk_bounded: one exchange, heap aggregate, no window sort") {
+    val p = plan("q_topk_bounded")
+    assert(p.contains("bounded_top_k"), s"custom aggregate missing:\n$p")
+    assert(!p.contains("RunningWindowFunction"), s"window appeared:\n$p")
+    assert(!p.contains("collect_list"),
+      s"unbounded collect_list buffer reappeared:\n$p")
+    // one hash exchange for the groupBy + the presentation orderBy range
+    // exchange — the salted shape's second aggregate pair must not return
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p).length == 1,
+      s"extra exchange:\n$p")
+  }
+
+  test("q_dedup_simhash: sketch subtrees are cached, not recomputed") {
+    // The cache knob pins the sketch + banded frames for the span of the
+    // plan; losing it silently re-derives the per-token hashing 3x
+    // (census + both self-join sides).
+    val p = plan("q_dedup_simhash")
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQuery"),
+      s"no cached subtree in q_dedup_simhash:\n$p")
+  }
+
   test("q_delta_keyed: keyed delta joins on the key, not the payload") {
     val p = plan("q_delta_keyed")
     assert(!p.contains("CartesianProduct"))

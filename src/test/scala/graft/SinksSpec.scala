@@ -147,6 +147,48 @@ class SinksSpec extends SparkSpec {
       ("u3", "recommendation_itemId", """["c"]""")))
   }
 
+  test("mixed-job queue end-to-end: per-record directives survive the drain") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions._
+    import graft.etl.Ops
+    // Both job types feed ONE queue: related-items records stamped with
+    // their connector's "ri_" prefix + country, user-personalization
+    // records with no syncDirectives at all. The drain must validate
+    // (either id spelling), then pivot each record by ITS directives.
+    val qname = s"mixed-${java.util.UUID.randomUUID()}"
+    val qt = Sinks.InMemoryQueueTransport(qname)
+    val ri = Ops.stampJobInfo(
+      Seq(("i1", "u1")).toDF("queryItemId", "userId")
+        .withColumn("recommendations", expr(
+          "array(named_struct('itemId', 'p1'), named_struct('itemId', 'p2'))")),
+      "ri_job", "2024-01-01T00:00:00.000",
+      Some(("ri_", Map("country" -> "US"))))
+    val up = Ops.stampJobInfo(
+      Seq("u2").toDF("queryUserId")
+        .withColumn("recommendations",
+          expr("array(named_struct('itemId', 'p9'))")),
+      "up_job", "2024-01-01T00:00:00.000", None)
+    Sinks.queueSink(ri, qt, "userId")
+    Sinks.queueSink(up, qt, "queryUserId")
+
+    val drained = spark.read.json(Sinks.drainToDF(spark, qname))
+    val posted = spark.sparkContext.collectionAccumulator[String]("mposts")
+    val rest = new RestTransport {
+      def post(objs: Seq[String]): Boolean = { objs.foreach(posted.add); true }
+    }
+    Sinks.dequeueToRest(drained, rest,
+      v => Ops.pivotAttributesPerRecord(v, "external_id", Seq("itemId")))
+
+    val got = posted.value.asScala.toSet
+    def has(uid: String, attr: String, frag: String) =
+      got.exists(s => s.contains(s""""external_id":"$uid"""") &&
+        s.contains(s""""attr":"$attr"""") && s.contains(frag))
+    assert(got.size == 3, s"posted: $got")
+    assert(has("u1", "ri_itemId", "p1"), s"posted: $got")
+    assert(has("u1", "country", "US"), s"posted: $got")
+    assert(has("u2", "recommendation_itemId", "p9"), s"posted: $got")
+  }
+
   test("restSink dead-letters a batch after maxAttempts failures") {
     val dead = spark.sparkContext.collectionAccumulator[String]("dl2")
     val attempts = spark.sparkContext.longAccumulator("attempts")
