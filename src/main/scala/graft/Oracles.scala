@@ -593,6 +593,34 @@ object Oracles {
         |       (max(s) - min(s))::BIGINT AS "duration_s"
         |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // §2.12 stateful streaming sessionizer: every session event-time-
+    // times-out under the sentinel-advanced watermark, so the streamed
+    // result equals the batch window formulation — same SQL as
+    // q_sessionize (gap arithmetic on floor-seconds is invariant to
+    // within-second ordering, see Queries.sessionizeStream).
+    "q_sessionize_stream" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, ts,
+        |         epoch_ns(ts) // 1000000000 AS s
+        |  FROM events),
+        |marked AS (
+        |  SELECT user_id, ts, event_id, s,
+        |    CASE WHEN lag(s) OVER w IS NULL OR s - lag(s) OVER w > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, s,
+        |    sum(new_session) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING
+        |                           AND CURRENT ROW) AS session_seq
+        |  FROM marked)
+        |SELECT user_id, session_seq::BIGINT AS "session_seq",
+        |       count(*)::BIGINT AS "n_events",
+        |       (max(s) - min(s))::BIGINT AS "duration_s"
+        |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // §2.12 streaming attribution run in batch: a plain range join.
     // Microsecond epochs on both sides (epoch_us here, `ts div 1000`
     // in Spark) so nano-precision boundary events cannot diverge.
@@ -619,6 +647,21 @@ object Oracles {
          |  FROM documents WHERE doc_id < 100)
          |SELECT DISTINCT md5(${norm("text")}) AS "fp"
          |FROM all_docs ORDER BY 1""".stripMargin,
+
+    // §2.11 incremental job: cumulative output over both micro-batch
+    // runs = one decorated assembly over all suppliers, exactly once.
+    "q_incremental_job" ->
+      """WITH recs AS (
+        |  SELECT s_suppkey, s_nationkey AS k1,
+        |         (s_nationkey + 1) % 25 AS k2
+        |  FROM supplier)
+        |SELECT s_suppkey::VARCHAR AS "queryItemId",
+        |       k1::VARCHAR || ',' || k2::VARCHAR AS "rec_items",
+        |       n1.n_name || ',' || n2.n_name AS "rec_names"
+        |FROM recs
+        |JOIN nation n1 ON k1 = n1.n_nationkey
+        |JOIN nation n2 ON k2 = n2.n_nationkey
+        |ORDER BY 1""".stripMargin,
 
     "q_queue_relay" ->
       """SELECT s_suppkey::VARCHAR AS "userId", s_name AS "name"

@@ -836,6 +836,99 @@ object Queries {
     s.table(table).select(col("fp")).orderBy("fp")
   }
 
+  /** §2.12 stateful streaming sessionization, driver-checkable: an
+    * AvailableNow run of the `flatMapGroupsWithState` Sessionizer over
+    * the events table (file 1 = all real events, file 2 = one sentinel
+    * far past every `lastTs + gap`, so the advanced watermark's no-data
+    * cleanup batch event-time-times-out EVERY real session). Gap
+    * arithmetic is on floor-seconds, making session stats invariant to
+    * within-second ordering — the streaming result must equal the batch
+    * window formulation, so it shares q_sessionize's oracle shape.
+    */
+  def sessionizeStream(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{SessionEvent, Sessionizer}
+    import s.implicits._
+    val d = tmp("sessq")
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("event_id"))
+    ev.write.mode("overwrite").json(s"$d/in/f1")
+    val maxUs = t(s, dir, "events")
+      .agg(max(expr("ts div 1000"))).head.getLong(0)
+    ev.limit(1).select(lit(-1L).as("user_id"),
+        timestamp_micros(lit(maxUs + 2L * 86400 * 1000000)).as("ts"),
+        lit(-1L).as("event_id"))
+      .write.mode("overwrite").json(s"$d/in/f2")
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts", TimestampType), StructField("event_id", LongType)))
+    val src = s.readStream.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1").json(s"$d/in")
+      .withWatermark("ts", "1 second")
+      .select(col("user_id").as("userId"), col("ts"),
+        col("ts").cast("long").as("tsSec"), col("event_id").as("eventId"))
+      .as[SessionEvent]
+    val table =
+      "sessq_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = Sessionizer.sessionize(src, gapSeconds = 1800)
+      .toDF()
+      .writeStream.format("memory").queryName(table)
+      .outputMode("append")
+      .option("checkpointLocation", s"$d/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(table)
+      .where(col("userId") =!= -1L)
+      .select(col("userId").as("user_id"),
+        col("sessionSeq").as("session_seq"),
+        col("nEvents").as("n_events"),
+        col("durationS").as("duration_s"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** §2.11 incremental connector job, driver-checkable: TWO
+    * `StreamingJob.runIncremental` invocations over a growing input dir
+    * (supplier-derived batch-inference JSONL, split by suppkey parity).
+    * The file-source checkpoint must process each file exactly once
+    * across runs — a broken bookmark double-processes f1 and fails the
+    * row/hash compare; a skipped f2 halves the rows. Output is the
+    * cumulative decorated assembly, oracled from supplier x nation.
+    */
+  def incrementalJob(s: SparkSession, dir: String): DataFrame = {
+    import java.time.LocalDateTime
+    import graft.schema.Schemas
+    import graft.streaming.StreamingJob
+    val d = tmp("incjob")
+    val sup = t(s, dir, "supplier").select(col("s_suppkey"),
+      col("s_nationkey"))
+    val batch = sup.select(
+      struct(col("s_suppkey").cast("string").as("itemId")).as("input"),
+      struct(array(col("s_nationkey").cast("string"),
+        ((col("s_nationkey") + 1) % 25).cast("string"))
+        .as("recommendedItems")).as("output"),
+      lit(null).cast("string").as("error"))
+    val meta = t(s, dir, "nation")
+      .select(col("n_nationkey").cast("string").as("id"), col("n_name"))
+    def run(): Long = StreamingJob.runIncremental(s, s"$d/in",
+      Schemas.relatedItemsBatchInference, s"$d/ckpt", s"$d/out", "braze",
+      Some(meta), Seq("n_name"), "input.itemId", "queryItemId", "inc_job",
+      LocalDateTime.of(2024, 1, 1, 0, 0, 0))
+    batch.where(col("input.itemId").cast("long") % 2 === 0)
+      .write.mode("overwrite").json(s"$d/in/f1")
+    run()
+    batch.where(col("input.itemId").cast("long") % 2 =!= 0)
+      .write.mode("overwrite").json(s"$d/in/f2")
+    run()
+    s.read.option("recursiveFileLookup", "true").json(s"$d/out/braze")
+      .select(col("queryItemId"),
+        array_join(transform(col("recommendations"),
+          r => r.getField("itemId")), ",").as("rec_items"),
+        array_join(transform(col("recommendations"),
+          r => r.getField("n_name")), ",").as("rec_names"))
+      .orderBy("queryItemId")
+  }
+
   /** Co-located join over bucketed tables (io.Bucketing): both sides
     * bucketed+sorted on the join key at write time, so the join itself
     * is Exchange-free (PlanRegressionSpec asserts it). Payload aggs are
@@ -952,6 +1045,8 @@ object Queries {
     "q_sessionize" -> (sessionize _),
     "q_attribution" -> (attribution _),
     "q_streaming_dedup_equiv" -> (streamingDedupEquiv _),
+    "q_incremental_job" -> (incrementalJob _),
+    "q_sessionize_stream" -> (sessionizeStream _),
     "q_queue_relay" -> (queueRelay _),
     "q_rest_sink" -> (restSink _),
     "q_dequeue_validate" -> (dequeueValidate _)
