@@ -140,6 +140,18 @@ class PlanRegressionSpec extends SparkSpec {
       s"no cached subtree in q_dedup_simhash:\n$p")
   }
 
+  test("q_attribution: interval join is key-equi with a range residual") {
+    // The view->conversion interval join must hash/merge on user_id with
+    // the time bounds as a join residual — a formulation that loses the
+    // equi key degenerates to a nested-loop over all (view, conversion)
+    // pairs per batch.
+    val p = plan("q_attribution")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"non-equi join:\n$p")
+    assert(p.contains("EqualTo(event_type,view"),
+      s"side filter not pushed to scan:\n$p")
+  }
+
   test("q_delta_keyed: keyed delta joins on the key, not the payload") {
     val p = plan("q_delta_keyed")
     assert(!p.contains("CartesianProduct"))
