@@ -67,6 +67,51 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("boundedBuffers top-k equals the salted shape on random frames (5x)") {
+    for (_ <- 1 to 5) {
+      val rows = List.fill(40)((s"g${rnd.nextInt(3)}", rnd.nextInt(6),
+        rnd.nextInt(100).toLong))
+      val df = rows.toDF("k", "score", "id").repartition(4)
+      def run(b: Boolean) = Ops.topKPerGroup(df, Seq("k"),
+          Seq("score", "id"), k = 2, salts = 3, boundedBuffers = b)
+        .select("k", "rank", "score", "id")
+        .as[(String, Long, Int, Long)].collect().sorted.toSeq
+      // identical payloads can repeat; both shapes keep exactly k rows
+      // per group, so the sorted multisets (including ranks) must agree
+      assert(run(true) == run(false))
+    }
+  }
+
+  test("per-record pivot equals wide pivot under uniform directives (5x)") {
+    // When every record carries the SAME directives, exploding the wide
+    // pivot must reproduce the per-record long form exactly — the two
+    // formulations may only diverge when directives differ per record.
+    for (_ <- 1 to 5) {
+      val rows = List.fill(10)((s"u${rnd.nextInt(8)}",
+        List.fill(1 + rnd.nextInt(3))(s"p${rnd.nextInt(9)}"))).distinct
+      val base = rows.toDF("userId", "items")
+        .select(col("userId"),
+          expr("transform(items, x -> named_struct('itemId', x))")
+            .as("recommendations"))
+      val stamped = Ops.stampJobInfo(base, "j", "2024-01-01T00:00:00.000",
+        Some(("px_", Map("country" -> "DE"))))
+      val long = Ops.pivotAttributesPerRecord(stamped, "userId",
+          Seq("itemId"))
+        .as[(String, String, String)].collect().sorted.toSeq
+      val wide = Ops.pivotAttributes(stamped.drop("jobInfo",
+            "syncDirectives"), "userId", Seq("itemId"), "px_",
+          Map("country" -> "DE"))
+        .select(col("external_id"), col("px_itemId"), col("country"))
+        .collect().flatMap { r =>
+          Seq((r.getString(0), "px_itemId",
+            r.getSeq[String](1).map(s => s""""$s"""")
+              .mkString("[", ",", "]")),
+            (r.getString(0), "country", r.getString(2)))
+        }.sorted.toSeq
+      assert(long == wide)
+    }
+  }
+
   test("asofBackward equals the naive greatest-at-or-before join (5x)") {
     for (_ <- 1 to 5) {
       val l = List.fill(8)((1L + rnd.nextInt(2), rnd.nextInt(21).toLong))
