@@ -751,6 +751,34 @@ object Oracles {
          |FROM pairs JOIN sh a ON a.doc_id = ia JOIN sh b ON b.doc_id = ib
          |ORDER BY 1""".stripMargin,
 
+    // Decontamination: per-(doc, bench) containment brute-forced over
+    // the distinct-shingle lists; same shingle template as jaccard.
+    "q_contamination" ->
+      s"""WITH dtok AS (SELECT doc_id, ${toks("text")} AS t FROM documents),
+         |dsh AS (SELECT doc_id,
+         |  list_distinct(CASE WHEN len(t) < 3
+         |    THEN [array_to_string(t, ' ')]
+         |    ELSE list_transform(generate_series(1, len(t) - 2),
+         |           i -> array_to_string(t[i:i+2], ' ')) END) AS s
+         |  FROM dtok),
+         |bdoc AS (SELECT doc_id + 500000 AS bench_id,
+         |         substr(text, 1, floor(length(text) * 60 / 100)::INT)
+         |           AS text
+         |         FROM documents WHERE doc_id < 40),
+         |btok AS (SELECT bench_id, ${toks("text")} AS t FROM bdoc),
+         |bsh AS (SELECT bench_id,
+         |  list_distinct(CASE WHEN len(t) < 3
+         |    THEN [array_to_string(t, ' ')]
+         |    ELSE list_transform(generate_series(1, len(t) - 2),
+         |           i -> array_to_string(t[i:i+2], ' ')) END) AS s
+         |  FROM btok)
+         |SELECT d.doc_id, b.bench_id,
+         |  round(len(list_intersect(d.s, b.s))::DOUBLE / len(b.s), 6)
+         |    AS "containment"
+         |FROM dsh d, bsh b
+         |WHERE len(list_intersect(d.s, b.s))::DOUBLE / len(b.s) >= 0.5
+         |ORDER BY 1, 2""".stripMargin,
+
     "q_char_jaccard" ->
       s"""WITH all_docs AS ($docsTwins60),
          |nm AS (SELECT doc_id, ${norm("text")} AS t FROM all_docs),

@@ -109,6 +109,25 @@ object QueriesLlm {
       .orderBy("id_a")
   }
 
+  /** Benchmark decontamination (Dedup.benchmarkContamination): corpus =
+    * documents, benchmark = the 60%-prefix of docs < 40 (so each bench
+    * item overlaps its source doc heavily — the truncation's trailing
+    * word fragment keeps containment just under 1.0, exercising the
+    * ratio, while unrelated docs fall under the threshold).
+    */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val bench = docs.where(col("doc_id") < 40)
+      .select((col("doc_id") + 500000).as("bench_id"),
+        substring(col("text"), lit(1),
+          (length(col("text")) * 60 / 100).cast("int")).as("text"))
+    Dedup.benchmarkContamination(docs, bench, "doc_id", "text",
+        "bench_id", "text", n = 3, threshold = 0.5)
+      .select(col("doc_id"), col("bench_id"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy("doc_id", "bench_id")
+  }
+
   /** Character-3-gram Jaccard on the same planted pairs — the shingling
     * path for corpora where whitespace tokenization degenerates.
     */
@@ -377,6 +396,7 @@ object QueriesLlm {
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_ngram_jaccard" -> (ngramJaccard _),
+    "q_contamination" -> (contamination _),
     "q_char_jaccard" -> (charJaccard _),
     "q_embed_neardup" -> (embedNearDup _),
     "q_ann_brute" -> (annBrute _),

@@ -122,6 +122,43 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Benchmark decontamination: word-n-gram containment of each corpus
+    * document against each benchmark item — the train/test-overlap scan
+    * of an LLM training-data pipeline. `containment(d, b) =
+    * |sh(d) ∩ sh(b)| / |sh(b)|`: 1.0 means every benchmark n-gram
+    * appears in the document (verbatim leakage); the threshold flags
+    * partial overlap.
+    *
+    * Scale shape: the benchmark side is small (eval sets are 1e3-1e5
+    * items), so its distinct exploded shingles BROADCAST; the corpus
+    * explodes its shingles once and broadcast-hash-joins them — the
+    * corpus never shuffles by shingle and no all-pairs comparison
+    * exists. Only matched (doc, bench, shingle) hits enter the one
+    * shuffle, the count aggregate keyed (doc_id, bench_id), which
+    * map-side combines.
+    */
+  def benchmarkContamination(docs: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, benchIdCol: String,
+      benchTextCol: String, n: Int = 3, threshold: Double = 0.5)
+      : DataFrame = {
+    val docSh = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(
+        H.wordShingles(T.tokens(col(textCol)), n))).as("sh"))
+    val benchSh = bench.select(col(benchIdCol).as("bench_id"),
+      explode(array_distinct(
+        H.wordShingles(T.tokens(col(benchTextCol)), n))).as("sh"))
+    val benchSizes = benchSh.groupBy("bench_id")
+      .agg(count(lit(1)).as("__n_bench"))
+    // Both shingle sets are distinct per id, so each (doc, bench,
+    // shingle) join hit is unique and count(*) = |intersection|.
+    docSh.join(broadcast(benchSh), "sh")
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("__hits"))
+      .join(broadcast(benchSizes), "bench_id")
+      .select(col("doc_id"), col("bench_id"),
+        (col("__hits") / col("__n_bench")).as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
   /** N-gram Jaccard similarity for an EXPLICIT candidate pair set
     * (pairs discovered by any bucketing scheme, or small curated sets).
     * Exposed separately so the exact metric is reusable and oracle-

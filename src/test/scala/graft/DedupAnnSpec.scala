@@ -116,6 +116,32 @@ class DedupAnnSpec extends SparkSpec {
     assert(out == Set((1L, 2L)))
   }
 
+  test("benchmarkContamination flags verbatim and partial overlap only") {
+    val bench = Seq(
+      (101L, "quick brown fox jumps over"),      // verbatim inside doc 1
+      (102L, "brown fox jumps over a SUBMARINE"), // partial overlap
+      (103L, "entirely absent benchmark prompt text here")
+    ).toDF("bench_id", "text")
+    val out = Dedup.benchmarkContamination(corpus, bench, "doc_id",
+        "text", "bench_id", "text", n = 3, threshold = 0.5)
+      .select("doc_id", "bench_id", "containment")
+      .as[(Long, Long, Double)].collect()
+      .map { case (d, b, c) => (d, b, math.rint(c * 1e6) / 1e6) }.toSet
+    // bench 101: 3 shingles, all in docs 1/2 (same normalized text) and
+    // none in 4; doc 3 shares all 3 too ("...lazy cat" differs later).
+    // bench 102: 4 shingles, 2 shared -> 0.5, at threshold. bench 103:
+    // nothing. The plan must also stay broadcast-equi (no cartesian).
+    assert(out.contains((1L, 101L, 1.0)) && out.contains((2L, 101L, 1.0)))
+    assert(out.contains((1L, 102L, 0.5)))
+    assert(!out.exists(_._2 == 103L))
+    assert(!out.exists(_._1 == 4L))
+    val p = Dedup.benchmarkContamination(corpus, bench, "doc_id", "text",
+        "bench_id", "text").queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+  }
+
   test("no ANN/dedup plan contains a cartesian product") {
     val q = vecs.select(col("vec_id").as("query_id"), col("embedding"))
     val plans = Seq(
