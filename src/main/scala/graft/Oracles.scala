@@ -751,6 +751,35 @@ object Oracles {
          |FROM pairs JOIN sh a ON a.doc_id = ia JOIN sh b ON b.doc_id = ib
          |ORDER BY 1""".stripMargin,
 
+    // PII signals: RE2 regexp_extract_all lengths == Java regexp_count
+    // for these dialect-neutral patterns; corpus seeded identically.
+    "q_pii_scan" ->
+      """WITH seeded AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN ' contact user' || doc_id::VARCHAR || '@example.com now'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN ' see https://example.org/p/' || doc_id::VARCHAR || ' ok'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN ' acct 123456789 end' ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+        |    AS "n_emails",
+        |  len(regexp_extract_all(text, 'https?://[^ ]+'))::BIGINT
+        |    AS "n_urls",
+        |  len(regexp_extract_all(text, '[0-9]{7,}'))::BIGINT
+        |    AS "n_longnums",
+        |  (len(regexp_extract_all(text,
+        |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+        |   len(regexp_extract_all(text, 'https?://[^ ]+')) +
+        |   len(regexp_extract_all(text, '[0-9]{7,}'))) > 0 AS "flagged"
+        |FROM seeded ORDER BY doc_id""".stripMargin,
+
     // Decontamination: per-(doc, bench) containment brute-forced over
     // the distinct-shingle lists; same shingle template as jaccard.
     "q_contamination" ->

@@ -109,6 +109,33 @@ object QueriesLlm {
       .orderBy("id_a")
   }
 
+  /** PII / leakage signal scan (TextFunctions.{email,url,longNumber}
+    * Count): match counts over documents seeded with deterministic
+    * synthetic PII (an email every 5th doc, a URL every 7th, an account
+    * number every 11th — plus whatever the raw text matches), and a
+    * routing flag. Dialect-neutral patterns keep Java-regex and the
+    * oracle's RE2 counts identical.
+    */
+  def piiScan(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" see https://example.org/p/"), col("doc_id"),
+            lit(" ok"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit(" acct 123456789 end")).otherwise(lit(""))).as("text"))
+    docs.select(col("doc_id"),
+        T.emailCount(col("text")).as("n_emails"),
+        T.urlCount(col("text")).as("n_urls"),
+        T.longNumberCount(col("text")).as("n_longnums"))
+      .withColumn("flagged",
+        (col("n_emails") + col("n_urls") + col("n_longnums")) > 0)
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination (Dedup.benchmarkContamination): corpus =
     * documents, benchmark = the 60%-prefix of docs < 40 (so each bench
     * item overlaps its source doc heavily — the truncation's trailing
@@ -397,6 +424,7 @@ object QueriesLlm {
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_ngram_jaccard" -> (ngramJaccard _),
     "q_contamination" -> (contamination _),
+    "q_pii_scan" -> (piiScan _),
     "q_char_jaccard" -> (charJaccard _),
     "q_embed_neardup" -> (embedNearDup _),
     "q_ann_brute" -> (annBrute _),

@@ -127,4 +127,26 @@ object TextFunctions {
     val punctScore = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
     round((lenScore * 0.4 + wordScore * 0.3 + punctScore * 0.3), 6)
   }
+
+  /** PII / leakage signal patterns — deliberately dialect-neutral regex
+    * (no lookaround, no shorthand classes) so the Java engine and the
+    * oracle's RE2 engine count identical non-overlapping matches. These
+    * are SIGNALS for routing docs to a redaction/review stage, not a
+    * complete PII detector.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^ ]+"
+  val LongNumberPattern = "[0-9]{7,}"
+
+  /** Non-overlapping email-shaped match count (codegen'd regexp). */
+  def emailCount(text: Column): Column =
+    regexp_count(text, lit(EmailPattern)).cast("long")
+
+  /** Non-overlapping URL match count. */
+  def urlCount(text: Column): Column =
+    regexp_count(text, lit(UrlPattern)).cast("long")
+
+  /** Runs of 7+ digits (phone/account-number shaped). */
+  def longNumberCount(text: Column): Column =
+    regexp_count(text, lit(LongNumberPattern)).cast("long")
 }

@@ -148,6 +148,22 @@ class FunctionsSpec extends SparkSpec {
     assert(again == out.filter(_._3).map(_._1).toSet)
   }
 
+  test("PII signal counts: non-overlapping matches, clean text zero") {
+    import graft.functions.{TextFunctions => T}
+    val rows = Seq(
+      ("a@b.co and c.d@e-f.org", "no pii here at all", "1234567"),
+      ("not-an-email @ nope", "http://x.y/z https://q.r", "123456 12345678901")
+    ).toDF("t1", "t2", "t3")
+      .select(T.emailCount(col("t1")).as("e"),
+        T.urlCount(col("t2")).as("u"),
+        T.longNumberCount(col("t3")).as("n"))
+      .as[(Long, Long, Long)].collect().toSeq
+    // row 1: two emails; zero urls in plain text; one 7-digit run
+    // row 2: "@ nope" is not an email; two urls; only the 11-digit run
+    // (6 digits misses the 7+ floor) counted ONCE (non-overlapping)
+    assert(rows == Seq((2L, 0L, 1L), (0L, 2L, 1L)))
+  }
+
   test("hyperplanes are deterministic and md5-derived") {
     assert(V.hyperplanes(8, 4) == V.hyperplanes(8, 4))
     val p = V.hyperplanes(2, 1)
