@@ -751,6 +751,30 @@ object Oracles {
          |FROM pairs JOIN sh a ON a.doc_id = ia JOIN sh b ON b.doc_id = ib
          |ORDER BY 1""".stripMargin,
 
+    // Repetition signals: 2-gram shingle template (t[i:i+1] = 2-wide
+    // slice), token concentration via unnest + grouped counts.
+    "q_repetition" ->
+      s"""WITH tok AS (SELECT doc_id, ${toks("text")} AS t FROM documents),
+         |sh AS (SELECT doc_id,
+         |  CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+         |  ELSE list_transform(generate_series(1, len(t) - 1),
+         |         i -> array_to_string(t[i:i+1], ' ')) END AS s
+         |  FROM tok),
+         |ng AS (SELECT doc_id, len(s)::BIGINT AS n_shingles,
+         |  round(CASE WHEN len(s) = 0 THEN 0.0
+         |    ELSE 1.0 - len(list_distinct(s))::DOUBLE / len(s) END, 6)
+         |    AS r
+         |  FROM sh),
+         |tt AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS ttr
+         |  FROM (SELECT doc_id, tk, count(*) AS c
+         |        FROM (SELECT doc_id, unnest(t) AS tk FROM tok)
+         |        GROUP BY 1, 2)
+         |  GROUP BY 1)
+         |SELECT n.doc_id, n.n_shingles, n.r AS "dup_ngram_ratio",
+         |       coalesce(tt.ttr, 0.0) AS "top_token_ratio"
+         |FROM ng n LEFT JOIN tt ON n.doc_id = tt.doc_id
+         |ORDER BY 1""".stripMargin,
+
     // PII signals: RE2 regexp_extract_all lengths == Java regexp_count
     // for these dialect-neutral patterns; corpus seeded identically.
     "q_pii_scan" ->

@@ -109,6 +109,37 @@ object QueriesLlm {
       .orderBy("id_a")
   }
 
+  /** Repetition / degeneracy signals, the quality-filter pair used on
+    * web corpora: duplicate-2-gram ratio (1 - distinct/total shingles,
+    * a codegen'd per-row scalar) and top-token concentration (most
+    * frequent token / total tokens — computed RELATIONALLY via
+    * explode + two map-side-combinable aggregates, not a per-row
+    * higher-order scan, so a pathological long document cannot stall a
+    * task on an O(tokens^2) interpreted loop).
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sh = docs.select(col("doc_id"),
+      H.wordShingles(T.tokens(col("text")), 2).as("sh"))
+    val ngram = sh.select(col("doc_id"),
+      size(col("sh")).cast("long").as("n_shingles"),
+      round(when(size(col("sh")) === 0, lit(0.0)).otherwise(
+        lit(1.0) -
+          size(array_distinct(col("sh"))).cast("double") / size(col("sh"))),
+        6).as("dup_ngram_ratio"))
+    val tok = docs.select(col("doc_id"),
+      explode(T.tokens(col("text"))).as("tok"))
+    val top = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("maxc"), sum("c").as("total"))
+      .select(col("doc_id"),
+        round(col("maxc").cast("double") / col("total"), 6)
+          .as("top_token_ratio"))
+    ngram.join(top, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_shingles"), col("dup_ngram_ratio"),
+        coalesce(col("top_token_ratio"), lit(0.0)).as("top_token_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** PII / leakage signal scan (TextFunctions.{email,url,longNumber}
     * Count): match counts over documents seeded with deterministic
     * synthetic PII (an email every 5th doc, a URL every 7th, an account
@@ -425,6 +456,7 @@ object QueriesLlm {
     "q_ngram_jaccard" -> (ngramJaccard _),
     "q_contamination" -> (contamination _),
     "q_pii_scan" -> (piiScan _),
+    "q_repetition" -> (repetition _),
     "q_char_jaccard" -> (charJaccard _),
     "q_embed_neardup" -> (embedNearDup _),
     "q_ann_brute" -> (annBrute _),
