@@ -862,6 +862,39 @@ object Oracles {
 
     "q_ann_brute" -> annBruteSql,
 
+    // Int8 quantization replicated verbatim: per-vector scale
+    // max|x|/127, floor(x/s + 0.5) clamped; integer cosine is exact in
+    // doubles, so no ordering sensitivity.
+    "q_ann_quantized" ->
+      """WITH vec AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |             FROM embeddings),
+        |qz AS (SELECT vec_id,
+        |  CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+        |    THEN list_transform(v, x -> 0)
+        |    ELSE list_transform(v, x ->
+        |      greatest(-127.0, least(127.0,
+        |        floor(x / (list_max(list_transform(v, y -> abs(y)))
+        |                   / 127.0) + 0.5)))::INT)
+        |  END AS c
+        |  FROM vec),
+        |q AS (SELECT vec_id AS qid, c AS qc FROM qz WHERE vec_id < 10),
+        |s AS (SELECT qid, vec_id,
+        |  round(CASE WHEN list_dot_product(qc::DOUBLE[], qc::DOUBLE[]) = 0
+        |               OR list_dot_product(c::DOUBLE[], c::DOUBLE[]) = 0
+        |          THEN 0.0
+        |        ELSE list_dot_product(qc::DOUBLE[], c::DOUBLE[]) /
+        |             (sqrt(list_dot_product(qc::DOUBLE[], qc::DOUBLE[])) *
+        |              sqrt(list_dot_product(c::DOUBLE[], c::DOUBLE[])))
+        |        END, 6) AS cos
+        |  FROM q CROSS JOIN qz)
+        |SELECT qid AS "query_id", vec_id, cos AS "cosine",
+        |       rn::BIGINT AS "rank"
+        |FROM (SELECT qid, vec_id, cos,
+        |        row_number() OVER (PARTITION BY qid
+        |          ORDER BY cos DESC, vec_id ASC) AS rn
+        |      FROM s)
+        |WHERE rn <= 5 ORDER BY 1, 4""".stripMargin,
+
     // IVF with k-means-trained centroids: both Lloyd's iterations
     // unrolled in SQL (assignment + vec_id-ordered-fold means), then the
     // same probe/re-rank as q_ann_ivf against the trained cells.

@@ -222,6 +222,22 @@ object QueriesLlm {
       .orderBy("query_id", "rank")
   }
 
+  /** Int8-quantized brute-force top-k (Ann.bruteForceTopKQuantized):
+    * the 4x-smaller-corpus scale path, fully oracle-replicated —
+    * DuckDB regenerates the same codes (floor(x/scale + 0.5) clamp)
+    * and integer cosine bit-for-bit.
+    */
+  def annQuantized(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Ann.bruteForceTopKQuantized(
+        e.where(col("vec_id") < 10).select(col("vec_id").as("query_id"),
+          col("embedding")),
+        e.select(col("vec_id"), col("embedding")), k = 5)
+      .select(col("query_id"), col("vec_id"), col("cosine"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF-flat ANN (the second scale path): deterministic sample
     * centroids, nProbe=2; cell assignment, probing and re-rank are all
     * replicated by the DuckDB oracle (exact match, not rows-only).
@@ -460,6 +476,7 @@ object QueriesLlm {
     "q_char_jaccard" -> (charJaccard _),
     "q_embed_neardup" -> (embedNearDup _),
     "q_ann_brute" -> (annBrute _),
+    "q_ann_quantized" -> (annQuantized _),
     "q_ann_lsh" -> (annLsh _),
     "q_ann_ivf" -> (annIvf _),
     "q_ann_ivf_kmeans" -> (annIvfKmeans _),

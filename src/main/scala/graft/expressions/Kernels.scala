@@ -215,6 +215,58 @@ object Kernels {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Symmetric int8 quantization of a double vector: per-vector scale
+    * max|x|/127, `code_i = floor(x_i/scale + 0.5)` clamped to
+    * [-127, 127] (floor(+0.5) = HALF_UP, the formula the oracle
+    * replicates verbatim); an all-zero vector quantizes to all zeros.
+    * Cosine is scale-invariant, so the codes alone rank — the scale is
+    * deliberately NOT carried.
+    */
+  def quantizeI8(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(v.getDouble(i)); if (a > mx) mx = a; i += 1
+    }
+    val out = new Array[Byte](n)
+    if (mx > 0.0) {
+      val s = mx / 127.0
+      i = 0
+      while (i < n) {
+        var c = math.floor(v.getDouble(i) / s + 0.5).toInt
+        if (c > 127) c = 127
+        if (c < -127) c = -127
+        out(i) = c.toByte
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  /** Cosine over int8 code arrays. Integer dot/norm accumulation is
+    * EXACT (no FP ordering sensitivity at any scale: |sum| <= dim*127^2),
+    * so engines agree bit-for-bit however they order the sum.
+    */
+  def cosineI8(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0L
+    var na = 0L
+    var nb = 0L
+    var i = 0
+    while (i < n) {
+      val x = a.getByte(i).toLong
+      val y = b.getByte(i).toLong
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0L || nb == 0L) 0.0
+    else dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+
   /** Sign-LSH band keys: the planes are grouped into `bands` bands of
     * planes.length/bands; each key packs the sign bit of v·plane per
     * in-band plane, tagged with (band+1)<<56 so bands never collide.

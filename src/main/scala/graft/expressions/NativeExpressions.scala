@@ -143,6 +143,40 @@ object NativeExpressions {
         : SignLshBandKeys = copy(child = newChild)
   }
 
+  /** array<double> -> array<byte> symmetric int8 codes (4x smaller than
+    * float32 — the storage/shuffle lever for billion-vector ANN; cosine
+    * is scale-invariant so the codes alone rank).
+    */
+  case class QuantizeI8(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+    override def prettyName: String = "quantize_i8"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.quantizeI8(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kernels.quantizeI8($c);")
+    override protected def withNewChildInternal(newChild: Expression)
+        : QuantizeI8 = copy(child = newChild)
+  }
+
+  /** (array<byte>, array<byte>) -> double cosine over int8 codes —
+    * exact integer accumulation, order-insensitive across engines.
+    */
+  case class CosineI8(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "cosine_i8"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.cosineI8(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        (a, b) => s"${ev.value} = $kernels.cosineI8($a, $b);")
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression): CosineI8 =
+      copy(left = newLeft, right = newRight)
+  }
+
   // ---- Column-API wrappers --------------------------------------------
 
   private def c(e: Expression): Column = ColumnBridge.column(e)
@@ -162,4 +196,6 @@ object NativeExpressions {
   def signLshBandKeys(v: Column, planes: Seq[Seq[Double]], bands: Int)
       : Column =
     c(SignLshBandKeys(e(v), planes.map(_.toArray).toArray, bands))
+  def quantizeI8(v: Column): Column = c(QuantizeI8(e(v)))
+  def cosineI8(a: Column, b: Column): Column = c(CosineI8(e(a), e(b)))
 }

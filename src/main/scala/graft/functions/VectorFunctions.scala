@@ -29,6 +29,18 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     graft.expressions.NativeExpressions.cosine(a, b)
 
+  /** Symmetric int8 codes of an embedding (array<byte>, 4x smaller than
+    * float32): per-vector scale max|x|/127, HALF_UP rounding, clamp to
+    * [-127, 127]. Cosine is scale-invariant, so codes alone rank —
+    * see [[cosineI8]].
+    */
+  def quantizeI8(v: Column): Column =
+    graft.expressions.NativeExpressions.quantizeI8(toDouble(v))
+
+  /** Cosine over int8 code arrays — exact integer accumulation. */
+  def cosineI8(a: Column, b: Column): Column =
+    graft.expressions.NativeExpressions.cosineI8(a, b)
+
   /** Deterministic pseudo-random hyperplanes for sign-LSH: component
     * (p, d) is uniform in [-1, 1), derived from md5("plane_p_d") — NOT a
     * JVM PRNG, so any md5-equipped SQL engine regenerates the identical

@@ -43,6 +43,33 @@ object Ann {
       .where(col("rank") <= k)
   }
 
+  /** Top-k by cosine over int8-QUANTIZED vectors: corpus and queries
+    * carry `array<byte>` codes (4x smaller than float32 — at a billion
+    * vectors this is the difference between an in-memory corpus and a
+    * spilling one; shuffle/broadcast bytes shrink identically) and
+    * ranking uses exact integer cosine over the codes. Quantization
+    * perturbs scores by O(1/127), so this approximates
+    * [[bruteForceTopK]]; DedupAnnSpec measures the recall. Same
+    * scale shape as the float baseline: the corpus never shuffles,
+    * only the (tiny) query codes broadcast.
+    */
+  def bruteForceTopKQuantized(queries: DataFrame, corpus: DataFrame,
+      k: Int, queryIdCol: String = "query_id",
+      corpusIdCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      V.quantizeI8(col(vecCol)).as("qc"))
+    val c = corpus.select(col(corpusIdCol).as("vec_id"),
+      V.quantizeI8(col(vecCol)).as("cc"))
+    val scored = c.join(broadcast(q))
+      .select(col("query_id"), col("vec_id"),
+        round(V.cosineI8(col("qc"), col("cc")), 6).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Sign-LSH bucketed top-k: candidates are corpus vectors sharing at
     * least one band key with the query; exact cosine re-ranks candidates.
     * Planes are deterministic (seeded) so results are reproducible.

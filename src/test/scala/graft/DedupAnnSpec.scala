@@ -84,6 +84,22 @@ class DedupAnnSpec extends SparkSpec {
     assert(out.contains(1L) && out.contains(2L))
   }
 
+  test("quantized top-k: self at rank 1, codes preserve the easy order") {
+    val q = vecs.select(col("vec_id").as("query_id"), col("embedding"))
+    val out = Ann.bruteForceTopKQuantized(q, vecs, k = 2)
+    // self-similarity survives quantization exactly (codes parallel)
+    val top1 = out.where(col("rank") === 1)
+      .select("query_id", "vec_id", "cosine").collect()
+    top1.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1) && r.getDouble(2) == 1.0)
+    }
+    // and the near-parallel pair stays each other's runner-up, as in
+    // the float baseline — O(1/127) error cannot flip this margin
+    val second = out.where(col("rank") === 2)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+    assert(second(1L) == 2L && second(2L) == 1L)
+  }
+
   test("ivfTopK: self always found at rank 1 (query is in its own cell)") {
     val q = vecs.select(col("vec_id").as("query_id"), col("embedding"))
     val out = Ann.ivfTopK(q, vecs, k = 2, nCells = 2, nProbe = 1)
