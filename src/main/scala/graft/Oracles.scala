@@ -804,6 +804,14 @@ object Oracles {
         |   len(regexp_extract_all(text, '[0-9]{7,}'))) > 0 AS "flagged"
         |FROM seeded ORDER BY doc_id""".stripMargin,
 
+    // Dedup clustering: the chain construction fixes ground truth, so
+    // the oracle enumerates (node, chain root) without recursion.
+    "q_dedup_groups" ->
+      """SELECT doc_id + 100000 * g AS "id", doc_id AS "comp"
+        |FROM (SELECT doc_id FROM documents WHERE doc_id < 60)
+        |CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS g)
+        |ORDER BY 1""".stripMargin,
+
     // Decontamination: per-(doc, bench) containment brute-forced over
     // the distinct-shingle lists; same shingle template as jaccard.
     "q_contamination" ->

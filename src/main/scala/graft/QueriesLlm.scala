@@ -167,6 +167,24 @@ object QueriesLlm {
       .orderBy("doc_id")
   }
 
+  /** Dedup clustering (Dedup.dedupGroups): connected components over a
+    * planted 4-node chain per doc (< 60) — the min label must propagate
+    * 3 hops, so a broken iteration (or premature convergence) cannot
+    * pass. Ground truth is constructed, so the oracle states it
+    * directly.
+    */
+  def dedupGroupsQ(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").where(col("doc_id") < 60)
+      .select(col("doc_id"))
+    def e(fromOff: Long, toOff: Long) = base.select(
+      (col("doc_id") + fromOff).as("id_a"),
+      (col("doc_id") + toOff).as("id_b"))
+    val pairs = e(0, 100000)
+      .unionByName(e(100000, 200000))
+      .unionByName(e(200000, 300000))
+    Dedup.dedupGroups(pairs).orderBy("id")
+  }
+
   /** Benchmark decontamination (Dedup.benchmarkContamination): corpus =
     * documents, benchmark = the 60%-prefix of docs < 40 (so each bench
     * item overlaps its source doc heavily — the truncation's trailing
@@ -471,6 +489,7 @@ object QueriesLlm {
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_ngram_jaccard" -> (ngramJaccard _),
     "q_contamination" -> (contamination _),
+    "q_dedup_groups" -> (dedupGroupsQ _),
     "q_pii_scan" -> (piiScan _),
     "q_repetition" -> (repetition _),
     "q_char_jaccard" -> (charJaccard _),

@@ -159,6 +159,53 @@ object Dedup {
       .where(col("containment") >= threshold)
   }
 
+  /** Connected components over near-dup pairs — the clustering step a
+    * dedup pipeline runs AFTER pair generation: rows sharing any chain
+    * of near-dup edges form one group, and the keeper is the group's
+    * minimum id. Iterative min-label propagation: each round joins
+    * labels across edges and takes the min per node (both steps
+    * map-side combinable), converging in O(graph diameter) rounds —
+    * the standard Spark shape for CC; no driver-side union-find, so a
+    * billion-edge pair set distributes. Each round's labels persist and
+    * the previous round unpersists; convergence is a per-round
+    * emptiness probe on the changed-label set (limit-1 semantics).
+    *
+    * @return (id, comp) — comp is the minimum id reachable from id;
+    *   rows with `id != comp` are the duplicates to drop.
+    */
+  def dedupGroups(pairs: DataFrame, idACol: String = "id_a",
+      idBCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
+    val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        val neigh = edges
+          .join(labels.withColumnRenamed("id", "dst"), "dst")
+          .select(col("src").as("id"), col("comp"))
+        val next = labels.select("id", "comp").unionByName(neigh)
+          .groupBy("id").agg(min("comp").as("comp"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        converged = next
+          .join(labels.withColumnRenamed("comp", "prev"), "id")
+          .where(col("comp") =!= col("prev")).isEmpty
+        labels.unpersist()
+        labels = next
+        i += 1
+      }
+      // Materialize before unpersisting inputs in finally.
+      labels.count()
+      labels
+    } finally edges.unpersist()
+  }
+
   /** N-gram Jaccard similarity for an EXPLICIT candidate pair set
     * (pairs discovered by any bucketing scheme, or small curated sets).
     * Exposed separately so the exact metric is reusable and oracle-

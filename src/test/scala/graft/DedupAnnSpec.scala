@@ -132,6 +132,17 @@ class DedupAnnSpec extends SparkSpec {
     assert(out == Set((1L, 2L)))
   }
 
+  test("dedupGroups: multi-hop chains collapse to the min id") {
+    // Component A: 1-2-3-4 chain (3 hops); component B: 7-9; 5 isolated
+    // from the pair list entirely (absent nodes stay absent).
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (9L, 7L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.dedupGroups(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 9L -> 7L))
+  }
+
   test("benchmarkContamination flags verbatim and partial overlap only") {
     val bench = Seq(
       (101L, "quick brown fox jumps over"),      // verbatim inside doc 1
