@@ -804,6 +804,35 @@ object Oracles {
         |   len(regexp_extract_all(text, '[0-9]{7,}'))) > 0 AS "flagged"
         |FROM seeded ORDER BY doc_id""".stripMargin,
 
+    // BM25: identical IEEE expression tree (exact constants 1.25/0.75),
+    // DECIMAL(28,12)-accumulated per-doc sums, rank by (score, doc_id).
+    "q_bm25" ->
+      s"""WITH tok AS (SELECT doc_id, ${toks("text")} AS t FROM documents),
+         |ex AS (SELECT doc_id, unnest(t) AS term FROM tok),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*) AS len FROM ex GROUP BY 1),
+         |st AS (SELECT count(*) AS n, avg(len) AS avglen FROM dl),
+         |qt AS (SELECT DISTINCT unnest(t[1:5]) AS term FROM tok
+         |       WHERE doc_id = 0),
+         |dft AS (SELECT term, count(*) AS df
+         |        FROM tf JOIN qt USING (term) GROUP BY 1),
+         |parts AS (
+         |  SELECT tf.doc_id,
+         |    ln((st.n - dft.df + 0.5) / (dft.df + 0.5) + 1) *
+         |    (tf.tf * (1.25 + 1)) /
+         |    (tf.tf + 1.25 * ((1 - 0.75) + 0.75 * dl.len / st.avglen))
+         |      AS part
+         |  FROM tf JOIN qt USING (term) JOIN dft USING (term)
+         |       JOIN dl USING (doc_id) CROSS JOIN st),
+         |sc AS (SELECT doc_id,
+         |         round(sum(part::DECIMAL(28,12))::DOUBLE, 6) AS score
+         |       FROM parts GROUP BY 1)
+         |SELECT doc_id, score, rn::BIGINT AS "rank"
+         |FROM (SELECT doc_id, score,
+         |        row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+         |      FROM sc)
+         |WHERE rn <= 20 ORDER BY rn""".stripMargin,
+
     // Dedup clustering: the chain construction fixes ground truth, so
     // the oracle enumerates (node, chain root) without recursion.
     "q_dedup_groups" ->

@@ -167,6 +167,25 @@ object QueriesLlm {
       .orderBy("doc_id")
   }
 
+  /** BM25 retrieval (Retrieval.bm25): top-20 documents for the query
+    * set = the first five tokens of doc 0 (deterministic, corpus-
+    * derived). k1 = 1.25 / b = 0.75 are exactly representable, so the
+    * score's constant arithmetic is bit-identical across engines; the
+    * decimal-accumulated sums make the totals order-independent.
+    */
+  def bm25Q(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val qterms = docs.where(col("doc_id") === 0)
+      .select(explode(slice(T.tokens(col("text")), 1, 5)).as("term"))
+    graft.operators.Retrieval.bm25(docs, qterms, "doc_id", "text",
+        k1 = 1.25, b = 0.75)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .where(col("rank") <= 20)
+      .orderBy("rank")
+  }
+
   /** Dedup clustering (Dedup.dedupGroups): connected components over a
     * planted 4-node chain per doc (< 60) — the min label must propagate
     * 3 hops, so a broken iteration (or premature convergence) cannot
@@ -490,6 +509,7 @@ object QueriesLlm {
     "q_ngram_jaccard" -> (ngramJaccard _),
     "q_contamination" -> (contamination _),
     "q_dedup_groups" -> (dedupGroupsQ _),
+    "q_bm25" -> (bm25Q _),
     "q_pii_scan" -> (piiScan _),
     "q_repetition" -> (repetition _),
     "q_char_jaccard" -> (charJaccard _),

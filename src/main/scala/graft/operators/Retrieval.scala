@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T}
+
+/** Term-based retrieval scoring for corpus curation: rank documents by
+  * relevance to a query-term set (data selection, quality slicing,
+  * nearest-neighbor text search without embeddings).
+  */
+object Retrieval {
+
+  /** BM25 scores of every document against a small query-term set.
+    *
+    * Relational shape, built for the 100 TB corpus side: one explode +
+    * two map-side-combinable aggregates build (tf, doc length); the
+    * query-term set and its document frequencies are tiny and
+    * BROADCAST, so the corpus shuffles only on (doc_id, term) for its
+    * own aggregates, never against the query. Corpus-level constants
+    * (N, average length) are a single 1-row aggregate collect.
+    *
+    * Determinism across engines: per-term score parts are a fixed
+    * IEEE expression tree, and the per-document sum accumulates in
+    * DECIMAL(28,12) — exact, order-independent — before the final
+    * cast+round, so an oracle reproduces scores bit-for-bit (pass
+    * exactly-representable k1/b, e.g. 1.25/0.75, to keep the constant
+    * arithmetic exact too).
+    *
+    * @return (doc_id, score) — every document containing at least one
+    *   query term, score rounded to 6 places; callers rank/limit.
+    */
+  def bm25(docs: DataFrame, queryTerms: DataFrame, idCol: String,
+      textCol: String, termCol: String = "term", k1: Double = 1.25,
+      b: Double = 0.75): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(T.tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val docLen = tok.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val stats = docLen.agg(count(lit(1)).as("n"), avg("len").as("avglen"))
+      .collect()(0)
+    val n = stats.getLong(0).toDouble
+    val avglen = stats.getDouble(1)
+
+    val terms = queryTerms.select(col(termCol).as("term")).distinct()
+    val tfq = tf.join(broadcast(terms), "term")
+    val dft = tfq.groupBy("term").agg(count(lit(1)).as("df"))
+    val part = log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+      (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / lit(avglen)))
+    tfq
+      .join(docLen, "doc_id")
+      .join(broadcast(dft), "term")
+      .withColumn("part", part)
+      .groupBy("doc_id")
+      .agg(round(sum(col("part").cast("decimal(28,12)")).cast("double"), 6)
+        .as("score"))
+  }
+}
