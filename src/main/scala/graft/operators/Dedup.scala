@@ -167,8 +167,10 @@ object Dedup {
     * map-side combinable), converging in O(graph diameter) rounds —
     * the standard Spark shape for CC; no driver-side union-find, so a
     * billion-edge pair set distributes. Each round's labels persist and
-    * the previous round unpersists; convergence is a per-round
-    * emptiness probe on the changed-label set (limit-1 semantics).
+    * the previous round unpersists. Convergence costs no extra pass:
+    * labels are monotone non-increasing, so the round is a fixpoint iff
+    * the exact decimal checksum `sum(comp)` stopped decreasing — and
+    * that one aggregate ALSO materializes the round's cache.
     *
     * @return (id, comp) — comp is the minimum id reachable from id;
     *   rows with `id != comp` are the duplicates to drop.
@@ -180,10 +182,14 @@ object Dedup {
         fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    def checksum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).collect()(0)
+        .getDecimal(0)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      var prev = checksum(labels)
       var converged = false
       var i = 0
       while (!converged && i < maxIter) {
@@ -193,15 +199,13 @@ object Dedup {
         val next = labels.select("id", "comp").unionByName(neigh)
           .groupBy("id").agg(min("comp").as("comp"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        converged = next
-          .join(labels.withColumnRenamed("comp", "prev"), "id")
-          .where(col("comp") =!= col("prev")).isEmpty
+        val cur = checksum(next)
+        converged = cur.compareTo(prev) == 0
+        prev = cur
         labels.unpersist()
         labels = next
         i += 1
       }
-      // Materialize before unpersisting inputs in finally.
-      labels.count()
       labels
     } finally edges.unpersist()
   }
