@@ -65,7 +65,20 @@ object GraftExtensions {
       new ExpressionInfo(classOf[NativeExpressions.CosineSimilarity].getName,
         "cosine_sim"),
       (args: Seq[Expression]) =>
-        NativeExpressions.CosineSimilarity(args(0), args(1)))
+        NativeExpressions.CosineSimilarity(args(0), args(1))),
+    ("quantize_i8",
+      new ExpressionInfo(classOf[NativeExpressions.QuantizeI8].getName,
+        "quantize_i8"),
+      (args: Seq[Expression]) => NativeExpressions.QuantizeI8(args(0))),
+    ("cosine_i8",
+      new ExpressionInfo(classOf[NativeExpressions.CosineI8].getName,
+        "cosine_i8"),
+      (args: Seq[Expression]) =>
+        NativeExpressions.CosineI8(args(0), args(1))),
+    ("bounded_top_k",
+      new ExpressionInfo(classOf[BoundedTopKAgg].getName, "bounded_top_k"),
+      (args: Seq[Expression]) => BoundedTopKAgg(args(0),
+        intArg(args(1), "k", "bounded_top_k")))
   )
 
   /** Register on a live session (idempotent). */

@@ -93,6 +93,26 @@ class ExpressionsSpec extends SparkSpec {
     assert(r.getInt(4) == 4)
   }
 
+  test("SQL registration: quantized cosine and bounded top-k aggregate") {
+    graft.expressions.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  quantize_i8(array(1.0d, -0.5d, 0.0d)) AS codes,
+        |  round(cosine_i8(quantize_i8(array(1.0d, 0.0d)),
+        |                  quantize_i8(array(2.0d, 0.0d))), 6) AS ci
+        |""".stripMargin).collect().head
+    // -0.5/(1/127) = -63.5; floor(x + 0.5) is HALF-UP toward +inf -> -63
+    assert(r.getSeq[Byte](0) == Seq[Byte](127, -63, 0))
+    assert(r.getDouble(1) == 1.0) // scale-invariance: parallel -> 1
+    val agg = spark.sql(
+      """SELECT k, bounded_top_k(named_struct('v', v), 2) AS top
+        |FROM VALUES ('a', 3), ('a', 1), ('a', 7), ('b', 5) AS t(k, v)
+        |GROUP BY k ORDER BY k""".stripMargin)
+      .selectExpr("k", "transform(top, x -> x.v) AS vs")
+      .collect().map(x => (x.getString(0), x.getSeq[Int](1))).toSeq
+    assert(agg == Seq(("a", Seq(7, 3)), ("b", Seq(5))))
+  }
+
   test("interpreted eval agrees with codegen for every expression") {
     val planes = graft.functions.VectorFunctions.hyperplanes(8, 8)
     def results(): Seq[org.apache.spark.sql.Row] = {
