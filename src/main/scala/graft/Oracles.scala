@@ -524,6 +524,20 @@ object Oracles {
         |      FROM lineitem WHERE l_quantity < 10)
         |WHERE rk <= 3 ORDER BY l_orderkey, rk""".stripMargin,
 
+    // Column profile: one UNION ALL branch per profiled column.
+    "q_profile" -> {
+      def branch(c: String) =
+        s"""SELECT '$c' AS col_name, count(*)::BIGINT AS "n_rows",
+           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT
+           |    AS "n_nulls",
+           |  count(DISTINCT $c)::BIGINT AS "n_distinct",
+           |  min($c)::VARCHAR AS "min_str", max($c)::VARCHAR AS "max_str"
+           |FROM orders""".stripMargin
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        "o_orderdate").map(branch).mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY col_name")
+    },
+
     // Same relation as q_topk_group: the bounded-heap physical shape
     // must produce identical rows.
     "q_topk_bounded" ->

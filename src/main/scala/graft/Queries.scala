@@ -973,6 +973,16 @@ object Queries {
       .orderBy("o_orderkey")
   }
 
+  /** One-pass column profile (operators/Profile) over engine-safe
+    * orders columns (longs, strings, timestamp — types whose string
+    * rendering both engines agree on).
+    */
+  def profileQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.profile(
+        t(s, dir, "orders").select("o_orderkey", "o_custkey",
+          "o_orderstatus", "o_orderpriority", "o_orderdate"))
+      .orderBy("col_name")
+
   /** Skew-safe two-phase top-k per group (Ops.topKPerGroup): top-3
     * cheap-quantity lineitems per order by price, with (partkey,
     * linenumber) tiebreakers for a total order. The salted shape is
@@ -1003,6 +1013,7 @@ object Queries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_topk_group" -> (topkGroup _),
     "q_topk_bounded" -> (topkBounded _),
+    "q_profile" -> (profileQ _),
     "q_state_table" -> (stateTable _),
     "q_bucketed_join" -> (bucketedJoin _),
     "q_asof_join" -> (asofJoin _),

@@ -185,6 +185,25 @@ class OpsSpec extends SparkSpec {
     assert(top == Set((1L, 10000L), (2L, 9999L), (3L, 9998L)))
   }
 
+  test("profile: nulls, distincts, min/max in one pass") {
+    import graft.operators.Profile
+    val df = Seq((Option(1L), Option("a")), (None, Option("a")),
+      (Option(3L), None)).toDF("k", "v")
+    val out = Profile.profile(df).orderBy("col_name").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("k", "v"))
+    val k = out(0)
+    assert(k.getLong(1) == 3 && k.getLong(2) == 1 && k.getLong(3) == 2)
+    assert(k.getString(4) == "1" && k.getString(5) == "3")
+    val v = out(1)
+    assert(v.getLong(2) == 1 && v.getLong(3) == 1 &&
+      v.getString(4) == "a" && v.getString(5) == "a")
+    // approximate variant: same shape, cardinalities near-exact here
+    val approx = Profile.profile(df, exact = false).orderBy("col_name")
+      .collect()
+    assert(approx.map(_.getString(0)).toSeq == Seq("k", "v"))
+    assert(approx(0).getLong(3) == 2)
+  }
+
   test("decorate with empty field list star-expands all metadata columns") {
     val exploded = Seq(("q1", 0, "p1")).toDF("queryItemId", "pos",
       "recItemId")
