@@ -765,6 +765,16 @@ object Oracles {
          |FROM pairs JOIN sh a ON a.doc_id = ia JOIN sh b ON b.doc_id = ib
          |ORDER BY 1""".stripMargin,
 
+    // PNG header parsing: construction fixes ground truth (every 10th
+    // doc gets a non-PNG magic -> null dims).
+    "q_image_dims" ->
+      """SELECT doc_id,
+        |  (CASE WHEN doc_id % 10 = 0 THEN NULL
+        |        ELSE doc_id % 64 + 16 END)::BIGINT AS "width",
+        |  (CASE WHEN doc_id % 10 = 0 THEN NULL
+        |        ELSE doc_id % 48 + 32 END)::BIGINT AS "height"
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // Repetition signals: 2-gram shingle template (t[i:i+1] = 2-wide
     // slice), token concentration via unnest + grouped counts.
     "q_repetition" ->

@@ -109,6 +109,26 @@ object QueriesLlm {
       .orderBy("id_a")
   }
 
+  /** PNG header parsing (Multimodal.pngDims — real byte parsing, not
+    * the decode stub): synthetic IHDR headers built from doc_id, every
+    * 10th doc carrying a non-PNG magic that must yield null dims. The
+    * construction fixes ground truth, so the oracle states it
+    * directly; the Spark side must actually parse the bytes it built.
+    */
+  def imageDims(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val w = (col("doc_id") % 64 + 16).cast("int")
+    val h = (col("doc_id") % 48 + 32).cast("int")
+    val magic = when(col("doc_id") % 10 === 0, lit("FFD8FFE000104A46"))
+      .otherwise(lit("89504E470D0A1A0A"))
+    val img = unhex(concat(magic, lit("0000000D49484452"),
+      lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit("0806000000")))
+    docs.select(col("doc_id"), Multimodal.pngDims(img).as("dims"))
+      .select(col("doc_id"), col("dims.width").as("width"),
+        col("dims.height").as("height"))
+      .orderBy("doc_id")
+  }
+
   /** Repetition / degeneracy signals, the quality-filter pair used on
     * web corpora: duplicate-2-gram ratio (1 - distinct/total shingles,
     * a codegen'd per-row scalar) and top-token concentration (most
@@ -530,6 +550,7 @@ object QueriesLlm {
     "q_langid" -> (langId _),
     "q_fingerprints" -> (fingerprints _),
     "q_multimodal_decode" -> (multimodalDecode _),
+    "q_image_dims" -> (imageDims _),
     "q_frame_sample" -> (frameSample _)
   )
 }

@@ -46,6 +46,28 @@ class MultimodalConfigSpec extends SparkSpec {
     assert(counts(2L) == 1) // short payload still yields one frame
   }
 
+  test("pngDims parses a genuine PNG header and rejects other formats") {
+    import org.apache.spark.sql.functions.col
+    // A REAL 1920x1080 PNG prefix (magic + IHDR length/type + dims),
+    // hand-assembled per the PNG spec — not derived from the builder
+    // under test.
+    val png: Array[Byte] = (Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A,
+      0x1A, 0x0A, 0x00, 0x00, 0x00, 0x0D, 0x49, 0x48, 0x44, 0x52,
+      0x00, 0x00, 0x07, 0x80, 0x00, 0x00, 0x04, 0x38, 0x08, 0x06)
+      .map(_.toByte)).toArray
+    val jpeg: Array[Byte] = Array(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x10,
+      0x4A, 0x46, 0x49, 0x46, 0x00, 0x01, 0x01, 0x00, 0x00, 0x48,
+      0x00, 0x48, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00)
+      .map(_.toByte)
+    val out = Seq((1L, png), (2L, jpeg)).toDF("id", "img")
+      .select(col("id"),
+        graft.operators.Multimodal.pngDims(col("img")).as("d"))
+      .select(col("id"), col("d.width"), col("d.height"))
+      .orderBy("id").collect()
+    assert(out(0).getLong(1) == 1920L && out(0).getLong(2) == 1080L)
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2))
+  }
+
   test("JobConfig: connector delta flag overrides top level") {
     val cfg = JobConfig.parse(
       """{"batchInferencePath":"p","performDeltaCheck":true,
