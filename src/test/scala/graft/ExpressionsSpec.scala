@@ -128,7 +128,10 @@ class ExpressionsSpec extends SparkSpec {
         .collect().toSeq ++
         vec.select(
           NativeExpressions.cosine(col("a"), col("b")).as("c"),
-          NativeExpressions.signLshBandKeys(col("a"), planes, 4).as("k"))
+          NativeExpressions.signLshBandKeys(col("a"), planes, 4).as("k"),
+          NativeExpressions.quantizeI8(col("a")).as("q"),
+          NativeExpressions.cosineI8(NativeExpressions.quantizeI8(col("a")),
+            NativeExpressions.quantizeI8(col("b"))).as("ci"))
           .collect().toSeq
     }
     val codegen = results()
