@@ -152,6 +152,32 @@ class PlanRegressionSpec extends SparkSpec {
       s"side filter not pushed to scan:\n$p")
   }
 
+  test("q_profile: per-column pruned aggregates, never an Expand plan") {
+    // One wide aggregate with N count-distincts plans through Expand
+    // (full-width rows replicated N+1 times into a SortAggregate) —
+    // measured 2.5x slower at sf0.1 and strictly worse at scale.
+    val p = plan("q_profile")
+    assert(!p.contains("Expand"), s"Expand reappeared:\n$p")
+    // each branch's scan must read only its own column
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint>"),
+      s"single-column pruning lost:\n$p")
+  }
+
+  test("q_bm25: corpus never shuffles against the query side") {
+    val p = plan("q_bm25")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // query terms + their dfs broadcast; corpus-side tf/len aggregate
+    assert(p.contains("BroadcastExchange"), s"no broadcast in bm25:\n$p")
+  }
+
+  test("q_contamination: benchmark side broadcasts, equi-join only") {
+    val p = plan("q_contamination")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"), s"shingle join degraded:\n$p")
+  }
+
   test("q_delta_keyed: keyed delta joins on the key, not the payload") {
     val p = plan("q_delta_keyed")
     assert(!p.contains("CartesianProduct"))
