@@ -256,6 +256,14 @@ object Oracles {
         |       'SIMULATED_ERROR' AS "error"
         |FROM orders WHERE o_orderstatus = 'F' ORDER BY 1""".stripMargin,
 
+    // Schema evolution: pre-evolution (even-key) rows carry null for
+    // the later-added column.
+    "q_schema_evolution" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN NULL
+        |       ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "q_join_mapusers" ->
       """SELECT o_orderkey::VARCHAR AS "queryItemId",
         |       m.l_suppkey::VARCHAR AS "userId"

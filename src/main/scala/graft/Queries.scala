@@ -164,6 +164,27 @@ object Queries {
       .orderBy("queryItemId")
   }
 
+  /** Schema evolution on a parquet directory: a second writer appends
+    * files carrying an extra column, and a mergeSchema read must unify
+    * them — pre-evolution rows surface the new column as null. The
+    * lake reality for any long-lived dataset.
+    */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val d = tmp("evo")
+    val o = t(s, dir, "orders")
+    o.where(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .write.mode("overwrite").parquet(d)
+    o.where(col("o_orderkey") % 2 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"))
+      .write.mode("append").parquet(d)
+    s.read.option("mergeSchema", "true").parquet(d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"))
+      .orderBy("o_orderkey")
+  }
+
   /** S2: header/quoted CSV round-trip through [[Readers.csv]]. */
   def csvScan(s: SparkSession, dir: String): DataFrame = {
     val d = tmp("csv")
@@ -1027,6 +1048,7 @@ object Queries {
     "q_up_pipeline" -> (upPipeline _),
     "q_jsonl_backfill" -> (jsonlBackfill _),
     "q_csv_scan" -> (csvScan _),
+    "q_schema_evolution" -> (schemaEvolution _),
     "q_jsonl_gzip" -> (jsonlGzip _),
     "q_corrupt_tolerant" -> (corruptTolerant _),
     "q_metadata_gated" -> (metadataGated _),
