@@ -166,17 +166,29 @@ object Dedup {
     * labels across edges and takes the min per node (both steps
     * map-side combinable), converging in O(graph diameter) rounds —
     * the standard Spark shape for CC; no driver-side union-find, so a
-    * billion-edge pair set distributes. Each round's labels persist and
-    * the previous round unpersists. Convergence costs no extra pass:
-    * labels are monotone non-increasing, so the round is a fixpoint iff
-    * the exact decimal checksum `sum(comp)` stopped decreasing — and
-    * that one aggregate ALSO materializes the round's cache.
+    * billion-edge pair set distributes.
+    *
+    * Each round `localCheckpoint`s (eager): caching alone is NOT enough
+    * for an iterative operator — persist keeps the logical plan tree,
+    * which references the previous round twice (union + join) and so
+    * DOUBLES per iteration; by round ~15 the driver dies building
+    * exponential plan strings before a single task runs (caught by the
+    * randomized PropertiesSpec graph test). Checkpointing rewraps each
+    * round as a leaf `LogicalRDD`, keeping the plan O(1) per round; the
+    * trade (blocks pinned to executors, recompute impossible on
+    * executor loss) is the standard one for iterative algorithms —
+    * resilient deployments point `spark.checkpoint.dir` at durable
+    * storage and swap in `checkpoint()`.
+    *
+    * Convergence costs no extra pass: labels are monotone
+    * non-increasing, so a round is a fixpoint iff the exact decimal
+    * checksum `sum(comp)` stopped decreasing.
     *
     * @return (id, comp) — comp is the minimum id reachable from id;
     *   rows with `id != comp` are the duplicates to drop.
     */
   def dedupGroups(pairs: DataFrame, idACol: String = "id_a",
-      idBCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+      idBCol: String = "id_b", maxIter: Int = 50): DataFrame = {
     val fwd = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
     val edges = fwd.unionByName(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
@@ -185,10 +197,10 @@ object Dedup {
     def checksum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("comp").cast("decimal(38,0)"))).collect()(0)
         .getDecimal(0)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id"))
+        .localCheckpoint()
       var prev = checksum(labels)
       var converged = false
       var i = 0
@@ -198,11 +210,10 @@ object Dedup {
           .select(col("src").as("id"), col("comp"))
         val next = labels.select("id", "comp").unionByName(neigh)
           .groupBy("id").agg(min("comp").as("comp"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint() // eager: truncates lineage, materializes
         val cur = checksum(next)
         converged = cur.compareTo(prev) == 0
         prev = cur
-        labels.unpersist()
         labels = next
         i += 1
       }

@@ -112,6 +112,32 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("dedupGroups equals union-find components on random graphs (3x)") {
+    import scala.collection.mutable
+    for (_ <- 1 to 3) {
+      val n = 30
+      val edges = List.fill(25)((rnd.nextInt(n).toLong,
+        rnd.nextInt(n).toLong)).filter(e => e._1 != e._2).distinct
+      val parent = mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      // attaching the larger root under the smaller keeps the min id
+      // as every component's root
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(x => x -> find(x)).toMap
+      val out = graft.operators.Dedup.dedupGroups(
+          edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(out == expected)
+    }
+  }
+
   test("asofBackward equals the naive greatest-at-or-before join (5x)") {
     for (_ <- 1 to 5) {
       val l = List.fill(8)((1L + rnd.nextInt(2), rnd.nextInt(21).toLong))
