@@ -882,9 +882,13 @@ object Queries {
       .write.mode("overwrite").json(s"$d/in/f2")
     val schema = StructType(Seq(StructField("user_id", LongType),
       StructField("ts", TimestampType), StructField("event_id", LongType)))
+    // No maxFilesPerTrigger: one batch ingests everything (the
+    // sessionizer sorts within each group), the sentinel advances the
+    // watermark, and the trailing no-data cleanup batch fires every
+    // event-time timeout — per-file micro-batching would only multiply
+    // scheduling overhead without changing the result.
     val src = s.readStream.schema(schema)
-      .option("recursiveFileLookup", "true")
-      .option("maxFilesPerTrigger", "1").json(s"$d/in")
+      .option("recursiveFileLookup", "true").json(s"$d/in")
       .withWatermark("ts", "1 second")
       .select(col("user_id").as("userId"), col("ts"),
         col("ts").cast("long").as("tsSec"), col("event_id").as("eventId"))
