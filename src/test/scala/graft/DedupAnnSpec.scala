@@ -100,6 +100,28 @@ class DedupAnnSpec extends SparkSpec {
     assert(second(1L) == 2L && second(2L) == 1L)
   }
 
+  test("quantized top-k keeps high recall vs the float baseline") {
+    // Real embeddings (sf0.001): top-5 by int8 codes vs top-5 by float
+    // cosine. O(1/127) score error should barely perturb rankings.
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def tops(quantized: Boolean) = {
+      val df = if (quantized)
+        Ann.bruteForceTopKQuantized(q, e, k = 5)
+      else Ann.bruteForceTopK(q, e, k = 5)
+      df.select("query_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    }
+    val exact = tops(quantized = false)
+    val approx = tops(quantized = true)
+    val recalls = exact.map { case (qid, ex) =>
+      approx(qid).intersect(ex).size.toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"quantized recall@5 degraded to $mean")
+  }
+
   test("ivfTopK: self always found at rank 1 (query is in its own cell)") {
     val q = vecs.select(col("vec_id").as("query_id"), col("embedding"))
     val out = Ann.ivfTopK(q, vecs, k = 2, nCells = 2, nProbe = 1)
