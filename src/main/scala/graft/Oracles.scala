@@ -836,6 +836,15 @@ object Oracles {
         |   len(regexp_extract_all(text, '[0-9]{7,}'))) > 0 AS "flagged"
         |FROM seeded ORDER BY doc_id""".stripMargin,
 
+    // Heavy hitters: sketch-then-verify is EXACT, so the oracle is the
+    // plain grouped filter.
+    "q_heavy_hitters" ->
+      s"""WITH tok AS (SELECT ${toks("text")} AS t FROM documents),
+         |ex AS (SELECT unnest(t) AS term FROM tok)
+         |SELECT term, count(*)::BIGINT AS "cnt" FROM ex
+         |GROUP BY term HAVING count(*) >= 100
+         |ORDER BY term""".stripMargin,
+
     // BM25: identical IEEE expression tree (exact constants 1.25/0.75),
     // DECIMAL(28,12)-accumulated per-doc sums, rank by (score, doc_id).
     "q_bm25" ->

@@ -187,6 +187,21 @@ object QueriesLlm {
       .orderBy("doc_id")
   }
 
+  /** Heavy hitters (Frequency.heavyHitters): tokens with count >= 100,
+    * found by a bounded-memory Misra-Gries sketch whose candidate
+    * superset is exactly re-counted — output provably equals the plain
+    * GROUP BY ... HAVING the oracle states, with O(capacity) buffers
+    * instead of shuffling the whole vocabulary.
+    */
+  def heavyHittersQ(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(explode(T.tokens(col("text"))).as("term"))
+    val total = toks.count()
+    graft.operators.Frequency.heavyHitters(toks, "term",
+        minCount = 100, total = total)
+      .orderBy("term")
+  }
+
   /** BM25 retrieval (Retrieval.bm25): top-20 documents for the query
     * set = the first five tokens of doc 0 (deterministic, corpus-
     * derived). k1 = 1.25 / b = 0.75 are exactly representable, so the
@@ -530,6 +545,7 @@ object QueriesLlm {
     "q_contamination" -> (contamination _),
     "q_dedup_groups" -> (dedupGroupsQ _),
     "q_bm25" -> (bm25Q _),
+    "q_heavy_hitters" -> (heavyHittersQ _),
     "q_pii_scan" -> (piiScan _),
     "q_repetition" -> (repetition _),
     "q_char_jaccard" -> (charJaccard _),

@@ -138,6 +138,22 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("heavyHitters equals exact GROUP BY HAVING on skewed streams (3x)") {
+    for (_ <- 1 to 3) {
+      // skewed synthetic stream: gaussian-index items, heavy head
+      val items = List.fill(3000)(
+        s"i${(rnd.nextGaussian().abs * 20).toInt}")
+      val df = items.toDF("item").repartition(4)
+      val out = graft.operators.Frequency
+        .heavyHitters(df, "item", minCount = 50, total = items.size.toLong)
+        .as[(String, Long)].collect().toMap
+      val exact = items.groupBy(identity)
+        .map { case (k, v) => k -> v.size.toLong }
+        .filter(_._2 >= 50)
+      assert(out == exact)
+    }
+  }
+
   test("asofBackward equals the naive greatest-at-or-before join (5x)") {
     for (_ <- 1 to 5) {
       val l = List.fill(8)((1L + rnd.nextInt(2), rnd.nextInt(21).toLong))
