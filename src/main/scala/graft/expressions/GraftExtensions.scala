@@ -78,7 +78,11 @@ object GraftExtensions {
     ("bounded_top_k",
       new ExpressionInfo(classOf[BoundedTopKAgg].getName, "bounded_top_k"),
       (args: Seq[Expression]) => BoundedTopKAgg(args(0),
-        intArg(args(1), "k", "bounded_top_k")))
+        intArg(args(1), "k", "bounded_top_k"))),
+    ("misra_gries",
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "misra_gries"),
+      (args: Seq[Expression]) => MisraGriesAgg(args(0),
+        intArg(args(1), "capacity", "misra_gries")))
   )
 
   /** Register on a live session (idempotent). */

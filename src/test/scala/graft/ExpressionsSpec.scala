@@ -111,6 +111,13 @@ class ExpressionsSpec extends SparkSpec {
       .selectExpr("k", "transform(top, x -> x.v) AS vs")
       .collect().map(x => (x.getString(0), x.getSeq[Int](1))).toSeq
     assert(agg == Seq(("a", Seq(7, 3)), ("b", Seq(5))))
+    // misra_gries with capacity >= distinct count degrades to exact
+    val mg = spark.sql(
+      """SELECT misra_gries(x, 10) AS sk
+        |FROM VALUES ('a'), ('a'), ('b'), ('a') AS t(x)""".stripMargin)
+      .selectExpr("transform(sk, e -> concat(e.item, ':', e.cnt)) AS s")
+      .collect().head.getSeq[String](0)
+    assert(mg == Seq("a:3", "b:1"))
   }
 
   test("interpreted eval agrees with codegen for every expression") {
