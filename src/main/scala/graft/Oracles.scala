@@ -836,6 +836,22 @@ object Oracles {
         |   len(regexp_extract_all(text, '[0-9]{7,}'))) > 0 AS "flagged"
         |FROM seeded ORDER BY doc_id""".stripMargin,
 
+    // Group-aware split: the chain construction fixes each group root
+    // (doc_id % 60 for doc_id < 180), so the split is the root's md5
+    // bucket — identical derivation to q_hash_split.
+    "q_group_split" ->
+      s"""WITH r AS (SELECT doc_id,
+         |    CASE WHEN doc_id < 180 THEN doc_id % 60
+         |         ELSE doc_id END AS root
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |    ${md5_60("root::VARCHAR")} % 1000000 AS bucket FROM r)
+         |SELECT doc_id,
+         |  CASE WHEN bucket < 800000 THEN 'train'
+         |       WHEN bucket < 900000 THEN 'val'
+         |       ELSE 'test' END AS "split"
+         |FROM b ORDER BY doc_id""".stripMargin,
+
     // Heavy hitters: sketch-then-verify is EXACT, so the oracle is the
     // plain grouped filter.
     "q_heavy_hitters" ->

@@ -187,6 +187,25 @@ object QueriesLlm {
       .orderBy("doc_id")
   }
 
+  /** Leakage-safe split (Sampling.groupAwareSplit): docs < 180 chained
+    * into 3-node near-dup groups rooted at doc_id % 60, so all three
+    * members MUST share the root's split; ungrouped docs key by their
+    * own id. The construction fixes every group root, so the oracle
+    * derives the same md5 bucket per root directly.
+    */
+  def groupSplit(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val base = docs.where(col("doc_id") < 60)
+    def e(a: Int, b: Int) = base.select((col("doc_id") + a).as("id_a"),
+      (col("doc_id") + b).as("id_b"))
+    val groups = Dedup.dedupGroups(e(0, 60).unionByName(e(60, 120)))
+    Sampling.groupAwareSplit(docs, "doc_id", groups,
+        Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L))
+      .select(col("doc_id"), col("split"))
+      .orderBy("doc_id")
+  }
+
   /** Heavy hitters (Frequency.heavyHitters): tokens with count >= 100,
     * found by a bounded-memory Misra-Gries sketch whose candidate
     * superset is exactly re-counted — output provably equals the plain
@@ -546,6 +565,7 @@ object QueriesLlm {
     "q_dedup_groups" -> (dedupGroupsQ _),
     "q_bm25" -> (bm25Q _),
     "q_heavy_hitters" -> (heavyHittersQ _),
+    "q_group_split" -> (groupSplit _),
     "q_pii_scan" -> (piiScan _),
     "q_repetition" -> (repetition _),
     "q_char_jaccard" -> (charJaccard _),

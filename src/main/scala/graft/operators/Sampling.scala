@@ -49,4 +49,23 @@ object Sampling {
     * below `ppm` parts-per-million of the key space.
     */
   def hashSample(key: Column, ppm: Long): Column = hashBucket(key) < ppm
+
+  /** Leakage-safe dataset split: assignment hashes the dedup-GROUP
+    * root, not the row id, so near-duplicate documents can never
+    * straddle train/test (the classic eval-contamination bug a plain
+    * per-row split commits whenever the corpus still contains near-dup
+    * twins). `groups` is [[Dedup.dedupGroups]]' (id, comp) output —
+    * rows absent from it (no near-dup edge) key by their own id. One
+    * equi-join (AQE picks broadcast when the grouped subset is small),
+    * then the same codegen'd per-row hash projection as
+    * [[assignSplit]].
+    */
+  def groupAwareSplit(df: org.apache.spark.sql.DataFrame, idCol: String,
+      groups: org.apache.spark.sql.DataFrame,
+      weights: Seq[(String, Long)]): org.apache.spark.sql.DataFrame =
+    df.join(groups.select(col("id").as(idCol), col("comp")),
+        Seq(idCol), "left_outer")
+      .withColumn("split",
+        assignSplit(coalesce(col("comp"), col(idCol)), weights))
+      .drop("comp")
 }
