@@ -191,6 +191,26 @@ class DedupAnnSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(400))
   }
 
+  test("groupAwareSplit keeps every near-dup cluster in one split") {
+    import graft.operators.Sampling
+    val rows = (0L until 300L).toDF("id")
+    // 100 chains of 3: {i, i+100, i+200} rooted at i
+    val pairs = (0L until 100L).toDF("a")
+      .selectExpr("a AS id_a", "a + 100 AS id_b")
+      .unionByName((0L until 100L).toDF("a")
+        .selectExpr("a + 100 AS id_a", "a + 200 AS id_b"))
+    val groups = Dedup.dedupGroups(pairs)
+    val split = Sampling.groupAwareSplit(rows, "id", groups,
+        Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    // every member matches its root's split — zero straddling clusters
+    (0L until 100L).foreach { i =>
+      assert(split(i + 100) == split(i) && split(i + 200) == split(i))
+    }
+    // and with 100 roots, at least two split labels actually occur
+    assert(split.values.toSet.size >= 2)
+  }
+
   test("no ANN/dedup plan contains a cartesian product") {
     val q = vecs.select(col("vec_id").as("query_id"), col("embedding"))
     val plans = Seq(
