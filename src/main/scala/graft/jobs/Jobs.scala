@@ -134,6 +134,20 @@ object Jobs {
         Ops.assembleRecommendations(decorated, spec.groupKeys)
           .persist(StorageLevel.MEMORY_AND_DISK)
       })
+    // Error diagnostics must survive a mid-loop connector failure (the
+    // reference writes errors BEFORE any connector send,
+    // `related_items_etl.py:114-132`): the write fires as soon as the
+    // observed count resolves — immediately after the FIRST connector
+    // write — and the failure path falls back to the probe-gated write,
+    // so a crashed run still persists the records needed to debug it.
+    var errorsDir: Option[String] = None
+    var errorsWritten = false
+    def writeErrors(known: Option[Long]): Unit =
+      if (!errorsWritten) {
+        errorsDir = Writers.errors(errs, s"$jobRoot/errors", spec.jobType,
+          clock, config.saveBatchInferenceErrors, knownCount = known)
+        errorsWritten = true
+      }
     try {
       val results = config.connectors.toSeq.sortBy(_._1).map {
         case (connector, cc) =>
@@ -181,6 +195,13 @@ object Jobs {
             connector, clock)
           val rows = obs.get("rows").asInstanceOf[Long]
 
+          // The first connector write has completed, so the observed
+          // error count is available — persist errors NOW, before any
+          // further connector/state write gets a chance to fail.
+          writeErrors(
+            if (observeErrors) Some(errObs.get("errors").asInstanceOf[Long])
+            else None)
+
           if (config.writeStateAfterSync) {
             if (keyed) {
               // O(delta) state maintenance: the changed rows upsert, and
@@ -204,14 +225,16 @@ object Jobs {
 
           ConnectorResult(connector, outDir, rows)
       }
-      // After the loop: the first connector write has completed, so the
-      // observed error count is available without any extra job.
-      val errorsDir = Writers.errors(errs, s"$jobRoot/errors", spec.jobType,
-        clock, config.saveBatchInferenceErrors,
-        knownCount =
-          if (observeErrors) Some(errObs.get("errors").asInstanceOf[Long])
-          else None)
+      // Connector-less job: no write to piggyback on — probe-gated.
+      writeErrors(None)
       JobResult(jobName, runDateTime, errorsDir, results)
+    } catch {
+      case e: Throwable =>
+        // The failing action may BE the first connector write, in which
+        // case the observation never resolves — use the probe fallback.
+        try writeErrors(None)
+        catch { case e2: Throwable => e.addSuppressed(e2) }
+        throw e
     } finally {
       assembledByFields.values.foreach(_.unpersist())
       persistedExploded.unpersist()

@@ -24,15 +24,29 @@ object Frequency {
     * deterministic regardless of partitioning — which is what lets an
     * external oracle state it as a plain GROUP BY ... HAVING.
     *
+    * The sketch's survival guarantee holds ONLY at full capacity, so an
+    * undersized sketch is refused rather than silently degraded: if
+    * `total/minCount + 1` exceeds `maxCapacity` (default 10M counters,
+    * ~several hundred MB of aggregate buffer) this throws — raise
+    * `minCount` (each 10x on minCount is 10x fewer counters) or, if an
+    * approximate candidate set is acceptable, raise `maxCapacity` to
+    * what the executors can hold.
+    *
     * @param total input row count (non-null items); callers usually
     *   already know it from an upstream observe/count — pass it rather
     *   than paying another scan.
     */
   def heavyHitters(df: DataFrame, itemCol: String, minCount: Long,
-      total: Long): DataFrame = {
+      total: Long, maxCapacity: Int = 10_000_000): DataFrame = {
     require(minCount > 0, s"minCount must be positive, got $minCount")
-    val capacity = math.max(1L, total / minCount + 1L)
-      .min(10_000_000L).toInt
+    val needed = total / minCount + 1L
+    require(needed <= maxCapacity,
+      s"heavyHitters needs $needed Misra-Gries counters for " +
+        s"total=$total, minCount=$minCount, but maxCapacity=$maxCapacity; " +
+        "beyond that the sketch can evict true heavy hitters and the " +
+        "output would no longer be exact. Raise minCount (counters " +
+        "shrink linearly) or raise maxCapacity if executors can hold it.")
+    val capacity = math.max(1L, needed).toInt
     val candidates = df
       .agg(MisraGriesAgg.sketch(col(itemCol), capacity).as("sk"))
       .select(explode(col("sk")).as("c"))

@@ -252,6 +252,51 @@ class JobsSpec extends SparkSpec {
         "with it disabled — the emptiness gate is scanning the input")
   }
 
+  test("errors survive a mid-loop connector failure") {
+    // Two connectors, sorted "a" then "zz_broken"; a plain FILE squats on
+    // zz_broken's output dir so its write throws AFTER connector "a"
+    // succeeded. The error records — the diagnostics for debugging the
+    // crashed run — must already be on disk (reference writes errors
+    // before any connector send, related_items_etl.py:114-132).
+    val root = tmpDir("joberrmid")
+    writeFixtures(root)
+    val cfg = JobConfig.parse(
+      s"""{"batchInferencePath": "$root/input/batch",
+         |"saveBatchInferenceErrors": true,
+         |"connectors": {"a": {}, "zz_broken": {}}}""".stripMargin)
+    new java.io.File(s"$root/output").mkdirs()
+    assert(new java.io.File(s"$root/output/zz_broken").createNewFile())
+    val clock = LocalDateTime.of(2024, 1, 2, 3, 4, 5)
+    intercept[Exception] {
+      Jobs.run(spark, Jobs.RelatedItems, root, "j", cfg, clock)
+    }
+    val errDir =
+      s"$root/errors/related_items/year=2024/month=01/day=02/time=030405"
+    assert(spark.read.json(errDir).count() == 1,
+      "mid-loop connector failure lost the error records")
+  }
+
+  test("errors survive a failure of the FIRST connector write") {
+    // The failing action IS the one carrying the error-count observation,
+    // so the fallback probe path must kick in on the failure path.
+    val root = tmpDir("joberrfirst")
+    writeFixtures(root)
+    val cfg = JobConfig.parse(
+      s"""{"batchInferencePath": "$root/input/batch",
+         |"saveBatchInferenceErrors": true,
+         |"connectors": {"only": {}}}""".stripMargin)
+    new java.io.File(s"$root/output").mkdirs()
+    assert(new java.io.File(s"$root/output/only").createNewFile())
+    val clock = LocalDateTime.of(2024, 1, 2, 3, 4, 5)
+    intercept[Exception] {
+      Jobs.run(spark, Jobs.RelatedItems, root, "j", cfg, clock)
+    }
+    val errDir =
+      s"$root/errors/related_items/year=2024/month=01/day=02/time=030405"
+    assert(spark.read.json(errDir).count() == 1,
+      "first-connector failure lost the error records")
+  }
+
   test("user-personalization spec: no mapping, keyed by queryUserId") {
     val root = tmpDir("jobup")
     Seq(

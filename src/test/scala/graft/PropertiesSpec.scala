@@ -154,6 +154,23 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("heavyHitters refuses an undersized sketch instead of degrading") {
+    val df = List("a", "b", "a").toDF("item")
+    // total/minCount + 1 = 1_000_001 > maxCapacity: the survival
+    // guarantee no longer covers minCount, so this must throw, not
+    // silently return a possibly-incomplete "exact" answer.
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Frequency.heavyHitters(df, "item", minCount = 1L,
+        total = 1_000_000L, maxCapacity = 1_000_000)
+    }
+    assert(e.getMessage.contains("Raise minCount"))
+    // at the boundary it still runs
+    val ok = graft.operators.Frequency.heavyHitters(df, "item",
+      minCount = 1L, total = 3L, maxCapacity = 4)
+      .as[(String, Long)].collect().toMap
+    assert(ok == Map("a" -> 2L, "b" -> 1L))
+  }
+
   test("asofBackward equals the naive greatest-at-or-before join (5x)") {
     for (_ <- 1 to 5) {
       val l = List.fill(8)((1L + rnd.nextInt(2), rnd.nextInt(21).toLong))
