@@ -256,13 +256,31 @@ object Ops {
       (nested ++ flat).distinctBy(_._1)
     }
 
-    val recPairs: Seq[Column] = recFields.flatMap { f =>
-      Seq(concat(prefix, lit(f)), to_json(col(s"recommendations.$f")))
-    }
-    val otherPairs: Seq[Column] = others.sortBy(_._1)
-      .flatMap { case (k, c) => Seq(lit(k), c) }
+    // Long form from an array of (attr, value) structs, NOT from
+    // `map(...)`: the prefixed rec keys are per-record DYNAMIC, so a
+    // record whose rec key collides with an other-attribute name (e.g.
+    // an empty prefix and a directive attr named like a rec field)
+    // would make `map()` throw the whole job down under the default
+    // spark.sql.mapKeyDedupPolicy=EXCEPTION. Rec entries come first and
+    // first occurrence wins, so a collision deterministically resolves
+    // to the rec value — the same outcome as the reference's dict
+    // build, which assigns rec fields AFTER spreading otherAttributes
+    // (`braze_dequeue_function/main.py:67-81`).
+    val entryCols: Seq[Column] =
+      recFields.map { f =>
+        struct(concat(prefix, lit(f)).as("attr"),
+          to_json(col(s"recommendations.$f")).as("value"))
+      } ++ others.sortBy(_._1).map { case (k, c) =>
+        struct(lit(k).as("attr"), c.as("value"))
+      }
+    val entries = array(entryCols: _*)
+    val firstOccurrence = filter(entries, (e, i) =>
+      !exists(slice(entries, lit(1), i),
+        p => p.getField("attr") === e.getField("attr")))
     df.select(col(userIdCol).cast("string").as("external_id"),
-        explode(map(recPairs ++ otherPairs: _*)).as(Seq("attr", "value")))
+        explode(firstOccurrence).as("e"))
+      .select(col("external_id"), col("e.attr").as("attr"),
+        col("e.value").as("value"))
       // null values = attributes the record does not carry (e.g. no
       // syncDirectives): dropped, matching the reference's dict merge
       .where(col("value").isNotNull)

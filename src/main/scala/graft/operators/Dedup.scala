@@ -217,6 +217,14 @@ object Dedup {
         labels = next
         i += 1
       }
+      // An iteration-cap exit means labels are still moving: returning
+      // them would hand callers WRONG components with no signal — and
+      // groupAwareSplit built on top could then straddle a near-dup
+      // cluster across train/test, the exact leak it exists to prevent.
+      if (!converged) throw new IllegalStateException(
+        s"dedupGroups did not converge within maxIter=$maxIter rounds; " +
+          "the pair graph has a longer near-dup chain than that. Raise " +
+          "maxIter (rounds needed = O(graph diameter)).")
       labels
     } finally edges.unpersist()
   }

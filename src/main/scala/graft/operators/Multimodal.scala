@@ -45,11 +45,18 @@ object Multimodal {
     * No codec library involved, so this path is NOT stubbed: it is the
     * shape real metadata extraction takes at scale (parse the fixed
     * header, never decode pixel data) — a scan-parallel projection.
-    * Non-PNG payloads yield null dimensions.
+    * Non-PNG payloads yield null dimensions; so do payloads that carry
+    * the magic but are truncated before the end of the height field
+    * (byte 24) or whose first chunk is not IHDR — `substring` past the
+    * end returns partial bytes that `conv(hex(...))` would happily
+    * parse into garbage, so the gate must prove the bytes exist and
+    * really are the header before extracting.
     */
   def pngDims(bin: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
-    val isPng = hex(substring(bin, 1, 8)) === "89504E470D0A1A0A"
+    val isPng = length(bin) >= 24 &&
+      hex(substring(bin, 1, 8)) === "89504E470D0A1A0A" &&
+      hex(substring(bin, 13, 4)) === "49484452" // "IHDR"
     val be = (from: Int) =>
       conv(hex(substring(bin, from, 4)), 16, 10).cast("long")
     when(isPng, struct(be(17).as("width"), be(21).as("height")))

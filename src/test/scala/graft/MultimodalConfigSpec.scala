@@ -59,13 +59,25 @@ class MultimodalConfigSpec extends SparkSpec {
       0x4A, 0x46, 0x49, 0x46, 0x00, 0x01, 0x01, 0x00, 0x00, 0x48,
       0x00, 0x48, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00)
       .map(_.toByte)
-    val out = Seq((1L, png), (2L, jpeg)).toDF("id", "img")
+    // Hostile-but-plausible payloads: PNG magic truncated before the
+    // height field (substring past the end would yield partial bytes
+    // that conv() still parses), and a PNG whose first chunk is not
+    // IHDR (dims bytes would be chunk payload, i.e. garbage).
+    val truncated: Array[Byte] = png.take(18)
+    val nonIhdr: Array[Byte] = png.clone()
+    nonIhdr(12) = 'i'.toByte // "iHDR": wrong chunk type
+    val out = Seq((1L, png), (2L, jpeg), (3L, truncated), (4L, nonIhdr))
+      .toDF("id", "img")
       .select(col("id"),
         graft.operators.Multimodal.pngDims(col("img")).as("d"))
       .select(col("id"), col("d.width"), col("d.height"))
       .orderBy("id").collect()
     assert(out(0).getLong(1) == 1920L && out(0).getLong(2) == 1080L)
     assert(out(1).isNullAt(1) && out(1).isNullAt(2))
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2),
+      "truncated PNG header must yield null dims, not garbage")
+    assert(out(3).isNullAt(1) && out(3).isNullAt(2),
+      "non-IHDR first chunk must yield null dims")
   }
 
   test("JobConfig: connector delta flag overrides top level") {

@@ -138,6 +138,18 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("dedupGroups throws on an iteration-cap exit instead of returning wrong labels") {
+    // A 5-node chain needs ~diameter rounds; maxIter=1 exits with
+    // labels still moving. Silent return would feed wrong components
+    // into groupAwareSplit — the exact leak it exists to prevent.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      graft.operators.Dedup.dedupGroups(edges, maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("maxIter"))
+  }
+
   test("heavyHitters equals exact GROUP BY HAVING on skewed streams (3x)") {
     for (_ <- 1 to 3) {
       // skewed synthetic stream: gaussian-index items, heavy head

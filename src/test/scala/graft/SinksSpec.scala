@@ -147,6 +147,27 @@ class SinksSpec extends SparkSpec {
       ("u3", "recommendation_itemId", """["c"]""")))
   }
 
+  test("pivotAttributesPerRecord resolves a rec/other key collision instead of throwing") {
+    import org.apache.spark.sql.functions._
+    import graft.etl.Ops
+    // Empty prefix + an other-attribute literally named "itemId": the
+    // pivoted rec key collides with the directive attr. Under the
+    // default mapKeyDedupPolicy=EXCEPTION a map-built pivot fails the
+    // whole job at runtime; the long form must instead drop the loser
+    // deterministically — rec wins, matching the reference's dict
+    // build order (main.py:67-81 assigns rec fields last).
+    val df = Seq(("u1", "a")).toDF("userId", "item")
+      .select(col("userId"),
+        array(struct(col("item").as("itemId"))).as("recommendations"))
+      .withColumn("syncDirectives",
+        struct(lit("").as("attributePrefix"),
+          lit("sneaky").as("itemId")))
+    val out = Ops.pivotAttributesPerRecord(df, "userId", Seq("itemId"))
+      .orderBy("attr").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(out.toSeq == Seq(("u1", "itemId", """["a"]""")))
+  }
+
   test("mixed-job queue end-to-end: per-record directives survive the drain") {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.functions._
