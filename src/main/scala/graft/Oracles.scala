@@ -1198,6 +1198,49 @@ object Oracles {
       """SELECT doc_id AS "media_id",
         |  greatest(ceil(octet_length(encode(text)) / 128.0)::BIGINT, 1)
         |    AS "n_frames"
-        |FROM documents ORDER BY 1""".stripMargin
+        |FROM documents ORDER BY 1""".stripMargin,
+
+    // Keeper selection: ids chained into runs of 5 consecutive ids, so
+    // the component root is (doc_id // 5) * 5 by construction; keeper =
+    // argmax(n_chars, ties to min id) within the run.
+    "q_keep_best" ->
+      """WITH g AS (SELECT doc_id, n_chars, (doc_id // 5) * 5 AS grp
+        |  FROM documents),
+        |r AS (SELECT grp, doc_id, n_chars,
+        |  count(*) OVER (PARTITION BY grp) AS nm,
+        |  row_number() OVER (PARTITION BY grp
+        |    ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM g)
+        |SELECT grp AS "group", doc_id, n_chars,
+        |  nm::BIGINT AS "n_members"
+        |FROM r WHERE rn = 1 ORDER BY 1""".stripMargin,
+
+    // Stratified sampling: same md5 bucket as q_hash_split, threshold
+    // CASEd per language (en 25%, zh 100%, default 50%).
+    "q_stratified_sample" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${md5_60("doc_id::VARCHAR")} % 1000000 <
+         |  CASE lang WHEN 'en' THEN 250000
+         |            WHEN 'zh' THEN 1000000 ELSE 500000 END
+         |ORDER BY doc_id""".stripMargin,
+
+    // Sequence packing: md5-assigned stream, running-offset prefix sum
+    // (ROWS ... 1 PRECEDING), context bins of 4096 at the start/end
+    // offsets; zero-token docs occupy one slot.
+    "q_seq_pack" ->
+      s"""WITH s AS (SELECT doc_id, n_chars,
+         |    ${md5_60("doc_id::VARCHAR")} % 1000000 % 8 AS stream
+         |  FROM documents),
+         |o AS (SELECT doc_id, stream, n_chars,
+         |  COALESCE(SUM(n_chars) OVER (PARTITION BY stream
+         |    ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS start_offset
+         |  FROM s)
+         |SELECT doc_id, stream, start_offset,
+         |  start_offset // 4096 AS "bin_first",
+         |  (start_offset + greatest(n_chars, 1) - 1) // 4096
+         |    AS "bin_last"
+         |FROM o ORDER BY doc_id""".stripMargin
   )
 }

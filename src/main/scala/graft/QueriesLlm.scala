@@ -221,6 +221,52 @@ object QueriesLlm {
       .orderBy("term")
   }
 
+  /** Keeper selection (Dedup.keepBest): doc ids chained into runs of 5
+    * consecutive ids (edge doc_id -> doc_id+1 except across %5==4
+    * boundaries), so every component root is 5*floor(doc_id/5) BY
+    * CONSTRUCTION and the oracle can state the per-run
+    * argmax(n_chars, ties to min id) winner directly — grading the
+    * whole cluster-then-select pipeline, not just the aggregate.
+    */
+  def keepBestQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "n_chars")
+    // edges between consecutive ids within a run of 5; both endpoints
+    // proven present by the self-join
+    val a = docs.select(col("doc_id").as("id_a"))
+      .where(col("id_a") % 5 =!= 4)
+    val b = docs.select(col("doc_id").as("id_b"))
+    val edges = a.join(b, col("id_b") === col("id_a") + 1)
+    Dedup.keepBest(docs, edges, "doc_id", "n_chars")
+      .orderBy("group")
+  }
+
+  /** Stratified sampling (Sampling.stratifiedKeep): per-language keep
+    * rates — downsample English to 25%, keep Chinese whole, halve the
+    * rest — as one codegen'd md5 predicate the oracle restates as a
+    * CASE over the same hash.
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    t(s, dir, "documents").select("doc_id", "lang", "source")
+      .where(Sampling.stratifiedKeep(col("doc_id"), col("lang"),
+        Map("en" -> 250000L, "zh" -> 1000000L), defaultPpm = 500000L))
+      .orderBy("doc_id")
+  }
+
+  /** Sequence packing (Sampling.packStreams): every document's offset
+    * and context-bin span in one of 8 md5-assigned concatenation
+    * streams, budget 4096 "tokens" (n_chars as the deterministic token
+    * count) — the GPT-style concatenate-then-chunk layout as a window
+    * prefix-sum the oracle replays verbatim.
+    */
+  def seqPack(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "n_chars")
+    graft.operators.Sampling.packStreams(docs, "doc_id", "n_chars",
+        streams = 8, budget = 4096L)
+      .select("doc_id", "stream", "start_offset", "bin_first", "bin_last")
+      .orderBy("doc_id")
+  }
+
   /** BM25 retrieval (Retrieval.bm25): top-20 documents for the query
     * set = the first five tokens of doc 0 (deterministic, corpus-
     * derived). k1 = 1.25 / b = 0.75 are exactly representable, so the
@@ -587,6 +633,9 @@ object QueriesLlm {
     "q_fingerprints" -> (fingerprints _),
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_image_dims" -> (imageDims _),
-    "q_frame_sample" -> (frameSample _)
+    "q_frame_sample" -> (frameSample _),
+    "q_keep_best" -> (keepBestQ _),
+    "q_stratified_sample" -> (stratifiedSample _),
+    "q_seq_pack" -> (seqPack _)
   )
 }

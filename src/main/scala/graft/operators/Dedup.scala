@@ -229,6 +229,40 @@ object Dedup {
     } finally edges.unpersist()
   }
 
+  /** Keeper selection over near-dup clusters: collapse each connected
+    * component of `pairs` to its single BEST document — highest
+    * `scoreCol`, ties to the smallest id — rather than
+    * [[dedupGroups]]' arbitrary min-id keeper. This is the selection a
+    * curation pipeline actually runs: among near-duplicate crawls of
+    * the same page, keep the longest / highest-quality capture.
+    * Documents with no near-dup edge are their own singleton group and
+    * always survive.
+    *
+    * Scale shape: after the label join, the keeper is a single
+    * map-side-combinable struct-max aggregate — max over
+    * `(score, -id)` picks the winner WITHOUT sorting any group or
+    * windowing the corpus, so a pathological million-member cluster
+    * costs its reducer one running maximum, not a sort. One shuffle on
+    * the group key.
+    *
+    * @return one row per group: (group, id, score, n_members), where
+    *   `group` is the component's min id ([[dedupGroups]]' label)
+    */
+  def keepBest(docs: DataFrame, pairs: DataFrame, idCol: String,
+      scoreCol: String, maxIter: Int = 50): DataFrame = {
+    val groups = dedupGroups(pairs, maxIter = maxIter)
+      .withColumnRenamed("id", idCol)
+    docs.join(groups, Seq(idCol), "left_outer")
+      .withColumn("group", coalesce(col("comp"), col(idCol)))
+      .groupBy("group")
+      .agg(
+        max(struct(col(scoreCol).as("score"),
+          (-col(idCol)).as("negId"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("group"), (-col("best.negId")).as(idCol),
+        col("best.score").as(scoreCol), col("n_members"))
+  }
+
   /** N-gram Jaccard similarity for an EXPLICIT candidate pair set
     * (pairs discovered by any bucketing scheme, or small curated sets).
     * Exposed separately so the exact metric is reusable and oracle-

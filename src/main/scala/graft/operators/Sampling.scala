@@ -50,6 +50,66 @@ object Sampling {
     */
   def hashSample(key: Column, ppm: Long): Column = hashBucket(key) < ppm
 
+  /** Per-stratum deterministic sampling — corpus rebalancing with one
+    * codegen'd per-row predicate: each stratum (language, source
+    * domain, quality band) keeps its own fraction of rows, so
+    * over-represented strata are downsampled in the same pass that
+    * keeps rare strata whole. Membership hashes the stable row key
+    * exactly as [[hashSample]], so the same row survives the same rate
+    * on every run and engine; unknown strata fall back to
+    * `defaultPpm`. No shuffle — this composes with any downstream
+    * split/pack without repartitioning.
+    */
+  def stratifiedKeep(key: Column, stratum: Column,
+      ratesPpm: Map[String, Long], defaultPpm: Long): Column = {
+    require(ratesPpm.values.forall(p => p >= 0 && p <= Buckets) &&
+      defaultPpm >= 0 && defaultPpm <= Buckets,
+      s"rates must be in [0, $Buckets] ppm")
+    val thr = ratesPpm.toSeq.sortBy(_._1)
+      .foldLeft(None: Option[Column]) { case (acc, (name, ppm)) =>
+        Some(acc.fold(when(stratum === name, lit(ppm)))(
+          _.when(stratum === name, lit(ppm))))
+      }
+      .map(_.otherwise(lit(defaultPpm))).getOrElse(lit(defaultPpm))
+    hashBucket(key) < thr
+  }
+
+  /** Sequence packing: place every document at a byte/token offset in
+    * one of `streams` independent concatenation streams, and name the
+    * fixed-size context bins it lands in — the GPT-style "concatenate
+    * then chunk" layout, computed relationally. A document starts at
+    * the running token total of its stream and spans
+    * `[bin_first, bin_last]` of width `budget`.
+    *
+    * Scale shape: stream assignment is the usual md5 projection; the
+    * only shuffle is the window's partition-by-stream, and each stream
+    * is an independent sequential prefix-sum — size `streams` to the
+    * cluster's parallelism (one window partition per core) and no
+    * single reducer ever sees more than corpus/streams rows. The
+    * prefix-sum is a ROWS UNBOUNDED PRECEDING running frame: Spark
+    * computes it in one pass per partition without buffering the
+    * window.
+    *
+    * @param tokenCol per-row token count, >= 0 (zero-token rows occupy
+    *   one slot so they remain addressable)
+    */
+  def packStreams(df: org.apache.spark.sql.DataFrame, idCol: String,
+      tokenCol: String, streams: Int,
+      budget: Long): org.apache.spark.sql.DataFrame = {
+    require(streams > 0 && budget > 0, "streams and budget must be > 0")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("stream").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("stream", hashBucket(col(idCol)) % streams.toLong)
+      .withColumn("start_offset",
+        coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .withColumn("bin_first",
+        (col("start_offset") / budget).cast("long"))
+      .withColumn("bin_last",
+        ((col("start_offset") + greatest(col(tokenCol), lit(1L)) - 1) /
+          budget).cast("long"))
+  }
+
   /** Leakage-safe dataset split: assignment hashes the dedup-GROUP
     * root, not the row id, so near-duplicate documents can never
     * straddle train/test (the classic eval-contamination bug a plain

@@ -211,6 +211,53 @@ class DedupAnnSpec extends SparkSpec {
     assert(split.values.toSet.size >= 2)
   }
 
+  test("keepBest keeps the highest-score doc per cluster, min id on ties") {
+    import graft.operators.Dedup
+    // cluster {1,2,3}: 2 has top score; cluster {10,11}: tie -> min id
+    // 10; 99 has no edge -> singleton survivor.
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 7L), (10L, 4L), (11L, 4L),
+      (99L, 1L)).toDF("id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.keepBest(docs, pairs, "id", "score")
+      .orderBy("group")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 9L, 3L), (10L, 10L, 4L, 2L),
+      (99L, 99L, 1L, 1L)))
+  }
+
+  test("packStreams: offsets are exclusive prefix sums, bins span the budget") {
+    import graft.operators.Sampling
+    // One stream so order is fully determined by id; token counts chosen
+    // to cross the budget boundary mid-document (doc 3 spans bins 0-1)
+    // and to include a zero-token doc (occupies one slot, stays
+    // addressable).
+    val docs = Seq((1L, 4L), (2L, 0L), (3L, 5L), (4L, 3L))
+      .toDF("id", "toks")
+    val out = Sampling.packStreams(docs, "id", "toks", streams = 1,
+        budget = 8L)
+      .select("id", "start_offset", "bin_first", "bin_last")
+      .orderBy("id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 0L, 0L), // [0,4) in bin 0
+      (2L, 4L, 0L, 0L), // zero tokens: one slot at offset 4
+      (3L, 4L, 0L, 1L), // [4,9) crosses the bin-0/1 boundary
+      (4L, 9L, 1L, 1L)))
+  }
+
+  test("stratifiedKeep: rate 0 drops a stratum, full rate keeps it whole") {
+    import graft.operators.Sampling
+    val docs = (0L until 200L).toDF("id")
+      .withColumn("s", when(col("id") % 2 === 0, "a").otherwise("b"))
+    val kept = docs.where(Sampling.stratifiedKeep(col("id"), col("s"),
+        Map("a" -> 0L, "b" -> Sampling.Buckets), defaultPpm = 0L))
+      .as[(Long, String)].collect()
+    assert(kept.forall(_._2 == "b") && kept.length == 100)
+    // and a mid-rate stratum keeps a strict, deterministic subset
+    val half = docs.where(Sampling.stratifiedKeep(col("id"), col("s"),
+        Map("a" -> 500000L), defaultPpm = 0L)).count()
+    assert(half > 20 && half < 80)
+  }
+
   test("no ANN/dedup plan contains a cartesian product") {
     val q = vecs.select(col("vec_id").as("query_id"), col("embedding"))
     val plans = Seq(

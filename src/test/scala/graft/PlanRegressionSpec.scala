@@ -185,4 +185,38 @@ class PlanRegressionSpec extends SparkSpec {
     // the array<struct> payload as a join key
     assert(p.contains("xxhash64"))
   }
+
+  test("q_keep_best: keeper is a struct-max aggregate, never a window sort") {
+    val p = plan("q_keep_best")
+    // a row_number() formulation would sort every cluster on one
+    // reducer; the struct-max shape is a running maximum with MAP-SIDE
+    // PARTIALS (partial_max before the group-key exchange), immune to a
+    // million-member cluster. Struct ordering forces SortAggregate —
+    // the sort is per-partition by group key, not per-cluster by score.
+    assert(!p.contains("Window"), p.take(400))
+    assert(p.contains("partial_max"), p.take(600))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_stratified_sample: the keep predicate is a scan-side filter, no shuffle") {
+    val p = plan("q_stratified_sample")
+    // per-stratum sampling is a per-row predicate evaluated AT the
+    // scan (DataFilters carries the md5 expression); the only exchange
+    // allowed is the presentation sort's range partitioning
+    assert(!p.contains("Exchange hashpartitioning"), p.take(600))
+    assert(!p.contains("Window"))
+    assert(p.contains("DataFilters: [isnotnull(doc_id"), p.take(600))
+  }
+
+  test("q_seq_pack: one shuffle to streams, running-frame window, no sort spill trap") {
+    val p = plan("q_seq_pack")
+    // exactly one exchange: the partition-by-stream; the prefix sum is
+    // a running frame over it (the final orderBy is the test harness's
+    // presentation sort, which AQE plans as a range exchange — allow 2)
+    val exchanges = "(?m)Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"$exchanges exchanges in q_seq_pack:\n" +
+      p.take(600))
+    assert(p.contains("Window"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
