@@ -1241,6 +1241,36 @@ object Oracles {
          |  start_offset // 4096 AS "bin_first",
          |  (start_offset + greatest(n_chars, 1) - 1) // 4096
          |    AS "bin_last"
-         |FROM o ORDER BY doc_id""".stripMargin
+         |FROM o ORDER BY doc_id""".stripMargin,
+
+    // Incremental dedup: construction fixes the survivors — exact
+    // copies die against the corpus, " v2" variants survive, and the
+    // batch-internal duplicate of each variant loses to the min id.
+    "q_incremental_dedup" ->
+      s"""SELECT doc_id + 800000 AS "doc_id",
+         |  md5(${norm("text || ' v2'")}) AS "fp"
+         |FROM documents WHERE doc_id < 100 ORDER BY 1""".stripMargin,
+
+    // Source-level gate: survivors of sources whose mean length >= 300.
+    "q_source_filter" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE source IN (SELECT source FROM documents
+        |  GROUP BY source HAVING avg(n_chars) >= 300.0)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Percentile length band: same nearest-rank cumulative-histogram
+    // thresholds as Curation.rankBounds (rank = ceil(q*n), min 1).
+    "q_length_filter" ->
+      """WITH h AS (SELECT n_chars AS v, count(*) AS c
+        |  FROM documents GROUP BY 1),
+        |cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cs FROM h),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |lo AS (SELECT min(v) AS lo FROM cum, n
+        |  WHERE cs >= greatest(ceil(0.05 * n), 1)),
+        |hi AS (SELECT min(v) AS hi FROM cum, n
+        |  WHERE cs >= greatest(ceil(0.95 * n), 1))
+        |SELECT doc_id, n_chars FROM documents, lo, hi
+        |WHERE n_chars >= lo AND n_chars <= hi
+        |ORDER BY doc_id""".stripMargin
   )
 }

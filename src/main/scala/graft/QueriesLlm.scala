@@ -267,6 +267,49 @@ object QueriesLlm {
       .orderBy("doc_id")
   }
 
+  /** Incremental dedup (Dedup.dedupAgainst): a synthetic ingest batch
+    * of exact corpus copies (all dropped), " v2"-suffixed variants
+    * (all fresh), and within-batch duplicates of those variants
+    * (self-dedup keeps the min id) — so the survivor set and its
+    * fingerprints are fixed by construction and the oracle states both
+    * directly.
+    */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val base = docs.where(col("doc_id") < 100)
+    val copies = base.select((col("doc_id") + 700000).as("doc_id"),
+      col("text"))
+    val variants = base.select((col("doc_id") + 800000).as("doc_id"),
+      concat(col("text"), lit(" v2")).as("text"))
+    val dups = base.where(col("doc_id") < 50)
+      .select((col("doc_id") + 900000).as("doc_id"),
+        concat(col("text"), lit(" v2")).as("text"))
+    val batch = copies.unionByName(variants).unionByName(dups)
+    Dedup.dedupAgainst(batch, docs, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** Source-level quality gate (Curation.sourceFilter): keep documents
+    * whose source's MEAN length clears 300 — the domain-level filtering
+    * pass, graded on the aggregate-then-semi-join, with the threshold
+    * a comfortable 0.1+ away from every source mean at all SFs.
+    */
+  def sourceFilterQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.sourceFilter(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "source", "n_chars", minMean = 300.0)
+      .orderBy("doc_id")
+
+  /** Percentile length filter (Curation.lengthFilter): keep the
+    * [p05, p95] nearest-rank band of n_chars. Integer thresholds from
+    * the cumulative value histogram — the oracle replays the same
+    * ranks, immune to interpolation drift.
+    */
+  def lengthFilterQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.lengthFilter(
+        t(s, dir, "documents").select("doc_id", "n_chars"), "n_chars")
+      .orderBy("doc_id")
+
   /** BM25 retrieval (Retrieval.bm25): top-20 documents for the query
     * set = the first five tokens of doc 0 (deterministic, corpus-
     * derived). k1 = 1.25 / b = 0.75 are exactly representable, so the
@@ -636,6 +679,9 @@ object QueriesLlm {
     "q_frame_sample" -> (frameSample _),
     "q_keep_best" -> (keepBestQ _),
     "q_stratified_sample" -> (stratifiedSample _),
-    "q_seq_pack" -> (seqPack _)
+    "q_seq_pack" -> (seqPack _),
+    "q_incremental_dedup" -> (incrementalDedup _),
+    "q_source_filter" -> (sourceFilterQ _),
+    "q_length_filter" -> (lengthFilterQ _)
   )
 }

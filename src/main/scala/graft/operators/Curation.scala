@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation filters that decide survival from AGGREGATE
+  * statistics, not per-row signals: source/domain-level quality gating
+  * and percentile-bounded length filtering — the passes a web-corpus
+  * pipeline (C4/RefinedWeb-style) runs between dedup and split.
+  */
+object Curation {
+
+  /** Domain-level filtering: keep documents whose SOURCE's mean score
+    * clears `minMean`. A low-quality domain is dropped wholesale even
+    * when individual pages look fine — the aggregate is the signal.
+    *
+    * Scale shape: the per-source aggregate is map-side combinable and
+    * its output is one row per domain — orders of magnitude smaller
+    * than the corpus — so the survivor set re-enters as a LEFT SEMI
+    * join that AQE plans as a broadcast for any realistic domain
+    * count. The corpus itself shuffles once (for the aggregate) and
+    * never carries extra columns.
+    */
+  def sourceFilter(docs: DataFrame, srcCol: String, scoreCol: String,
+      minMean: Double): DataFrame = {
+    val good = docs.groupBy(srcCol)
+      .agg(avg(col(scoreCol)).as("__mean"))
+      .where(col("__mean") >= minMean)
+      .select(col(srcCol))
+    docs.join(good, Seq(srcCol), "left_semi")
+  }
+
+  /** Nearest-rank percentile bounds of an integer-valued column via a
+    * value histogram: the value at rank `ceil(q * n)` (1-based, rank
+    * clamped to >= 1). Deterministic INTEGER bounds — no interpolation,
+    * so an external engine restating the same cumulative-histogram
+    * logic lands on identical thresholds, where interpolated
+    * percentiles invite 1-ulp boundary drift.
+    *
+    * The histogram groups by VALUE, so the collect is bounded by the
+    * column's distinct-value count, not the corpus (document lengths:
+    * thousands of values at any corpus size); refuse anything that
+    * would actually strain the driver.
+    */
+  def rankBounds(docs: DataFrame, valueCol: String, lo: Double,
+      hi: Double, maxDistinct: Int = 1000000): (Long, Long) = {
+    require(lo >= 0 && hi <= 1 && lo <= hi, s"bad quantiles [$lo, $hi]")
+    val hist = docs
+      .groupBy(col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy("v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(hist.nonEmpty, "rankBounds on an empty frame")
+    require(hist.length <= maxDistinct,
+      s"${hist.length} distinct values exceed maxDistinct=$maxDistinct; " +
+        "bucket the column first (rankBounds is for low-cardinality " +
+        "integer columns like lengths and counts)")
+    val n = hist.map(_._2).sum
+    def at(rank: Long): Long = {
+      var cum = 0L
+      var i = 0
+      while (i < hist.length) {
+        cum += hist(i)._2
+        if (cum >= rank) return hist(i)._1
+        i += 1
+      }
+      hist.last._1
+    }
+    (at(math.max(math.ceil(lo * n).toLong, 1L)),
+      at(math.max(math.ceil(hi * n).toLong, 1L)))
+  }
+
+  /** Length filter: keep rows whose `valueCol` lies within the corpus's
+    * own nearest-rank `[lo, hi]` percentile band — the "drop the
+    * freakishly short and long tails" pass, with data-derived rather
+    * than hand-tuned thresholds. Two jobs: the bounded histogram
+    * aggregate, then a scan-side range predicate (both thresholds are
+    * literals by the time the filter runs, so it pushes to the source).
+    */
+  def lengthFilter(docs: DataFrame, valueCol: String, lo: Double = 0.05,
+      hi: Double = 0.95): DataFrame = {
+    val (a, b) = rankBounds(docs, valueCol, lo, hi)
+    docs.where(col(valueCol) >= a && col(valueCol) <= b)
+  }
+}

@@ -27,6 +27,31 @@ object Dedup {
     fp.join(keepers, "fp")
   }
 
+  /** Incremental exact dedup: the daily-ingest shape. Drops batch rows
+    * whose content fingerprint ALREADY EXISTS in the corpus, then
+    * self-dedups the batch (min id per fingerprint), returning the
+    * rows that genuinely extend the corpus.
+    *
+    * Scale shape: the corpus contributes ONLY its distinct 128-bit
+    * fingerprint set — never payloads — so the anti-join shuffles
+    * 16-byte keys; in steady state the fingerprint set is a
+    * precomputed table maintained alongside the corpus and the whole
+    * pass costs one scan of the (small) batch plus the key-only
+    * anti-join. Both aggregates are map-side combinable.
+    *
+    * @return surviving batch rows as (idCol, fp)
+    */
+  def dedupAgainst(batch: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val batchFp = batch.select(col(idCol),
+      T.fingerprint(col(textCol)).as("fp"))
+    val corpusFp = corpus.select(T.fingerprint(col(textCol)).as("fp"))
+      .distinct()
+    batchFp.join(corpusFp, Seq("fp"), "left_anti")
+      .groupBy("fp").agg(min(idCol).as(idCol))
+      .select(col(idCol), col("fp"))
+  }
+
   /** MinHash+LSH near-dup candidate pairs, exact-Jaccard verified.
     *
     * shingle -> minhash signature -> band keys -> explode bands ->

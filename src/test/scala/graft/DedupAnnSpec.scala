@@ -258,6 +258,54 @@ class DedupAnnSpec extends SparkSpec {
     assert(half > 20 && half < 80)
   }
 
+  test("dedupAgainst drops corpus hits, self-dedups the batch, keeps fresh rows") {
+    import graft.operators.Dedup
+    val corpus = Seq((1L, "Hello World"), (2L, "other doc"))
+      .toDF("id", "text")
+    val batch = Seq(
+      (10L, "hello   world"), // corpus dup modulo case/whitespace: dies
+      (11L, "brand new"),     // fresh: survives
+      (12L, "BRAND NEW"),     // batch-internal dup of 11: loses to min id
+      (13L, "also new")       // fresh: survives
+    ).toDF("id", "text")
+    val out = Dedup.dedupAgainst(batch, corpus, "id", "text")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(11L, 13L))
+  }
+
+  test("sourceFilter keeps whole domains by mean score, drops the rest") {
+    import graft.operators.Curation
+    val docs = Seq(
+      ("good", 1L, 100L), ("good", 2L, 300L), // mean 200
+      ("bad", 3L, 500L), ("bad", 4L, 50L), ("bad", 5L, 50L) // mean 200
+    ).toDF("src", "id", "score")
+    // threshold above one mean, below/at the other decides per SOURCE,
+    // never per row: the 500-score row dies with its domain
+    val kept = Curation.sourceFilter(docs, "src", "score", minMean = 150.0)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L, 3L, 4L, 5L))
+    val strict = Curation.sourceFilter(docs, "src", "score",
+        minMean = 200.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(strict == Seq())
+    val mid = Curation.sourceFilter(
+        docs.where(col("id") =!= 2L), "src", "score", minMean = 150.0)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(mid == Seq(3L, 4L, 5L)) // good's mean fell to 100: dropped
+  }
+
+  test("rankBounds picks nearest-rank values; lengthFilter keeps the band") {
+    import graft.operators.Curation
+    val docs = (1L to 100L).toDF("len").withColumn("id", col("len"))
+    // ranks: ceil(.05*100)=5 -> value 5; ceil(.95*100)=95 -> value 95
+    assert(Curation.rankBounds(docs, "len", 0.05, 0.95) == (5L, 95L))
+    val kept = Curation.lengthFilter(docs, "len").count()
+    assert(kept == 91) // values 5..95 inclusive
+    // duplicate-heavy histogram: rank lands inside a run
+    val skew = Seq.fill(50)(10L).union(Seq.fill(50)(20L)).toDF("len")
+    assert(Curation.rankBounds(skew, "len", 0.05, 0.95) == (10L, 20L))
+  }
+
   test("no ANN/dedup plan contains a cartesian product") {
     val q = vecs.select(col("vec_id").as("query_id"), col("embedding"))
     val plans = Seq(
