@@ -1258,6 +1258,37 @@ object Oracles {
         |  GROUP BY source HAVING avg(n_chars) >= 300.0)
         |ORDER BY doc_id""".stripMargin,
 
+    // Windowed event dedup: lag over (user, type) ordered by (us, id);
+    // keep first-of-key or gap > 60 floor-seconds.
+    "q_event_dedup" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |  epoch_ns(ts) // 1000 AS us,
+        |  epoch_ns(ts) // 1000000000 AS s FROM events),
+        |k AS (SELECT event_id, user_id, event_type, s,
+        |  lag(s) OVER (PARTITION BY user_id, event_type
+        |               ORDER BY us, event_id) AS p
+        |  FROM ev)
+        |SELECT event_id, user_id, event_type, s AS "ts_s"
+        |FROM k WHERE p IS NULL OR s - p > 60
+        |ORDER BY event_id""".stripMargin,
+
+    // Unigram log-prob: per-doc tf, corpus term counts, ln(c/n)
+    // weighted by tf, decimal-accumulated mean (BM25's determinism
+    // recipe).
+    "q_unigram_logprob" ->
+      s"""WITH tok AS (SELECT doc_id, ${toks("text")} AS t FROM documents),
+         |ex AS (SELECT doc_id, unnest(t) AS term FROM tok),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+         |tc AS (SELECT term, sum(tf) AS c FROM tf GROUP BY 1),
+         |tot AS (SELECT sum(c) AS n FROM tc),
+         |parts AS (SELECT tf.doc_id, tf.tf,
+         |    ln(tc.c::DOUBLE / tot.n) * tf.tf AS p
+         |  FROM tf JOIN tc USING (term) CROSS JOIN tot)
+         |SELECT doc_id, sum(tf)::BIGINT AS "n_tokens",
+         |  round(sum(p::DECIMAL(28,12))::DOUBLE / sum(tf), 6)
+         |    AS "mean_logp"
+         |FROM parts GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Percentile length band: same nearest-rank cumulative-histogram
     // thresholds as Curation.rankBounds (rank = ceil(q*n), min 1).
     "q_length_filter" ->

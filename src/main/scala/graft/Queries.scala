@@ -625,6 +625,22 @@ object Queries {
       .orderBy("user_id", "session_seq")
   }
 
+  /** Time-windowed event dedup (Events.dedupWithin): drop events of the
+    * same (user, type) within 60s of their immediate predecessor —
+    * at-least-once log cleanup. Same ns->us ordering discipline as
+    * [[sessionize]]; gap arithmetic on floor-seconds.
+    */
+  def eventDedup(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      col("event_id"), col("user_id"), col("event_type"),
+      expr("ts div 1000").as("ts_us"),
+      expr("ts div 1000000000").as("ts_s"))
+    graft.operators.Events.dedupWithin(ev, Seq("user_id", "event_type"),
+        "ts_s", windowSeconds = 60, orderCols = Seq("ts_us", "event_id"))
+      .select("event_id", "user_id", "event_type", "ts_s")
+      .orderBy("event_id")
+  }
+
   /** As-of join (operators/AsofJoin): each purchase decorated with the
     * user's latest at-or-before view, via the union+window shape — the
     * plan contains NO join operator at all (PlanRegressionSpec). Oracle:
@@ -1080,6 +1096,7 @@ object Queries {
     "q_events_sliding" -> (eventsSliding _),
     "q_session_window" -> (sessionWindowQ _),
     "q_sessionize" -> (sessionize _),
+    "q_event_dedup" -> (eventDedup _),
     "q_attribution" -> (attribution _),
     "q_streaming_dedup_equiv" -> (streamingDedupEquiv _),
     "q_incremental_job" -> (incrementalJob _),

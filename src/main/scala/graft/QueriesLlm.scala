@@ -310,6 +310,16 @@ object QueriesLlm {
         t(s, dir, "documents").select("doc_id", "n_chars"), "n_chars")
       .orderBy("doc_id")
 
+  /** Unigram log-prob quality score (Curation.unigramLogProb): each
+    * doc's mean log p(token) under the corpus's own unigram model —
+    * the perplexity-filter shape. ln + decimal accumulation, the same
+    * cross-engine determinism recipe as BM25.
+    */
+  def unigramLogProbQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.unigramLogProb(
+        t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** BM25 retrieval (Retrieval.bm25): top-20 documents for the query
     * set = the first five tokens of doc 0 (deterministic, corpus-
     * derived). k1 = 1.25 / b = 0.75 are exactly representable, so the
@@ -682,6 +692,7 @@ object QueriesLlm {
     "q_seq_pack" -> (seqPack _),
     "q_incremental_dedup" -> (incrementalDedup _),
     "q_source_filter" -> (sourceFilterQ _),
-    "q_length_filter" -> (lengthFilterQ _)
+    "q_length_filter" -> (lengthFilterQ _),
+    "q_unigram_logprob" -> (unigramLogProbQ _)
   )
 }

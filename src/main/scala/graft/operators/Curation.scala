@@ -30,6 +30,41 @@ object Curation {
     docs.join(good, Seq(srcCol), "left_semi")
   }
 
+  /** Unigram log-probability quality score (the CCNet/perplexity-filter
+    * shape with the corpus itself as the language model): each
+    * document's mean log p(token) under the corpus unigram
+    * distribution. Prose scores near the corpus mean; boilerplate and
+    * keyword-stuffed junk drift to the tails.
+    *
+    * Scale shape: the exploded corpus collapses to per-doc term
+    * frequencies FIRST (map-side combinable), the vocabulary table is
+    * broadcast — the tf frame never shuffles by term, which matters
+    * because term keys are Zipf-skewed and a shuffle join would pile
+    * every "the" row on one reducer. For a vocabulary too large to
+    * broadcast, cap it (rare terms can share an OOV bucket) before
+    * calling. Decimal accumulation keeps the mean order-independent.
+    *
+    * @return (idCol, n_tokens, mean_logp) — mean_logp rounded to 6dp;
+    *   zero-token documents are absent (they have no distribution)
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    val tf = docs
+      .select(col(idCol), explode(T.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val tc = tf.groupBy("term").agg(sum("tf").as("c"))
+    val tot = tc.agg(sum(col("c")).as("n"))
+    tf.join(broadcast(tc), "term")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp", log(col("c").cast("double") / col("n")))
+      .groupBy(col(idCol))
+      .agg(sum("tf").as("n_tokens"),
+        round(sum((col("lp") * col("tf")).cast("decimal(28,12)"))
+          .cast("double") / sum("tf"), 6).as("mean_logp"))
+  }
+
   /** Nearest-rank percentile bounds of an integer-valued column via a
     * value histogram: the value at rank `ceil(q * n)` (1-based, rank
     * clamped to >= 1). Deterministic INTEGER bounds — no interpolation,

@@ -55,6 +55,28 @@ object Events {
       .drop("__prev", "__new")
   }
 
+  /** Time-windowed per-key dedup: drop an event arriving within
+    * `windowSeconds` of the PREVIOUS event of the same key — the
+    * log-cleanup pass for at-least-once ingestion (client retries,
+    * double-fires). Previous-EVENT semantics, not previous-kept: one
+    * lag window, no iteration, identical in any warehouse — so a burst
+    * keeps only events whose gap to their immediate predecessor
+    * exceeds the window. `orderCols` must totally order events within
+    * a key. One shuffle (the window's partition-by); at scale the key
+    * space (user x type) is wide, so no reducer sees more than one
+    * key's timeline.
+    */
+  def dedupWithin(events: DataFrame, keyCols: Seq[String], tsCol: String,
+      windowSeconds: Long, orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    events.withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .where(col("__prev").isNull ||
+        col(tsCol).cast("long") - col("__prev").cast("long") >
+          windowSeconds)
+      .drop("__prev")
+  }
+
   /** Per-session rollup over [[sessionize]] output. */
   def sessionStats(sessions: DataFrame, userCol: String,
       tsCol: String): DataFrame =

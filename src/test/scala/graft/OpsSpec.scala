@@ -245,6 +245,36 @@ class OpsSpec extends SparkSpec {
       (2L, 5L, "c", "NULL")))  // no right: left join semantics
   }
 
+  test("dedupWithin keeps first-of-key and gap>window events only") {
+    import graft.operators.Events
+    // user 1 "click": burst at t=0,30,61,200 -> lag-relative semantics
+    // keep 0 (first), drop 30 (gap 30), drop 61 (gap 31 vs PREVIOUS
+    // EVENT 30, not vs last-kept 0), keep 200. Other key untouched.
+    val ev = Seq(
+      (1L, 1L, "click", 0L), (2L, 1L, "click", 30L),
+      (3L, 1L, "click", 61L), (4L, 1L, "click", 200L),
+      (5L, 1L, "view", 10L), (6L, 2L, "click", 31L)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val kept = Events.dedupWithin(ev, Seq("user_id", "event_type"), "ts",
+        windowSeconds = 60, orderCols = Seq("ts", "event_id"))
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L, 6L))
+  }
+
+  test("unigramLogProb: mean log p(token) under the corpus distribution") {
+    import graft.operators.Curation
+    // corpus: "a a b" + "a c" -> counts a=3, b=1, c=1, n=5
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("id", "text")
+    val out = Curation.unigramLogProb(docs, "id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def m(ps: Double*) = BigDecimal(ps.map(math.log).sum / ps.size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Seq(
+      (1L, 3L, m(0.6, 0.6, 0.2)), // a, a, b
+      (2L, 2L, m(0.6, 0.2))))     // a, c
+  }
+
   test("pivotAttributes transposes array<struct> and drops external_id clash") {
     val df = Seq(("u1", Seq(("i1", "s1"), ("i2", "s2"))))
       .toDF("userId", "pairs")
