@@ -186,6 +186,23 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.contains("xxhash64"))
   }
 
+  test("q_unigram_logprob: Zipf-skewed term join broadcasts, never shuffles tf") {
+    val p = plan("q_unigram_logprob")
+    // a shuffle join on term piles every "the" row on one reducer;
+    // the vocabulary table must broadcast instead
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_event_dedup / q_incremental_dedup: no cartesian, no nested loop") {
+    for (q <- Seq("q_event_dedup", "q_incremental_dedup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"cartesian in $q")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in $q")
+    }
+  }
+
   test("q_keep_best: keeper is a struct-max aggregate, never a window sort") {
     val p = plan("q_keep_best")
     // a row_number() formulation would sort every cluster on one

