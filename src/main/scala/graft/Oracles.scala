@@ -1251,6 +1251,12 @@ object Oracles {
          |  md5(${norm("text || ' v2'")}) AS "fp"
          |FROM documents WHERE doc_id < 100 ORDER BY 1""".stripMargin,
 
+    // Incremental near-dup: construction fixes the expected pair set —
+    // every 90%-truncation twin is flagged against its original.
+    "q_neardup_against" ->
+      """SELECT doc_id + 100000 AS "batch_id", doc_id AS "corpus_id"
+        |FROM documents WHERE doc_id < 150 ORDER BY 1""".stripMargin,
+
     // Source-level gate: survivors of sources whose mean length >= 300.
     "q_source_filter" ->
       """SELECT doc_id, source, n_chars FROM documents

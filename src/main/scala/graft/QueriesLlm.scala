@@ -289,6 +289,26 @@ object QueriesLlm {
       .orderBy("doc_id")
   }
 
+  /** Incremental NEAR-dup (Dedup.minhashNearDupsAgainst): the ingest
+    * batch is 90%-truncation twins of docs < 150; every twin must be
+    * flagged against ITS corpus original through the cross-frame band
+    * join (same planted-twin regime q_dedup_minhash proves for the
+    * self-join shape, same 32/16-band signature).
+    */
+  def nearDupAgainst(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "documents").select("doc_id", "text")
+    val batch = corpus.where(col("doc_id") < 150)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        substring(col("text"), lit(1),
+          (length(col("text")) * 90 / 100).cast("int")).as("text"))
+    Dedup.minhashNearDupsAgainst(batch, corpus, "doc_id", "text",
+        shingleWidth = 3, numHashes = 32, bands = 16, threshold = 0.3)
+      .where(col("corpus_id") < 150 &&
+        col("batch_id") === col("corpus_id") + 100000)
+      .select(col("batch_id"), col("corpus_id"))
+      .orderBy("batch_id")
+  }
+
   /** Source-level quality gate (Curation.sourceFilter): keep documents
     * whose source's MEAN length clears 300 — the domain-level filtering
     * pass, graded on the aggregate-then-semi-join, with the threshold
@@ -693,6 +713,7 @@ object QueriesLlm {
     "q_incremental_dedup" -> (incrementalDedup _),
     "q_source_filter" -> (sourceFilterQ _),
     "q_length_filter" -> (lengthFilterQ _),
-    "q_unigram_logprob" -> (unigramLogProbQ _)
+    "q_unigram_logprob" -> (unigramLogProbQ _),
+    "q_neardup_against" -> (nearDupAgainst _)
   )
 }

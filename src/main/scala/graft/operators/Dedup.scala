@@ -110,6 +110,59 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Incremental NEAR-dup: flag batch rows whose minhash bands collide
+    * with the CORPUS — the fuzzy twin of [[dedupAgainst]], and the pass
+    * a daily-ingest pipeline actually needs (re-crawls differ by
+    * boilerplate, never byte-identically). Candidate generation is a
+    * cross-frame band join (batch bands x corpus bands, never a
+    * self-join), verified by exact Jaccard on late-fetched shingles.
+    *
+    * Scale shape: both sides shuffle only (band, id) short keys; in
+    * steady state the corpus's banded signatures are a precomputed
+    * table maintained alongside it, so a batch costs its own sketch
+    * plus one key join. Skew guard drops degenerate CORPUS buckets
+    * (empty-template keys); candidate ids broadcast back for the
+    * payload fetch exactly as in [[minhashNearDups]].
+    *
+    * @return (batch_id, corpus_id, jaccard) pairs at or above
+    *   `threshold`; anti-join the batch against distinct batch_id to
+    *   keep only genuinely new content
+    */
+  def minhashNearDupsAgainst(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, shingleWidth: Int = 3,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    val rpb = numHashes / bands
+    def shingle(df: DataFrame) = df.select(
+      col(idCol).as("id"),
+      H.wordShingles(T.tokens(col(textCol)), shingleWidth).as("shingles"))
+    def band(sh: DataFrame) = sh.select(
+      col("id"),
+      explode(H.bandKeys(H.minhashSignature(col("shingles"), numHashes),
+        bands, rpb)).as("band"))
+    val bSh = shingle(batch)
+    val cSh = shingle(corpus)
+    val cBand = band(cSh)
+    val ok = cBand.groupBy("band").count()
+      .where(col("count") <= maxBucket).select("band")
+    val pairIds = band(bSh)
+      .join(cBand.join(ok, "band")
+        .select(col("band"), col("id").as("corpus_id")), "band")
+      .select(col("id").as("batch_id"), col("corpus_id"))
+      .distinct()
+    val bCand = bSh.join(broadcast(
+      pairIds.select(col("batch_id").as("id")).distinct()), "id")
+      .select(col("id").as("batch_id"), col("shingles").as("sh_b"))
+    val cCand = cSh.join(broadcast(
+      pairIds.select(col("corpus_id").as("id")).distinct()), "id")
+      .select(col("id").as("corpus_id"), col("shingles").as("sh_c"))
+    pairIds
+      .join(bCand, "batch_id").join(cCand, "corpus_id")
+      .withColumn("jaccard", H.jaccard(col("sh_b"), col("sh_c")))
+      .where(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+  }
+
   /** SimHash near-dup pairs within a Hamming radius. Candidate
     * generation by the pigeonhole banding of [[H.simhashBandKeys]]
     * (complete for radius <= pieces-1), verified by exact Hamming

@@ -258,6 +258,26 @@ class DedupAnnSpec extends SparkSpec {
     assert(half > 20 && half < 80)
   }
 
+  test("minhashNearDupsAgainst flags batch near-dups of corpus docs only") {
+    import graft.operators.Dedup
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val corpus = Seq((1L, base), (2L, "completely unrelated content " +
+      "about database engines and query optimizers at scale"))
+      .toDF("id", "text")
+    val batch = Seq(
+      (10L, base.dropRight(15)), // near-dup of corpus 1: flagged
+      (11L, "fresh new document with its own entirely distinct topic " +
+        "matter and vocabulary choices throughout")
+    ).toDF("id", "text")
+    val pairs = Dedup.minhashNearDupsAgainst(batch, corpus, "id", "text",
+        threshold = 0.3)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((10L, 1L)))
+    assert(!pairs.exists(_._1 == 11L))
+    assert(!pairs.exists(_._2 == 2L))
+  }
+
   test("dedupAgainst drops corpus hits, self-dedups the batch, keeps fresh rows") {
     import graft.operators.Dedup
     val corpus = Seq((1L, "Hello World"), (2L, "other doc"))
