@@ -1251,6 +1251,20 @@ object Oracles {
          |  md5(${norm("text || ' v2'")}) AS "fp"
          |FROM documents WHERE doc_id < 100 ORDER BY 1""".stripMargin,
 
+    // Document chunking: ceil(len/stride) windows of 200 chars at
+    // stride 150; empty text still yields chunk 0.
+    "q_chunk_docs" ->
+      """WITH d AS (SELECT doc_id, coalesce(text, '') AS t
+        |  FROM documents),
+        |n AS (SELECT doc_id, t,
+        |  greatest(ceil(length(t)::DOUBLE / 150)::BIGINT, 1) AS nc
+        |  FROM d),
+        |x AS (SELECT doc_id, t,
+        |  unnest(generate_series(0, nc - 1)) AS ix FROM n)
+        |SELECT doc_id, ix AS "chunk_ix",
+        |  substr(t, (ix * 150 + 1)::INT, 200) AS "chunk_text"
+        |FROM x ORDER BY doc_id, ix""".stripMargin,
+
     // Incremental near-dup: construction fixes the expected pair set —
     // every 90%-truncation twin is flagged against its original.
     "q_neardup_against" ->

@@ -330,6 +330,17 @@ object QueriesLlm {
         t(s, dir, "documents").select("doc_id", "n_chars"), "n_chars")
       .orderBy("doc_id")
 
+  /** Document chunking (Curation.chunkDocs): 200-char windows with
+    * 50-char overlap (stride 150) — the embedding/RAG preprocessing
+    * pass as a pure per-row projection the oracle replays with
+    * generate_series + substr.
+    */
+  def chunkDocsQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.chunkDocs(
+        t(s, dir, "documents").select("doc_id", "text"), "doc_id",
+        "text", chunkChars = 200, overlap = 50)
+      .orderBy("doc_id", "chunk_ix")
+
   /** Unigram log-prob quality score (Curation.unigramLogProb): each
     * doc's mean log p(token) under the corpus's own unigram model —
     * the perplexity-filter shape. ln + decimal accumulation, the same
@@ -714,6 +725,7 @@ object QueriesLlm {
     "q_source_filter" -> (sourceFilterQ _),
     "q_length_filter" -> (lengthFilterQ _),
     "q_unigram_logprob" -> (unigramLogProbQ _),
-    "q_neardup_against" -> (nearDupAgainst _)
+    "q_neardup_against" -> (nearDupAgainst _),
+    "q_chunk_docs" -> (chunkDocsQ _)
   )
 }

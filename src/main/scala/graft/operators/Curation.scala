@@ -65,6 +65,35 @@ object Curation {
           .cast("double") / sum("tf"), 6).as("mean_logp"))
   }
 
+  /** Fixed-size overlapping document chunking — the preprocessing pass
+    * of an embedding/RAG pipeline: each document becomes
+    * ceil(len / stride) windows of `chunkChars` characters advancing
+    * by `stride = chunkChars - overlap`. Pure per-row projection
+    * (sequence + explode + substring, all codegen'd): no shuffle, no
+    * UDF, and chunk counts scale with text length so the explode's
+    * row growth is exactly the output size. Empty/null text yields one
+    * empty chunk (chunk_ix 0), keeping every document addressable.
+    *
+    * @return input columns minus textCol, plus (chunk_ix, chunk_text)
+    */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+      chunkChars: Int, overlap: Int = 0): DataFrame = {
+    require(chunkChars > 0 && overlap >= 0 && overlap < chunkChars,
+      s"need 0 <= overlap < chunkChars, got $overlap / $chunkChars")
+    val stride = chunkChars - overlap
+    val nChunks = greatest(
+      ceil(length(coalesce(col(textCol), lit(""))).cast("double") / stride)
+        .cast("long"), lit(1L))
+    docs
+      .withColumn("chunk_ix",
+        explode(sequence(lit(0L), nChunks - 1)))
+      .withColumn("chunk_text",
+        coalesce(col(textCol), lit(""))
+          .substr((col("chunk_ix") * stride + 1).cast("int"),
+            lit(chunkChars)))
+      .drop(textCol)
+  }
+
   /** Nearest-rank percentile bounds of an integer-valued column via a
     * value histogram: the value at rank `ceil(q * n)` (1-based, rank
     * clamped to >= 1). Deterministic INTEGER bounds — no interpolation,

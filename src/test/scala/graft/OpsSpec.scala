@@ -261,6 +261,23 @@ class OpsSpec extends SparkSpec {
     assert(kept == Seq(1L, 4L, 5L, 6L))
   }
 
+  test("chunkDocs windows with overlap; empty docs keep one empty chunk") {
+    import graft.operators.Curation
+    val docs = Seq((1L, "abcdefghij"), (2L, "")).toDF("id", "text")
+    // chunk 4, overlap 1 -> stride 3: ceil(10/3) = 4 chunks
+    val out = Curation.chunkDocs(docs, "id", "text", chunkChars = 4,
+        overlap = 1)
+      .orderBy("id", "chunk_ix")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, "abcd"), (1L, 1L, "defg"), (1L, 2L, "ghij"),
+      (1L, 3L, "j"),
+      (2L, 0L, "")))
+    intercept[IllegalArgumentException] {
+      Curation.chunkDocs(docs, "id", "text", chunkChars = 4, overlap = 4)
+    }
+  }
+
   test("unigramLogProb: mean log p(token) under the corpus distribution") {
     import graft.operators.Curation
     // corpus: "a a b" + "a c" -> counts a=3, b=1, c=1, n=5
