@@ -1251,6 +1251,36 @@ object Oracles {
          |  md5(${norm("text || ' v2'")}) AS "fp"
          |FROM documents WHERE doc_id < 100 ORDER BY 1""".stripMargin,
 
+    // End-to-end curation pipeline: replay the full chain — exact-dedup
+    // keepers, nearest-rank length band ON THE DEDUPED SET, per-lang
+    // sampling, hash split, report.
+    "q_curation_pipeline" ->
+      s"""WITH fp AS (SELECT doc_id, md5(${norm("text")}) AS f
+         |  FROM documents),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+         |kept AS (SELECT d.doc_id, d.lang, d.n_chars
+         |  FROM documents d JOIN keep USING (doc_id)),
+         |h AS (SELECT n_chars AS v, count(*) AS c FROM kept GROUP BY 1),
+         |cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cs FROM h),
+         |nn AS (SELECT count(*) AS n FROM kept),
+         |lo AS (SELECT min(v) AS lo FROM cum, nn
+         |  WHERE cs >= greatest(ceil(0.05 * n), 1)),
+         |hi AS (SELECT min(v) AS hi FROM cum, nn
+         |  WHERE cs >= greatest(ceil(0.95 * n), 1)),
+         |band AS (SELECT kept.* FROM kept, lo, hi
+         |  WHERE n_chars >= lo AND n_chars <= hi),
+         |samp AS (SELECT *,
+         |    ${md5_60("doc_id::VARCHAR")} % 1000000 AS b
+         |  FROM band
+         |  WHERE ${md5_60("doc_id::VARCHAR")} % 1000000 <
+         |    CASE lang WHEN 'en' THEN 500000 ELSE 1000000 END)
+         |SELECT CASE WHEN b < 800000 THEN 'train'
+         |            WHEN b < 900000 THEN 'val'
+         |            ELSE 'test' END AS "split",
+         |  lang, count(*)::BIGINT AS "n_docs",
+         |  sum(n_chars)::BIGINT AS "sum_chars"
+         |FROM samp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // Document chunking: ceil(len/stride) windows of 200 chars at
     // stride 150; empty text still yields chunk 0.
     "q_chunk_docs" ->

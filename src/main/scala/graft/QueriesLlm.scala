@@ -330,6 +330,34 @@ object QueriesLlm {
         t(s, dir, "documents").select("doc_id", "n_chars"), "n_chars")
       .orderBy("doc_id")
 
+  /** End-to-end curation pipeline — the composition a real corpus
+    * build runs, as ONE dataflow: exact dedup (keepers only) ->
+    * data-derived [p05, p95] length band -> per-language downsampling
+    * (en to 50%) -> leak-free 80/10/10 hash split -> per-(split, lang)
+    * report. Every stage is one of this library's oracle-checked
+    * operators; the oracle replays the whole chain in SQL, proving the
+    * stages COMPOSE (thresholds computed on the deduped set, sampling
+    * on the banded set, and so on), not just work in isolation.
+    */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Curation, Sampling}
+    val docs = t(s, dir, "documents")
+      .select("doc_id", "text", "lang", "n_chars")
+    val fp = Dedup.exact(docs, "doc_id", "text")
+    val kept = docs.join(
+      fp.where(col("doc_id") === col("keeper")).select("doc_id"),
+      "doc_id")
+    val band = Curation.lengthFilter(kept, "n_chars")
+    val sampled = band.where(Sampling.stratifiedKeep(col("doc_id"),
+      col("lang"), Map("en" -> 500000L), defaultPpm = 1000000L))
+    sampled
+      .withColumn("split", Sampling.assignSplit(col("doc_id"),
+        Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L)))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("split", "lang")
+  }
+
   /** Document chunking (Curation.chunkDocs): 200-char windows with
     * 50-char overlap (stride 150) — the embedding/RAG preprocessing
     * pass as a pure per-row projection the oracle replays with
@@ -726,6 +754,7 @@ object QueriesLlm {
     "q_length_filter" -> (lengthFilterQ _),
     "q_unigram_logprob" -> (unigramLogProbQ _),
     "q_neardup_against" -> (nearDupAgainst _),
-    "q_chunk_docs" -> (chunkDocsQ _)
+    "q_chunk_docs" -> (chunkDocsQ _),
+    "q_curation_pipeline" -> (curationPipeline _)
   )
 }
