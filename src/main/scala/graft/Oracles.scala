@@ -1281,13 +1281,15 @@ object Oracles {
          |  sum(n_chars)::BIGINT AS "sum_chars"
          |FROM samp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
-    // Document chunking: ceil(len/stride) windows of 200 chars at
-    // stride 150; empty text still yields chunk 0.
+    // Document chunking: ceil(max(len - overlap, 1)/stride) windows of
+    // 200 chars at stride 150 (overlap subtracted first so the last
+    // window is never a pure suffix); empty text still yields chunk 0.
     "q_chunk_docs" ->
       """WITH d AS (SELECT doc_id, coalesce(text, '') AS t
         |  FROM documents),
         |n AS (SELECT doc_id, t,
-        |  greatest(ceil(length(t)::DOUBLE / 150)::BIGINT, 1) AS nc
+        |  greatest(ceil(greatest(length(t) - 50, 1)::DOUBLE / 150)
+        |    ::BIGINT, 1) AS nc
         |  FROM d),
         |x AS (SELECT doc_id, t,
         |  unnest(generate_series(0, nc - 1)) AS ix FROM n)

@@ -302,7 +302,8 @@ object QueriesLlm {
         substring(col("text"), lit(1),
           (length(col("text")) * 90 / 100).cast("int")).as("text"))
     Dedup.minhashNearDupsAgainst(batch, corpus, "doc_id", "text",
-        shingleWidth = 3, numHashes = 32, bands = 16, threshold = 0.3)
+        shingleWidth = 3, numHashes = 32, bands = 16, threshold = 0.3,
+        cache = Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       .where(col("corpus_id") < 150 &&
         col("batch_id") === col("corpus_id") + 100000)
       .select(col("batch_id"), col("corpus_id"))

@@ -140,6 +140,11 @@ object Jobs {
     // observed count resolves — immediately after the FIRST connector
     // write — and the failure path falls back to the probe-gated write,
     // so a crashed run still persists the records needed to debug it.
+    // Deliberate consequence: an errors-SINK failure aborts the
+    // remaining connectors, exactly as in the reference (where the
+    // errors write precedes every connector and its failure fails the
+    // whole job) — diagnostics are part of the run's contract, not
+    // best-effort.
     var errorsDir: Option[String] = None
     var errorsWritten = false
     def writeErrors(known: Option[Long]): Unit =

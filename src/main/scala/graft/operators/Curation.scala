@@ -13,6 +13,10 @@ object Curation {
   /** Domain-level filtering: keep documents whose SOURCE's mean score
     * clears `minMean`. A low-quality domain is dropped wholesale even
     * when individual pages look fine — the aggregate is the signal.
+    * Rows with a NULL source are always dropped (a null join key never
+    * matches — standard SQL IN semantics); coalesce the column to a
+    * sentinel domain first if unattributed rows should form their own
+    * stratum.
     *
     * Scale shape: the per-source aggregate is map-side combinable and
     * its output is one row per domain — orders of magnitude smaller
@@ -67,8 +71,13 @@ object Curation {
 
   /** Fixed-size overlapping document chunking — the preprocessing pass
     * of an embedding/RAG pipeline: each document becomes
-    * ceil(len / stride) windows of `chunkChars` characters advancing
-    * by `stride = chunkChars - overlap`. Pure per-row projection
+    * ceil(max(len - overlap, 1) / stride) windows of `chunkChars`
+    * characters advancing by `stride = chunkChars - overlap`. The
+    * count subtracts the overlap BEFORE dividing so the last window
+    * is never a pure suffix of its predecessor (a naive ceil(len /
+    * stride) emits a fully-redundant final chunk whenever
+    * len % stride lands in [1, overlap] — duplicate embeddings and
+    * duplicate retrieval hits downstream). Pure per-row projection
     * (sequence + explode + substring, all codegen'd): no shuffle, no
     * UDF, and chunk counts scale with text length so the explode's
     * row growth is exactly the output size. Empty/null text yields one
@@ -82,8 +91,8 @@ object Curation {
       s"need 0 <= overlap < chunkChars, got $overlap / $chunkChars")
     val stride = chunkChars - overlap
     val nChunks = greatest(
-      ceil(length(coalesce(col(textCol), lit(""))).cast("double") / stride)
-        .cast("long"), lit(1L))
+      ceil(greatest(length(coalesce(col(textCol), lit(""))) - overlap,
+        lit(1)).cast("double") / stride).cast("long"), lit(1L))
     docs
       .withColumn("chunk_ix",
         explode(sequence(lit(0L), nChunks - 1)))
@@ -110,6 +119,10 @@ object Curation {
       hi: Double, maxDistinct: Int = 1000000): (Long, Long) = {
     require(lo >= 0 && hi <= 1 && lo <= hi, s"bad quantiles [$lo, $hi]")
     val hist = docs
+      // null lengths (failed-ingest rows) carry no rank information and
+      // would NPE the histogram collect; they are excluded here and the
+      // range predicate in lengthFilter drops them too — consistent.
+      .where(col(valueCol).isNotNull)
       .groupBy(col(valueCol).cast("long").as("v"))
       .agg(count(lit(1)).as("c"))
       .orderBy("v")

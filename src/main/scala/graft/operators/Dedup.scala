@@ -124,6 +124,11 @@ object Dedup {
     * (empty-template keys); candidate ids broadcast back for the
     * payload fetch exactly as in [[minhashNearDups]].
     *
+    * @param cache storage level for the shingled/banded subtrees, which
+    *   the plan otherwise recomputes 2-3x (corpus bands feed the census
+    *   and the join; both shingle frames feed banding and the payload
+    *   fetch) — the same knob, for the same reason, as
+    *   [[minhashNearDups]]
     * @return (batch_id, corpus_id, jaccard) pairs at or above
     *   `threshold`; anti-join the batch against distinct batch_id to
     *   keep only genuinely new content
@@ -131,15 +136,17 @@ object Dedup {
   def minhashNearDupsAgainst(batch: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, shingleWidth: Int = 3,
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      cache: Option[StorageLevel] = None): DataFrame = {
     val rpb = numHashes / bands
-    def shingle(df: DataFrame) = df.select(
+    def cached(d: DataFrame): DataFrame = cache.fold(d)(d.persist)
+    def shingle(df: DataFrame) = cached(df.select(
       col(idCol).as("id"),
-      H.wordShingles(T.tokens(col(textCol)), shingleWidth).as("shingles"))
-    def band(sh: DataFrame) = sh.select(
+      H.wordShingles(T.tokens(col(textCol)), shingleWidth).as("shingles")))
+    def band(sh: DataFrame) = cached(sh.select(
       col("id"),
       explode(H.bandKeys(H.minhashSignature(col("shingles"), numHashes),
-        bands, rpb)).as("band"))
+        bands, rpb)).as("band")))
     val bSh = shingle(batch)
     val cSh = shingle(corpus)
     val cBand = band(cSh)
@@ -280,6 +287,9 @@ object Dedup {
         .withColumn("comp", col("id"))
         .localCheckpoint()
       var prev = checksum(labels)
+      // Empty pair set: sum over zero rows is null, and there is
+      // nothing to propagate — every doc is its own singleton group.
+      if (prev == null) return labels
       var converged = false
       var i = 0
       while (!converged && i < maxIter) {

@@ -103,11 +103,14 @@ object Sampling {
     df.withColumn("stream", hashBucket(col(idCol)) % streams.toLong)
       .withColumn("start_offset",
         coalesce(sum(col(tokenCol)).over(w), lit(0L)))
-      .withColumn("bin_first",
-        (col("start_offset") / budget).cast("long"))
+      // `div` (exact integral division), not `/`+cast: double division
+      // loses integer precision past 2^53, and a running offset on an
+      // unbounded stream can get there — at which point a boundary
+      // offset like k*budget-1 would round into the wrong bin
+      .withColumn("bin_first", expr(s"start_offset div ${budget}L"))
       .withColumn("bin_last",
-        ((col("start_offset") + greatest(col(tokenCol), lit(1L)) - 1) /
-          budget).cast("long"))
+        expr(s"(start_offset + greatest(`$tokenCol`, 1L) - 1) " +
+          s"div ${budget}L"))
   }
 
   /** Leakage-safe dataset split: assignment hashes the dedup-GROUP

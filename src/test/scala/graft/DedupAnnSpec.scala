@@ -324,6 +324,9 @@ class DedupAnnSpec extends SparkSpec {
     // duplicate-heavy histogram: rank lands inside a run
     val skew = Seq.fill(50)(10L).union(Seq.fill(50)(20L)).toDF("len")
     assert(Curation.rankBounds(skew, "len", 0.05, 0.95) == (10L, 20L))
+    // null lengths (failed-ingest rows) are excluded, not an NPE
+    val withNulls = Seq(Some(10L), None, Some(20L), None).toDF("len")
+    assert(Curation.rankBounds(withNulls, "len", 0.0, 1.0) == (10L, 20L))
   }
 
   test("no ANN/dedup plan contains a cartesian product") {

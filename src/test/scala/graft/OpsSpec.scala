@@ -264,14 +264,15 @@ class OpsSpec extends SparkSpec {
   test("chunkDocs windows with overlap; empty docs keep one empty chunk") {
     import graft.operators.Curation
     val docs = Seq((1L, "abcdefghij"), (2L, "")).toDF("id", "text")
-    // chunk 4, overlap 1 -> stride 3: ceil(10/3) = 4 chunks
+    // chunk 4, overlap 1 -> stride 3: ceil((10-1)/3) = 3 chunks cover
+    // all 10 chars; a naive ceil(10/3) = 4 would add a 4th chunk "j"
+    // that is a pure suffix of chunk 2 (duplicate content downstream)
     val out = Curation.chunkDocs(docs, "id", "text", chunkChars = 4,
         overlap = 1)
       .orderBy("id", "chunk_ix")
       .as[(Long, Long, String)].collect().toSeq
     assert(out == Seq(
       (1L, 0L, "abcd"), (1L, 1L, "defg"), (1L, 2L, "ghij"),
-      (1L, 3L, "j"),
       (2L, 0L, "")))
     intercept[IllegalArgumentException] {
       Curation.chunkDocs(docs, "id", "text", chunkChars = 4, overlap = 4)

@@ -162,13 +162,20 @@ class PropertiesSpec extends SparkSpec {
         (grp, best, scores(best), ids.size.toLong)
       }.toSet
       val docs = (0L until n).map(i => (i, scores(i))).toDF("id", "score")
-      val out =
-        if (edges.isEmpty) Set.empty
-        else graft.operators.Dedup.keepBest(docs,
-            edges.toDF("id_a", "id_b"), "id", "score")
-          .as[(Long, Long, Long, Long)].collect().toSet
-      if (edges.nonEmpty) assert(out == expected)
+      val out = graft.operators.Dedup.keepBest(docs,
+          edges.toDF("id_a", "id_b"), "id", "score")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(out == expected)
     }
+  }
+
+  test("keepBest and dedupGroups survive an EMPTY pair set (all singletons)") {
+    val docs = Seq((1L, 9L), (2L, 5L)).toDF("id", "score")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(graft.operators.Dedup.dedupGroups(noPairs).count() == 0)
+    val out = graft.operators.Dedup.keepBest(docs, noPairs, "id", "score")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 9L, 1L), (2L, 2L, 5L, 1L)))
   }
 
   test("packStreams offsets equal driver-side prefix sums (3x)") {
