@@ -169,6 +169,31 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("chunkDocs reconstructs the original text exactly (5x random params)") {
+    for (_ <- 1 to 5) {
+      val chunkChars = 2 + rnd.nextInt(8)
+      val overlap = rnd.nextInt(chunkChars) // 0 .. chunkChars-1
+      val texts = (0L until 20L).map(i =>
+        i -> rnd.alphanumeric.take(rnd.nextInt(40)).mkString)
+      val chunks = graft.operators.Curation.chunkDocs(
+          texts.toDF("id", "text"), "id", "text", chunkChars, overlap)
+        .orderBy("id", "chunk_ix")
+        .as[(Long, Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toList)
+      texts.foreach { case (id, text) =>
+        val cs = chunks(id)
+        // stitching rule: keep chunk 0 whole, drop each later chunk's
+        // first `overlap` chars (they duplicate the previous window) —
+        // must reproduce the text exactly: full coverage, no gap, and
+        // no pure-suffix final chunk
+        val stitched = (cs.head :: cs.tail.map(_.drop(overlap))).mkString
+        assert(stitched == text,
+          s"id=$id chunk=$chunkChars overlap=$overlap: " +
+            s"'$stitched' != '$text' (chunks $cs)")
+      }
+    }
+  }
+
   test("keepBest and dedupGroups survive an EMPTY pair set (all singletons)") {
     val docs = Seq((1L, 9L), (2L, 5L)).toDF("id", "score")
     val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
