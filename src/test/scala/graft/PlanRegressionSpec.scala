@@ -204,6 +204,25 @@ class PlanRegressionSpec extends SparkSpec {
     }
   }
 
+  test("q_chunk_docs: chunking is a per-row Generate, no data shuffle") {
+    val p = plan("q_chunk_docs")
+    assert(p.contains("Generate"), p.take(400)) // the explode
+    assert(!p.contains("Exchange hashpartitioning"), p.take(600))
+    assert(!p.contains("Window"))
+  }
+
+  test("q_length_filter: thresholds are literals, the band filter reaches the scan") {
+    val p = plan("q_length_filter")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(600))
+    assert(p.contains("DataFilters: [isnotnull(n_chars"), p.take(600))
+  }
+
+  test("q_curation_pipeline: the composed chain stays equi-join only") {
+    val p = plan("q_curation_pipeline")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_keep_best: keeper is a struct-max aggregate, never a window sort") {
     val p = plan("q_keep_best")
     // a row_number() formulation would sort every cluster on one
