@@ -1234,12 +1234,12 @@ object Oracles {
          |o AS (SELECT doc_id, stream, n_chars,
          |  COALESCE(SUM(n_chars) OVER (PARTITION BY stream
          |    ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
          |    AS start_offset
          |  FROM s)
          |SELECT doc_id, stream, start_offset,
-         |  start_offset // 4096 AS "bin_first",
-         |  (start_offset + greatest(n_chars, 1) - 1) // 4096
+         |  (start_offset // 4096)::BIGINT AS "bin_first",
+         |  ((start_offset + greatest(n_chars, 1) - 1) // 4096)::BIGINT
          |    AS "bin_last"
          |FROM o ORDER BY doc_id""".stripMargin,
 
