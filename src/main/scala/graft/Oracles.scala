@@ -455,9 +455,11 @@ object Oracles {
         |  c_custkey IN (SELECT o_custkey FROM orders) AS "has_orders"
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
+    // Split membership hashes the ':split'-salted key (see
+    // Sampling.SplitSalt) so it is independent of any sampling filter.
     "q_hash_split" ->
       s"""WITH b AS (SELECT doc_id,
-         |    ${md5_60("doc_id::VARCHAR")} % 1000000 AS bucket
+         |    ${md5_60("doc_id::VARCHAR || ':split'")} % 1000000 AS bucket
          |  FROM documents)
          |SELECT doc_id, bucket,
          |  CASE WHEN bucket < 800000 THEN 'train'
@@ -845,7 +847,8 @@ object Oracles {
          |         ELSE doc_id END AS root
          |  FROM documents),
          |b AS (SELECT doc_id,
-         |    ${md5_60("root::VARCHAR")} % 1000000 AS bucket FROM r)
+         |    ${md5_60("root::VARCHAR || ':split'")} % 1000000 AS bucket
+         |  FROM r)
          |SELECT doc_id,
          |  CASE WHEN bucket < 800000 THEN 'train'
          |       WHEN bucket < 900000 THEN 'val'
@@ -1147,11 +1150,13 @@ object Oracles {
 
     "q_corpus_mix" ->
       s"""SELECT doc_id, 'docs' AS "source" FROM documents
-         |WHERE ${md5_60("doc_id::VARCHAR")} % 1000000 < 800000
+         |WHERE ${md5_60("doc_id::VARCHAR || ':sample'")} % 1000000
+         |  < 800000
          |UNION ALL
          |SELECT doc_id + 100000, 'twins' FROM documents
          |WHERE doc_id < 150
-         |  AND ${md5_60("(doc_id + 100000)::VARCHAR")} % 1000000 < 500000
+         |  AND ${md5_60("(doc_id + 100000)::VARCHAR || ':sample'")}
+         |    % 1000000 < 500000
          |ORDER BY doc_id""".stripMargin,
 
     "q_langid" ->
@@ -1219,7 +1224,7 @@ object Oracles {
     // CASEd per language (en 25%, zh 100%, default 50%).
     "q_stratified_sample" ->
       s"""SELECT doc_id, lang, source FROM documents
-         |WHERE ${md5_60("doc_id::VARCHAR")} % 1000000 <
+         |WHERE ${md5_60("doc_id::VARCHAR || ':sample'")} % 1000000 <
          |  CASE lang WHEN 'en' THEN 250000
          |            WHEN 'zh' THEN 1000000 ELSE 500000 END
          |ORDER BY doc_id""".stripMargin,
@@ -1229,7 +1234,8 @@ object Oracles {
     // offsets; zero-token docs occupy one slot.
     "q_seq_pack" ->
       s"""WITH s AS (SELECT doc_id, n_chars,
-         |    ${md5_60("doc_id::VARCHAR")} % 1000000 % 8 AS stream
+         |    ${md5_60("doc_id::VARCHAR || ':pack'")} % 1000000 % 8
+         |      AS stream
          |  FROM documents),
          |o AS (SELECT doc_id, stream, n_chars,
          |  COALESCE(SUM(n_chars) OVER (PARTITION BY stream
@@ -1270,9 +1276,9 @@ object Oracles {
          |band AS (SELECT kept.* FROM kept, lo, hi
          |  WHERE n_chars >= lo AND n_chars <= hi),
          |samp AS (SELECT *,
-         |    ${md5_60("doc_id::VARCHAR")} % 1000000 AS b
+         |    ${md5_60("doc_id::VARCHAR || ':split'")} % 1000000 AS b
          |  FROM band
-         |  WHERE ${md5_60("doc_id::VARCHAR")} % 1000000 <
+         |  WHERE ${md5_60("doc_id::VARCHAR || ':sample'")} % 1000000 <
          |    CASE lang WHEN 'en' THEN 500000 ELSE 1000000 END)
          |SELECT CASE WHEN b < 800000 THEN 'train'
          |            WHEN b < 900000 THEN 'val'

@@ -338,7 +338,10 @@ object QueriesLlm {
     * report. Every stage is one of this library's oracle-checked
     * operators; the oracle replays the whole chain in SQL, proving the
     * stages COMPOSE (thresholds computed on the deduped set, sampling
-    * on the banded set, and so on), not just work in isolation.
+    * on the banded set, and so on), not just work in isolation. The
+    * sample and the split hash different purpose salts, so the kept
+    * subset still lands ~80/10/10 — with a shared hash every sampled
+    * row would land in train by construction.
     */
   def curationPipeline(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.{Curation, Sampling}
@@ -558,13 +561,15 @@ object QueriesLlm {
   /** Deterministic 80/10/10 train/val/test split by md5 hash bucket
     * (operators/Sampling) — the same row lands in the same split on any
     * engine or cluster size, and the oracle recomputes membership in
-    * SQL.
+    * SQL. `bucket` is the split-salted bucket, the exact value the
+    * split thresholds cut on.
     */
   def hashSplit(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Sampling
     t(s, dir, "documents")
       .select(col("doc_id"),
-        Sampling.hashBucket(col("doc_id")).as("bucket"),
+        Sampling.saltedBucket(col("doc_id"), Sampling.SplitSalt)
+          .as("bucket"),
         Sampling.assignSplit(col("doc_id"),
           Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L))
           .as("split"))

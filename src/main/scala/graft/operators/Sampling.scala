@@ -16,22 +16,45 @@ object Sampling {
 
   final val Buckets = 1000000L
 
+  /** Purpose salts. Sampling, splitting, and packing hash DIFFERENT
+    * derivations of the same key — otherwise the decisions are
+    * perfectly correlated: with one shared hash, every row sampled at
+    * `p` ppm would land in whichever split covers `[0, p)`, so a
+    * stratum kept at <= 800000 ppm could never reach val/test. Salting
+    * the key per purpose makes keep/split/stream assignments pairwise
+    * independent, so sample-then-split composes like independent draws.
+    */
+  final val SampleSalt = ":sample"
+  final val SplitSalt = ":split"
+  final val PackSalt = ":pack"
+
   /** Uniform bucket in [0, 1000000) from the md5 of the key's string
     * form. Same derivation as [[graft.expressions.Kernels.md5_60]]
     * (first 15 hex chars), so any md5-equipped engine reproduces it.
+    * This is the raw, unsalted primitive; the sampling/split/pack
+    * operators below hash the purpose-salted key ([[saltedBucket]]).
     */
   def hashBucket(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
       .cast("long") % Buckets
 
-  /** Split label by cumulative weight over the hash bucket. Weights are
-    * parts-per-million boundaries, e.g.
+  /** [[hashBucket]] of the purpose-salted key: bucket of
+    * `concat(key, salt)`. Any md5-equipped engine reproduces it as
+    * `md5(key || salt)`.
+    */
+  def saltedBucket(key: Column, salt: String): Column =
+    hashBucket(concat(key.cast("string"), lit(salt)))
+
+  /** Split label by cumulative weight over the [[SplitSalt]]-salted
+    * hash bucket. Weights are parts-per-million boundaries, e.g.
     * `Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L)`.
+    * The salt decorrelates the split from any upstream [[hashSample]]/
+    * [[stratifiedKeep]] filter on the same key.
     */
   def assignSplit(key: Column, weights: Seq[(String, Long)]): Column = {
     require(weights.map(_._2).sum == Buckets,
       s"weights must sum to $Buckets ppm")
-    val b = hashBucket(key)
+    val b = saltedBucket(key, SplitSalt)
     val (expr, _) = weights.init.foldLeft(
       (None: Option[Column], 0L)) { case ((acc, cum), (name, w)) =>
       val upper = cum + w
@@ -45,20 +68,23 @@ object Sampling {
       .getOrElse(lit(weights.last._1))
   }
 
-  /** Deterministic fractional sample: keep rows whose bucket falls
-    * below `ppm` parts-per-million of the key space.
+  /** Deterministic fractional sample: keep rows whose
+    * [[SampleSalt]]-salted bucket falls below `ppm` parts-per-million
+    * of the key space.
     */
-  def hashSample(key: Column, ppm: Long): Column = hashBucket(key) < ppm
+  def hashSample(key: Column, ppm: Long): Column =
+    saltedBucket(key, SampleSalt) < ppm
 
   /** Per-stratum deterministic sampling — corpus rebalancing with one
     * codegen'd per-row predicate: each stratum (language, source
     * domain, quality band) keeps its own fraction of rows, so
     * over-represented strata are downsampled in the same pass that
     * keeps rare strata whole. Membership hashes the stable row key
-    * exactly as [[hashSample]], so the same row survives the same rate
-    * on every run and engine; unknown strata fall back to
-    * `defaultPpm`. No shuffle — this composes with any downstream
-    * split/pack without repartitioning.
+    * exactly as [[hashSample]] (same [[SampleSalt]]), so the same row
+    * survives the same rate on every run and engine; unknown strata
+    * fall back to `defaultPpm`. No shuffle, and because
+    * [[assignSplit]]/[[packStreams]] hash different salts, the kept
+    * subset splits and packs as if by independent draws.
     */
   def stratifiedKeep(key: Column, stratum: Column,
       ratesPpm: Map[String, Long], defaultPpm: Long): Column = {
@@ -71,7 +97,7 @@ object Sampling {
           _.when(stratum === name, lit(ppm))))
       }
       .map(_.otherwise(lit(defaultPpm))).getOrElse(lit(defaultPpm))
-    hashBucket(key) < thr
+    saltedBucket(key, SampleSalt) < thr
   }
 
   /** Sequence packing: place every document at a byte/token offset in
@@ -100,7 +126,8 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("stream").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("stream", hashBucket(col(idCol)) % streams.toLong)
+    df.withColumn("stream",
+        saltedBucket(col(idCol), PackSalt) % streams.toLong)
       .withColumn("start_offset",
         coalesce(sum(col(tokenCol)).over(w), lit(0L)))
       // `div` (exact integral division), not `/`+cast: double division
