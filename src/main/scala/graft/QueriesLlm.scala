@@ -293,7 +293,12 @@ object QueriesLlm {
     * batch is 90%-truncation twins of docs < 150; every twin must be
     * flagged against ITS corpus original through the cross-frame band
     * join (same planted-twin regime q_dedup_minhash proves for the
-    * self-join shape, same 32/16-band signature).
+    * self-join shape, same 32/16-band signature). The output is
+    * restricted to the planted key space because natural near-dups are
+    * correct but not SQL-predictable — so this oracle grades RECALL
+    * only; precision of the unrestricted pair set (no sub-threshold
+    * pairs) is asserted by DedupAnnSpec's independent Jaccard
+    * recomputation.
     */
   def nearDupAgainst(s: SparkSession, dir: String): DataFrame = {
     val corpus = t(s, dir, "documents").select("doc_id", "text")

@@ -263,9 +263,13 @@ object Ops {
     // would make `map()` throw the whole job down under the default
     // spark.sql.mapKeyDedupPolicy=EXCEPTION. Rec entries come first and
     // first occurrence wins, so a collision deterministically resolves
-    // to the rec value — the same outcome as the reference's dict
-    // build, which assigns rec fields AFTER spreading otherAttributes
-    // (`braze_dequeue_function/main.py:67-81`).
+    // to the rec value. DELIBERATE DEVIATION from the reference, which
+    // spreads otherAttributes first and then
+    // `setdefault(prefix+key, []).append(value)`s rec fields into them
+    // (`braze_dequeue_function/main.py:76-81`) — there a colliding
+    // other-attribute survives as the base and rec values are appended
+    // to it when it happens to be a list, else the record crashes with
+    // AttributeError. Rec-wins is the defined, non-crashing choice.
     val entryCols: Seq[Column] =
       recFields.map { f =>
         struct(concat(prefix, lit(f)).as("attr"),

@@ -278,6 +278,49 @@ class DedupAnnSpec extends SparkSpec {
     assert(!pairs.exists(_._2 == 2L))
   }
 
+  test("minhashNearDupsAgainst precision: every unrestricted pair clears the threshold independently") {
+    import graft.operators.Dedup
+    // Replays q_neardup_against WITHOUT the query's planted-key-space
+    // restriction (QueriesLlm.nearDupAgainst narrows its output because
+    // natural near-dups are correct but not SQL-predictable). This
+    // asserts the discarded remainder is PRECISE — every emitted pair
+    // clears the threshold under a driver-side Jaccard recomputation
+    // that shares no code with the operator — so the query's shape
+    // filter can only hide correct extra pairs, never false positives.
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val batch = docs.where(col("doc_id") < 150)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        substring(col("text"), lit(1),
+          (length(col("text")) * 90 / 100).cast("int")).as("text"))
+    val out = Dedup.minhashNearDupsAgainst(batch, docs, "doc_id", "text",
+        shingleWidth = 3, numHashes = 32, bands = 16, threshold = 0.3)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    // recall: every planted twin is flagged against its original
+    val plantedIds = docs.where(col("doc_id") < 150)
+      .select("doc_id").as[Long].collect()
+    val planted = plantedIds.map(id => (id + 100000L, id)).toSet
+    assert(planted.subsetOf(out), s"missing: ${planted.diff(out).take(5)}")
+    // precision: independent shingle-set Jaccard, plain Scala
+    val texts = docs.as[(Long, String)].collect().toMap
+    def shingleSet(text: String): Set[String] = {
+      val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("\\s+", " ").split(" ").filter(_.nonEmpty).toSeq
+      if (toks.length < 3) Set(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    out.foreach { case (batchId, corpusId) =>
+      val orig = texts(batchId - 100000L)
+      val truncated = orig.take(orig.length * 90 / 100)
+      val a = shingleSet(truncated)
+      val b = shingleSet(texts(corpusId))
+      val j = (a & b).size.toDouble / (a | b).size.max(1)
+      assert(j >= 0.3 - 1e-6,
+        s"pair ($batchId, $corpusId) below threshold: jaccard $j")
+    }
+  }
+
   test("dedupAgainst drops corpus hits, self-dedups the batch, keeps fresh rows") {
     import graft.operators.Dedup
     val corpus = Seq((1L, "Hello World"), (2L, "other doc"))
