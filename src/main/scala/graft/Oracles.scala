@@ -893,6 +893,24 @@ object Oracles {
          |      FROM sc)
          |WHERE rn <= 20 ORDER BY rn""".stripMargin,
 
+    // tf-idf top terms: same IEEE score tree, ranked AFTER 6-place
+    // rounding (ties term desc) so the head is engine-exact.
+    "q_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, ${toks("text")} AS t FROM documents),
+         |ex AS (SELECT doc_id, unnest(t) AS term FROM tok),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |sc AS (SELECT doc_id, term,
+         |    round(tf * (ln((n + 1)::DOUBLE / (df::DOUBLE + 1)) + 1), 6)
+         |      AS score
+         |  FROM tf JOIN dfx USING (term) CROSS JOIN nn),
+         |r AS (SELECT doc_id, term, score, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, term DESC) AS rn
+         |  FROM sc)
+         |SELECT doc_id, rn::BIGINT AS "rank", score, term
+         |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+
     // Dedup clustering: the chain construction fixes ground truth, so
     // the oracle enumerates (node, chain root) without recursion.
     "q_dedup_groups" ->
@@ -1255,6 +1273,14 @@ object Oracles {
     "q_incremental_dedup" ->
       s"""SELECT doc_id + 800000 AS "doc_id",
          |  md5(${norm("text || ' v2'")}) AS "fp"
+         |FROM documents WHERE doc_id < 100 ORDER BY 1""".stripMargin,
+
+    // Bloom-pruned incremental dedup: same construction (" v3"
+    // variants), same fixed survivor set — the prefilter may only
+    // change the plan, never the result.
+    "q_dedup_bloom" ->
+      s"""SELECT doc_id + 800000 AS "doc_id",
+         |  md5(${norm("text || ' v3'")}) AS "fp"
          |FROM documents WHERE doc_id < 100 ORDER BY 1""".stripMargin,
 
     // End-to-end curation pipeline: replay the full chain — exact-dedup

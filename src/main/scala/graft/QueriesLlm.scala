@@ -289,6 +289,29 @@ object QueriesLlm {
       .orderBy("doc_id")
   }
 
+  /** Bloom-pruned incremental dedup (Dedup.dedupAgainstBloom): the
+    * same fixed-survivor construction as q_incremental_dedup (exact
+    * corpus copies die, variants survive, the in-batch duplicate of
+    * each variant loses to the min id) with " v3" variants, run
+    * through the Bloom-prefilter + exact-anti-join scale path —
+    * proving the prefilter changes the PLAN, never the result.
+    */
+  def dedupBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val base = docs.where(col("doc_id") < 100)
+    val copies = base.select((col("doc_id") + 700000).as("doc_id"),
+      col("text"))
+    val variants = base.select((col("doc_id") + 800000).as("doc_id"),
+      concat(col("text"), lit(" v3")).as("text"))
+    val dups = base.where(col("doc_id") < 50)
+      .select((col("doc_id") + 900000).as("doc_id"),
+        concat(col("text"), lit(" v3")).as("text"))
+    val batch = copies.unionByName(variants).unionByName(dups)
+    Dedup.dedupAgainstBloom(batch, docs, "doc_id", "text",
+        expectedItems = 100000L, fpp = 0.03)
+      .orderBy("doc_id")
+  }
+
   /** Incremental NEAR-dup (Dedup.minhashNearDupsAgainst): the ingest
     * batch is 90%-truncation twins of docs < 150; every twin must be
     * flagged against ITS corpus original through the cross-frame band
@@ -581,6 +604,17 @@ object QueriesLlm {
       .orderBy("doc_id")
   }
 
+  /** Per-document top-3 tf-idf terms (Retrieval.tfidfTopTerms): the
+    * keyword-profile pass. Scores rounded to 6 places BEFORE ranking,
+    * ties broken by term desc, so the head is engine-exact and the
+    * oracle replays it with a window.
+    */
+  def tfidfQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.tfidfTopTerms(
+        t(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank")
+
   /** Exact token-count percentiles per detected language: Spark's exact
     * `percentile` (sort-based, interpolated) vs DuckDB `quantile_cont`.
     * Rounded to 6 places so last-ulp interpolation differences between
@@ -761,6 +795,8 @@ object QueriesLlm {
     "q_stratified_sample" -> (stratifiedSample _),
     "q_seq_pack" -> (seqPack _),
     "q_incremental_dedup" -> (incrementalDedup _),
+    "q_dedup_bloom" -> (dedupBloom _),
+    "q_tfidf" -> (tfidfQ _),
     "q_source_filter" -> (sourceFilterQ _),
     "q_length_filter" -> (lengthFilterQ _),
     "q_unigram_logprob" -> (unigramLogProbQ _),

@@ -295,4 +295,13 @@ object Kernels {
     }
     new GenericArrayData(keys)
   }
+
+  /** Bloom membership probe on the utf8 bytes — the same bytes
+    * `Dataset.stat.bloomFilter` hashed when it put the string in, so
+    * probe and build agree without materializing a java.lang.String
+    * per row.
+    */
+  def bloomMightContain(bf: org.apache.spark.util.sketch.BloomFilter,
+      s: UTF8String): Boolean =
+    bf.mightContainBinary(s.getBytes)
 }

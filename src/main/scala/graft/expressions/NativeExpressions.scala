@@ -198,4 +198,35 @@ object NativeExpressions {
     c(SignLshBandKeys(e(v), planes.map(_.toArray).toArray, bands))
   def quantizeI8(v: Column): Column = c(QuantizeI8(e(v)))
   def cosineI8(a: Column, b: Column): Column = c(CosineI8(e(a), e(b)))
+  def bloomMightContain(s: Column,
+      bf: org.apache.spark.util.sketch.BloomFilter): Column =
+    c(BloomMightContain(e(s), bf))
+
+  /** string -> boolean membership probe against a driver-built
+    * [[org.apache.spark.util.sketch.BloomFilter]] carried as an
+    * expression reference object (the same vehicle as
+    * [[SignLshBandKeys]]' plane matrix). Codegen'd, so a
+    * bloom-prefilter stays inside the scan's WholeStageCodegen span
+    * instead of dropping the whole pipeline out through a UDF. May
+    * return false-positive `true` (the filter's fpp), NEVER a false
+    * negative — callers re-verify positives exactly.
+    */
+  case class BloomMightContain(child: Expression,
+      bf: org.apache.spark.util.sketch.BloomFilter)
+      extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "bloom_might_contain"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.bloomMightContain(bf,
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = {
+      val bfRef = ctx.addReferenceObj("bloom", bf,
+        classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+      nullSafeCodeGen(ctx, ev,
+        c => s"${ev.value} = $kernels.bloomMightContain($bfRef, $c);")
+    }
+    override protected def withNewChildInternal(newChild: Expression)
+        : BloomMightContain = copy(child = newChild)
+  }
 }

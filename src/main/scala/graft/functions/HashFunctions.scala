@@ -62,6 +62,15 @@ object HashFunctions {
   def jaccard(a: Column, b: Column): Column =
     graft.expressions.NativeExpressions.jaccard(a, b)
 
+  /** Membership probe of a string column against a driver-built Bloom
+    * filter ([[org.apache.spark.sql.DataFrameStatFunctions.bloomFilter]]
+    * output). False positives at the filter's fpp, never false
+    * negatives. Native codegen'd expression.
+    */
+  def bloomMightContain(s: Column,
+      bf: org.apache.spark.util.sketch.BloomFilter): Column =
+    graft.expressions.NativeExpressions.bloomMightContain(s, bf)
+
   /** 60-bit SimHash of a token array: hash each token to 60 bits
     * (md5-derived, [[graft.expressions.Kernels.md5_60]] — reproducible
     * in any md5-equipped SQL engine, so the sketch is oracle-checkable);

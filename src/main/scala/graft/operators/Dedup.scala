@@ -52,6 +52,45 @@ object Dedup {
       .select(col(idCol), col("fp"))
   }
 
+  /** [[dedupAgainst]] with a Bloom prefilter — the 100 TB shape of
+    * incremental exact dedup. The corpus fingerprint set is folded
+    * once into a Bloom filter (a distributed aggregation; only the
+    * compact bit array reaches the driver), the batch probes it with a
+    * codegen'd scan-side predicate, and ONLY probe-positive rows — the
+    * true duplicates plus an `fpp` fraction of false positives — enter
+    * the exact anti-join. Bloom-negative rows are PROVABLY absent from
+    * the corpus (no false negatives), so they skip the join entirely:
+    * for a mostly-fresh daily batch the anti-join shuffles ~fpp of the
+    * batch instead of all of it, and correctness never depends on the
+    * filter (positives are re-verified exactly).
+    *
+    * Result is exactly [[dedupAgainst]]'s, at any `fpp` (differential-
+    * tested at fpp 0.5). Size `expectedItems` to the corpus distinct-
+    * fingerprint count: bits ~ 1.44 * log2(1/fpp) * items, e.g. 10^9
+    * fingerprints at 3% fpp ~ 900 MB — driver-held and task-broadcast,
+    * so beyond ~10^10 keys partition the corpus and run one
+    * bloom+anti-join pass per partition instead.
+    *
+    * @return surviving batch rows as (idCol, fp)
+    */
+  def dedupAgainstBloom(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, expectedItems: Long,
+      fpp: Double = 0.03): DataFrame = {
+    val batchFp = batch.select(col(idCol),
+      T.fingerprint(col(textCol)).as("fp"))
+    val corpusFp = corpus.select(T.fingerprint(col(textCol)).as("fp"))
+      .distinct()
+    val bloom = corpusFp.stat.bloomFilter("fp", expectedItems, fpp)
+    val hit = H.bloomMightContain(col("fp"), bloom)
+    // two scans of the (small) batch, not of the corpus: candidates
+    // go through the exact anti-join, provable-fresh rows bypass it
+    val candidates = batchFp.where(hit)
+    val fresh = candidates.join(corpusFp, Seq("fp"), "left_anti")
+      .unionByName(batchFp.where(!hit))
+    fresh.groupBy("fp").agg(min(idCol).as(idCol))
+      .select(col(idCol), col("fp"))
+  }
+
   /** MinHash+LSH near-dup candidate pairs, exact-Jaccard verified.
     *
     * shingle -> minhash signature -> band keys -> explode bands ->

@@ -56,4 +56,36 @@ object Retrieval {
       .agg(round(sum(col("part").cast("decimal(28,12)")).cast("double"), 6)
         .as("score"))
   }
+
+  /** Per-document top-k terms by smooth tf-idf — the keyword/topic
+    * profile of every document in one pass (feature extraction for
+    * clustering, corpus diagnostics, weak labels).
+    *
+    * `score = tf * (ln((N+1)/(df+1)) + 1)`, ranked per document by
+    * (score desc, term desc) — rounding BEFORE ranking makes the order
+    * engine-exact (both engines rank identical 6-place values, so a
+    * last-ulp ln() difference cannot flip ranks).
+    *
+    * Scale shape: one explode feeds two map-side-combinable aggregates
+    * (tf per (doc, term), df per term); their join keys on `term`
+    * AFTER both sides have collapsed, so the shuffle carries one row
+    * per distinct pair, never raw tokens. The per-doc head reuses
+    * [[graft.etl.Ops.topKPerGroup]] — salted two-phase top-k, immune
+    * to the million-token document.
+    *
+    * @return (doc_id, rank 1..k, score, term)
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    val n = docs.count().toDouble
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(T.tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfTerm = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfTerm, "term")
+      .withColumn("score", round(col("tf") *
+        (log(lit(n + 1.0) / (col("df").cast("double") + 1.0)) + 1.0), 6))
+    graft.etl.Ops.topKPerGroup(scored, Seq("doc_id"),
+      Seq("score", "term"), k)
+  }
 }

@@ -336,6 +336,30 @@ class DedupAnnSpec extends SparkSpec {
     assert(out == Seq(11L, 13L))
   }
 
+  test("dedupAgainstBloom equals dedupAgainst even with a saturated filter") {
+    import graft.operators.Dedup
+    val corpus = Seq((1L, "Hello World"), (2L, "other doc"))
+      .toDF("id", "text")
+    val batch = Seq(
+      (10L, "hello   world"), // corpus dup modulo case/whitespace: dies
+      (11L, "brand new"),     // fresh: survives
+      (12L, "BRAND NEW"),     // batch-internal dup of 11: loses to min id
+      (13L, "also new")       // fresh: survives
+    ).toDF("id", "text")
+    val exact = Dedup.dedupAgainst(batch, corpus, "id", "text")
+      .collect().map(_.toSeq).toSet
+    // honest sizing
+    val bloom = Dedup.dedupAgainstBloom(batch, corpus, "id", "text",
+      expectedItems = 1000L, fpp = 0.03).collect().map(_.toSeq).toSet
+    assert(bloom == exact)
+    // 2-item capacity at fpp 0.5: nearly every probe is a false
+    // positive, yet the exact anti-join keeps the result identical —
+    // the filter may only cost performance, never correctness
+    val saturated = Dedup.dedupAgainstBloom(batch, corpus, "id", "text",
+      expectedItems = 2L, fpp = 0.5).collect().map(_.toSeq).toSet
+    assert(saturated == exact)
+  }
+
   test("sourceFilter keeps whole domains by mean score, drops the rest") {
     import graft.operators.Curation
     val docs = Seq(

@@ -65,6 +65,22 @@ class ExpressionsSpec extends SparkSpec {
     df.collect().foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("bloomMightContain: every inserted key probes true, fresh keys false") {
+    val members = (1 to 200).map(i => s"member_$i")
+    val bf = members.toDF("k").stat.bloomFilter("k", 1000L, 0.001)
+    val probes = (members ++ (1 to 200).map(i => s"fresh_$i")).toDF("k")
+      .select(col("k"),
+        NativeExpressions.bloomMightContain(col("k"), bf).as("hit"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1)))
+    // no false negatives, ever — this is the property dedupAgainstBloom
+    // leans on for correctness
+    probes.filter(_._1.startsWith("member")).foreach(p =>
+      assert(p._2, s"false negative on ${p._1}"))
+    // at 0.1% fpp over 200 fresh probes, any false positive for THIS
+    // fixed filter+probe set is deterministic; observed: zero
+    assert(probes.filter(_._1.startsWith("fresh")).count(_._2) == 0)
+  }
+
   test("minhash signature: permutation- and duplicate-invariant") {
     val df = Seq(
       (Seq("s1", "s2", "s3"), Seq("s3", "s1", "s2", "s1")),

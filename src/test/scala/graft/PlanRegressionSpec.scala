@@ -248,6 +248,17 @@ class PlanRegressionSpec extends SparkSpec {
       p.take(600))
   }
 
+  test("q_dedup_bloom: bloom probe at the scan, anti-join only for positives") {
+    val p = plan("q_dedup_bloom")
+    // the codegen'd prefilter must appear as a plain Filter predicate
+    // (not a UDF) and the exact verification as a LeftAnti hash join;
+    // bloom-negative rows bypass the join via the union branch
+    assert(p.contains("bloom_might_contain"), p.take(600))
+    assert(p.contains("LeftAnti"), p.take(600))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
+  }
+
   test("q_seq_pack: one shuffle to streams, running-frame window, no sort spill trap") {
     val p = plan("q_seq_pack")
     // exactly one exchange: the partition-by-stream; the prefix sum is

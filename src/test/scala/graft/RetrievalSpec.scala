@@ -25,6 +25,28 @@ class RetrievalSpec extends SparkSpec {
     assert(out(0)._2 > out(1)._2)
   }
 
+  test("tfidfTopTerms: rare terms head the profile, k caps it, rank is total") {
+    val docs = Seq(
+      (1L, "shared shared unique alpha"), // "unique"/"alpha" df=1, "shared" df=3
+      (2L, "shared beta beta"),
+      (3L, "shared gamma")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank")
+      .select("doc_id", "rank", "term")
+      .as[(Long, Long, String)].collect().toSeq
+    // doc 1 has 3 distinct terms -> capped at k=2. Scores: "shared"
+    // tf=2 * (ln(4/4)+1) = 2.0 beats "unique"/"alpha" 1 * (ln(2)+1)
+    // ~ 1.693; the equal singletons tie-break by term DESC, so
+    // "unique" takes rank 2 and "alpha" is cut
+    assert(out.filter(_._1 == 1L).map(t => (t._2, t._3)) ==
+      Seq((1L, "shared"), (2L, "unique")))
+    // doc 2: its df=1 term heads the profile over ubiquitous "shared"
+    assert(out.filter(_._1 == 2L).head._3 == "beta")
+    // every doc here has >= 2 distinct terms -> dense ranks 1..k
+    assert(out.groupBy(_._1).values.forall(_.map(_._2) == Seq(1L, 2L)))
+  }
+
   test("bm25: rarer term outweighs common term at equal tf") {
     val docs = Seq(
       (1L, "common rare"),
