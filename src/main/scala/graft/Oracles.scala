@@ -509,6 +509,14 @@ object Oracles {
         |  FROM lineitem GROUP BY 1) li ON o_orderkey = l_orderkey
         |ORDER BY o_orderkey""".stripMargin,
 
+    // Range-sorted layout shapes the FILES, not the rows: the oracle
+    // states the layout invariants (file count, losslessness, zero
+    // overlapping min/max spans) the query measures from the read-back.
+    "q_layout_sorted" ->
+      """SELECT 4::BIGINT AS "n_files",
+        |  (SELECT count(*) FROM events)::BIGINT AS "n_rows",
+        |  0::BIGINT AS "overlapping_pairs"""".stripMargin,
+
     // Merge-on-read over the two planted versions (v0 snapshot keys
     // < 2000; v1 upserts keys < 500 at price*1.1 and tombstones
     // [500, 600)) == this direct statement over orders.

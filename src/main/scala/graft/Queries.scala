@@ -993,6 +993,31 @@ object Queries {
       .orderBy("o_orderkey")
   }
 
+  /** Range-sorted layout (io.Bucketing.writeRangeSorted): events
+    * written as 4 files range-partitioned + sorted on user_id, read
+    * back and PROVEN skippable — per-file [min, max] user_id spans,
+    * counted pairwise for overlap. Disjoint spans (0 overlapping
+    * pairs) are what let a point/range scan prune whole files on
+    * footer stats; row count proves the layout pass is lossless. The
+    * oracle states the three invariants directly.
+    */
+  def layoutSorted(s: SparkSession, dir: String): DataFrame = {
+    val d = tmp("layout")
+    Bucketing.writeRangeSorted(
+      t(s, dir, "events").select(col("user_id"), col("event_id")),
+      d, "user_id", nFiles = 4)
+    val spans = s.read.parquet(d)
+      .groupBy(input_file_name().as("file"))
+      .agg(min("user_id").as("lo"), max("user_id").as("hi"),
+        count(lit(1)).as("n"))
+    val overlaps = spans.alias("a").join(spans.alias("b"),
+        col("a.file") < col("b.file") &&
+        col("a.lo") <= col("b.hi") && col("b.lo") <= col("a.hi"))
+      .agg(count(lit(1)).as("overlapping_pairs"))
+    spans.agg(count(lit(1)).as("n_files"), sum("n").as("n_rows"))
+      .crossJoin(overlaps)
+  }
+
   /** Delta-style versioned state (io.StateTable): v0 = full keyed
     * snapshot, v1 = an upsert + tombstone delta, then merge-on-read.
     * The oracle states the post-merge table directly from `orders`.
@@ -1073,6 +1098,7 @@ object Queries {
     "q_corrupt_tolerant" -> (corruptTolerant _),
     "q_metadata_gated" -> (metadataGated _),
     "q_sink_runtime_partition" -> (sinkRuntimePartition _),
+    "q_layout_sorted" -> (layoutSorted _),
     "q_errors_sink" -> (errorsSink _),
     "q_config_parse" -> (configParse _),
     "q_error_split_ok" -> (errorSplitOk _),

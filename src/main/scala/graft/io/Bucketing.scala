@@ -25,4 +25,24 @@ object Bucketing {
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(tableName)
   }
+
+  /** Write `df` as plain parquet files range-partitioned AND sorted on
+    * `sortCol` — the data-skipping layout. Each output file covers a
+    * disjoint `sortCol` span (equal keys cannot straddle a range
+    * boundary) and is internally sorted, so every file footer and
+    * row-group carries tight min/max stats: a later
+    * `WHERE sortCol = x / BETWEEN a AND b` scan prunes whole files and
+    * row-groups instead of reading the table. At 100 TB this layout
+    * pass is what turns point-lookup and range workloads from full
+    * scans into a handful of row-groups; it costs one range exchange
+    * (sampled boundaries) plus a per-partition sort, both streaming.
+    * Unlike [[writeBucketed]] it needs no catalog — the stats ARE the
+    * index — but repeated equi-JOINS should prefer the bucketed form,
+    * which carries a hash distribution the planner can use.
+    */
+  def writeRangeSorted(df: DataFrame, path: String, sortCol: String,
+      nFiles: Int): Unit =
+    df.repartitionByRange(nFiles, org.apache.spark.sql.functions.col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
 }

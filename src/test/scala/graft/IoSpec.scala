@@ -5,7 +5,7 @@ import java.time.LocalDateTime
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.io.{Readers, Writers}
+import graft.io.{Bucketing, Readers, Writers}
 import graft.schema.Schemas
 
 /** Source/sink specs (SURVEY.md §2.1-§2.2): schema backfill, codec
@@ -128,6 +128,30 @@ class IoSpec extends SparkSpec {
     Writers.state(Seq(1L).toDF("k"), dir, "braze")
     val p = Writers.state(Seq(2L, 3L).toDF("k"), dir, "braze")
     assert(spark.read.json(p).count() == 2) // overwrite, not append
+  }
+
+  test("writeRangeSorted: per-file spans are disjoint and internally sorted") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-rangesort-").toString
+    val rnd = new scala.util.Random(7)
+    val rows = rnd.shuffle((1L to 1000L).toVector).map(i => (i, s"p$i"))
+    Bucketing.writeRangeSorted(rows.toDF("k", "payload"), dir, "k",
+      nFiles = 3)
+    val back = spark.read.parquet(dir)
+      .select(input_file_name().as("f"), col("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(back.length == 1000) // lossless
+    val byFile = back.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(byFile.size == 3)
+    // sorted within each file (read-back preserves in-file row order)
+    byFile.values.foreach(ks => assert(ks.sameElements(ks.sorted)))
+    // disjoint [min, max] spans across files
+    val spans = byFile.values.map(ks => (ks.min, ks.max)).toSeq
+      .sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Seq((_, hiA), (loB, _)) => assert(hiA < loB)
+      case _ =>
+    }
   }
 
   test("connectorOutput honors compression and maxRecordsPerFile") {

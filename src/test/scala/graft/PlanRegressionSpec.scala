@@ -248,6 +248,16 @@ class PlanRegressionSpec extends SparkSpec {
       p.take(600))
   }
 
+  test("q_tfidf: tf and df collapse before their term join, no cartesian") {
+    val p = plan("q_tfidf")
+    // the term join must carry one row per distinct (doc, term) /
+    // (term) — i.e. both sides aggregate (with map-side partials)
+    // below the join — never raw exploded tokens
+    assert(p.contains("partial_count"), p.take(600))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Window")) // head comes from salted top-k, not row_number
+  }
+
   test("q_dedup_bloom: bloom probe at the scan, anti-join only for positives") {
     val p = plan("q_dedup_bloom")
     // the codegen'd prefilter must appear as a plain Filter predicate
