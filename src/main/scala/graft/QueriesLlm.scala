@@ -612,7 +612,8 @@ object QueriesLlm {
   def tfidfQ(s: SparkSession, dir: String): DataFrame =
     graft.operators.Retrieval.tfidfTopTerms(
         t(s, dir, "documents").select("doc_id", "text"),
-        "doc_id", "text", k = 3)
+        "doc_id", "text", k = 3,
+        cache = Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       .orderBy("doc_id", "rank")
 
   /** Exact token-count percentiles per detected language: Spark's exact

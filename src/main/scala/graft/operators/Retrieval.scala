@@ -69,18 +69,29 @@ object Retrieval {
     * Scale shape: one explode feeds two map-side-combinable aggregates
     * (tf per (doc, term), df per term); their join keys on `term`
     * AFTER both sides have collapsed, so the shuffle carries one row
-    * per distinct pair, never raw tokens. The per-doc head reuses
-    * [[graft.etl.Ops.topKPerGroup]] — salted two-phase top-k, immune
-    * to the million-token document.
+    * per distinct pair, never raw tokens. df is a grouped aggregate,
+    * not a `count over (partition by term)` window — the window
+    * formulation buffers every row of a hot term ("the" ~ one row per
+    * document) on one reducer, the aggregate collapses them map-side.
+    * The per-doc head reuses [[graft.etl.Ops.topKPerGroup]] — salted
+    * two-phase top-k, immune to the million-token document.
     *
+    * @param cache storage level for the tf subtree, which both the
+    *   join side and the df aggregation consume — uncached, the plan
+    *   re-explodes and re-aggregates the corpus once per side. Pass
+    *   `Some(MEMORY_AND_DISK)` whenever tokenizing the corpus costs
+    *   more than materializing (doc, term, tf).
     * @return (doc_id, rank 1..k, score, term)
     */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 5): DataFrame = {
+      k: Int = 5,
+      cache: Option[org.apache.spark.storage.StorageLevel] = None)
+      : DataFrame = {
     val n = docs.count().toDouble
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(T.tokens(col(textCol))).as("term"))
-    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf0 = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf = cache.fold(tf0)(tf0.persist)
     val dfTerm = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(dfTerm, "term")
       .withColumn("score", round(col("tf") *
