@@ -1283,6 +1283,43 @@ object Oracles {
          |  md5(${norm("text || ' v2'")}) AS "fp"
          |FROM documents WHERE doc_id < 100 ORDER BY 1""".stripMargin,
 
+    // Duplicate passages: full replication of the winnowing selection
+    // (value-set variant) — 4-gram shingles via list slicing (slices
+    // past the end truncate, covering the fewer-than-n fallback),
+    // md5_60 hashes, min over FULL windows of 4 (pos <= m-effW+1, a
+    // shrinking suffix window must not select), distinct, the
+    // degenerate-bucket guard, then the shared-fingerprint pair count.
+    "q_dup_passages" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000,
+         |    'entirely novel preamble text with no counterpart anywhere '
+         |      || substr(text, 1, 200)
+         |  FROM documents WHERE doc_id < 100),
+         |tok AS (SELECT doc_id, ${toks("text")} AS t FROM all_docs),
+         |sh AS (SELECT doc_id, u.pos,
+         |    array_to_string(t[u.pos:u.pos + 3], ' ') AS s,
+         |    greatest(len(t) - 3, 1) AS m
+         |  FROM tok,
+         |    LATERAL unnest(generate_series(1, greatest(len(t) - 3, 1)))
+         |      AS u(pos)),
+         |hsh AS (SELECT doc_id, pos, m, ${md5_60("s")} AS h FROM sh),
+         |wmin AS (SELECT doc_id, pos, m,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+         |  FROM hsh),
+         |sel AS (SELECT DISTINCT doc_id, fp FROM wmin
+         |        WHERE pos <= m - least(4, m) + 1),
+         |cnt AS (SELECT fp FROM sel GROUP BY fp
+         |        HAVING count(*) > 1 AND count(*) <= 1000),
+         |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |      FROM sel a JOIN cnt c ON a.fp = c.fp
+         |      JOIN sel b ON b.fp = a.fp AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, count(*)::BIGINT AS "shared"
+         |FROM j GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY 1, 2""".stripMargin,
+
     // Bloom-pruned incremental dedup: same construction (" v3"
     // variants), same fixed survivor set — the prefilter may only
     // change the plan, never the result.

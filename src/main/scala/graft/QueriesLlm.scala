@@ -289,6 +289,27 @@ object QueriesLlm {
       .orderBy("doc_id")
   }
 
+  /** Duplicate-passage pairs (Dedup.duplicatePassages): corpus +
+    * embedded-passage twins — each twin is a NOVEL preamble followed
+    * by the first 200 chars of its original, so whole-document
+    * similarity is low but a long verbatim passage is shared. The
+    * winnowing selection is md5-derived end to end, so the oracle
+    * replays shingle hashing, window minima over full windows,
+    * distinct selection, the bucket skew guard, and the pair count.
+    */
+  def dupPassagesQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val twins = docs.where(col("doc_id") < 100)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(
+          lit("entirely novel preamble text with no counterpart anywhere "),
+          substring(col("text"), 1, 200)).as("text"))
+    Dedup.duplicatePassages(docs.unionByName(twins), "doc_id", "text",
+        n = 4, window = 4, minShared = 2,
+        cache = Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Bloom-pruned incremental dedup (Dedup.dedupAgainstBloom): the
     * same fixed-survivor construction as q_incremental_dedup (exact
     * corpus copies die, variants survive, the in-batch duplicate of
@@ -798,6 +819,7 @@ object QueriesLlm {
     "q_incremental_dedup" -> (incrementalDedup _),
     "q_dedup_bloom" -> (dedupBloom _),
     "q_tfidf" -> (tfidfQ _),
+    "q_dup_passages" -> (dupPassagesQ _),
     "q_source_filter" -> (sourceFilterQ _),
     "q_length_filter" -> (lengthFilterQ _),
     "q_unigram_logprob" -> (unigramLogProbQ _),

@@ -56,6 +56,13 @@ object GraftExtensions {
       new ExpressionInfo(classOf[NativeExpressions.SimHash60].getName,
         "simhash60"),
       (args: Seq[Expression]) => NativeExpressions.SimHash60(args(0))),
+    ("winnow_fingerprints",
+      new ExpressionInfo(
+        classOf[NativeExpressions.WinnowedFingerprints].getName,
+        "winnow_fingerprints"),
+      (args: Seq[Expression]) => NativeExpressions.WinnowedFingerprints(
+        args(0), intArg(args(1), "n", "winnow_fingerprints"),
+        intArg(args(2), "w", "winnow_fingerprints"))),
     ("jaccard_sim",
       new ExpressionInfo(classOf[NativeExpressions.JaccardStrings].getName,
         "jaccard_sim"),

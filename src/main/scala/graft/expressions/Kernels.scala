@@ -296,6 +296,50 @@ object Kernels {
     new GenericArrayData(keys)
   }
 
+  /** Winnowed passage fingerprints (the MOSS selection of Schleimer,
+    * Wilkerson & Aiken, SIGMOD 2003 — value-set variant): md5_60 of
+    * every n-word shingle, then the DISTINCT set of per-window minima
+    * over each window of `w` consecutive shingle hashes (documents
+    * with fewer than `w` shingles contribute their single overall
+    * min). Guarantee: any passage of >= w + n - 1 shared tokens
+    * between two documents selects at least one shared fingerprint;
+    * expected density is ~2/(w+1) of shingles. The value-set variant
+    * (distinct minima, no positional tie rule) is what makes the
+    * selection reproducible in ANSI SQL: `min(h) OVER (ORDER BY pos
+    * ROWS w-1 FOLLOWING)` on full windows + DISTINCT. Returned sorted
+    * ascending. One O(m) monotonic-deque pass per document.
+    */
+  def winnowedFingerprints(tokens: ArrayData, n: Int, w: Int)
+      : ArrayData = {
+    val sh = wordShingles(tokens, n)
+    val m = sh.numElements()
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      hs(i) = md5_60(sh.getUTF8String(i).getBytes)
+      i += 1
+    }
+    val effW = math.min(w, m)
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    val dq = new Array[Int](m)
+    var head = 0
+    var tail = 0
+    i = 0
+    while (i < m) {
+      while (tail > head && hs(dq(tail - 1)) >= hs(i)) tail -= 1
+      dq(tail) = i
+      tail += 1
+      if (dq(head) <= i - effW) head += 1
+      if (i >= effW - 1) sel.add(hs(dq(head)))
+      i += 1
+    }
+    val out = new Array[Any](sel.size)
+    val it = sel.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Bloom membership probe on the utf8 bytes — the same bytes
     * `Dataset.stat.bloomFilter` hashed when it put the string in, so
     * probe and build agree without materializing a java.lang.String

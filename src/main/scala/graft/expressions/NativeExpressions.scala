@@ -40,6 +40,23 @@ object NativeExpressions {
         : WordShingles = copy(child = newChild)
   }
 
+  /** array<string> tokens -> array<long> winnowed passage
+    * fingerprints (sorted distinct window-min md5_60 shingle hashes).
+    */
+  case class WinnowedFingerprints(child: Expression, n: Int, w: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "winnow_fingerprints"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.winnowedFingerprints(input.asInstanceOf[ArrayData], n, w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        c => s"${ev.value} = $kernels.winnowedFingerprints($c, $n, $w);")
+    override protected def withNewChildInternal(newChild: Expression)
+        : WinnowedFingerprints = copy(child = newChild)
+  }
+
   /** array<string> shingles -> array<long> MinHash signature. */
   case class MinHashSignature(child: Expression, numHashes: Int)
       extends UnaryExpression {
@@ -189,6 +206,8 @@ object NativeExpressions {
   def minhashBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     c(MinHashBandKeys(e(sig), bands, rowsPerBand))
   def simhash60(tokens: Column): Column = c(SimHash60(e(tokens)))
+  def winnowedFingerprints(tokens: Column, n: Int, w: Int): Column =
+    c(WinnowedFingerprints(e(tokens), n, w))
   def jaccard(a: Column, b: Column): Column =
     c(JaccardStrings(e(a), e(b)))
   def cosine(a: Column, b: Column): Column =

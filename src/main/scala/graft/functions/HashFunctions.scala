@@ -71,6 +71,15 @@ object HashFunctions {
       bf: org.apache.spark.util.sketch.BloomFilter): Column =
     graft.expressions.NativeExpressions.bloomMightContain(s, bf)
 
+  /** Winnowed passage fingerprints of a token array (MOSS selection,
+    * value-set variant): sorted distinct window-min md5_60 shingle
+    * hashes. Any shared passage of >= w + n - 1 tokens guarantees a
+    * shared fingerprint. Native codegen'd expression; md5-derived, so
+    * any SQL engine replays the selection.
+    */
+  def winnowedFingerprints(tokens: Column, n: Int, w: Int): Column =
+    graft.expressions.NativeExpressions.winnowedFingerprints(tokens, n, w)
+
   /** 60-bit SimHash of a token array: hash each token to 60 bits
     * (md5-derived, [[graft.expressions.Kernels.md5_60]] — reproducible
     * in any md5-equipped SQL engine, so the sketch is oracle-checkable);

@@ -149,6 +149,42 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Duplicate-PASSAGE detection via winnowed fingerprints (MOSS
+    * selection): flags document pairs sharing verbatim passages even
+    * when the documents as wholes are dissimilar — the boilerplate /
+    * quotation / template case whole-document minhash misses, and the
+    * relational stand-in for suffix-array substring dedup at corpus
+    * scale. Any shared run of >= window + n - 1 tokens guarantees a
+    * shared fingerprint; `minShared` sets the evidence floor.
+    *
+    * Scale shape: identical to minhash — per-document fingerprinting
+    * is a codegen'd O(tokens) projection selecting ~2/(window+1) of
+    * shingle hashes; everything that shuffles is (fingerprint, id) —
+    * two longs — with the same degenerate-bucket skew guard, and the
+    * pair count is a map-side-combinable aggregate.
+    *
+    * @return (id_a, id_b, shared) — pairs sharing >= minShared
+    *   selected fingerprints, id_a < id_b
+    */
+  def duplicatePassages(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, window: Int = 4, minShared: Int = 2,
+      maxBucket: Int = 1000,
+      cache: Option[StorageLevel] = None): DataFrame = {
+    val fps0 = df.select(col(idCol).as("id"),
+      explode(H.winnowedFingerprints(T.tokens(col(textCol)), n, window))
+        .as("fp"))
+    val fps = cache.fold(fps0)(fps0.persist)
+    val counts = fps.groupBy("fp").count()
+      .where(col("count") <= maxBucket && col("count") > 1)
+    val inBuckets = fps.join(counts.select("fp"), "fp")
+    inBuckets.alias("a")
+      .join(inBuckets.alias("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
   /** Incremental NEAR-dup: flag batch rows whose minhash bands collide
     * with the CORPUS — the fuzzy twin of [[dedupAgainst]], and the pass
     * a daily-ingest pipeline actually needs (re-crawls differ by

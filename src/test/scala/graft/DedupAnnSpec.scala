@@ -336,6 +336,24 @@ class DedupAnnSpec extends SparkSpec {
     assert(out == Seq(11L, 13L))
   }
 
+  test("duplicatePassages flags embedded verbatim passages, skips disjoint docs") {
+    import graft.operators.Dedup
+    val passage = "the shared boilerplate disclaimer spans exactly " +
+      "eleven word tokens here"
+    val docs = Seq(
+      (1L, s"first document body before quoting $passage and then more"),
+      (2L, s"second report opens differently yet cites $passage near its end"),
+      (3L, "third text shares no run of tokens with anything else at all")
+    ).toDF("doc_id", "text")
+    // passage has 11 tokens >= window + n - 1 = 7 -> a shared
+    // fingerprint is GUARANTEED, not probabilistic
+    val pairs = Dedup.duplicatePassages(docs, "doc_id", "text",
+        n = 4, window = 4, minShared = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("dedupAgainstBloom equals dedupAgainst even with a saturated filter") {
     import graft.operators.Dedup
     val corpus = Seq((1L, "Hello World"), (2L, "other doc"))

@@ -65,6 +65,37 @@ class ExpressionsSpec extends SparkSpec {
     df.collect().foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("winnowedFingerprints matches an independent selection replay") {
+    // independent md5_60 + sliding-min reimplementation, no Kernels code
+    def md5_60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    def expected(text: String, n: Int, w: Int): Seq[Long] = {
+      val toks = text.split(" ").filter(_.nonEmpty).toSeq
+      val sh = if (toks.length < n) Seq(toks.mkString(" "))
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      val hs = sh.map(md5_60)
+      val effW = math.min(w, hs.length)
+      (0 to hs.length - effW).map(p => hs.slice(p, p + effW).min)
+        .distinct.sorted
+    }
+    val texts = Seq(
+      "a b c d e f g h i j k l m n o p",
+      "a b c",            // fewer shingles than the window
+      "x",                // fewer tokens than n
+      "r r r r r r r r")  // all-equal hashes collapse to one
+    val out = texts.toDF("t")
+      .select(NativeExpressions.winnowedFingerprints(
+        split(col("t"), " "), 4, 4).as("fp"))
+      .collect().map(_.getSeq[Long](0))
+    texts.zip(out).foreach { case (t, got) =>
+      assert(got == expected(t, 4, 4), s"mismatch for '$t'")
+    }
+  }
+
   test("bloomMightContain: every inserted key probes true, fresh keys false") {
     val members = (1 to 200).map(i => s"member_$i")
     val bf = members.toDF("k").stat.bloomFilter("k", 1000L, 0.001)

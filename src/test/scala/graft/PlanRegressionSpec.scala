@@ -258,6 +258,15 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!p.contains("Window")) // head comes from salted top-k, not row_number
   }
 
+  test("q_dup_passages: fingerprint-key self-join only, no cartesian") {
+    val p = plan("q_dup_passages")
+    // candidate generation must stay bucketed on the (fp, id) short
+    // keys — an all-pairs comparison would be a CartesianProduct or a
+    // BroadcastNestedLoopJoin
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    assert(!p.contains("BroadcastNestedLoop"), p.take(400))
+  }
+
   test("q_dedup_bloom: bloom probe at the scan, anti-join only for positives") {
     val p = plan("q_dedup_bloom")
     // the codegen'd prefilter must appear as a plain Filter predicate
