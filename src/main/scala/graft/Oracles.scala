@@ -1283,6 +1283,20 @@ object Oracles {
          |  md5(${norm("text || ' v2'")}) AS "fp"
          |FROM documents WHERE doc_id < 100 ORDER BY 1""".stripMargin,
 
+    // Fuzzy linkage: blocking shapes the PLAN, not the rows — the
+    // oracle brute-forces levenshtein over the restricted sets.
+    "q_fuzzy_join" ->
+      """WITH orig AS (SELECT c_custkey AS right_id, c_name AS rk
+        |  FROM customer WHERE c_custkey < 200),
+        |var AS (SELECT c_custkey + 100000 AS left_id,
+        |    substr(c_name, 1, 9) || substr(c_name, 11) AS lk
+        |  FROM customer WHERE c_custkey < 200)
+        |SELECT left_id, right_id,
+        |  levenshtein(lk, rk)::BIGINT AS "dist"
+        |FROM var CROSS JOIN orig
+        |WHERE levenshtein(lk, rk) <= 1
+        |ORDER BY 1, 2""".stripMargin,
+
     // Duplicate passages: full replication of the winnowing selection
     // (value-set variant) — 4-gram shingles via list slicing (slices
     // past the end truncate, covering the fewer-than-n fallback),

@@ -289,6 +289,25 @@ object QueriesLlm {
       .orderBy("doc_id")
   }
 
+  /** Fuzzy record linkage (FuzzyJoin.edJoin): corrupted customer names
+    * (character 10 deleted) linked back to the catalog at edit
+    * distance <= 1. The prefix-filter blocking must find EVERY such
+    * pair — including the corrupted names that also sit within one
+    * edit of a neighboring catalog entry — and the oracle brute-forces
+    * levenshtein over the restricted sets to state the exact pair set.
+    */
+  def fuzzyJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").where(col("c_custkey") < 200)
+    val catalog = cust.select(col("c_custkey").as("rid"),
+      col("c_name").as("rk"))
+    val corrupted = cust.select((col("c_custkey") + 100000).as("lid"),
+      concat(substring(col("c_name"), 1, 9),
+        expr("substring(c_name, 11)")).as("lk"))
+    graft.operators.FuzzyJoin.edJoin(corrupted, "lid", "lk",
+        catalog, "rid", "rk", maxDist = 1)
+      .orderBy("left_id", "right_id")
+  }
+
   /** Duplicate-passage pairs (Dedup.duplicatePassages): corpus +
     * embedded-passage twins — each twin is a NOVEL preamble followed
     * by the first 200 chars of its original, so whole-document
@@ -820,6 +839,7 @@ object QueriesLlm {
     "q_dedup_bloom" -> (dedupBloom _),
     "q_tfidf" -> (tfidfQ _),
     "q_dup_passages" -> (dupPassagesQ _),
+    "q_fuzzy_join" -> (fuzzyJoinQ _),
     "q_source_filter" -> (sourceFilterQ _),
     "q_length_filter" -> (lengthFilterQ _),
     "q_unigram_logprob" -> (unigramLogProbQ _),

@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.FuzzyJoin
+
+/** Fuzzy-join blocking must be COMPLETE: the prefix filter and the
+  * short-string fallback together may never lose a qualifying pair.
+  * Graded against a driver-side brute-force Levenshtein that shares no
+  * code with the operator.
+  */
+class FuzzyJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(
+        math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("edJoin equals brute force on random keys, short strings included") {
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abcd"
+    def randStr() = Seq.fill(1 + rnd.nextInt(8))(
+      alphabet(rnd.nextInt(alphabet.length))).mkString
+    val lefts = (1L to 40L).map(i => (i, randStr()))
+    val rights = (1L to 40L).map(i => (i + 1000L, randStr()))
+    val out = FuzzyJoin.edJoin(lefts.toDF("id", "k"), "id", "k",
+        rights.toDF("id", "k"), "id", "k", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val brute = (for {
+      (li, lk) <- lefts
+      (ri, rk) <- rights
+      d = lev(lk, rk) if d <= 2
+    } yield (li, ri, d.toLong)).toSet
+    // completeness AND precision: exactly the brute-force pair set
+    assert(out == brute,
+      s"missing=${(brute -- out).take(5)} spurious=${(out -- brute).take(5)}")
+  }
+
+  test("edJoin at maxDist 0 degrades to exact equality linkage") {
+    val l = Seq((1L, "same key"), (2L, "only left")).toDF("id", "k")
+    val r = Seq((10L, "same key"), (20L, "only right")).toDF("id", "k")
+    val out = FuzzyJoin.edJoin(l, "id", "k", r, "id", "k", maxDist = 0)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(out.toSeq == Seq((1L, 10L, 0L)))
+  }
+}

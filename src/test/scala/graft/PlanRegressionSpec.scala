@@ -258,6 +258,15 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!p.contains("Window")) // head comes from salted top-k, not row_number
   }
 
+  test("q_fuzzy_join: signature-gram equi-join carries the long path, no cartesian") {
+    val p = plan("q_fuzzy_join")
+    // the only nested-loop allowed is the short-string fallback (a
+    // broadcast pass over a tiny bounded set); the long path must be
+    // a hash join on signature grams
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    assert(p.contains("levenshtein"), p.take(400)) // exact verify present
+  }
+
   test("q_dup_passages: fingerprint-key self-join only, no cartesian") {
     val p = plan("q_dup_passages")
     // candidate generation must stay bucketed on the (fp, id) short
