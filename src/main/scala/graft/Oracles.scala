@@ -1283,6 +1283,29 @@ object Oracles {
          |  md5(${norm("text || ' v2'")}) AS "fp"
          |FROM documents WHERE doc_id < 100 ORDER BY 1""".stripMargin,
 
+    // Negative sampling: replay the salted hash, the not-exists
+    // anti-join, and the (h desc, item desc) head.
+    "q_negative_sample" ->
+      s"""WITH inter AS (SELECT DISTINCT o_custkey AS cust,
+         |    l_partkey AS item
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE o_custkey < 100),
+         |users AS (SELECT DISTINCT cust FROM inter),
+         |pool AS (SELECT DISTINCT p_partkey AS item FROM part
+         |         WHERE p_partkey < 300),
+         |cand AS (SELECT cust, item,
+         |    ${md5_60("cust::VARCHAR || ':' || item::VARCHAR || ':neg'")}
+         |      % 1000000 AS h
+         |  FROM users CROSS JOIN pool),
+         |fresh AS (SELECT c.* FROM cand c WHERE NOT EXISTS
+         |  (SELECT 1 FROM inter i
+         |   WHERE i.cust = c.cust AND i.item = c.item)),
+         |r AS (SELECT cust, item, h, row_number() OVER (
+         |    PARTITION BY cust ORDER BY h DESC, item DESC) AS rn
+         |  FROM fresh)
+         |SELECT cust, rn::BIGINT AS "rank", item
+         |FROM r WHERE rn <= 5 ORDER BY cust, rn""".stripMargin,
+
     // Fuzzy linkage: blocking shapes the PLAN, not the rows — the
     // oracle brute-forces levenshtein over the restricted sets.
     "q_fuzzy_join" ->

@@ -289,6 +289,24 @@ object QueriesLlm {
       .orderBy("doc_id")
   }
 
+  /** Deterministic negative sampling (Sampling.negativeSample): per
+    * customer, the 5 catalog parts they never purchased with the
+    * largest ':neg'-salted hash — the contrastive-training negatives
+    * pass, replayed by the oracle as a hash + anti-exists +
+    * row_number window.
+    */
+  def negativeSampleQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val interactions = t(s, dir, "orders").where(col("o_custkey") < 100)
+      .join(t(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+    val pool = t(s, dir, "part").where(col("p_partkey") < 300)
+      .select(col("p_partkey").as("item"))
+    Sampling.negativeSample(interactions, "cust", "item", pool, k = 5)
+      .orderBy("cust", "rank")
+  }
+
   /** Fuzzy record linkage (FuzzyJoin.edJoin): corrupted customer names
     * (character 10 deleted) linked back to the catalog at edit
     * distance <= 1. The prefix-filter blocking must find EVERY such
@@ -840,6 +858,7 @@ object QueriesLlm {
     "q_tfidf" -> (tfidfQ _),
     "q_dup_passages" -> (dupPassagesQ _),
     "q_fuzzy_join" -> (fuzzyJoinQ _),
+    "q_negative_sample" -> (negativeSampleQ _),
     "q_source_filter" -> (sourceFilterQ _),
     "q_length_filter" -> (lengthFilterQ _),
     "q_unigram_logprob" -> (unigramLogProbQ _),

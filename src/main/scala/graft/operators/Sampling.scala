@@ -140,6 +140,42 @@ object Sampling {
           s"div ${budget}L"))
   }
 
+  /** Deterministic negative sampling for recommender/contrastive
+    * training: for every user appearing in `interactions`, the `k`
+    * pool items that user has NOT interacted with, selected by the
+    * largest ':neg'-salted hash of (user, item) — reproducible
+    * pseudo-random negatives on any engine, stable across runs,
+    * partitionings, and cluster sizes (`rand()` negatives are none of
+    * those).
+    *
+    * Scale shape: the candidate space is |users| x |pool| with the
+    * pool BROADCAST — the pool is the caller's lever, and production
+    * negative samplers bound it the same way (a popularity head or
+    * stratified pool of thousands, not the full catalog). The
+    * interaction anti-join shuffles (user, item) keys only; the
+    * per-user head reuses [[graft.etl.Ops.topKPerGroup]].
+    *
+    * @return (userCol, rank 1..k, itemCol)
+    */
+  def negativeSample(interactions: org.apache.spark.sql.DataFrame,
+      userCol: String, itemCol: String,
+      pool: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val users = interactions.select(col(userCol)).distinct()
+    val cand = users
+      .crossJoin(org.apache.spark.sql.functions.broadcast(
+        pool.select(col(itemCol)).distinct()))
+      .withColumn("h", hashBucket(concat(
+        col(userCol).cast("string"), lit(":"),
+        col(itemCol).cast("string"), lit(":neg"))))
+    val fresh = cand.join(
+      interactions.select(col(userCol), col(itemCol)).distinct(),
+      Seq(userCol, itemCol), "left_anti")
+    graft.etl.Ops.topKPerGroup(fresh, Seq(userCol),
+        Seq("h", itemCol), k)
+      .select(col(userCol), col("rank"), col(itemCol))
+  }
+
   /** Leakage-safe dataset split: assignment hashes the dedup-GROUP
     * root, not the row id, so near-duplicate documents can never
     * straddle train/test (the classic eval-contamination bug a plain

@@ -258,6 +258,24 @@ class DedupAnnSpec extends SparkSpec {
     assert(half > 20 && half < 80)
   }
 
+  test("negativeSample: never a positive, exactly k per user, deterministic") {
+    import graft.operators.Sampling
+    val inter = Seq((1L, 10L), (1L, 11L), (2L, 10L))
+      .toDF("user", "item")
+    val pool = (10L to 29L).toDF("item")
+    def run() = Sampling.negativeSample(inter, "user", "item", pool, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    val out = run()
+    val positives = Set((1L, 10L), (1L, 11L), (2L, 10L))
+    out.foreach { case (u, _, i) =>
+      assert(!positives((u, i)), s"sampled a positive: ($u, $i)")
+    }
+    assert(out.count(_._1 == 1L) == 4 && out.count(_._1 == 2L) == 4)
+    assert(out.map(_._2).grouped(4).forall(_ == Seq(1L, 2L, 3L, 4L)))
+    assert(run() == out) // same negatives on re-evaluation
+  }
+
   test("minhashNearDupsAgainst flags batch near-dups of corpus docs only") {
     import graft.operators.Dedup
     val base = "the quick brown fox jumps over the lazy dog and then " +
