@@ -1283,6 +1283,44 @@ object Oracles {
          |  md5(${norm("text || ' v2'")}) AS "fp"
          |FROM documents WHERE doc_id < 100 ORDER BY 1""".stripMargin,
 
+    // Exact quotas: smallest ':sample'-salted bucket per language,
+    // ties by doc_id desc (the operator's -bucket/key-desc struct
+    // order), 20 per stratum.
+    "q_quota_sample" ->
+      s"""WITH b AS (SELECT doc_id, lang, source,
+         |    ${md5_60("doc_id::VARCHAR || ':sample'")} % 1000000 AS h
+         |  FROM documents),
+         |r AS (SELECT doc_id, lang, source, row_number() OVER (
+         |    PARTITION BY lang ORDER BY h ASC, doc_id DESC) AS rn
+         |  FROM b)
+         |SELECT doc_id, lang, source, rn::BIGINT AS "rank"
+         |FROM r WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+
+    // Co-occurrence related items: pair counts over distinct
+    // (order, part), exact-integer lift with one double division
+    // rounded BEFORE ranking, head by (n_co, lift, related) desc.
+    "q_cooccurrence" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i
+        |  FROM lineitem),
+        |nb AS (SELECT count(DISTINCT bk) AS n FROM it),
+        |marg AS (SELECT i, count(*) AS c FROM it GROUP BY 1),
+        |pr AS (SELECT a.i AS item, b.i AS related, count(*) AS n_co
+        |  FROM it a JOIN it b ON a.bk = b.bk AND a.i <> b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sc AS (SELECT item, related, n_co,
+        |    round((n_co * nb.n)::DOUBLE / (ma.c * mb.c)::DOUBLE, 6)
+        |      AS lift
+        |  FROM pr
+        |  JOIN marg ma ON ma.i = pr.item
+        |  JOIN marg mb ON mb.i = pr.related
+        |  CROSS JOIN nb),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY item
+        |    ORDER BY n_co DESC, lift DESC, related DESC) AS rn
+        |  FROM sc)
+        |SELECT item, rn::BIGINT AS "rank", n_co::BIGINT AS "n_co",
+        |  lift, related
+        |FROM r WHERE rn <= 3 ORDER BY item, rn""".stripMargin,
+
     // Negative sampling: replay the salted hash, the not-exists
     // anti-join, and the (h desc, item desc) head.
     "q_negative_sample" ->

@@ -289,6 +289,32 @@ object QueriesLlm {
       .orderBy("doc_id")
   }
 
+  /** Exact per-language quotas (Sampling.quotaSample): 20 documents
+    * per language by smallest sample-salted hash — the fixed-size
+    * eval-set draw, replayed by the oracle as a (bucket asc, key
+    * desc) window head.
+    */
+  def quotaSampleQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    Sampling.quotaSample(
+        t(s, dir, "documents").select("doc_id", "lang", "source"),
+        "doc_id", "lang", quota = 20)
+      .select("doc_id", "lang", "source", "rank")
+      .orderBy("lang", "rank")
+  }
+
+  /** Item-item co-occurrence related-items (Frequency.coOccurrence):
+    * per part, the top-3 parts most often sharing an order, with lift
+    * — the self-computed "customers also bought" table. The oracle
+    * replays pair counting, marginals, the exact-integer lift, and
+    * the (n_co, lift, related) desc head.
+    */
+  def coOccurrenceQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Frequency.coOccurrence(
+        t(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey", "l_partkey", k = 3, minCount = 2)
+      .orderBy("item", "rank")
+
   /** Deterministic negative sampling (Sampling.negativeSample): per
     * customer, the 5 catalog parts they never purchased with the
     * largest ':neg'-salted hash — the contrastive-training negatives
@@ -859,6 +885,8 @@ object QueriesLlm {
     "q_dup_passages" -> (dupPassagesQ _),
     "q_fuzzy_join" -> (fuzzyJoinQ _),
     "q_negative_sample" -> (negativeSampleQ _),
+    "q_cooccurrence" -> (coOccurrenceQ _),
+    "q_quota_sample" -> (quotaSampleQ _),
     "q_source_filter" -> (sourceFilterQ _),
     "q_length_filter" -> (lengthFilterQ _),
     "q_unigram_logprob" -> (unigramLogProbQ _),

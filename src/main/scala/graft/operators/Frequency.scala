@@ -55,4 +55,50 @@ object Frequency {
       .groupBy(itemCol).agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= minCount)
   }
+
+  /** Item-item co-occurrence related-items: for every item, the top-k
+    * other items most often sharing a basket (order, session, playlist)
+    * with it, plus the lift ratio — the classic collaborative
+    * "customers also bought" precompute, the self-computed analogue of
+    * a managed recommender's related-items output.
+    *
+    * Scale shape: the pair explosion is the per-basket self-join — its
+    * cost is sum over baskets of (basket size)^2, bounded by real
+    * basket sizes (an order carries items, not the catalog), and the
+    * join key is the basket id so no reducer sees more than one
+    * basket's pairs at a time. Counts collapse map-side; the two item
+    * marginals re-enter by item-keyed joins of an aggregated (small)
+    * table; the per-item head is the salted two-phase top-k. Lift
+    * computes as exact integer products with ONE double division, so
+    * engines agree bit-for-bit before the 6-place round.
+    *
+    * @param minCount evidence floor on co-basket count
+    * @return (item, rank 1..k, n_co, lift, related), ranked by
+    *   (n_co desc, lift desc, related desc) — lift is rounded BEFORE
+    *   ranking, so the order is engine-exact
+    */
+  def coOccurrence(baskets: DataFrame, basketCol: String,
+      itemCol: String, k: Int, minCount: Long = 2): DataFrame = {
+    val items = baskets
+      .select(col(basketCol).as("bk"), col(itemCol).as("it")).distinct()
+    val nBaskets = items.select("bk").distinct().count()
+    val marg = items.groupBy("it").agg(count(lit(1)).as("c"))
+    val pairs = items.alias("a")
+      .join(items.alias("b"),
+        col("a.bk") === col("b.bk") && col("a.it") =!= col("b.it"))
+      .groupBy(col("a.it").as("item"), col("b.it").as("related"))
+      .agg(count(lit(1)).as("n_co"))
+      .where(col("n_co") >= minCount)
+    val scored = pairs
+      .join(marg.select(col("it").as("item"), col("c").as("c_a")), "item")
+      .join(marg.select(col("it").as("related"), col("c").as("c_b")),
+        "related")
+      .withColumn("lift", round(
+        (col("n_co") * lit(nBaskets)).cast("double") /
+          (col("c_a") * col("c_b")).cast("double"), 6))
+    graft.etl.Ops.topKPerGroup(scored, Seq("item"),
+        Seq("n_co", "lift", "related"), k)
+      .select(col("item"), col("rank"), col("n_co"), col("lift"),
+        col("related"))
+  }
 }

@@ -140,6 +140,34 @@ object Sampling {
           s"div ${budget}L"))
   }
 
+  /** Exact per-stratum quotas: each stratum's `quota` rows with the
+    * SMALLEST [[SampleSalt]]-salted bucket (ties by key desc) — the
+    * complement of [[stratifiedKeep]]: rate-based keep needs no
+    * shuffle but delivers binomial counts; this guarantees exact
+    * counts (a fixed eval set per language, a capped head per
+    * domain) at the cost of one top-k. Selection is hash-ordered, so
+    * growing the corpus only ever SWAPS members in deterministically —
+    * reruns and engines agree row for row.
+    *
+    * Scale shape: the head reuses [[graft.etl.Ops.topKPerGroup]]
+    * (salted two-phase, O(rows/salts) buffers per hot stratum), then
+    * one equi-join restores the full-width rows — only (stratum, key,
+    * rank) ever shuffles for the selection itself.
+    *
+    * @return df's rows of the selected sample, plus `rank` (1..quota
+    *   within stratum)
+    */
+  def quotaSample(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      stratumCol: String, quota: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val slim = df.select(col(stratumCol), col(keyCol))
+      .withColumn("nb", -saltedBucket(col(keyCol), SampleSalt))
+    val picked = graft.etl.Ops.topKPerGroup(slim, Seq(stratumCol),
+        Seq("nb", keyCol), quota)
+      .select(col(stratumCol), col(keyCol), col("rank"))
+    df.join(picked, Seq(stratumCol, keyCol))
+  }
+
   /** Deterministic negative sampling for recommender/contrastive
     * training: for every user appearing in `interactions`, the `k`
     * pool items that user has NOT interacted with, selected by the

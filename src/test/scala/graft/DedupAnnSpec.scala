@@ -258,6 +258,49 @@ class DedupAnnSpec extends SparkSpec {
     assert(half > 20 && half < 80)
   }
 
+  test("quotaSample: exact counts per stratum, deterministic membership") {
+    import graft.operators.Sampling
+    val docs = (1L to 300L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "s")
+    def run() = Sampling.quotaSample(docs, "id", "s", quota = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val out = run()
+    // exact quota per stratum (both strata have >= 10 members)
+    assert(out.count(_._1 == "a") == 10 && out.count(_._1 == "b") == 10)
+    // dense ranks, stable membership across evaluations
+    assert(out.filter(_._1 == "a").map(_._3).sorted.sameElements(1L to 10L))
+    assert(run().toSet == out.toSet)
+    // a stratum smaller than the quota is kept whole
+    val small = Sampling.quotaSample(
+      docs.where(col("id") <= 5), "id", "s", quota = 10)
+    assert(small.count() == 5)
+  }
+
+  test("coOccurrence ranks by co-basket count, lift favors rare affinity") {
+    import graft.operators.Frequency
+    // 4 baskets: x+y together twice, x+z twice; z appears in 2 baskets
+    // while y appears in 3 -> equal n_co, but lift prefers z (rarer)
+    val baskets = Seq(
+      (1L, "x"), (1L, "y"), (1L, "z"),
+      (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z"),
+      (4L, "y")
+    ).toDF("bk", "it")
+    val out = Frequency.coOccurrence(baskets, "bk", "it", k = 2,
+        minCount = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getString(4)))
+    val forX = out.filter(_._1 == "x").sortBy(_._2)
+    // n_co(x,y) = n_co(x,z) = 2; lift(x,z) = 2*4/(3*2) = 1.333333 >
+    // lift(x,y) = 2*4/(3*3) = 0.888889 -> z ranks first
+    assert(forX.map(t => (t._2, t._5)).toSeq == Seq((1L, "z"), (2L, "y")))
+    assert(forX.find(_._5 == "z").get._4 == 1.333333)
+    assert(forX.find(_._5 == "y").get._4 == 0.888889)
+    // symmetry of counts: (y, x) exists with the same n_co
+    assert(out.exists(t => t._1 == "y" && t._5 == "x" && t._3 == 2L))
+  }
+
   test("negativeSample: never a positive, exactly k per user, deterministic") {
     import graft.operators.Sampling
     val inter = Seq((1L, 10L), (1L, 11L), (2L, 10L))
