@@ -1283,6 +1283,38 @@ object Oracles {
          |  md5(${norm("text || ' v2'")}) AS "fp"
          |FROM documents WHERE doc_id < 100 ORDER BY 1""".stripMargin,
 
+    // Recommender training-data build: distinct positives + the
+    // negative-sample replay + the ':split'-salted per-USER split.
+    "q_rec_training" ->
+      s"""WITH inter AS (SELECT DISTINCT o_custkey AS cust,
+         |    l_partkey AS item
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE o_custkey < 100),
+         |users AS (SELECT DISTINCT cust FROM inter),
+         |pool AS (SELECT DISTINCT p_partkey AS item FROM part
+         |         WHERE p_partkey < 300),
+         |cand AS (SELECT cust, item,
+         |    ${md5_60("cust::VARCHAR || ':' || item::VARCHAR || ':neg'")}
+         |      % 1000000 AS h
+         |  FROM users CROSS JOIN pool),
+         |fresh AS (SELECT c.* FROM cand c WHERE NOT EXISTS
+         |  (SELECT 1 FROM inter i
+         |   WHERE i.cust = c.cust AND i.item = c.item)),
+         |neg AS (SELECT cust, item FROM (
+         |    SELECT cust, item, row_number() OVER (PARTITION BY cust
+         |      ORDER BY h DESC, item DESC) AS rn FROM fresh)
+         |  WHERE rn <= 5),
+         |ex AS (SELECT cust, item, 1::BIGINT AS label FROM inter
+         |  UNION ALL SELECT cust, item, 0::BIGINT FROM neg),
+         |sp AS (SELECT *,
+         |    ${md5_60("cust::VARCHAR || ':split'")} % 1000000 AS b
+         |  FROM ex)
+         |SELECT cust, item, label AS "label",
+         |  CASE WHEN b < 800000 THEN 'train'
+         |       WHEN b < 900000 THEN 'val'
+         |       ELSE 'test' END AS "split"
+         |FROM sp ORDER BY cust, item""".stripMargin,
+
     // Exact quotas: smallest ':sample'-salted bucket per language,
     // ties by doc_id desc (the operator's -bucket/key-desc struct
     // order), 20 per stratum.

@@ -303,6 +303,32 @@ object QueriesLlm {
       .orderBy("lang", "rank")
   }
 
+  /** End-to-end recommender TRAINING-DATA build — the composition the
+    * engine's source domain exists for: distinct interactions become
+    * label-1 examples, Sampling.negativeSample supplies label-0
+    * counterfactuals (never a positive, by construction), and every
+    * example gets a leakage-safe split keyed on the USER so one
+    * user's examples can never straddle train/eval. The oracle
+    * replays the whole chain.
+    */
+  def recTrainingQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val interactions = t(s, dir, "orders").where(col("o_custkey") < 100)
+      .join(t(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+    val pool = t(s, dir, "part").where(col("p_partkey") < 300)
+      .select(col("p_partkey").as("item"))
+    val pos = interactions.distinct().withColumn("label", lit(1L))
+    val neg = Sampling.negativeSample(interactions, "cust", "item",
+        pool, k = 5)
+      .select(col("cust"), col("item")).withColumn("label", lit(0L))
+    pos.unionByName(neg)
+      .withColumn("split", Sampling.assignSplit(col("cust"),
+        Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L)))
+      .orderBy("cust", "item")
+  }
+
   /** Item-item co-occurrence related-items (Frequency.coOccurrence):
     * per part, the top-3 parts most often sharing an order, with lift
     * — the self-computed "customers also bought" table. The oracle
@@ -887,6 +913,7 @@ object QueriesLlm {
     "q_negative_sample" -> (negativeSampleQ _),
     "q_cooccurrence" -> (coOccurrenceQ _),
     "q_quota_sample" -> (quotaSampleQ _),
+    "q_rec_training" -> (recTrainingQ _),
     "q_source_filter" -> (sourceFilterQ _),
     "q_length_filter" -> (lengthFilterQ _),
     "q_unigram_logprob" -> (unigramLogProbQ _),
