@@ -338,7 +338,8 @@ object QueriesLlm {
   def coOccurrenceQ(s: SparkSession, dir: String): DataFrame =
     graft.operators.Frequency.coOccurrence(
         t(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
-        "l_orderkey", "l_partkey", k = 3, minCount = 2)
+        "l_orderkey", "l_partkey", k = 3, minCount = 2,
+        cache = Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       .orderBy("item", "rank")
 
   /** Deterministic negative sampling (Sampling.negativeSample): per

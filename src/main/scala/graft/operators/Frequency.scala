@@ -73,14 +73,20 @@ object Frequency {
     * engines agree bit-for-bit before the 6-place round.
     *
     * @param minCount evidence floor on co-basket count
+    * @param cache storage level for the distinct (basket, item) set,
+    *   which the basket count, the marginals, and BOTH pair-join
+    *   sides consume — uncached, the plan re-derives it four times
     * @return (item, rank 1..k, n_co, lift, related), ranked by
     *   (n_co desc, lift desc, related desc) — lift is rounded BEFORE
     *   ranking, so the order is engine-exact
     */
   def coOccurrence(baskets: DataFrame, basketCol: String,
-      itemCol: String, k: Int, minCount: Long = 2): DataFrame = {
-    val items = baskets
+      itemCol: String, k: Int, minCount: Long = 2,
+      cache: Option[org.apache.spark.storage.StorageLevel] = None)
+      : DataFrame = {
+    val items0 = baskets
       .select(col(basketCol).as("bk"), col(itemCol).as("it")).distinct()
+    val items = cache.fold(items0)(items0.persist)
     val nBaskets = items.select("bk").distinct().count()
     val marg = items.groupBy("it").agg(count(lit(1)).as("c"))
     val pairs = items.alias("a")
