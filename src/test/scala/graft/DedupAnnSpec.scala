@@ -258,6 +258,31 @@ class DedupAnnSpec extends SparkSpec {
     assert(half > 20 && half < 80)
   }
 
+  test("round-10 operators tolerate empty and degenerate inputs") {
+    import graft.operators.{Dedup, Frequency, Sampling}
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.duplicatePassages(emptyDocs, "doc_id", "text")
+      .count() == 0)
+    // a single empty-text doc yields one degenerate fingerprint and,
+    // with no partner, no pairs
+    val blank = Seq((1L, ""), (2L, "real words here")).toDF("doc_id", "text")
+    assert(Dedup.duplicatePassages(blank, "doc_id", "text",
+      minShared = 1).count() == 0)
+    val emptyBaskets = Seq.empty[(Long, String)].toDF("bk", "it")
+    assert(Frequency.coOccurrence(emptyBaskets, "bk", "it", k = 3)
+      .count() == 0)
+    // empty pool -> no negatives; empty interactions -> no users
+    val inter = Seq((1L, 10L)).toDF("u", "i")
+    val emptyPool = Seq.empty[Long].toDF("i")
+    assert(Sampling.negativeSample(inter, "u", "i", emptyPool, 3)
+      .count() == 0)
+    assert(Sampling.negativeSample(
+      Seq.empty[(Long, Long)].toDF("u", "i"), "u", "i",
+      Seq(1L).toDF("i"), 3).count() == 0)
+    assert(Sampling.quotaSample(emptyDocs, "doc_id", "text", 5)
+      .count() == 0)
+  }
+
   test("quotaSample: exact counts per stratum, deterministic membership") {
     import graft.operators.Sampling
     val docs = (1L to 300L).map(i => (i, if (i % 3 == 0) "a" else "b"))

@@ -42,6 +42,20 @@ class FuzzyJoinSpec extends SparkSpec {
       s"missing=${(brute -- out).take(5)} spurious=${(out -- brute).take(5)}")
   }
 
+  test("edJoin: null keys and empty sides produce empty results, not errors") {
+    val l = Seq((1L, null.asInstanceOf[String]), (2L, "ok"))
+      .toDF("id", "k")
+    val empty = spark.emptyDataFrame
+      .selectExpr("CAST(1 AS BIGINT) AS id", "'x' AS k").where("1=0")
+    assert(FuzzyJoin.edJoin(l, "id", "k", empty, "id", "k", 2).count() == 0)
+    assert(FuzzyJoin.edJoin(empty, "id", "k", l, "id", "k", 2).count() == 0)
+    // null-keyed rows are dropped, the rest still link
+    val r = Seq((9L, "ok")).toDF("id", "k")
+    val out = FuzzyJoin.edJoin(l, "id", "k", r, "id", "k", 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(out.toSeq == Seq((2L, 9L)))
+  }
+
   test("edJoin at maxDist 0 degrades to exact equality linkage") {
     val l = Seq((1L, "same key"), (2L, "only left")).toDF("id", "k")
     val r = Seq((10L, "same key"), (20L, "only right")).toDF("id", "k")
