@@ -1283,6 +1283,28 @@ object Oracles {
          |  md5(${norm("text || ' v2'")}) AS "fp"
          |FROM documents WHERE doc_id < 100 ORDER BY 1""".stripMargin,
 
+    // Temperature mixing: integer-exact rate derivation (corrected
+    // floor-sqrt weights, integer sum, truncating // to ppm) over the
+    // constructed skewed subset, then the ':sample'-salted keep.
+    "q_temperature_mix" ->
+      s"""WITH sk AS (SELECT doc_id, source FROM documents
+         |  WHERE doc_id % (1 + substr(source, 4)::INT % 4) = 0),
+         |cnt AS (SELECT source, count(*) AS n FROM sk GROUP BY 1),
+         |w AS (SELECT source, n,
+         |    CASE WHEN f * f > n THEN f - 1
+         |         WHEN (f + 1) * (f + 1) <= n THEN f + 1
+         |         ELSE f END AS wi
+         |  FROM (SELECT source, n, floor(sqrt(n))::BIGINT AS f
+         |        FROM cnt)),
+         |tot AS (SELECT sum(wi)::BIGINT AS s FROM w),
+         |rate AS (SELECT source,
+         |    least(1000000, (1000000 * 150 * wi) // (s * n)) AS ppm
+         |  FROM w CROSS JOIN tot)
+         |SELECT sk.doc_id, sk.source
+         |FROM sk JOIN rate USING (source)
+         |WHERE ${md5_60("doc_id::VARCHAR || ':sample'")} % 1000000 < ppm
+         |ORDER BY doc_id""".stripMargin,
+
     // Recommender training-data build: distinct positives + the
     // negative-sample replay + the ':split'-salted per-USER split.
     "q_rec_training" ->

@@ -289,6 +289,23 @@ object QueriesLlm {
       .orderBy("doc_id")
   }
 
+  /** Temperature mixing (Sampling.temperatureMix): a deliberately
+    * skewed per-source subset (source k keeps doc_ids divisible by
+    * 1 + k%4) flattened by sqrt-weighted keep rates toward a
+    * 150-row budget. The oracle re-derives counts, the corrected
+    * integer sqrt, the truncating ppm division, and the salted keep.
+    */
+  def temperatureMixQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val skewed = t(s, dir, "documents").select("doc_id", "source")
+      .where(col("doc_id") %
+        (lit(1) + substring(col("source"), 4, 10).cast("int") % 4)
+        === 0)
+    Sampling.temperatureMix(skewed, "doc_id", "source",
+        budgetRows = 150)
+      .orderBy("doc_id")
+  }
+
   /** Exact per-language quotas (Sampling.quotaSample): 20 documents
     * per language by smallest sample-salted hash — the fixed-size
     * eval-set draw, replayed by the oracle as a (bucket asc, key
@@ -915,6 +932,7 @@ object QueriesLlm {
     "q_cooccurrence" -> (coOccurrenceQ _),
     "q_quota_sample" -> (quotaSampleQ _),
     "q_rec_training" -> (recTrainingQ _),
+    "q_temperature_mix" -> (temperatureMixQ _),
     "q_source_filter" -> (sourceFilterQ _),
     "q_length_filter" -> (lengthFilterQ _),
     "q_unigram_logprob" -> (unigramLogProbQ _),

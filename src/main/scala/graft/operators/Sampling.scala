@@ -140,6 +140,41 @@ object Sampling {
           s"div ${budget}L"))
   }
 
+  /** Temperature-flattened corpus mixing (the size^alpha resampling of
+    * multilingual/multi-source LLM training recipes, alpha = 1/2):
+    * per-source keep rates proportional to sqrt(size)/size, so
+    * over-represented sources are damped and rare sources surface,
+    * targeting ~`budgetRows` total. All rate arithmetic is INTEGER —
+    * an exact isqrt weight (floor-of-sqrt with boundary correction),
+    * an exact integer sum, one truncating integer division to ppm —
+    * so any engine derives the identical rates from the identical
+    * counts; membership is then [[stratifiedKeep]]'s salted-hash
+    * predicate. Only the per-source count table reaches the driver.
+    *
+    * @return df's rows surviving the temperature-weighted keep
+    */
+  def temperatureMix(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      sourceCol: String, budgetRows: Long)
+      : org.apache.spark.sql.DataFrame = {
+    require(budgetRows > 0, "budgetRows must be > 0")
+    def isqrt(n: Long): Long = {
+      val f = math.floor(math.sqrt(n.toDouble)).toLong
+      if (f * f > n) f - 1
+      else if ((f + 1) * (f + 1) <= n) f + 1
+      else f
+    }
+    val counts = df.groupBy(sourceCol)
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val totalW = counts.values.map(isqrt).sum
+    val rates = counts.map { case (src, n) =>
+      src -> math.min(Buckets,
+        1000000L * budgetRows * isqrt(n) / (totalW * n))
+    }
+    df.where(stratifiedKeep(col(keyCol), col(sourceCol), rates,
+      defaultPpm = 0L))
+  }
+
   /** Exact per-stratum quotas: each stratum's `quota` rows with the
     * SMALLEST [[SampleSalt]]-salted bucket (ties by key desc) — the
     * complement of [[stratifiedKeep]]: rate-based keep needs no

@@ -258,6 +258,24 @@ class DedupAnnSpec extends SparkSpec {
     assert(half > 20 && half < 80)
   }
 
+  test("temperatureMix flattens source shares toward sqrt weights") {
+    import graft.operators.Sampling
+    // sizes 400 vs 100 -> weights 20 vs 10 -> ppm 166666 vs 333333:
+    // the small source keeps at TWICE the rate of the big one, where
+    // proportional sampling would keep both at the same rate
+    val docs = ((1L to 400L).map(i => (i, "big")) ++
+      (1001L to 1100L).map(i => (i, "small"))).toDF("id", "src")
+    val kept = Sampling.temperatureMix(docs, "id", "src", budgetRows = 100)
+      .collect().map(r => r.getString(1))
+    val nBig = kept.count(_ == "big").toDouble
+    val nSmall = kept.count(_ == "small").toDouble
+    // expectations 66.7 and 33.3; allow generous binomial slack
+    assert(nBig > 40 && nBig < 95, s"big kept $nBig")
+    assert(nSmall > 18 && nSmall < 50, s"small kept $nSmall")
+    // flattening: small keeps at a materially higher RATE than big
+    assert(nSmall / 100.0 > 1.3 * (nBig / 400.0))
+  }
+
   test("round-10 operators tolerate empty and degenerate inputs") {
     import graft.operators.{Dedup, Frequency, Sampling}
     val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
