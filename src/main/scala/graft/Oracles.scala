@@ -1547,6 +1547,34 @@ object Oracles {
          |    AS "mean_logp"
          |FROM parts GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Bigram log-prob: same add-1-smoothed model both sides — bigrams
+    // via adjacent-slot concat (== the 2-shingle kernel), context
+    // counts from first-of-pair, V over the >=2-token corpus, decimal
+    // accumulation.
+    "q_bigram_logprob" ->
+      s"""WITH tok AS (SELECT doc_id, ${toks("text")} AS t
+         |  FROM documents),
+         |t2 AS (SELECT doc_id, t FROM tok WHERE len(t) >= 2),
+         |vv AS (SELECT count(DISTINCT term) AS v FROM
+         |  (SELECT unnest(t) AS term FROM t2)),
+         |bg AS (SELECT doc_id, t[u.i] || ' ' || t[u.i + 1] AS bg
+         |  FROM t2, LATERAL unnest(generate_series(1, len(t) - 1))
+         |    AS u(i)),
+         |bf AS (SELECT doc_id, bg, count(*) AS bf FROM bg GROUP BY 1, 2),
+         |bc AS (SELECT bg, sum(bf) AS c_ab FROM bf GROUP BY 1),
+         |cc AS (SELECT split_part(bg, ' ', 1) AS a, sum(c_ab) AS c_a
+         |  FROM bc GROUP BY 1),
+         |parts AS (SELECT bf.doc_id, bf.bf,
+         |    ln((bc.c_ab + 1)::DOUBLE / (cc.c_a + vv.v)::DOUBLE) * bf.bf
+         |      AS p
+         |  FROM bf JOIN bc USING (bg)
+         |  JOIN cc ON cc.a = split_part(bf.bg, ' ', 1)
+         |  CROSS JOIN vv)
+         |SELECT doc_id, sum(bf)::BIGINT AS "n_bigrams",
+         |  round(sum(p::DECIMAL(28,12))::DOUBLE / sum(bf), 6)
+         |    AS "mean_logp"
+         |FROM parts GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Percentile length band: same nearest-rank cumulative-histogram
     // thresholds as Curation.rankBounds (rank = ceil(q*n), min 1).
     "q_length_filter" ->

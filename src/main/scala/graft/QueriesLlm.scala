@@ -289,6 +289,17 @@ object QueriesLlm {
       .orderBy("doc_id")
   }
 
+  /** Bigram log-prob quality score (Curation.bigramLogProb): mean
+    * log p(b|a) under the corpus's own add-1-smoothed bigram model —
+    * the next-order perplexity filter, same decimal-exact recipe as
+    * the unigram scorer.
+    */
+  def bigramLogProbQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.bigramLogProb(
+        t(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Temperature mixing (Sampling.temperatureMix): a deliberately
     * skewed per-source subset (source k keeps doc_ids divisible by
     * 1 + k%4) flattened by sqrt-weighted keep rates toward a
@@ -933,6 +944,7 @@ object QueriesLlm {
     "q_quota_sample" -> (quotaSampleQ _),
     "q_rec_training" -> (recTrainingQ _),
     "q_temperature_mix" -> (temperatureMixQ _),
+    "q_bigram_logprob" -> (bigramLogProbQ _),
     "q_source_filter" -> (sourceFilterQ _),
     "q_length_filter" -> (lengthFilterQ _),
     "q_unigram_logprob" -> (unigramLogProbQ _),

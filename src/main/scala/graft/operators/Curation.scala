@@ -69,6 +69,51 @@ object Curation {
           .cast("double") / sum("tf"), 6).as("mean_logp"))
   }
 
+  /** Bigram log-probability quality score — the next order up from
+    * [[unigramLogProb]]: each document's mean log p(b | a) over its
+    * adjacent token pairs under the corpus's own add-1-smoothed
+    * bigram model, p = (c_ab + 1) / (c_a + V). Catches what unigrams
+    * cannot: scrambled word salad has a prose-like unigram profile
+    * but collapses under bigram transitions.
+    *
+    * Scale shape: adjacent pairs come from the codegen'd 2-shingle
+    * kernel (no positional self-join); per-doc pair frequencies
+    * collapse map-side before anything joins; the bigram and context
+    * models re-enter BROADCAST exactly like the unigram scorer (cap
+    * the vocabulary upstream if it cannot broadcast — Zipf-skewed
+    * keys must not become shuffle-join keys). Only V (one scalar)
+    * and the model tables' aggregates move. Decimal accumulation,
+    * 6-place round, so engines agree bit-for-bit.
+    *
+    * @return (idCol, n_bigrams, mean_logp) — documents with < 2
+    *   tokens are absent (they have no bigram distribution)
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    import graft.functions.{HashFunctions => H, TextFunctions => T}
+    val toks = docs.select(col(idCol), T.tokens(col(textCol)).as("t"))
+      .where(size(col("t")) >= 2)
+    val v = toks.select(explode(col("t")).as("term"))
+      .distinct().count()
+    val bf = toks
+      .select(col(idCol), explode(H.wordShingles(col("t"), 2)).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("bf"))
+    val bc = bf.groupBy("bg").agg(sum("bf").as("c_ab"))
+    val cc = bc
+      .withColumn("a", substring_index(col("bg"), " ", 1))
+      .groupBy("a").agg(sum("c_ab").as("c_a"))
+    bf.join(broadcast(bc), "bg")
+      .withColumn("a", substring_index(col("bg"), " ", 1))
+      .join(broadcast(cc), "a")
+      .withColumn("lp", log(
+        (col("c_ab") + 1L).cast("double") /
+          (col("c_a") + lit(v)).cast("double")))
+      .groupBy(col(idCol))
+      .agg(sum("bf").as("n_bigrams"),
+        round(sum((col("lp") * col("bf")).cast("decimal(28,12)"))
+          .cast("double") / sum("bf"), 6).as("mean_logp"))
+  }
+
   /** Fixed-size overlapping document chunking — the preprocessing pass
     * of an embedding/RAG pipeline: each document becomes
     * ceil(max(len - overlap, 1) / stride) windows of `chunkChars`

@@ -293,6 +293,29 @@ class OpsSpec extends SparkSpec {
       (2L, 2L, m(0.6, 0.2))))     // a, c
   }
 
+  test("bigramLogProb: coherent transitions outscore word salad") {
+    import graft.operators.Curation
+    // "x y" is a frequent transition in the corpus; doc 3 uses the
+    // same unigrams in scrambled order, so its unigram profile is
+    // identical to doc 1's but its bigram transitions are all rare
+    val docs = Seq(
+      (1L, "x y x y x y"),
+      (2L, "x y x y"),
+      (3L, "y x y x y x")
+    ).toDF("id", "text")
+    val out = Curation.bigramLogProb(docs, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sortBy(_._1)
+    assert(out.map(_._2) == Seq(5L, 3L, 5L)) // n-1 bigrams each
+    val byId = out.map(t => t._1 -> t._3).toMap
+    // doc 3 leans on the rare y->x transition -> strictly lower score
+    assert(byId(3L) < byId(1L))
+    // docs with < 2 tokens are absent
+    val short = Curation.bigramLogProb(
+      Seq((9L, "solo")).toDF("id", "text"), "id", "text")
+    assert(short.count() == 0)
+  }
+
   test("pivotAttributes transposes array<struct> and drops external_id clash") {
     val df = Seq(("u1", Seq(("i1", "s1"), ("i2", "s2"))))
       .toDF("userId", "pairs")
