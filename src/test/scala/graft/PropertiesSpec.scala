@@ -203,6 +203,33 @@ class PropertiesSpec extends SparkSpec {
     assert(out == Set((1L, 1L, 9L, 1L), (2L, 2L, 5L, 1L)))
   }
 
+  test("winnowing guarantee: a planted shared run always yields a shared fingerprint (5x)") {
+    // Schleimer/MOSS property under the value-set variant: any shared
+    // passage of >= window + n - 1 tokens selects at least one common
+    // fingerprint — deterministic, not probabilistic. Random hosts,
+    // random insertion points, random passage.
+    import graft.operators.Dedup
+    val n = 4
+    val w = 4
+    for (trial <- 1 to 5) {
+      def words(len: Int) =
+        Seq.fill(len)(s"t${rnd.nextInt(500)}").mkString(" ")
+      val passage = (1 to (w + n - 1)).map(i =>
+        s"p${trial}x$i").mkString(" ") // unique tokens, length w+n-1
+      def host(id: Long) = {
+        val pre = words(rnd.nextInt(30))
+        val post = words(rnd.nextInt(30))
+        (id, s"$pre $passage $post".trim)
+      }
+      val docs = Seq(host(1L), host(2L),
+        (3L, words(40))).toDF("doc_id", "text")
+      val pairs = Dedup.duplicatePassages(docs, "doc_id", "text",
+          n = n, window = w, minShared = 1)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 2L)), s"trial $trial lost the run")
+    }
+  }
+
   test("packStreams offsets equal driver-side prefix sums (3x)") {
     for (_ <- 1 to 3) {
       val rows = (0L until 60L).map(i => (i, rnd.nextInt(10).toLong))
