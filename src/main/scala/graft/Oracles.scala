@@ -625,6 +625,41 @@ object Oracles {
         |       (max(s) - min(s))::BIGINT AS "duration_s"
         |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // Next-event sequences: the q_sessionize session assignment plus a
+    // bounded list window (10 PRECEDING .. 1 PRECEDING); first-of-
+    // session rows (empty prefix) are excluded on both sides.
+    "q_session_prefixes" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, ts,
+        |         epoch_ns(ts) // 1000 AS us,
+        |         epoch_ns(ts) // 1000000000 AS s
+        |  FROM events),
+        |marked AS (
+        |  SELECT user_id, event_id, us, s,
+        |    CASE WHEN lag(s) OVER w IS NULL OR s - lag(s) OVER w > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sessions AS (
+        |  SELECT user_id, event_id, us,
+        |    sum(new_session) OVER (PARTITION BY user_id
+        |                           ORDER BY us, event_id
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING
+        |                           AND CURRENT ROW) AS session_seq
+        |  FROM marked),
+        |p AS (
+        |  SELECT user_id, session_seq, event_id,
+        |    list(event_id) OVER (PARTITION BY user_id, session_seq
+        |                         ORDER BY us, event_id
+        |                         ROWS BETWEEN 10 PRECEDING
+        |                         AND 1 PRECEDING) AS prefix
+        |  FROM sessions)
+        |SELECT user_id, session_seq::BIGINT AS "session_seq",
+        |       array_to_string(prefix, ',') AS "prefix",
+        |       event_id AS "label"
+        |FROM p WHERE len(coalesce(prefix, [])) > 0
+        |ORDER BY user_id, session_seq, event_id""".stripMargin,
+
     // §2.12 stateful streaming sessionizer: every session event-time-
     // times-out under the sentinel-advanced watermark, so the streamed
     // result equals the batch window formulation — same SQL as

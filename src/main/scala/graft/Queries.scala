@@ -625,6 +625,27 @@ object Queries {
       .orderBy("user_id", "session_seq")
   }
 
+  /** Next-event training sequences (Events.sessionPrefixes): per
+    * event, up to 10 prior session event ids as input and the event as
+    * label — the sequence-model example generator, with the same
+    * ns->us ordering discipline as [[sessionize]]. The oracle replays
+    * sessionization plus a bounded-frame list window. The prefix is
+    * surfaced comma-joined — the driver's value hash has no proven
+    * array-column path, and the string form is order-exact anyway.
+    */
+  def sessionPrefixesQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      col("user_id"), col("event_id"),
+      expr("ts div 1000").as("ts_us"),
+      expr("ts div 1000000000").as("ts_s"))
+    graft.operators.Events.sessionPrefixes(ev, "user_id", "ts_s",
+        "event_id", gapMinutes = 30,
+        orderCols = Seq("ts_us", "event_id"), maxPrefix = 10)
+      .select(col("user_id"), col("session_seq"),
+        array_join(col("prefix"), ",").as("prefix"), col("label"))
+      .orderBy("user_id", "session_seq", "label")
+  }
+
   /** Time-windowed event dedup (Events.dedupWithin): drop events of the
     * same (user, type) within 60s of their immediate predecessor —
     * at-least-once log cleanup. Same ns->us ordering discipline as
@@ -1122,6 +1143,7 @@ object Queries {
     "q_events_sliding" -> (eventsSliding _),
     "q_session_window" -> (sessionWindowQ _),
     "q_sessionize" -> (sessionize _),
+    "q_session_prefixes" -> (sessionPrefixesQ _),
     "q_event_dedup" -> (eventDedup _),
     "q_attribution" -> (attribution _),
     "q_streaming_dedup_equiv" -> (streamingDedupEquiv _),

@@ -55,6 +55,35 @@ object Events {
       .drop("__prev", "__new")
   }
 
+  /** Next-event training sequences from sessionized logs: for every
+    * event beyond the first of its session, the ordered ids of up to
+    * `maxPrefix` PRIOR session events as the model input and the event
+    * itself as the label — the example generator for next-item /
+    * next-event sequence models.
+    *
+    * Scale shape: one additional window over the [[sessionize]] pass
+    * with a BOUNDED frame (ROWS maxPrefix PRECEDING .. 1 PRECEDING),
+    * so the running buffer is O(maxPrefix) per position — matching the
+    * sequence model's own context cap, where an unbounded prefix would
+    * buffer whole sessions. The window reuses sessionize's per-user
+    * partitioning, so no extra shuffle shape beyond the user key.
+    *
+    * @return (userCol, session_seq, prefix, label)
+    */
+  def sessionPrefixes(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, gapMinutes: Int, orderCols: Seq[String],
+      maxPrefix: Int = 50): DataFrame = {
+    require(maxPrefix > 0, "maxPrefix must be > 0")
+    val sess = sessionize(events, userCol, tsCol, gapMinutes, orderCols)
+    val w = Window.partitionBy(col(userCol), col("session_seq"))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-maxPrefix, -1)
+    sess.withColumn("prefix", collect_list(col(idCol)).over(w))
+      .where(size(col("prefix")) > 0)
+      .select(col(userCol), col("session_seq"), col("prefix"),
+        col(idCol).as("label"))
+  }
+
   /** Time-windowed per-key dedup: drop an event arriving within
     * `windowSeconds` of the PREVIOUS event of the same key — the
     * log-cleanup pass for at-least-once ingestion (client retries,

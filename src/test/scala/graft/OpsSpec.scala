@@ -293,6 +293,30 @@ class OpsSpec extends SparkSpec {
       (2L, 2L, m(0.6, 0.2))))     // a, c
   }
 
+  test("sessionPrefixes: prior-event prefixes, session-bounded, first excluded") {
+    import graft.operators.Events
+    // user 1: events 1,2,3 in one session, then a >30min gap -> event
+    // 4 opens a new session (no prefix crosses the boundary)
+    val ev = Seq(
+      (1L, 1L, 1000L), (1L, 2L, 1060L), (1L, 3L, 1120L),
+      (1L, 4L, 9999L)
+    ).toDF("user_id", "event_id", "ts_s")
+    val out = Events.sessionPrefixes(ev, "user_id", "ts_s", "event_id",
+        gapMinutes = 30, orderCols = Seq("ts_s", "event_id"),
+        maxPrefix = 2)
+      .orderBy("label")
+      .collect()
+      .map(r => (r.getLong(3), r.getSeq[Long](2)))
+    // events 1 and 4 open sessions -> absent; maxPrefix=2 truncates
+    // event 3's context to the two PRIOR events
+    assert(out.toSeq == Seq((2L, Seq(1L)), (3L, Seq(1L, 2L))))
+    val capped = Events.sessionPrefixes(ev, "user_id", "ts_s",
+        "event_id", gapMinutes = 30,
+        orderCols = Seq("ts_s", "event_id"), maxPrefix = 1)
+      .orderBy("label").collect().map(_.getSeq[Long](2))
+    assert(capped.toSeq == Seq(Seq(1L), Seq(2L))) // window of 1 slides
+  }
+
   test("bigramLogProb: coherent transitions outscore word salad") {
     import graft.operators.Curation
     // "x y" is a frequent transition in the corpus; doc 3 uses the
