@@ -10,6 +10,7 @@ columns sorted by name. NOT part of the shipped library.
 """
 import json, sys, glob, math
 import duckdb
+import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -22,6 +23,14 @@ def canon(val):
         if math.isnan(val):
             return "NaN"
         return round(val, 9)
+    if isinstance(val, np.ndarray):
+        # duckdb fetchdf returns LIST columns as ndarrays; without this
+        # the tuple comparison raises "truth value of an array ..."
+        return tuple(canon(v) for v in val.tolist())
+    if isinstance(val, (np.floating,)):
+        return canon(float(val))
+    if isinstance(val, (np.integer,)):
+        return int(val)
     if isinstance(val, (list, tuple)):
         return tuple(canon(v) for v in val)
     return val
