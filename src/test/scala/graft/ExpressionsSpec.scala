@@ -127,6 +127,8 @@ class ExpressionsSpec extends SparkSpec {
     val r = spark.sql(
       """SELECT
         |  word_shingles(array('a','b','c'), 2) AS sh,
+        |  winnow_fingerprints(array('a','b','c','d','e'), 2, 2) =
+        |    winnow_fingerprints(array('a','b','c','d','e'), 2, 2) AS wEq,
         |  simhash60(array('x','y')) = simhash60(array('x','y')) AS simEq,
         |  jaccard_sim(array('a','b'), array('b','c')) AS j,
         |  round(cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)), 6) AS c,
@@ -134,10 +136,11 @@ class ExpressionsSpec extends SparkSpec {
         |    minhash_signature(array('s1','s2'), 16), 4, 4)) AS nb
         |""".stripMargin).collect().head
     assert(r.getSeq[String](0) == Seq("a b", "b c"))
-    assert(r.getBoolean(1))
-    assert(r.getDouble(2) == 0.333333)
-    assert(r.getDouble(3) == 1.0)
-    assert(r.getInt(4) == 4)
+    assert(r.getBoolean(1)) // winnow_fingerprints deterministic
+    assert(r.getBoolean(2))
+    assert(r.getDouble(3) == 0.333333)
+    assert(r.getDouble(4) == 1.0)
+    assert(r.getInt(5) == 4)
   }
 
   test("SQL registration: quantized cosine and bounded top-k aggregate") {
