@@ -297,7 +297,8 @@ object QueriesLlm {
   def bigramLogProbQ(s: SparkSession, dir: String): DataFrame =
     graft.operators.Curation.bigramLogProb(
         t(s, dir, "documents").select("doc_id", "text"),
-        "doc_id", "text")
+        "doc_id", "text",
+        cache = Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       .orderBy("doc_id")
 
   /** Temperature mixing (Sampling.temperatureMix): a deliberately

@@ -85,19 +85,25 @@ object Curation {
     * and the model tables' aggregates move. Decimal accumulation,
     * 6-place round, so engines agree bit-for-bit.
     *
+    * @param cache storage level for the per-doc pair-frequency frame,
+    *   which the score join, the bigram model, and (via the model)
+    *   the context model all consume — uncached, the plan re-explodes
+    *   the corpus once per consumer
     * @return (idCol, n_bigrams, mean_logp) — documents with < 2
     *   tokens are absent (they have no bigram distribution)
     */
-  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String)
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      cache: Option[org.apache.spark.storage.StorageLevel] = None)
       : DataFrame = {
     import graft.functions.{HashFunctions => H, TextFunctions => T}
     val toks = docs.select(col(idCol), T.tokens(col(textCol)).as("t"))
       .where(size(col("t")) >= 2)
     val v = toks.select(explode(col("t")).as("term"))
       .distinct().count()
-    val bf = toks
+    val bf0 = toks
       .select(col(idCol), explode(H.wordShingles(col("t"), 2)).as("bg"))
       .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("bf"))
+    val bf = cache.fold(bf0)(bf0.persist)
     val bc = bf.groupBy("bg").agg(sum("bf").as("c_ab"))
     val cc = bc
       .withColumn("a", substring_index(col("bg"), " ", 1))

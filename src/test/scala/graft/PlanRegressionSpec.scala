@@ -258,6 +258,24 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!p.contains("Window")) // head comes from salted top-k, not row_number
   }
 
+  test("q_bigram_logprob: model joins broadcast, Zipf keys never shuffle-join") {
+    val p = plan("q_bigram_logprob")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("SortMergeJoin"), p.take(400))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_session_prefixes: the window chain reuses one user-key shuffle") {
+    val p = plan("q_session_prefixes")
+    // sessionize's lag/sum windows and the prefix window all run off
+    // hash(user) — ClusteredDistribution(user, session) is satisfied
+    // by the coarser key, so only the partition exchange and the
+    // presentation sort's range exchange may appear
+    val exchanges = "(?m)Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"$exchanges exchanges:\n" + p.take(600))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_fuzzy_join: signature-gram equi-join carries the long path, no cartesian") {
     val p = plan("q_fuzzy_join")
     // the only nested-loop allowed is the short-string fallback (a
