@@ -1582,6 +1582,20 @@ object Oracles {
          |    AS "mean_logp"
          |FROM parts GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Equi-width histogram: integer width (max-min)/bins+1, truncating
+    // bin division, inclusive lo/hi — all BIGINT, engine-exact.
+    "q_histogram" ->
+      """WITH mm AS (SELECT min(n_chars)::BIGINT AS mn,
+        |    ((max(n_chars) - min(n_chars)) // 12 + 1)::BIGINT AS w
+        |  FROM documents)
+        |SELECT ((n_chars - mn) // w)::BIGINT AS "bin",
+        |  (mn + ((n_chars - mn) // w) * w)::BIGINT AS "lo",
+        |  (mn + ((n_chars - mn) // w + 1) * w - 1)::BIGINT AS "hi",
+        |  count(*)::BIGINT AS "n"
+        |FROM documents CROSS JOIN mm
+        |WHERE n_chars IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
     // Bigram log-prob: same add-1-smoothed model both sides — bigrams
     // via adjacent-slot concat (== the 2-shingle kernel), context
     // counts from first-of-pair, V over the >=2-token corpus, decimal

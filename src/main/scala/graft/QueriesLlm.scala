@@ -289,6 +289,16 @@ object QueriesLlm {
       .orderBy("doc_id")
   }
 
+  /** Equi-width length histogram (Profile.histogram): 12 integer bins
+    * over n_chars — the distribution-shape panel of a corpus
+    * datasheet, integer-exact so the oracle re-derives identical
+    * bins.
+    */
+  def histogramQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.histogram(
+        t(s, dir, "documents").select("n_chars"), "n_chars", bins = 12)
+      .orderBy("bin")
+
   /** Bigram log-prob quality score (Curation.bigramLogProb): mean
     * log p(b|a) under the corpus's own add-1-smoothed bigram model —
     * the next-order perplexity filter, same decimal-exact recipe as
@@ -946,6 +956,7 @@ object QueriesLlm {
     "q_rec_training" -> (recTrainingQ _),
     "q_temperature_mix" -> (temperatureMixQ _),
     "q_bigram_logprob" -> (bigramLogProbQ _),
+    "q_histogram" -> (histogramQ _),
     "q_source_filter" -> (sourceFilterQ _),
     "q_length_filter" -> (lengthFilterQ _),
     "q_unigram_logprob" -> (unigramLogProbQ _),

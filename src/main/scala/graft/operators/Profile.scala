@@ -38,4 +38,39 @@ object Profile {
           col("n_distinct").cast("long").as("n_distinct"),
           col("min_str"), col("max_str"))
     }.reduce(_ unionByName _)
+
+  /** Equi-width integer histogram — the distribution-shape panel of a
+    * corpus datasheet (length profiles, score bands, token budgets).
+    * Bin arithmetic is pure INTEGER: width = (max - min) / bins + 1
+    * and bin = (v - min) / width, both truncating, so every engine
+    * derives identical bins from identical data — no float edges to
+    * drift on. One min/max aggregate (collected: two longs), then one
+    * map-side-combinable groupBy over `bins` keys. Empty bins are
+    * absent (callers render gaps; emitting them would need a
+    * generate-join for no analytical gain).
+    *
+    * @return (bin, lo, hi, n) — lo/hi the bin's inclusive value range
+    */
+  def histogram(df: DataFrame, valueCol: String, bins: Int)
+      : DataFrame = {
+    require(bins > 0, "bins must be > 0")
+    val mm = df.agg(min(col(valueCol)).cast("long").as("mn"),
+      max(col(valueCol)).cast("long").as("mx")).collect()(0)
+    if (mm.isNullAt(0)) {
+      // no non-null values -> empty histogram with the right schema
+      return df.sparkSession.emptyDataFrame
+        .select(lit(0L).as("bin"), lit(0L).as("lo"), lit(0L).as("hi"),
+          lit(0L).as("n")).where(lit(false))
+    }
+    val mn = mm.getLong(0)
+    val w = (mm.getLong(1) - mn) / bins + 1
+    // `div`, not `/`: Column `/` on longs is double division, which
+    // loses exactness past 2^53; div is true integral division
+    df.where(col(valueCol).isNotNull)
+      .groupBy(expr(s"(CAST(`$valueCol` AS BIGINT) - ${mn}L) div ${w}L")
+        .as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"), (lit(mn) + col("bin") * w).as("lo"),
+        (lit(mn) + (col("bin") + 1) * w - 1).as("hi"), col("n"))
+  }
 }

@@ -293,6 +293,25 @@ class OpsSpec extends SparkSpec {
       (2L, 2L, m(0.6, 0.2))))     // a, c
   }
 
+  test("histogram: exact integer bins, lossless counts, empty input tolerated") {
+    import graft.operators.Profile
+    // values 0..99, 10 bins -> width (99-0)/10+1 = 10, bins 0..9 of 10
+    val vals = (0L to 99L).toDF("v")
+    val out = Profile.histogram(vals, "v", bins = 10)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 10)
+    assert(out.head == (0L, 0L, 9L, 10L) && out.last == (9L, 90L, 99L, 10L))
+    assert(out.map(_._4).sum == 100L)
+    // a single distinct value lands wholly in bin 0
+    val one = Profile.histogram(Seq(7L, 7L).toDF("v"), "v", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(one.toSeq == Seq((0L, 2L)))
+    // all-null / empty input -> empty frame with the histogram schema
+    val nulls = Seq[Option[Long]](None, None).toDF("v")
+    assert(Profile.histogram(nulls, "v", 3).count() == 0)
+  }
+
   test("sessionPrefixes: prior-event prefixes, session-bounded, first excluded") {
     import graft.operators.Events
     // user 1: events 1,2,3 in one session, then a >30min gap -> event
