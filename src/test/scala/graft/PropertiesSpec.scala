@@ -203,6 +203,54 @@ class PropertiesSpec extends SparkSpec {
     assert(out == Set((1L, 1L, 9L, 1L), (2L, 2L, 5L, 1L)))
   }
 
+  test("coOccurrence equals a driver-side brute force on random baskets (3x)") {
+    import graft.operators.Frequency
+    for (_ <- 1 to 3) {
+      val rows = for {
+        bk <- 1L to 30L
+        _ <- 1 to (2 + rnd.nextInt(4))
+      } yield (bk, s"i${rnd.nextInt(12)}")
+      val out = Frequency.coOccurrence(rows.toDF("bk", "it"), "bk", "it",
+          k = 3, minCount = 1)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getString(4))).toSeq
+      // independent recomputation: distinct per basket, pair counts,
+      // marginals, lift, (n_co desc, lift desc, related desc) head
+      val items = rows.distinct
+      val nB = items.map(_._1).distinct.size.toLong
+      val marg = items.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val co = items.groupBy(_._1).values.flatMap { b =>
+        val is = b.map(_._2).distinct
+        for (a <- is; c <- is if a != c) yield (a, c)
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val expected = co.keys.groupBy(_._1).flatMap { case (item, ks) =>
+        ks.toSeq
+          .map { case (_, rel) =>
+            val nCo = co((item, rel))
+            // exact integer products, one double division — the
+            // operator's own arithmetic order
+            val lift = BigDecimal((nCo * nB).toDouble /
+              (marg(item) * marg(rel)).toDouble)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            (rel, nCo, lift)
+          }
+          .sortWith { case ((relA, nA, lA), (relB, nB2, lB)) =>
+            if (nA != nB2) nA > nB2
+            else if (lA != lB) lA > lB
+            else relA > relB
+          }
+          .take(3).zipWithIndex
+          .map { case ((rel, nCo, lift), i) =>
+            (item, i + 1L, nCo, lift, rel)
+          }
+      }.toSeq
+      assert(out.toSet == expected.toSet,
+        s"diff=${(out.toSet -- expected.toSet).take(3)} / " +
+          s"${(expected.toSet -- out.toSet).take(3)}")
+    }
+  }
+
   test("winnowing guarantee: a planted shared run always yields a shared fingerprint (5x)") {
     // Schleimer/MOSS property under the value-set variant: any shared
     // passage of >= window + n - 1 tokens selects at least one common
