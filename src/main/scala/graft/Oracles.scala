@@ -1582,6 +1582,18 @@ object Oracles {
          |    AS "mean_logp"
          |FROM parts GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // MAD gate: median and MAD of an integer column are exact dyadic
+    // rationals (quantile_cont midpoints) — the comparison needs no
+    // tolerance on either engine.
+    "q_mad_outliers" ->
+      """WITH m AS (SELECT quantile_cont(n_chars, 0.5) AS med
+        |  FROM documents),
+        |d AS (SELECT quantile_cont(abs(n_chars - m.med), 0.5) AS mad
+        |  FROM documents CROSS JOIN m)
+        |SELECT doc_id, n_chars FROM documents CROSS JOIN m CROSS JOIN d
+        |WHERE abs(n_chars - m.med) <= 3.0 * d.mad
+        |ORDER BY doc_id""".stripMargin,
+
     // Equi-width histogram: integer width (max-min)/bins+1, truncating
     // bin division, inclusive lo/hi — all BIGINT, engine-exact.
     "q_histogram" ->

@@ -289,6 +289,17 @@ object QueriesLlm {
       .orderBy("doc_id")
   }
 
+  /** MAD outlier gate (Curation.madOutliers): documents within 3 MADs
+    * of the median length. Median and MAD of an integer column are
+    * exact dyadic rationals, so the keep set is engine-identical with
+    * no tolerance.
+    */
+  def madOutliersQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.madOutliers(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        "n_chars", k = 3.0)
+      .orderBy("doc_id")
+
   /** Equi-width length histogram (Profile.histogram): 12 integer bins
     * over n_chars — the distribution-shape panel of a corpus
     * datasheet, integer-exact so the oracle re-derives identical
@@ -957,6 +968,7 @@ object QueriesLlm {
     "q_temperature_mix" -> (temperatureMixQ _),
     "q_bigram_logprob" -> (bigramLogProbQ _),
     "q_histogram" -> (histogramQ _),
+    "q_mad_outliers" -> (madOutliersQ _),
     "q_source_filter" -> (sourceFilterQ _),
     "q_length_filter" -> (lengthFilterQ _),
     "q_unigram_logprob" -> (unigramLogProbQ _),

@@ -69,6 +69,35 @@ object Curation {
           .cast("double") / sum("tf"), 6).as("mean_logp"))
   }
 
+  /** Robust outlier gate by median absolute deviation: keep rows with
+    * `|v - median| <= k * MAD` — the outlier filter that, unlike
+    * mean/stddev z-scores, is not itself dragged by the outliers it
+    * should remove. On an INTEGER column both the median and the MAD
+    * are integers or exact halves (interpolation midpoints), so the
+    * threshold comparison is exact in IEEE doubles and any engine
+    * reproduces the identical keep set — no rounding tolerance needed.
+    * A zero MAD (majority at one value) degenerates to keeping only
+    * the median value, the standard strictness of the estimator.
+    *
+    * Scale shape: two exact-percentile aggregates (sort-based, each
+    * one pass) collect two scalars to the driver; the gate itself is
+    * a codegen'd scan-side predicate, no shuffle.
+    *
+    * @return df's rows within k MADs of the median
+    */
+  def madOutliers(df: DataFrame, valueCol: String, k: Double)
+      : DataFrame = {
+    require(k >= 0, "k must be >= 0")
+    val medRow = df.agg(expr(s"percentile(`$valueCol`, 0.5)"))
+      .collect()(0)
+    if (medRow.isNullAt(0)) return df.where(lit(false)) // no non-null rows
+    val med = medRow.getDouble(0)
+    val mad = df.agg(
+        expr(s"percentile(abs(`$valueCol` - $med), 0.5)"))
+      .collect()(0).getDouble(0)
+    df.where(abs(col(valueCol) - med) <= k * mad)
+  }
+
   /** Bigram log-probability quality score — the next order up from
     * [[unigramLogProb]]: each document's mean log p(b | a) over its
     * adjacent token pairs under the corpus's own add-1-smoothed

@@ -293,6 +293,27 @@ class OpsSpec extends SparkSpec {
       (2L, 2L, m(0.6, 0.2))))     // a, c
   }
 
+  test("madOutliers: keeps the robust center, drops planted extremes") {
+    import graft.operators.Curation
+    // center 100 +- small noise, two planted extremes; median 100,
+    // MAD ~2 -> k=3 keeps [94, 106]
+    val vals = (Seq.tabulate(20)(i => 98L + (i % 5)) ++ Seq(5000L, -400L))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val out = Curation.madOutliers(vals.toDF("id", "v"), "v", k = 3.0)
+      .select("v").as[Long].collect()
+    assert(out.forall(v => v >= 94 && v <= 106))
+    assert(out.length == 20) // both extremes gone, center intact
+    // zero MAD (majority constant): only the median value survives
+    val const = Seq.fill(9)(7L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) } :+ (99L, 1000L)
+    val strict = Curation.madOutliers(const.toDF("id", "v"), "v", 3.0)
+      .select("v").as[Long].collect()
+    assert(strict.toSet == Set(7L) && strict.length == 9)
+    // empty input survives
+    assert(Curation.madOutliers(
+      Seq.empty[(Long, Long)].toDF("id", "v"), "v", 3.0).count() == 0)
+  }
+
   test("histogram: exact integer bins, lossless counts, empty input tolerated") {
     import graft.operators.Profile
     // values 0..99, 10 bins -> width (99-0)/10+1 = 10, bins 0..9 of 10
