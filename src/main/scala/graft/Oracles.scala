@@ -1582,6 +1582,35 @@ object Oracles {
          |    AS "mean_logp"
          |FROM parts GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // PSI drift: shared grid from the union's min/max, per-side bin
+    // counts, add-1 shares over N + bins, one IEEE (pa-pb)*ln(pa/pb)
+    // tree rounded to 9.
+    "q_drift" ->
+      """WITH a AS (SELECT n_chars FROM documents WHERE doc_id < 250),
+        |b AS (SELECT n_chars FROM documents WHERE doc_id >= 250),
+        |mm AS (SELECT min(n_chars)::BIGINT AS mn,
+        |    ((max(n_chars) - min(n_chars)) // 12 + 1)::BIGINT AS w
+        |  FROM (SELECT n_chars FROM a UNION ALL SELECT n_chars FROM b)),
+        |na AS (SELECT count(*) AS n FROM a),
+        |nb AS (SELECT count(*) AS n FROM b),
+        |ba AS (SELECT (n_chars - mn) // w AS bin, count(*) AS n_a
+        |  FROM a CROSS JOIN mm GROUP BY 1),
+        |bb AS (SELECT (n_chars - mn) // w AS bin, count(*) AS n_b
+        |  FROM b CROSS JOIN mm GROUP BY 1),
+        |j AS (SELECT coalesce(ba.bin, bb.bin) AS bin,
+        |    coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+        |  FROM ba FULL OUTER JOIN bb ON ba.bin = bb.bin),
+        |p AS (SELECT bin, n_a, n_b,
+        |    (n_a + 1)::DOUBLE / (na.n + 12) AS pa,
+        |    (n_b + 1)::DOUBLE / (nb.n + 12) AS pb
+        |  FROM j CROSS JOIN na CROSS JOIN nb)
+        |SELECT bin::BIGINT AS "bin",
+        |  (mm.mn + bin * mm.w)::BIGINT AS "lo",
+        |  (mm.mn + (bin + 1) * mm.w - 1)::BIGINT AS "hi",
+        |  n_a::BIGINT AS "n_a", n_b::BIGINT AS "n_b",
+        |  round((pa - pb) * ln(pa / pb), 9) AS "psi"
+        |FROM p CROSS JOIN mm ORDER BY bin""".stripMargin,
+
     // MAD gate: median and MAD of an integer column are exact dyadic
     // rationals (quantile_cont midpoints) — the comparison needs no
     // tolerance on either engine.

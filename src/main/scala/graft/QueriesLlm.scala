@@ -289,6 +289,20 @@ object QueriesLlm {
       .orderBy("doc_id")
   }
 
+  /** Distribution drift (Profile.distributionDrift): PSI per length
+    * bin between the corpus's first and second halves — the
+    * continuous-ingestion monitoring pass, replayed by the oracle as
+    * the same shared-grid binning and add-1 PSI expression.
+    */
+  def driftQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "n_chars")
+    graft.operators.Profile.distributionDrift(
+        docs.where(col("doc_id") < 250),
+        docs.where(col("doc_id") >= 250),
+        "n_chars", bins = 12)
+      .orderBy("bin")
+  }
+
   /** MAD outlier gate (Curation.madOutliers): documents within 3 MADs
     * of the median length. Median and MAD of an integer column are
     * exact dyadic rationals, so the keep set is engine-identical with
@@ -969,6 +983,7 @@ object QueriesLlm {
     "q_bigram_logprob" -> (bigramLogProbQ _),
     "q_histogram" -> (histogramQ _),
     "q_mad_outliers" -> (madOutliersQ _),
+    "q_drift" -> (driftQ _),
     "q_source_filter" -> (sourceFilterQ _),
     "q_length_filter" -> (lengthFilterQ _),
     "q_unigram_logprob" -> (unigramLogProbQ _),

@@ -39,6 +39,55 @@ object Profile {
           col("min_str"), col("max_str"))
     }.reduce(_ unionByName _)
 
+  /** Distribution drift between two snapshots of a corpus (population
+    * stability index): both sides are binned on ONE shared integer
+    * grid derived from their union, then each bin contributes
+    * `(pa - pb) * ln(pa / pb)` with add-1-smoothed shares
+    * `p = (n + 1) / (N + bins)` — smoothing keeps empty bins finite,
+    * and a bin empty on BOTH sides contributes exactly 0, so omitting
+    * never-occupied bins loses nothing. The per-bin expression is one
+    * fixed IEEE tree over integers any engine reproduces; callers sum
+    * `psi` for the headline number (> 0.2 conventionally = drifted).
+    *
+    * Scale shape: same as [[histogram]] twice — two scalars collected
+    * for the grid, two counts for the totals, one map-side-combinable
+    * groupBy per side, and a bins-sized outer join.
+    *
+    * @return (bin, lo, hi, n_a, n_b, psi) per occupied bin
+    */
+  def distributionDrift(dfA: DataFrame, dfB: DataFrame,
+      valueCol: String, bins: Int): DataFrame = {
+    require(bins > 0, "bins must be > 0")
+    val un = dfA.select(col(valueCol))
+      .unionByName(dfB.select(col(valueCol)))
+      .where(col(valueCol).isNotNull)
+    val mm = un.agg(min(col(valueCol)).cast("long").as("mn"),
+      max(col(valueCol)).cast("long").as("mx")).collect()(0)
+    require(!mm.isNullAt(0), "both inputs are empty")
+    val mn = mm.getLong(0)
+    val w = (mm.getLong(1) - mn) / bins + 1
+    def binned(df: DataFrame, n: String): DataFrame =
+      df.where(col(valueCol).isNotNull)
+        .groupBy(expr(s"(CAST(`$valueCol` AS BIGINT) - ${mn}L) div ${w}L")
+          .as("bin"))
+        .agg(count(lit(1)).as(n))
+    val nA = dfA.where(col(valueCol).isNotNull).count()
+    val nB = dfB.where(col(valueCol).isNotNull).count()
+    binned(dfA, "n_a").join(binned(dfB, "n_b"), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        (lit(mn) + col("bin") * w).as("lo"),
+        (lit(mn) + (col("bin") + 1) * w - 1).as("hi"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .withColumn("pa",
+        (col("n_a") + 1L).cast("double") / lit(nA + bins))
+      .withColumn("pb",
+        (col("n_b") + 1L).cast("double") / lit(nB + bins))
+      .select(col("bin"), col("lo"), col("hi"), col("n_a"), col("n_b"),
+        round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 9)
+          .as("psi"))
+  }
+
   /** Equi-width integer histogram — the distribution-shape panel of a
     * corpus datasheet (length profiles, score bands, token budgets).
     * Bin arithmetic is pure INTEGER: width = (max - min) / bins + 1

@@ -293,6 +293,22 @@ class OpsSpec extends SparkSpec {
       (2L, 2L, m(0.6, 0.2))))     // a, c
   }
 
+  test("distributionDrift: identical halves score zero, a shift scores positive") {
+    import graft.operators.Profile
+    val base = (1L to 200L).map(v => v % 50)
+    val same = Profile.distributionDrift(
+        base.toDF("v"), base.toDF("v"), "v", bins = 10)
+      .select("psi").as[Double].collect()
+    assert(same.forall(_ == 0.0)) // identical shares -> every bin 0
+    val shifted = Profile.distributionDrift(
+        base.toDF("v"), base.map(_ + 40L).toDF("v"), "v", bins = 10)
+      .select("psi").as[Double].collect()
+    // each bin's contribution is non-negative by construction
+    // ((pa-pb) and ln(pa/pb) share sign); a real shift must show up
+    assert(shifted.forall(_ >= 0.0))
+    assert(shifted.sum > 0.2, s"psi total ${shifted.sum}")
+  }
+
   test("madOutliers: keeps the robust center, drops planted extremes") {
     import graft.operators.Curation
     // center 100 +- small noise, two planted extremes; median 100,
