@@ -1611,6 +1611,101 @@ object Oracles {
         |  round((pa - pb) * ln(pa / pb), 9) AS "psi"
         |FROM p CROSS JOIN mm ORDER BY bin""".stripMargin,
 
+    // Categorical PSI: per-language counts per side, C = union's
+    // distinct categories, add-1 shares over N + C, same rounded
+    // (pa-pb)*ln(pa/pb) tree as q_drift.
+    "q_cat_drift" ->
+      """WITH a AS (SELECT lang FROM documents WHERE doc_id < 250),
+        |b AS (SELECT lang FROM documents WHERE doc_id >= 250),
+        |ca AS (SELECT lang AS category, count(*) AS n_a
+        |       FROM a GROUP BY 1),
+        |cb AS (SELECT lang AS category, count(*) AS n_b
+        |       FROM b GROUP BY 1),
+        |j AS (SELECT coalesce(ca.category, cb.category) AS category,
+        |    coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.category = cb.category),
+        |tot AS (SELECT count(*) AS c, sum(n_a) AS na, sum(n_b) AS nb
+        |        FROM j)
+        |SELECT category, n_a::BIGINT AS "n_a", n_b::BIGINT AS "n_b",
+        |  round(((n_a + 1)::DOUBLE / (na + c)
+        |         - (n_b + 1)::DOUBLE / (nb + c)) *
+        |    ln(((n_a + 1)::DOUBLE / (na + c)) /
+        |       ((n_b + 1)::DOUBLE / (nb + c))), 9) AS "psi"
+        |FROM j CROSS JOIN tot ORDER BY category""".stripMargin,
+
+    // k-anonymity: pure counting, so the oracle is a HAVING clause.
+    "q_kanon" ->
+      """SELECT lang, source, count(*)::BIGINT AS "n_rows"
+        |FROM documents GROUP BY 1, 2 HAVING count(*) < 4
+        |ORDER BY lang, source""".stripMargin,
+
+    // Shuffle shards: ':shuffle'-salted 60-bit hash, shard = h % 8,
+    // per-shard row_number over (h, id), shard-offset prefix sum.
+    "q_shuffle_shards" ->
+      s"""WITH h AS (SELECT doc_id,
+         |    ${md5_60("doc_id::VARCHAR || ':shuffle'")} AS h
+         |  FROM documents),
+         |sh AS (SELECT doc_id, h, h % 8 AS shard FROM h),
+         |p AS (SELECT doc_id, shard,
+         |    row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+         |      AS pos
+         |  FROM sh),
+         |cnt AS (SELECT shard, count(*) AS n FROM sh GROUP BY 1),
+         |off AS (SELECT shard, coalesce(sum(n) OVER (ORDER BY shard
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+         |  FROM cnt)
+         |SELECT doc_id, p.shard::BIGINT AS "shard", pos::BIGINT AS "pos",
+         |  (o + pos - 1)::BIGINT AS "global_pos"
+         |FROM p JOIN off ON p.shard = off.shard
+         |ORDER BY doc_id""".stripMargin,
+
+    // RRF hybrid retrieval: the q_bm25 stack headed to 50, the
+    // q_ann_brute cosine stack for query vector 0 headed to 50, then
+    // sum(1/(60+rank)) decimal-accumulated and re-ranked.
+    "q_rrf_fusion" ->
+      s"""WITH tok AS (SELECT doc_id, ${toks("text")} AS t FROM documents),
+         |ex AS (SELECT doc_id, unnest(t) AS term FROM tok),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*) AS len FROM ex GROUP BY 1),
+         |st AS (SELECT count(*) AS n, avg(len) AS avglen FROM dl),
+         |qt AS (SELECT DISTINCT unnest(t[1:5]) AS term FROM tok
+         |       WHERE doc_id = 0),
+         |dft AS (SELECT term, count(*) AS df
+         |        FROM tf JOIN qt USING (term) GROUP BY 1),
+         |parts AS (
+         |  SELECT tf.doc_id,
+         |    ln((st.n - dft.df + 0.5) / (dft.df + 0.5) + 1) *
+         |    (tf.tf * (1.25 + 1)) /
+         |    (tf.tf + 1.25 * ((1 - 0.75) + 0.75 * dl.len / st.avglen))
+         |      AS part
+         |  FROM tf JOIN qt USING (term) JOIN dft USING (term)
+         |       JOIN dl USING (doc_id) CROSS JOIN st),
+         |sc AS (SELECT doc_id,
+         |         round(sum(part::DECIMAL(28,12))::DOUBLE, 6) AS score
+         |       FROM parts GROUP BY 1),
+         |lex AS (SELECT doc_id, rn AS r FROM (SELECT doc_id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+         |  FROM sc) WHERE rn <= 50),
+         |vec AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM vec WHERE vec_id = 0),
+         |cs AS (SELECT vec_id, round(${cosSql("qv", "v")}, 6) AS cos
+         |       FROM vec CROSS JOIN q),
+         |sem AS (SELECT vec_id AS doc_id, rn AS r FROM (SELECT vec_id,
+         |    row_number() OVER (ORDER BY cos DESC, vec_id) AS rn
+         |  FROM cs) WHERE rn <= 50),
+         |uni AS (SELECT * FROM lex UNION ALL SELECT * FROM sem),
+         |fused AS (SELECT doc_id, count(*) AS n_lists,
+         |    min(r) AS best_rank,
+         |    round(sum((1.0 / (60.0 + r::DOUBLE))::DECIMAL(28,12))
+         |          ::DOUBLE, 9) AS rrf
+         |  FROM uni GROUP BY 1)
+         |SELECT doc_id, n_lists::BIGINT AS "n_lists",
+         |  best_rank::BIGINT AS "best_rank", rrf, rn::BIGINT AS "rank"
+         |FROM (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id)
+         |        AS rn
+         |      FROM fused)
+         |WHERE rn <= 20 ORDER BY rn""".stripMargin,
+
     // MAD gate: median and MAD of an integer column are exact dyadic
     // rationals (quantile_cont midpoints) — the comparison needs no
     // tolerance on either engine.

@@ -303,6 +303,73 @@ object QueriesLlm {
       .orderBy("bin")
   }
 
+  /** Categorical drift (Profile.categoricalDrift): per-language PSI
+    * between the corpus's halves — the discrete companion of
+    * [[driftQ]], replayed by the oracle as the same union-grid add-1
+    * PSI expression over category counts.
+    */
+  def catDriftQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "lang")
+    graft.operators.Profile.categoricalDrift(
+        docs.where(col("doc_id") < 250),
+        docs.where(col("doc_id") >= 250), "lang")
+      .orderBy("category")
+  }
+
+  /** k-anonymity audit (Curation.kAnonymityViolations): the
+    * (lang, source) combinations carried by fewer than 4 documents —
+    * re-identifiable metadata tuples a release gate would flag. Pure
+    * counting, so the oracle is a HAVING clause.
+    */
+  def kAnonQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.kAnonymityViolations(
+        t(s, dir, "documents"), Seq("lang", "source"), k = 4)
+      .orderBy("lang", "source")
+
+  /** Deterministic shuffle-shard assignment (Sampling.shuffleShards):
+    * every document's shard, in-shard position, and global permutation
+    * index over 8 md5-assigned shards — the write-shuffled-shards
+    * layout computed without a global sort. The oracle replays the
+    * salted hash, per-shard row_number, and shard-offset prefix sum.
+    */
+  def shuffleShardsQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.shuffleShards(
+        t(s, dir, "documents").select("doc_id"), "doc_id", shards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"), col("global_pos"))
+      .orderBy("doc_id")
+
+  /** Hybrid retrieval (Retrieval.rrfFuse): reciprocal-rank fusion of
+    * the BM25 top-50 (query = first five tokens of doc 0) with the
+    * embedding-cosine top-50 (query = vector 0), fused at k = 60 and
+    * headed to 20 — the lexical+semantic search shape. Both input
+    * rankings are engine-exact (rounded-score tie-breaks), and the
+    * fused sum accumulates in decimal, so the oracle reproduces the
+    * fused ranking bit-for-bit.
+    */
+  def rrfFusionQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val qterms = docs.where(col("doc_id") === 0)
+      .select(explode(slice(T.tokens(col("text")), 1, 5)).as("term"))
+    val lex = graft.operators.Retrieval
+      .bm25(docs, qterms, "doc_id", "text", k1 = 1.25, b = 0.75)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .where(col("rank") <= 50)
+      .select("doc_id", "rank")
+    val e = t(s, dir, "embeddings")
+    val sem = Ann.bruteForceTopK(
+        e.where(col("vec_id") === 0).select(
+          col("vec_id").as("query_id"), col("embedding")),
+        e.select(col("vec_id"), col("embedding")), k = 50)
+      .select(col("vec_id").as("doc_id"), col("rank"))
+    graft.operators.Retrieval.rrfFuse(Seq(lex, sem), "doc_id")
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+      .where(col("rank") <= 20)
+      .orderBy("rank")
+  }
+
   /** MAD outlier gate (Curation.madOutliers): documents within 3 MADs
     * of the median length. Median and MAD of an integer column are
     * exact dyadic rationals, so the keep set is engine-identical with
@@ -984,6 +1051,10 @@ object QueriesLlm {
     "q_histogram" -> (histogramQ _),
     "q_mad_outliers" -> (madOutliersQ _),
     "q_drift" -> (driftQ _),
+    "q_cat_drift" -> (catDriftQ _),
+    "q_kanon" -> (kAnonQ _),
+    "q_shuffle_shards" -> (shuffleShardsQ _),
+    "q_rrf_fusion" -> (rrfFusionQ _),
     "q_source_filter" -> (sourceFilterQ _),
     "q_length_filter" -> (lengthFilterQ _),
     "q_unigram_logprob" -> (unigramLogProbQ _),

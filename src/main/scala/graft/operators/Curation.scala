@@ -239,4 +239,30 @@ object Curation {
     val (a, b) = rankBounds(docs, valueCol, lo, hi)
     docs.where(col(valueCol) >= a && col(valueCol) <= b)
   }
+
+  /** k-anonymity audit: the quasi-identifier combinations shared by
+    * FEWER than `k` rows — the groups whose members a release would
+    * make re-identifiable. The complement of the PII regex scan: that
+    * finds explicit identifiers inside text, this finds rows whose
+    * metadata COMBINATION (zip + birth year + device, source + lang +
+    * length band, ...) is itself the identifier. An empty result
+    * certifies the projection k-anonymous.
+    *
+    * Scale shape: one map-side-combinable groupBy on the quasi-
+    * identifier tuple — the output is bounded by the number of rare
+    * combinations, and the `< k` filter sits on the aggregate, so
+    * only violating groups ever leave the reducers. No second scan:
+    * callers who need the offending ROWS semi-join this result back.
+    *
+    * @return one row per violating combination: the quasi columns
+    *   plus `n_rows` (1 <= n_rows < k)
+    */
+  def kAnonymityViolations(df: DataFrame, quasiCols: Seq[String],
+      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 2, "k < 2 makes every group compliant")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .where(col("n_rows") < k)
+  }
 }

@@ -88,6 +88,45 @@ object Profile {
           .as("psi"))
   }
 
+  /** Categorical drift between two snapshots — the companion of
+    * [[distributionDrift]] for discrete columns (language, source
+    * domain, license tag): per-category PSI with the same
+    * add-1-smoothed shares `p = (n + 1) / (N + C)`, where `C` is the
+    * number of distinct categories in the UNION of both sides (the
+    * shared "grid"), so a category present on one side only still
+    * contributes a finite, positive term. Callers sum `psi` for the
+    * headline drift number.
+    *
+    * Scale shape: one map-side-combinable groupBy per side (the
+    * category key is low-cardinality by construction, so the shuffle
+    * carries one row per category), a C-sized outer join, and two
+    * count scalars. Nothing grows with corpus size but the two
+    * pre-aggregated scans.
+    *
+    * @return (category, n_a, n_b, psi) per category of the union
+    */
+  def categoricalDrift(dfA: DataFrame, dfB: DataFrame,
+      catCol: String): DataFrame = {
+    def counted(df: DataFrame, n: String): DataFrame =
+      df.where(col(catCol).isNotNull)
+        .groupBy(col(catCol).cast("string").as("category"))
+        .agg(count(lit(1)).as(n))
+    val joined = counted(dfA, "n_a")
+      .join(counted(dfB, "n_b"), Seq("category"), "full_outer")
+      .select(col("category"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val tot = joined.agg(count(lit(1)).as("c"),
+      sum("n_a").as("na"), sum("n_b").as("nb")).collect()(0)
+    val (c, nA, nB) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    joined
+      .withColumn("pa", (col("n_a") + 1L).cast("double") / lit(nA + c))
+      .withColumn("pb", (col("n_b") + 1L).cast("double") / lit(nB + c))
+      .select(col("category"), col("n_a"), col("n_b"),
+        round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 9)
+          .as("psi"))
+  }
+
   /** Equi-width integer histogram — the distribution-shape panel of a
     * corpus datasheet (length profiles, score bands, token budgets).
     * Bin arithmetic is pure INTEGER: width = (max - min) / bins + 1

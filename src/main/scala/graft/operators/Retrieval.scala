@@ -99,4 +99,42 @@ object Retrieval {
     graft.etl.Ops.topKPerGroup(scored, Seq("doc_id"),
       Seq("score", "term"), k)
   }
+
+  /** Reciprocal-rank fusion — the standard way to combine a lexical
+    * ranking (BM25) with an embedding ranking (ANN cosine) without
+    * comparing their incommensurable scores: each list contributes
+    * `1 / (k + rank)` per document and the contributions sum, so a
+    * document near the top of EITHER list surfaces (Cormack et al.,
+    * SIGIR 2009; k = 60 is the conventional damping).
+    *
+    * Determinism across engines: each contribution is one IEEE
+    * division on integer inputs, and the per-document sum accumulates
+    * in DECIMAL(28,12) — order-independent — before the final
+    * cast+round to 9 places, the same recipe as [[bm25]]. Ranks are
+    * produced by the upstream operators' own engine-exact tie-breaks,
+    * so the fused score is bit-reproducible end to end.
+    *
+    * Scale shape: inputs are ALREADY top-N lists (bounded — N per
+    * query, not corpus-sized), so the union + groupBy here shuffles
+    * at most `lists x N` rows per query. The heavy lifting happened
+    * upstream; fusion is a footnote in the plan. Callers rank the
+    * output by (rrf desc, id) and head it.
+    *
+    * @param rankings each a (idCol, rankCol) frame, rank 1-based
+    * @return (idCol, n_lists, best_rank, rrf) per document appearing
+    *   in at least one list
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String,
+      rankCol: String = "rank", k: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k >= 0, "k must be >= 0")
+    val uni = rankings
+      .map(_.select(col(idCol), col(rankCol).cast("long").as("__r")))
+      .reduce(_ unionByName _)
+    uni.groupBy(idCol).agg(
+      count(lit(1)).as("n_lists"),
+      min("__r").as("best_rank"),
+      round(sum((lit(1.0) / (lit(k.toDouble) + col("__r").cast("double")))
+        .cast("decimal(28,12)")).cast("double"), 9).as("rrf"))
+  }
 }

@@ -27,6 +27,7 @@ object Sampling {
   final val SampleSalt = ":sample"
   final val SplitSalt = ":split"
   final val PackSalt = ":pack"
+  final val ShuffleSalt = ":shuffle"
 
   /** Uniform bucket in [0, 1000000) from the md5 of the key's string
     * form. Same derivation as [[graft.expressions.Kernels.md5_60]]
@@ -138,6 +139,55 @@ object Sampling {
       .withColumn("bin_last",
         expr(s"(start_offset + greatest(`$tokenCol`, 1L) - 1) " +
           s"div ${budget}L"))
+  }
+
+  /** Deterministic global shuffle into training shards — the "shuffle
+    * the corpus once, write N shard files" step before sequential
+    * training reads, computed WITHOUT a global sort: a single-reducer
+    * `orderBy(hash)` is the naive formulation and the classic driver-
+    * of-death at 100 TB. Instead, two phases over a salted 60-bit
+    * hash: (1) `shard = hash % shards` (a codegen'd projection — rows
+    * land in pseudo-random, statistically equal shards); (2) within
+    * each shard, `pos = row_number() ORDER BY (hash, key)` — one
+    * window partition PER SHARD, so no reducer ever sorts more than
+    * corpus/shards rows; size `shards` to >= cluster cores. The
+    * global offset of each shard is a prefix sum over the shard-count
+    * table (shards rows — broadcast back), making `global_pos` a true
+    * permutation index 0..N-1 of the whole corpus.
+    *
+    * The permutation is a pure function of the keys: reruns, engines,
+    * partitionings, and cluster sizes all agree on every row's
+    * position (`rand()`-shuffles are none of those), and the
+    * [[ShuffleSalt]] keeps it independent of every sample/split/pack
+    * decision upstream. Ties on the 60-bit hash break by key, so the
+    * order is total even at 100 TB collision counts.
+    *
+    * @return df's columns plus `shard` (0..shards-1), `pos` (1-based
+    *   within shard), `global_pos` (0-based over the whole input)
+    */
+  def shuffleShards(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      shards: Int): org.apache.spark.sql.DataFrame = {
+    require(shards > 0, "shards must be > 0")
+    import org.apache.spark.sql.expressions.Window
+    // full 60-bit salted hash — NOT the ppm bucket: ordering wants
+    // maximal entropy so hash ties (then key tie-break) stay rare
+    val h60 = conv(substring(md5(concat(col(keyCol).cast("string"),
+      lit(ShuffleSalt))), 1, 15), 16, 10).cast("long")
+    val hashed = df.withColumn("__h", h60)
+      .withColumn("shard", pmod(col("__h"), lit(shards.toLong)))
+    val w = Window.partitionBy("shard")
+      .orderBy(col("__h"), col(keyCol))
+    val offsets = hashed.groupBy("shard")
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__offset",
+        coalesce(sum("__n").over(Window.orderBy("shard")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("shard"), col("__offset"))
+    hashed
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .join(broadcast(offsets), Seq("shard"))
+      .withColumn("global_pos", col("__offset") + col("pos") - 1L)
+      .drop("__h", "__offset")
   }
 
   /** Temperature-flattened corpus mixing (the size^alpha resampling of

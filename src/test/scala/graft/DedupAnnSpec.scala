@@ -244,6 +244,38 @@ class DedupAnnSpec extends SparkSpec {
       (4L, 9L, 1L, 1L)))
   }
 
+  test("shuffleShards: global_pos is a permutation, consistent with shards") {
+    import graft.operators.Sampling
+    val n = 500L
+    val out = Sampling.shuffleShards((0L until n).toDF("id"), "id",
+        shards = 8)
+      .select("id", "shard", "pos", "global_pos")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // exactly one position per row, covering 0..n-1 with no gaps
+    assert(out.map(_._4).sorted == (0L until n))
+    // shards are contiguous global ranges in shard order (offset sums)
+    val byShard = out.groupBy(_._2).toSeq.sortBy(_._1)
+    val ranges = byShard.map { case (s, rs) =>
+      (s, rs.map(_._4).min, rs.map(_._4).max, rs.size.toLong) }
+    ranges.sliding(2).foreach {
+      case Seq((_, _, maxA, _), (_, minB, _, _)) =>
+        assert(minB == maxA + 1)
+      case _ =>
+    }
+    // within a shard, pos is 1..count and increases with global_pos
+    byShard.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._3) == (1L to rs.size))
+    }
+    // deterministic: a second run produces the identical permutation
+    val again = Sampling.shuffleShards((0L until n).toDF("id"), "id",
+        shards = 8)
+      .select("id", "global_pos").as[(Long, Long)].collect().toSeq
+    assert(again.toMap == out.map(r => r._1 -> r._4).toMap)
+    // and the permutation actually shuffles (not the identity)
+    assert(out.count(r => r._1 == r._4) < 20)
+  }
+
   test("stratifiedKeep: rate 0 drops a stratum, full rate keeps it whole") {
     import graft.operators.Sampling
     val docs = (0L until 200L).toDF("id")

@@ -309,6 +309,34 @@ class OpsSpec extends SparkSpec {
     assert(shifted.sum > 0.2, s"psi total ${shifted.sum}")
   }
 
+  test("categoricalDrift: identical sides zero, one-sided category positive") {
+    import graft.operators.Profile
+    val a = Seq("en", "en", "fr", "de").toDF("lang")
+    val same = Profile.categoricalDrift(a, a, "lang")
+      .select("psi").as[Double].collect()
+    assert(same.forall(_ == 0.0))
+    val b = Seq("en", "zh", "zh", "zh").toDF("lang")
+    val out = Profile.categoricalDrift(a, b, "lang")
+      .select("category", "n_a", "n_b", "psi")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // union grid: every category of either side appears
+    assert(out.keySet == Set("en", "fr", "de", "zh"))
+    assert(out("zh")._2 == 0L && out("zh")._3 == 3L)
+    // one-sided categories must contribute positive drift
+    assert(out("zh")._4 > 0.0 && out("fr")._4 > 0.0)
+  }
+
+  test("kAnonymityViolations: flags only groups under k, with their size") {
+    import graft.operators.Curation
+    val rows = Seq.fill(5)(("a", "x")) ++ Seq.fill(2)(("a", "y")) ++
+      Seq(("b", "x"))
+    val out = Curation.kAnonymityViolations(
+        rows.toDF("c1", "c2"), Seq("c1", "c2"), k = 3)
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(("a", "y", 2L), ("b", "x", 1L)))
+  }
+
   test("madOutliers: keeps the robust center, drops planted extremes") {
     import graft.operators.Curation
     // center 100 +- small noise, two planted extremes; median 100,

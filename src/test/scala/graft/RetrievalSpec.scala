@@ -47,6 +47,21 @@ class RetrievalSpec extends SparkSpec {
     assert(out.groupBy(_._1).values.forall(_.map(_._2) == Seq(1L, 2L)))
   }
 
+  test("rrfFuse: contributions sum across lists, singletons still rank") {
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
+    val b = Seq((20L, 1L), (40L, 2L)).toDF("doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(a, b), "doc_id", k = 60)
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .select("doc_id", "n_lists", "best_rank", "rrf")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // doc 20: 1/62 + 1/61 ~ 0.032524 dominates doc 10's 1/61 ~ 0.016393
+    assert(out.map(_._1) == Seq(20L, 10L, 40L, 30L))
+    assert(out.head._2 == 2L && out.head._3 == 1L)
+    assert(math.abs(out.head._4 - (1.0 / 62 + 1.0 / 61)) < 1e-9)
+    // every doc appearing anywhere is present exactly once
+    assert(out.map(_._1).distinct.size == 4)
+  }
+
   test("bm25: rarer term outweighs common term at equal tf") {
     val docs = Seq(
       (1L, "common rare"),
