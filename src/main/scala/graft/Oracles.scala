@@ -60,6 +60,19 @@ object Oracles {
   private def md5_60(c: String) =
     s"('0x' || substr(md5($c), 1, 15))::BIGINT"
 
+  /** The low 31 bits of `c` spread onto even bit positions — mirror of
+    * [[graft.io.ZOrder]]'s five shift-or-mask steps (masks in decimal:
+    * 0x0000FFFF0000FFFF, 0x00FF00FF00FF00FF, 0x0F0F0F0F0F0F0F0F,
+    * 0x3333333333333333, 0x5555555555555555).
+    */
+  private def spreadSql(c: String): String =
+    Seq(16 -> "281470681808895", 8 -> "71777214294589695",
+      4 -> "1085102592571150095", 2 -> "3689348814741910323",
+      1 -> "6148914691236517205")
+      .foldLeft(s"($c::BIGINT & 2147483647)") { case (x, (s, m)) =>
+        s"((($x | ($x << $s)) & $m))"
+      }
+
   /** Cosine with the zero-norm guard of
     * [[graft.expressions.Kernels.cosine]].
     */
@@ -513,6 +526,22 @@ object Oracles {
     // states the layout invariants (file count, losslessness, zero
     // overlapping min/max spans) the query measures from the read-back.
     "q_layout_sorted" ->
+      """SELECT 4::BIGINT AS "n_files",
+        |  (SELECT count(*) FROM events)::BIGINT AS "n_rows",
+        |  0::BIGINT AS "overlapping_pairs"""".stripMargin,
+
+    // Morton z-value: the same five shift-or-mask spreading steps per
+    // column, x on even bits, y (shifted) on odd bits.
+    "q_zvalue" ->
+      s"""SELECT event_id, user_id,
+         |  (${spreadSql("user_id")}
+         |   | (${spreadSql("event_id")} << 1))::BIGINT AS "z"
+         |FROM events WHERE event_id < 100
+         |ORDER BY event_id""".stripMargin,
+
+    // Z-ordered layout: the same invariant statement as
+    // q_layout_sorted — 4 files, lossless, zero overlapping z-spans.
+    "q_zorder_layout" ->
       """SELECT 4::BIGINT AS "n_files",
         |  (SELECT count(*) FROM events)::BIGINT AS "n_rows",
         |  0::BIGINT AS "overlapping_pairs"""".stripMargin,

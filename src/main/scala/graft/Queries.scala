@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 import graft.config.JobConfig
 import graft.connector.Sinks
 import graft.etl.Ops
-import graft.io.{Bucketing, Readers, StateTable, Writers}
+import graft.io.{Bucketing, Readers, StateTable, Writers, ZOrder}
 import graft.streaming.{Attribution, FileRelay, StreamingDedup}
 
 /** Oracle-checked queries over /root/testdata, one per SURVEY.md §2
@@ -1039,6 +1039,42 @@ object Queries {
       .crossJoin(overlaps)
   }
 
+  /** Morton z-value (io.ZOrder.zValue): the bit interleave itself,
+    * hash-exact — the oracle unrolls the same five shift-or-mask
+    * steps per column, so a single flipped bit anywhere in the
+    * spreading sequence fails the compare.
+    */
+  def zvalueQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").where(col("event_id") < 100)
+      .select(col("event_id"), col("user_id"),
+        ZOrder.zValue(col("user_id"), col("event_id")).as("z"))
+      .orderBy("event_id")
+
+  /** Z-ordered layout (io.ZOrder.writeZOrdered): events written as 4
+    * files range-partitioned + sorted on zValue(user_id, event_id),
+    * read back and PROVEN disjoint in z — per-file [min, max] z spans
+    * recomputed from the data (the z column never hits disk), counted
+    * pairwise for overlap. Disjoint z spans are what bound every
+    * file's footer stats on BOTH columns; row count proves the pass
+    * lossless. Same invariant shape as [[layoutSorted]].
+    */
+  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val d = tmp("zorder")
+    ZOrder.writeZOrdered(
+      t(s, dir, "events").select(col("user_id"), col("event_id")),
+      d, "user_id", "event_id", nFiles = 4)
+    val spans = s.read.parquet(d)
+      .withColumn("z", ZOrder.zValue(col("user_id"), col("event_id")))
+      .groupBy(input_file_name().as("file"))
+      .agg(min("z").as("lo"), max("z").as("hi"), count(lit(1)).as("n"))
+    val overlaps = spans.alias("a").join(spans.alias("b"),
+        col("a.file") < col("b.file") &&
+        col("a.lo") <= col("b.hi") && col("b.lo") <= col("a.hi"))
+      .agg(count(lit(1)).as("overlapping_pairs"))
+    spans.agg(count(lit(1)).as("n_files"), sum("n").as("n_rows"))
+      .crossJoin(overlaps)
+  }
+
   /** Delta-style versioned state (io.StateTable): v0 = full keyed
     * snapshot, v1 = an upsert + tombstone delta, then merge-on-read.
     * The oracle states the post-merge table directly from `orders`.
@@ -1120,6 +1156,8 @@ object Queries {
     "q_metadata_gated" -> (metadataGated _),
     "q_sink_runtime_partition" -> (sinkRuntimePartition _),
     "q_layout_sorted" -> (layoutSorted _),
+    "q_zvalue" -> (zvalueQ _),
+    "q_zorder_layout" -> (zorderLayout _),
     "q_errors_sink" -> (errorsSink _),
     "q_config_parse" -> (configParse _),
     "q_error_split_ok" -> (errorSplitOk _),

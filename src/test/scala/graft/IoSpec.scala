@@ -154,6 +154,65 @@ class IoSpec extends SparkSpec {
     }
   }
 
+  test("zValue matches a bit-loop reference and orders 2-D locality") {
+    import graft.io.ZOrder
+    // reference: interleave bit i of x at 2i, bit i of y at 2i+1
+    def ref(x: Long, y: Long): Long =
+      (0 until 31).foldLeft(0L) { (z, i) =>
+        z | ((x >> i & 1L) << (2 * i)) | ((y >> i & 1L) << (2 * i + 1))
+      }
+    val pts = for (x <- 0L to 40L; y <- 0L to 40L) yield (x, y)
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        ZOrder.zValue(col("x"), col("y")).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) => assert(z == ref(x, y), s"($x,$y)") }
+    // large values cluster by their low 31 bits instead of overflowing
+    val big = Seq((Long.MaxValue, Long.MaxValue)).toDF("x", "y")
+      .select(ZOrder.zValue(col("x"), col("y"))).as[Long].collect()
+    assert(big.head == ref(0x7FFFFFFFL, 0x7FFFFFFFL) && big.head > 0)
+  }
+
+  test("writeZOrdered: files are z-disjoint and bound BOTH columns") {
+    import graft.io.ZOrder
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-zorder-").toString
+    val rnd = new scala.util.Random(11)
+    val rows = rnd.shuffle(
+      (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)).toVector)
+    ZOrder.writeZOrdered(rows.toDF("x", "y"), dir, "x", "y", nFiles = 4)
+    val back = spark.read.parquet(dir)
+      .select(input_file_name().as("f"), col("x"), col("y"),
+        ZOrder.zValue(col("x"), col("y")).as("z"))
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(back.length == 64 * 64) // lossless, z column not written
+    assert(spark.read.parquet(dir).columns.toSeq == Seq("x", "y"))
+    val byFile = back.groupBy(_._1).values.toSeq
+    assert(byFile.size == 4)
+    // z-spans disjoint across files
+    val spans = byFile.map(rs => (rs.map(_._4).min, rs.map(_._4).max))
+      .sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Seq((_, hiA), (loB, _)) => assert(hiA < loB)
+      case _ =>
+    }
+    // the 2-D payoff: every file's bounding box on x AND y is a strict
+    // subset of the global domain, so a predicate on either column can
+    // prune files — a single-column sort leaves the other dimension's
+    // per-file span at the full domain width
+    byFile.foreach { rs =>
+      val (xs, ys) = (rs.map(_._2), rs.map(_._3))
+      assert(xs.max - xs.min < 63L || ys.max - ys.min < 63L)
+    }
+    // and a concrete corner probe skips at least one file on stats
+    val hit = byFile.count { rs =>
+      val (xs, ys) = (rs.map(_._2), rs.map(_._3))
+      xs.min <= 3 && 0 <= xs.max && ys.min <= 3 && 0 <= ys.max
+    }
+    assert(hit < 4, "corner box should not intersect every file's stats")
+  }
+
   test("connectorOutput honors compression and maxRecordsPerFile") {
     val root = tmpDir("sink")
     val df = (1 to 10).map(i => (i.toLong, s"u$i")).toDF("id", "user")
