@@ -1045,6 +1045,34 @@ object Oracles {
         |      WHERE vec_id < 50)
         |ORDER BY 1, 2""".stripMargin,
 
+    // Semantic dedup replayed generically: the ivf-style centroid
+    // assignment over the twin-augmented set, then drop any vector
+    // with a lower-id same-cell neighbor at rounded cosine >= 0.95 —
+    // no planted-pair shape assumed, so false positives fail too.
+    "q_semantic_dedup" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |              FROM embeddings),
+         |tw AS (SELECT vec_id + 100000 AS vec_id, v FROM base
+         |       WHERE vec_id < 50),
+         |vec AS (SELECT * FROM base UNION ALL SELECT * FROM tw),
+         |cent AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1
+         |           AS cell, v AS cv
+         |         FROM (SELECT vec_id, v FROM vec
+         |               ORDER BY vec_id LIMIT 16)),
+         |sc AS (SELECT vec_id, cell, ${cosSql("v", "cv")} AS s
+         |       FROM vec CROSS JOIN cent),
+         |asg AS (SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY s DESC, cell DESC) AS rn FROM sc) WHERE rn = 1),
+         |av AS (SELECT a.vec_id, a.cell, v.v
+         |       FROM asg a JOIN vec v USING (vec_id)),
+         |drp AS (SELECT DISTINCT a.vec_id FROM av a JOIN av b
+         |        ON a.cell = b.cell AND b.vec_id < a.vec_id
+         |        AND round(${cosSql("a.v", "b.v")}, 6) >= 0.95)
+         |SELECT vec_id, cell::BIGINT AS "cell" FROM asg
+         |WHERE vec_id NOT IN (SELECT vec_id FROM drp)
+         |ORDER BY vec_id""".stripMargin,
+
     // ---- similarity search ----------------------------------------------
 
     "q_ann_brute" -> annBruteSql,

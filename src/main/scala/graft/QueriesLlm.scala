@@ -731,6 +731,18 @@ object QueriesLlm {
       .select(col("id_a"), col("id_b"), col("cosine"))
       .orderBy("id_a", "id_b")
 
+  /** Semantic dedup (Ann.semanticDedup): cluster-then-local-cosine
+    * over the twin-augmented embeddings at threshold 0.95. The oracle
+    * replays the whole recipe generically — centroid assignment,
+    * within-cell lower-id-neighbor EXISTS — with no assumption about
+    * which pairs were planted, so spurious drops (false positives)
+    * fail the compare as surely as missed twins.
+    */
+  def semanticDedupQ(s: SparkSession, dir: String): DataFrame =
+    Ann.semanticDedup(vecsWithTwins(s, dir), nCells = 16,
+        threshold = 0.95)
+      .orderBy("vec_id")
+
   // ---- similarity search -----------------------------------------------
 
   /** Exact brute-force cosine top-k (the ANN baseline). */
@@ -1016,6 +1028,7 @@ object QueriesLlm {
     "q_repetition" -> (repetition _),
     "q_char_jaccard" -> (charJaccard _),
     "q_embed_neardup" -> (embedNearDup _),
+    "q_semantic_dedup" -> (semanticDedupQ _),
     "q_ann_brute" -> (annBrute _),
     "q_ann_quantized" -> (annQuantized _),
     "q_ann_lsh" -> (annLsh _),

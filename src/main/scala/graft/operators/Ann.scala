@@ -262,4 +262,59 @@ object Ann {
         round(V.cosine(col("v_id_a"), col("v_id_b")), 6).as("cosine"))
       .where(col("cosine") >= threshold)
   }
+
+  /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023):
+    * cluster the corpus by nearest centroid, then WITHIN each cluster
+    * drop every vector that has a lower-id neighbor at cosine >=
+    * `threshold` — semantically redundant documents whose text-level
+    * fingerprints (MinHash, SimHash) never collide. Clustering is
+    * what makes the quadratic local: candidate pairs exist only
+    * inside a cell, so the self-join shuffles on `cell` and each
+    * cell's comparison is independent — NEVER all-pairs across the
+    * corpus. The keep-lowest-id rule is greedy (not a transitive
+    * closure), exactly as published, and deterministic on any engine.
+    *
+    * Cell assignment reuses [[ivfTopK]]'s broadcast-centroid argmax
+    * (ties to the higher cell), with the same deterministic-sample
+    * default and [[trainIvfCentroids]] as the trained upgrade.
+    *
+    * Scale shape: assignment is a codegen'd projection against
+    * broadcast centroids; the only shuffle keys on `cell`. Cells
+    * larger than `maxCell` SKIP dedup (their rows all survive, same
+    * skew policy as [[cosineNearDupPairs]]'s `maxBucket`) — at 100 TB
+    * an oversized cell means the clustering is too coarse: raise
+    * `nCells` or train centroids rather than letting one reducer eat
+    * a quadratic cell.
+    *
+    * @return surviving rows as (vec_id, cell)
+    */
+  def semanticDedup(corpus: DataFrame, nCells: Int, threshold: Double,
+      corpusIdCol: String = "vec_id", vecCol: String = "embedding",
+      trainedCentroids: Option[Seq[Seq[Double]]] = None,
+      maxCell: Int = 100000): DataFrame = {
+    import org.apache.spark.sql.Column
+    val centroids: Seq[Seq[Double]] = trainedCentroids.getOrElse(corpus
+      .select(col(corpusIdCol), V.toDouble(col(vecCol)).as("v"))
+      .orderBy(corpusIdCol).limit(nCells)
+      .collect().toSeq.map(_.getSeq[Double](1).toSeq))
+    def scored(v: Column): Column = array(centroids.zipWithIndex.map {
+      case (c, i) =>
+        struct(V.cosine(v, array(c.map(lit(_)): _*)).as("s"),
+          lit(i).as("c"))
+    }: _*)
+    val c = corpus.select(col(corpusIdCol).as("vec_id"),
+        V.toDouble(col(vecCol)).as("cv"))
+      .withColumn("cell", array_max(scored(col("cv"))).getField("c"))
+    val dedupCells = c.groupBy("cell").count()
+      .where(col("count") <= maxCell && col("count") > 1)
+      .select("cell")
+    val inCells = c.join(dedupCells, "cell")
+    val dropped = inCells.alias("a").join(inCells.alias("b"),
+        col("a.cell") === col("b.cell") &&
+        col("b.vec_id") < col("a.vec_id") &&
+        round(V.cosine(col("a.cv"), col("b.cv")), 6) >= threshold)
+      .select(col("a.vec_id").as("vec_id")).distinct()
+    c.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+  }
 }

@@ -154,6 +154,29 @@ class DedupAnnSpec extends SparkSpec {
     assert(out == Set((1L, 2L)))
   }
 
+  test("semanticDedup drops higher-id cell-mates above threshold only") {
+    // explicit axis centroids: cell 0 = {1, 2, 5} (e1-parallel),
+    // cell 1 = {3, 6} (e2-parallel) plus 4 (orthogonal to both, tie
+    // breaks to the higher cell)
+    val corpus = vecs.unionByName(Seq(
+      (5L, Seq(0.998f, 0.02f, 0.0f, 0.0f)),  // ~parallel to 1 and 2
+      (6L, Seq(0.0f, 1.0f, 0.001f, 0.0f))    // ~parallel to 3
+    ).toDF("vec_id", "embedding"))
+    val axes = Some(Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0)))
+    val out = Ann.semanticDedup(corpus, nCells = 2, threshold = 0.99,
+        trainedCentroids = axes)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toSet
+    // 2 and 5 lose to lower-id cell-mate 1; 6 loses to 3; 4 shares
+    // cell 1 but sits at cosine 0 from its mates and survives
+    assert(out == Set((1L, 0L), (3L, 1L), (4L, 1L)))
+    // oversized cells (> maxCell members) skip dedup wholesale: with
+    // maxCell = 2 both cells are over and every row survives
+    val guarded = Ann.semanticDedup(corpus, nCells = 2,
+        threshold = 0.99, trainedCentroids = axes, maxCell = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(guarded == Set(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
   test("dedupGroups: multi-hop chains collapse to the min id") {
     // Component A: 1-2-3-4 chain (3 hops); component B: 7-9; 5 isolated
     // from the pair list entirely (absent nodes stay absent).
