@@ -316,4 +316,31 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.contains("Window"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q_shuffle_shards: per-shard windows, offsets broadcast back") {
+    val p = plan("q_shuffle_shards")
+    // the shard-count offsets table re-enters via broadcast — the
+    // corpus-sized side must never shuffle for that join
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(p.contains("Window"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("ScalaUDF"))
+  }
+
+  test("q_semantic_dedup: cell-key self-join only, assignment is codegen'd") {
+    val p = plan("q_semantic_dedup")
+    // pair generation must key on the cell — never an all-pairs scan —
+    // and centroid assignment is a plain projection (no UDF)
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    assert(!p.contains("ScalaUDF"))
+  }
+
+  test("q_zvalue / q_rrf_fusion: pure codegen projections, no UDFs") {
+    for (q <- Seq("q_zvalue", "q_rrf_fusion")) {
+      val p = plan(q)
+      assert(!p.contains("ScalaUDF"), s"UDF in $q")
+      assert(!p.contains("CartesianProduct"), s"cartesian in $q")
+    }
+  }
 }
