@@ -1490,6 +1490,33 @@ object Oracles {
          |SELECT cust, rn::BIGINT AS "rank", item
          |FROM r WHERE rn <= 5 ORDER BY cust, rn""".stripMargin,
 
+    // Hard negatives: the same candidate construction scored by
+    // rounded embedding cosine instead of the hash, ranked
+    // (cosine DESC, item DESC) per user.
+    "q_hard_negatives" ->
+      s"""WITH inter AS (SELECT DISTINCT o_custkey AS cust,
+         |    l_partkey AS item
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE o_custkey < 100),
+         |users AS (SELECT DISTINCT cust FROM inter),
+         |pool AS (SELECT DISTINCT p_partkey AS item FROM part
+         |         WHERE p_partkey < 300),
+         |vec AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |        FROM embeddings),
+         |cand AS (SELECT cust, item,
+         |    round(${cosSql("uv.v", "iv.v")}, 6) AS cosine
+         |  FROM users JOIN vec uv ON uv.vec_id = cust
+         |       CROSS JOIN pool
+         |       JOIN vec iv ON iv.vec_id = item),
+         |fresh AS (SELECT c.* FROM cand c WHERE NOT EXISTS
+         |  (SELECT 1 FROM inter i
+         |   WHERE i.cust = c.cust AND i.item = c.item)),
+         |r AS (SELECT cust, item, cosine, row_number() OVER (
+         |    PARTITION BY cust ORDER BY cosine DESC, item DESC) AS rn
+         |  FROM fresh)
+         |SELECT cust, rn::BIGINT AS "rank", item, cosine
+         |FROM r WHERE rn <= 5 ORDER BY cust, rn""".stripMargin,
+
     // Fuzzy linkage: blocking shapes the PLAN, not the rows — the
     // oracle brute-forces levenshtein over the restricted sets.
     "q_fuzzy_join" ->

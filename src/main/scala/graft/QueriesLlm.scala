@@ -460,6 +460,30 @@ object QueriesLlm {
       .orderBy("cust", "item")
   }
 
+  /** Hard-negative mining (Sampling.hardNegatives): per customer, the
+    * 5 non-purchased pool parts most cosine-similar to the customer's
+    * embedding (user and item vectors both keyed into `embeddings`) —
+    * the contrastive negatives that sit closest to the decision
+    * boundary. Rounded-cosine ranking with item-desc ties keeps the
+    * head engine-exact; the oracle replays scoring, the anti-EXISTS,
+    * and the per-user window.
+    */
+  def hardNegativesQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val interactions = t(s, dir, "orders").where(col("o_custkey") < 100)
+      .join(t(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+    val e = t(s, dir, "embeddings")
+    val userVecs = e.select(col("vec_id").as("cust"), col("embedding"))
+    val itemVecs = t(s, dir, "part").where(col("p_partkey") < 300)
+      .select(col("p_partkey").as("item"))
+      .join(e.select(col("vec_id").as("item"), col("embedding")), "item")
+    Sampling.hardNegatives(interactions, "cust", "item", userVecs,
+        itemVecs, k = 5)
+      .orderBy("cust", "rank")
+  }
+
   /** Item-item co-occurrence related-items (Frequency.coOccurrence):
     * per part, the top-3 parts most often sharing an order, with lift
     * — the self-computed "customers also bought" table. The oracle
@@ -1059,6 +1083,7 @@ object QueriesLlm {
     "q_cooccurrence" -> (coOccurrenceQ _),
     "q_quota_sample" -> (quotaSampleQ _),
     "q_rec_training" -> (recTrainingQ _),
+    "q_hard_negatives" -> (hardNegativesQ _),
     "q_temperature_mix" -> (temperatureMixQ _),
     "q_bigram_logprob" -> (bigramLogProbQ _),
     "q_histogram" -> (histogramQ _),

@@ -289,6 +289,51 @@ object Sampling {
       .select(col(userCol), col("rank"), col(itemCol))
   }
 
+  /** Hard-negative mining — the contrastive-training upgrade of
+    * [[negativeSample]]: instead of hash-random negatives, each
+    * user's top-`k` MOST SIMILAR non-interacted pool items by
+    * embedding cosine (the negatives that actually teach a ranker
+    * something). Scores round to 6 places BEFORE ranking (ties by
+    * item id), the [[graft.operators.Ann]] determinism recipe, so
+    * membership and order are engine-exact.
+    *
+    * Scale shape: the pool and its vectors BROADCAST (production
+    * miners bound the pool the same way — a popularity head or
+    * stratified candidate set, not the full catalog); the user side
+    * streams one row per (user x pool item) through a codegen'd
+    * cosine projection, positives leave via a key-only anti-join,
+    * and the per-user head reuses [[graft.etl.Ops.topKPerGroup]].
+    * Nothing corpus-sized ever shuffles with vectors attached except
+    * the user's own single vector row.
+    *
+    * @param userVecs (userCol, vecCol) — one embedding per user
+    * @param itemVecs (itemCol, vecCol) — one embedding per pool item
+    * @return (userCol, rank 1..k, itemCol, cosine)
+    */
+  def hardNegatives(interactions: org.apache.spark.sql.DataFrame,
+      userCol: String, itemCol: String,
+      userVecs: org.apache.spark.sql.DataFrame,
+      itemVecs: org.apache.spark.sql.DataFrame, k: Int,
+      vecCol: String = "embedding")
+      : org.apache.spark.sql.DataFrame = {
+    import graft.functions.{VectorFunctions => V}
+    val users = interactions.select(col(userCol)).distinct()
+      .join(userVecs.select(col(userCol),
+        V.toDouble(col(vecCol)).as("__uv")), Seq(userCol))
+    val pool = itemVecs.select(col(itemCol),
+      V.toDouble(col(vecCol)).as("__iv"))
+    val scored = users
+      .crossJoin(org.apache.spark.sql.functions.broadcast(pool))
+      .select(col(userCol), col(itemCol),
+        round(V.cosine(col("__uv"), col("__iv")), 6).as("cosine"))
+    val fresh = scored.join(
+      interactions.select(col(userCol), col(itemCol)).distinct(),
+      Seq(userCol, itemCol), "left_anti")
+    graft.etl.Ops.topKPerGroup(fresh, Seq(userCol),
+        Seq("cosine", itemCol), k)
+      .select(col(userCol), col("rank"), col(itemCol), col("cosine"))
+  }
+
   /** Leakage-safe dataset split: assignment hashes the dedup-GROUP
     * root, not the row id, so near-duplicate documents can never
     * straddle train/test (the classic eval-contamination bug a plain

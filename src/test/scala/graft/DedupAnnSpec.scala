@@ -417,6 +417,24 @@ class DedupAnnSpec extends SparkSpec {
     assert(run() == out) // same negatives on re-evaluation
   }
 
+  test("hardNegatives: closest non-positives win, positives never appear") {
+    import graft.operators.Sampling
+    // user 1 points along e1; items fan out from e1 to e2
+    val inter = Seq((1L, 10L)).toDF("user", "item") // 10 is a positive
+    val uv = Seq((1L, Seq(1.0f, 0.0f))).toDF("user", "embedding")
+    val iv = Seq(
+      (10L, Seq(1.0f, 0.0f)),    // identical but POSITIVE -> excluded
+      (11L, Seq(0.9f, 0.1f)),    // closest negative
+      (12L, Seq(0.5f, 0.5f)),
+      (13L, Seq(0.0f, 1.0f))     // orthogonal, must rank last
+    ).toDF("item", "embedding")
+    val out = Sampling.hardNegatives(inter, "user", "item", uv, iv,
+        k = 2)
+      .orderBy("rank").select("item", "rank")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((11L, 1L), (12L, 2L))) // hardest first, k caps
+  }
+
   test("minhashNearDupsAgainst flags batch near-dups of corpus docs only") {
     import graft.operators.Dedup
     val base = "the quick brown fox jumps over the lazy dog and then " +
