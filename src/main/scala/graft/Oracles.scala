@@ -1717,6 +1717,20 @@ object Oracles {
         |       ((n_b + 1)::DOUBLE / (nb + c))), 9) AS "psi"
         |FROM j CROSS JOIN tot ORDER BY category""".stripMargin,
 
+    // Key skew: heaviest key via (n DESC, k DESC) head, entropy via
+    // ln(N) - sum(n ln n)/N with decimal-accumulated terms.
+    "q_key_skew" ->
+      """WITH c AS (SELECT l_partkey::VARCHAR AS k, count(*) AS n
+        |  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+        |t AS (SELECT k, n FROM c ORDER BY n DESC, k DESC LIMIT 1),
+        |a AS (SELECT sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+        |    sum((n::DOUBLE * ln(n))::DECIMAL(28,12)) AS s FROM c)
+        |SELECT n_rows, n_keys, t.k AS "top_key", t.n::BIGINT AS "top_n",
+        |  round(t.n::DOUBLE / n_rows, 6) AS "top_share",
+        |  round(ln(n_rows::DOUBLE) - s::DOUBLE / n_rows::DOUBLE, 6)
+        |    AS "entropy"
+        |FROM a CROSS JOIN t""".stripMargin,
+
     // k-anonymity: pure counting, so the oracle is a HAVING clause.
     "q_kanon" ->
       """SELECT lang, source, count(*)::BIGINT AS "n_rows"

@@ -316,6 +316,15 @@ object QueriesLlm {
       .orderBy("category")
   }
 
+  /** Key-skew summary (Profile.keySkew): the pre-join salting
+    * diagnostic over lineitem's part key — heaviest-key share and
+    * decimal-accumulated Shannon entropy, replayed exactly by the
+    * oracle.
+    */
+  def keySkewQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.keySkew(
+      t(s, dir, "lineitem").select("l_partkey"), "l_partkey")
+
   /** k-anonymity audit (Curation.kAnonymityViolations): the
     * (lang, source) combinations carried by fewer than 4 documents —
     * re-identifiable metadata tuples a release gate would flag. Pure
@@ -1091,6 +1100,7 @@ object QueriesLlm {
     "q_drift" -> (driftQ _),
     "q_cat_drift" -> (catDriftQ _),
     "q_kanon" -> (kAnonQ _),
+    "q_key_skew" -> (keySkewQ _),
     "q_shuffle_shards" -> (shuffleShardsQ _),
     "q_rrf_fusion" -> (rrfFusionQ _),
     "q_source_filter" -> (sourceFilterQ _),

@@ -88,6 +88,46 @@ object Profile {
           .as("psi"))
   }
 
+  /** Key-skew summary — the diagnostic that decides, BEFORE a 100 TB
+    * join or aggregation, whether its key needs salting: row/key
+    * counts, the heaviest key and its share (one reducer's worst-case
+    * load fraction), and the Shannon entropy of the key distribution
+    * (ln(n_keys) = perfectly uniform; near 0 = one key dominates).
+    *
+    * Entropy uses `H = ln(N) - (sum n_i ln n_i) / N`, so it needs ONE
+    * aggregate over the per-key counts; the `n_i ln n_i` terms
+    * accumulate in DECIMAL(28,12) — order-independent — before the
+    * final IEEE subtraction/division and 6-place round, making the
+    * number engine-exact (the [[graft.operators.Retrieval.bm25]]
+    * recipe). The heaviest key is a struct-max (count, then key desc
+    * on ties), never a sort.
+    *
+    * Scale shape: one map-side-combinable groupBy on the key, then a
+    * 1-row aggregate over the (much smaller) count table. Nothing
+    * else moves.
+    *
+    * @return one row: (n_rows, n_keys, top_key string, top_n,
+    *   top_share, entropy)
+    */
+  def keySkew(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("k"))
+      .agg(count(lit(1)).as("n"))
+    counts.agg(
+        sum("n").as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(struct(col("n"), col("k"))).as("top"),
+        sum((col("n").cast("double") * log(col("n")))
+          .cast("decimal(28,12)")).as("s"))
+      .select(col("n_rows"), col("n_keys"),
+        col("top.k").as("top_key"), col("top.n").as("top_n"),
+        round(col("top.n").cast("double") / col("n_rows"), 6)
+          .as("top_share"),
+        round(log(col("n_rows").cast("double")) -
+          col("s").cast("double") / col("n_rows").cast("double"), 6)
+          .as("entropy"))
+  }
+
   /** Categorical drift between two snapshots — the companion of
     * [[distributionDrift]] for discrete columns (language, source
     * domain, license tag): per-category PSI with the same

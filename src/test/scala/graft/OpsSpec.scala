@@ -327,6 +327,24 @@ class OpsSpec extends SparkSpec {
     assert(out("zh")._4 > 0.0 && out("fr")._4 > 0.0)
   }
 
+  test("keySkew: uniform keys hit ln(n), a dominant key is named") {
+    import graft.operators.Profile
+    // 4 keys x 25 rows: perfectly uniform
+    val uniform = (0L until 100L).map(i => i % 4).toDF("k")
+    val u = Profile.keySkew(uniform, "k")
+      .select("n_rows", "n_keys", "top_share", "entropy")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(u == ((100L, 4L, 0.25, math.round(math.log(4) * 1e6) / 1e6)))
+    // 96 rows of key 7, four singletons: top key must be named with
+    // its share, entropy collapses toward 0
+    val skewed = (Seq.fill(96)(7L) ++ Seq(1L, 2L, 3L, 4L)).toDF("k")
+    val s = Profile.keySkew(skewed, "k")
+      .select("top_key", "top_n", "top_share", "entropy")
+      .as[(String, Long, Double, Double)].collect().head
+    assert(s._1 == "7" && s._2 == 96L && s._3 == 0.96)
+    assert(s._4 < 0.3 && s._4 > 0.0)
+  }
+
   test("kAnonymityViolations: flags only groups under k, with their size") {
     import graft.operators.Curation
     val rows = Seq.fill(5)(("a", "x")) ++ Seq.fill(2)(("a", "y")) ++
