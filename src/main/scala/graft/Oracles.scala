@@ -1606,6 +1606,35 @@ object Oracles {
          |  sum(n_chars)::BIGINT AS "sum_chars"
          |FROM samp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // Release manifest: ':sample' keep, ':split' train gate, ':shuffle'
+    // shard + per-shard row_number + offset prefix sum, then the
+    // per-shard rollup — the full salted chain replayed.
+    "q_release_manifest" ->
+      s"""WITH kept AS (SELECT doc_id, n_chars FROM documents
+         |  WHERE ${md5_60("doc_id::VARCHAR || ':sample'")} % 1000000 <
+         |    CASE lang WHEN 'en' THEN 500000 ELSE 1000000 END),
+         |train AS (SELECT doc_id, n_chars FROM kept
+         |  WHERE ${md5_60("doc_id::VARCHAR || ':split'")} % 1000000
+         |    < 800000),
+         |sh AS (SELECT doc_id, n_chars,
+         |    ${md5_60("doc_id::VARCHAR || ':shuffle'")} AS h
+         |  FROM train),
+         |p AS (SELECT doc_id, n_chars, h % 4 AS shard,
+         |    row_number() OVER (PARTITION BY h % 4 ORDER BY h, doc_id)
+         |      AS pos
+         |  FROM sh),
+         |cnt AS (SELECT shard, count(*) AS n FROM p GROUP BY 1),
+         |off AS (SELECT shard, coalesce(sum(n) OVER (ORDER BY shard
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+         |  FROM cnt)
+         |SELECT p.shard::BIGINT AS "shard",
+         |  count(*)::BIGINT AS "n_docs",
+         |  sum(n_chars)::BIGINT AS "sum_chars",
+         |  min(o + pos - 1)::BIGINT AS "lo_pos",
+         |  max(o + pos - 1)::BIGINT AS "hi_pos"
+         |FROM p JOIN off ON p.shard = off.shard
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Document chunking: ceil(max(len - overlap, 1)/stride) windows of
     // 200 chars at stride 150 (overlap subtracted first so the last
     // window is never a pure suffix); empty text still yields chunk 0.

@@ -665,6 +665,32 @@ object QueriesLlm {
       .orderBy("split", "lang")
   }
 
+  /** Release-shard manifest — the end-to-end composition of the
+    * sampling/split/shuffle primitives a dataset release runs last:
+    * stratified keep (':sample' salt), train split assignment
+    * (':split' salt, independent of the keep by construction), a
+    * deterministic shuffle of the train subset into 4 shards
+    * (':shuffle' salt), then the per-shard manifest (doc count, char
+    * budget, global-position range — contiguous ranges prove the
+    * permutation). Every stage is salted-hash deterministic, so the
+    * oracle replays the whole chain and the manifest is engine-exact.
+    */
+  def releaseManifestQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+    val kept = docs.where(Sampling.stratifiedKeep(col("doc_id"),
+      col("lang"), Map("en" -> 500000L), defaultPpm = 1000000L))
+    val train = kept.withColumn("split", Sampling.assignSplit(
+        col("doc_id"),
+        Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L)))
+      .where(col("split") === "train")
+    Sampling.shuffleShards(train, "doc_id", shards = 4)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        min("global_pos").as("lo_pos"), max("global_pos").as("hi_pos"))
+      .orderBy("shard")
+  }
+
   /** Document chunking (Curation.chunkDocs): 200-char windows with
     * 50-char overlap (stride 150) — the embedding/RAG preprocessing
     * pass as a pure per-row projection the oracle replays with
@@ -1108,6 +1134,7 @@ object QueriesLlm {
     "q_unigram_logprob" -> (unigramLogProbQ _),
     "q_neardup_against" -> (nearDupAgainst _),
     "q_chunk_docs" -> (chunkDocsQ _),
-    "q_curation_pipeline" -> (curationPipeline _)
+    "q_curation_pipeline" -> (curationPipeline _),
+    "q_release_manifest" -> (releaseManifestQ _)
   )
 }
