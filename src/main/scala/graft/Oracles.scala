@@ -744,6 +744,34 @@ object Oracles {
          |SELECT DISTINCT md5(${norm("text")}) AS "fp"
          |FROM all_docs ORDER BY 1""".stripMargin,
 
+    // Streaming drift: per-window bin counts are arrival-order
+    // independent, so the closed-window PSI is epoch-aligned batch SQL
+    // (2-day tumbling = us // 172800000000, the Spark epoch alignment).
+    "q_stream_drift" ->
+      """WITH ev AS (SELECT epoch_ns(ts) // 1000 AS us,
+        |    floor(value)::BIGINT AS v FROM events),
+        |mm AS (SELECT min(v) AS mn, (max(v) - min(v)) // 8 + 1 AS w
+        |       FROM ev),
+        |base AS (SELECT (v - mn) // w AS bin, count(*) AS n_base
+        |  FROM ev CROSS JOIN mm GROUP BY 1),
+        |nb AS (SELECT sum(n_base) AS nbt FROM base),
+        |wb AS (SELECT (us // 172800000000) * 172800000000
+        |    AS win_start_us, (v - mn) // w AS bin, count(*) AS n
+        |  FROM ev CROSS JOIN mm GROUP BY 1, 2),
+        |wt AS (SELECT win_start_us, sum(n) AS n_win FROM wb GROUP BY 1),
+        |j AS (SELECT wb.win_start_us, wb.bin, wb.n, wt.n_win,
+        |    coalesce(b.n_base, 0) AS n_base
+        |  FROM wb JOIN wt USING (win_start_us)
+        |       LEFT JOIN base b ON wb.bin = b.bin)
+        |SELECT win_start_us::BIGINT AS "win_start_us",
+        |  bin::BIGINT AS "bin", j.n::BIGINT AS "n",
+        |  n_base::BIGINT AS "n_base",
+        |  round(((j.n + 1)::DOUBLE / (n_win + 8)
+        |         - (n_base + 1)::DOUBLE / (nbt + 8)) *
+        |    ln(((j.n + 1)::DOUBLE / (n_win + 8)) /
+        |       ((n_base + 1)::DOUBLE / (nbt + 8))), 9) AS "psi"
+        |FROM j CROSS JOIN nb ORDER BY 1, 2""".stripMargin,
+
     // §2.11 incremental job: cumulative output over both micro-batch
     // runs = one decorated assembly over all suppliers, exactly once.
     "q_incremental_job" ->

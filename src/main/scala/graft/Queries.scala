@@ -10,7 +10,7 @@ import graft.config.JobConfig
 import graft.connector.Sinks
 import graft.etl.Ops
 import graft.io.{Bucketing, Readers, StateTable, Writers, ZOrder}
-import graft.streaming.{Attribution, FileRelay, StreamingDedup}
+import graft.streaming.{Attribution, DriftMonitor, FileRelay, StreamingDedup}
 
 /** Oracle-checked queries over /root/testdata, one per SURVEY.md §2
   * operator (ETL/connector families; LLM-pipeline families live in
@@ -894,6 +894,55 @@ object Queries {
     s.table(table).select(col("fp")).orderBy("fp")
   }
 
+  /** Streaming drift monitor (streaming.DriftMonitor), driver-
+    * checkable: an AvailableNow run bins events.value per 2-day
+    * event-time window on the baseline's integer grid (watermark 0s;
+    * a far-future sentinel closes every real window in the no-data
+    * batch, exactly the [[sessionizeStream]] trick), then the closed
+    * windows score add-1 PSI against the full-table baseline. The
+    * per-window bin counts are arrival-order independent, so the
+    * oracle states the whole thing as epoch-aligned batch SQL.
+    */
+  def streamDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = tmp("sdrift")
+    val evB = t(s, dir, "events")
+      .select(timestamp_micros(expr("ts div 1000")).as("ts"),
+        floor(col("value")).cast("long").as("v"))
+    evB.write.mode("overwrite").json(s"$d/in/f1")
+    // sentinel far past every window + watermark: the final no-data
+    // batch's advanced watermark closes all real windows
+    s.range(1).select(
+        lit("2024-06-01 00:00:00").cast("timestamp").as("ts"),
+        lit(0L).as("v"))
+      .write.mode("overwrite").json(s"$d/in/f2")
+    val mm = evB.agg(min("v"), max("v"), max(unix_micros(col("ts"))))
+      .head
+    val mn = mm.getLong(0)
+    val w = (mm.getLong(1) - mn) / 8 + 1
+    val maxUs = mm.getLong(2)
+    val baseline = evB
+      .groupBy(expr(s"(v - ${mn}L) div ${w}L").as("bin"))
+      .agg(count(lit(1)).as("n_base"))
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("v", LongType)))
+    val src = s.readStream.schema(schema)
+      .option("recursiveFileLookup", "true").json(s"$d/in")
+    val table =
+      "sdrift_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = DriftMonitor.windowedBins(src, "ts", "v", "2 days",
+        "0 seconds", mn, w)
+      .writeStream.format("memory").queryName(table)
+      .outputMode("append")
+      .option("checkpointLocation", s"$d/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    DriftMonitor.score(
+        s.table(table).where(col("win_start_us") <= maxUs),
+        baseline, bins = 8)
+      .orderBy("win_start_us", "bin")
+  }
+
   /** §2.12 stateful streaming sessionization, driver-checkable: an
     * AvailableNow run of the `flatMapGroupsWithState` Sessionizer over
     * the events table (file 1 = all real events, file 2 = one sentinel
@@ -1185,6 +1234,7 @@ object Queries {
     "q_event_dedup" -> (eventDedup _),
     "q_attribution" -> (attribution _),
     "q_streaming_dedup_equiv" -> (streamingDedupEquiv _),
+    "q_stream_drift" -> (streamDrift _),
     "q_incremental_job" -> (incrementalJob _),
     "q_sessionize_stream" -> (sessionizeStream _),
     "q_queue_relay" -> (queueRelay _),
