@@ -297,6 +297,11 @@ object Ann {
       .select(col(corpusIdCol), V.toDouble(col(vecCol)).as("v"))
       .orderBy(corpusIdCol).limit(nCells)
       .collect().toSeq.map(_.getSeq[Double](1).toSeq))
+    // empty corpus (or empty trained set) -> nothing to dedup; an
+    // empty centroid list cannot build the assignment array expression
+    if (centroids.isEmpty)
+      return corpus.select(col(corpusIdCol).as("vec_id"),
+        lit(0L).as("cell")).where(lit(false))
     def scored(v: Column): Column = array(centroids.zipWithIndex.map {
       case (c, i) =>
         struct(V.cosine(v, array(c.map(lit(_)): _*)).as("s"),

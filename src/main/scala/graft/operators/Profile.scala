@@ -126,6 +126,9 @@ object Profile {
         round(log(col("n_rows").cast("double")) -
           col("s").cast("double") / col("n_rows").cast("double"), 6)
           .as("entropy"))
+      // empty input -> the aggregate row is all-null; drop it rather
+      // than emit a meaningless summary
+      .where(col("n_rows").isNotNull)
   }
 
   /** Categorical drift between two snapshots — the companion of
@@ -158,6 +161,11 @@ object Profile {
         coalesce(col("n_b"), lit(0L)).as("n_b"))
     val tot = joined.agg(count(lit(1)).as("c"),
       sum("n_a").as("na"), sum("n_b").as("nb")).collect()(0)
+    // both inputs empty -> no categories; the empty joined frame IS
+    // the answer (sums are null then, so don't read them as longs)
+    if (tot.getLong(0) == 0)
+      return joined.withColumn("psi", lit(0.0))
+        .select("category", "n_a", "n_b", "psi")
     val (c, nA, nB) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
     joined
       .withColumn("pa", (col("n_a") + 1L).cast("double") / lit(nA + c))

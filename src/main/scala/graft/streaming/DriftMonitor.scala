@@ -60,7 +60,9 @@ object DriftMonitor {
   def score(winBins: DataFrame, baseline: DataFrame,
       bins: Int): DataFrame = {
     require(bins > 0, "bins must be > 0")
-    val nBase = baseline.agg(sum("n_base")).head.getLong(0)
+    val nbRow = baseline.agg(sum("n_base")).head
+    require(!nbRow.isNullAt(0), "baseline is empty — nothing to score against")
+    val nBase = nbRow.getLong(0)
     // renamed key before the self-derived join: a memory-sink input
     // carries identical attribute ids on both branches otherwise
     val totals = winBins.select(col("win_start_us").as("__w"), col("n"))

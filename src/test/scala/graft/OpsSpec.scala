@@ -327,6 +327,32 @@ class OpsSpec extends SparkSpec {
     assert(out("zh")._4 > 0.0 && out("fr")._4 > 0.0)
   }
 
+  test("round-10 drift/skew/shuffle/fusion ops tolerate empty inputs") {
+    import graft.operators.{Ann, Curation, Profile, Retrieval, Sampling}
+    val noLongs = Seq.empty[Long].toDF("v")
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_id", "rank")
+    assert(Profile.categoricalDrift(noLongs, noLongs, "v").count() == 0)
+    assert(Profile.keySkew(noLongs, "v").count() == 0)
+    assert(Sampling.shuffleShards(noLongs.withColumnRenamed("v", "id"),
+      "id", 4).count() == 0)
+    assert(Retrieval.rrfFuse(Seq(noPairs, noPairs), "doc_id")
+      .count() == 0)
+    assert(Curation.kAnonymityViolations(
+      Seq.empty[(String, String)].toDF("a", "b"), Seq("a", "b"), 3)
+      .count() == 0)
+    val noVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Ann.semanticDedup(noVecs, nCells = 4, threshold = 0.9)
+      .count() == 0)
+    assert(Sampling.hardNegatives(noPairs
+        .withColumnRenamed("doc_id", "u").withColumnRenamed("rank", "i"),
+      "u", "i", Seq((1L, Seq(1.0f))).toDF("u", "embedding"),
+      Seq((2L, Seq(1.0f))).toDF("i", "embedding"), k = 3).count() == 0)
+    // distributionDrift is explicit about the empty case
+    intercept[IllegalArgumentException] {
+      Profile.distributionDrift(noLongs, noLongs, "v", bins = 4)
+    }
+  }
+
   test("keySkew: uniform keys hit ln(n), a dominant key is named") {
     import graft.operators.Profile
     // 4 keys x 25 rows: perfectly uniform
