@@ -1788,6 +1788,44 @@ object Oracles {
         |    AS "entropy"
         |FROM a CROSS JOIN t""".stripMargin,
 
+    // Equi-depth quartiles: nearest-rank thresholds at ceil(i*n/4)
+    // from cumulative counts, then the first-match CASE.
+    "q_equidepth" ->
+      """WITH h AS (SELECT n_chars AS v, count(*) AS c FROM documents
+        |  WHERE n_chars IS NOT NULL GROUP BY 1),
+        |cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cs FROM h),
+        |nn AS (SELECT count(*) AS n FROM documents
+        |       WHERE n_chars IS NOT NULL),
+        |t1 AS (SELECT min(v) AS t FROM cum, nn
+        |  WHERE cs >= greatest(ceil(0.25 * n), 1)),
+        |t2 AS (SELECT min(v) AS t FROM cum, nn
+        |  WHERE cs >= greatest(ceil(0.5 * n), 1)),
+        |t3 AS (SELECT min(v) AS t FROM cum, nn
+        |  WHERE cs >= greatest(ceil(0.75 * n), 1))
+        |SELECT doc_id, n_chars,
+        |  (CASE WHEN n_chars <= t1.t THEN 0
+        |        WHEN n_chars <= t2.t THEN 1
+        |        WHEN n_chars <= t3.t THEN 2
+        |        ELSE 3 END)::BIGINT AS "bucket"
+        |FROM documents CROSS JOIN t1 CROSS JOIN t2 CROSS JOIN t3
+        |ORDER BY doc_id""".stripMargin,
+
+    // Source coverage: heaviest-first window with (weight, source)
+    // desc ties, shares rounded against the collected total.
+    "q_source_coverage" ->
+      """WITH s AS (SELECT source, count(*) AS n_rows,
+        |    sum(n_chars)::BIGINT AS n_weight
+        |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT sum(n_weight) AS t FROM s)
+        |SELECT row_number() OVER (ORDER BY n_weight DESC, source DESC)
+        |    ::BIGINT AS "rank",
+        |  source, n_rows::BIGINT AS "n_rows", n_weight,
+        |  round(n_weight::DOUBLE / t, 6) AS "share",
+        |  round((sum(n_weight) OVER (ORDER BY n_weight DESC, source DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+        |    / t, 6) AS "cum_share"
+        |FROM s CROSS JOIN tot ORDER BY 1""".stripMargin,
+
     // k-anonymity: pure counting, so the oracle is a HAVING clause.
     "q_kanon" ->
       """SELECT lang, source, count(*)::BIGINT AS "n_rows"

@@ -316,6 +316,29 @@ object QueriesLlm {
       .orderBy("category")
   }
 
+  /** Equi-depth banding (Curation.equiDepthBuckets): every document's
+    * length quartile with nearest-rank thresholds from the corpus
+    * itself — the equal-population bands stratified sampling keys on.
+    * The oracle recomputes the three thresholds from cumulative
+    * counts and replays the first-match CASE.
+    */
+  def equiDepthQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.equiDepthBuckets(
+        t(s, dir, "documents").select("doc_id", "n_chars"), "n_chars",
+        nBuckets = 4)
+      .orderBy("doc_id")
+
+  /** Source-coverage curve (Profile.sourceCoverage): per source the
+    * char-weight share and heaviest-first cumulative share — the
+    * domination panel. The oracle replays the ranking window and the
+    * rounded shares.
+    */
+  def sourceCoverageQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.sourceCoverage(
+        t(s, dir, "documents").select("source", "n_chars"), "source",
+        "n_chars")
+      .orderBy("rank")
+
   /** Key-skew summary (Profile.keySkew): the pre-join salting
     * diagnostic over lineitem's part key — heaviest-key share and
     * decimal-accumulated Shannon entropy, replayed exactly by the
@@ -1127,6 +1150,8 @@ object QueriesLlm {
     "q_cat_drift" -> (catDriftQ _),
     "q_kanon" -> (kAnonQ _),
     "q_key_skew" -> (keySkewQ _),
+    "q_equidepth" -> (equiDepthQ _),
+    "q_source_coverage" -> (sourceCoverageQ _),
     "q_shuffle_shards" -> (shuffleShardsQ _),
     "q_rrf_fusion" -> (rrfFusionQ _),
     "q_source_filter" -> (sourceFilterQ _),

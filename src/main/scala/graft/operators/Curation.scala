@@ -240,6 +240,61 @@ object Curation {
     docs.where(col(valueCol) >= a && col(valueCol) <= b)
   }
 
+  /** Equi-depth bucket assignment — the data-derived banding pass
+    * ([[lengthFilter]]'s sibling): every row gets the quantile bucket
+    * its `valueCol` falls in, with thresholds at the nearest-rank
+    * i/nBuckets quantiles of the column itself. The bands feed
+    * stratified sampling (length bands, quality bands, token-budget
+    * bands) with equal POPULATION per band rather than equal width.
+    *
+    * Same two-job shape as [[rankBounds]] (and the same
+    * integer/low-cardinality contract): one bounded histogram
+    * aggregate to the driver, then the assignment is a scan-side
+    * literal CASE — fully pushable, no second shuffle. Heavily
+    * repeated values collapse thresholds; first-match CASE keeps the
+    * assignment total and deterministic (a value equal to several
+    * thresholds lands in the lowest such bucket).
+    *
+    * @return df plus `bucket` (0..nBuckets-1)
+    */
+  def equiDepthBuckets(df: DataFrame, valueCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be > 0")
+    // ONE histogram collect for all thresholds (per-threshold
+    // rankBounds calls would re-aggregate the corpus nBuckets times)
+    val hist = df.where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy("v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(hist.nonEmpty, "equiDepthBuckets on an empty frame")
+    val n = hist.map(_._2).sum
+    def at(rank: Long): Long = {
+      var cum = 0L
+      var i = 0
+      while (i < hist.length) {
+        cum += hist(i)._2
+        if (cum >= rank) return hist(i)._1
+        i += 1
+      }
+      hist.last._1
+    }
+    val thresholds = (1 until nBuckets).map { i =>
+      at(math.max(math.ceil(i.toDouble / nBuckets * n).toLong, 1L))
+    }
+    val bucket = thresholds.zipWithIndex.foldLeft(
+      None: Option[org.apache.spark.sql.Column]) {
+      case (acc, (t, i)) =>
+        val branch = acc match {
+          case None    => when(col(valueCol) <= t, lit(i.toLong))
+          case Some(c) => c.when(col(valueCol) <= t, lit(i.toLong))
+        }
+        Some(branch)
+    }.map(_.otherwise(lit((nBuckets - 1).toLong)))
+      .getOrElse(lit(0L))
+    df.withColumn("bucket", bucket)
+  }
+
   /** k-anonymity audit: the quasi-identifier combinations shared by
     * FEWER than `k` rows — the groups whose members a release would
     * make re-identifiable. The complement of the PII regex scan: that

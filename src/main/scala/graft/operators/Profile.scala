@@ -88,6 +88,48 @@ object Profile {
           .as("psi"))
   }
 
+  /** Source-coverage curve — the "how much of the corpus do the top-k
+    * domains carry" datasheet panel: per source its row count, weight
+    * total (chars/tokens/bytes), share, and the cumulative share when
+    * sources are ranked heaviest-first. The curve is what a curation
+    * review reads to spot domination (3 domains = 80% of tokens) and
+    * to size per-source caps.
+    *
+    * Scale shape: one map-side-combinable groupBy collapses the corpus
+    * to one row per source; the ranking window then runs over that
+    * SOURCE-sized table (unpartitioned by design — domains number
+    * thousands, not billions; the corpus itself never enters a
+    * window). Shares divide by one collected total and round to 6, so
+    * the curve is engine-exact.
+    *
+    * @return (rank, source, n_rows, n_weight, share, cum_share)
+    *   heaviest first, ties by source desc
+    */
+  def sourceCoverage(df: DataFrame, srcCol: String,
+      weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySource = df.where(col(srcCol).isNotNull)
+      .groupBy(col(srcCol).cast("string").as("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(weightCol)).cast("long").as("n_weight"))
+    val totRow = bySource.agg(sum("n_weight")).head
+    if (totRow.isNullAt(0)) return bySource
+      .select(lit(0L).as("rank"), col("source"), col("n_rows"),
+        col("n_weight"), lit(0.0).as("share"), lit(0.0).as("cum_share"))
+      .where(lit(false))
+    val total = totRow.getLong(0)
+    val w = Window.orderBy(col("n_weight").desc, col("source").desc)
+    bySource
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("share",
+        round(col("n_weight").cast("double") / total, 6))
+      .withColumn("cum_share", round(
+        sum("n_weight").over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double") / total, 6))
+      .select("rank", "source", "n_rows", "n_weight", "share",
+        "cum_share")
+  }
+
   /** Key-skew summary — the diagnostic that decides, BEFORE a 100 TB
     * join or aggregation, whether its key needs salting: row/key
     * counts, the heaviest key and its share (one reducer's worst-case

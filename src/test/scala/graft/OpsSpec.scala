@@ -327,6 +327,33 @@ class OpsSpec extends SparkSpec {
     assert(out("zh")._4 > 0.0 && out("fr")._4 > 0.0)
   }
 
+  test("equiDepthBuckets: equal populations, repeated values stay together") {
+    import graft.operators.Curation
+    val out = Curation.equiDepthBuckets((1L to 100L).toDF("v"), "v", 4)
+      .as[(Long, Long)].collect().toMap
+    // 1..25 -> 0, 26..50 -> 1, 51..75 -> 2, 76..100 -> 3
+    assert((1L to 100L).forall(v => out(v) == (v - 1) / 25))
+    // a value straddling a threshold cannot split: 60x the same value
+    // collapses thresholds and first-match keeps every copy in bucket 0
+    val skew = (Seq.fill(60)(5L) ++ (6L to 45L)).toDF("v")
+    val sk = Curation.equiDepthBuckets(skew, "v", 4)
+      .as[(Long, Long)].collect()
+    assert(sk.filter(_._1 == 5L).map(_._2).distinct.toSeq == Seq(0L))
+  }
+
+  test("sourceCoverage: heaviest first, shares cumulate to 1") {
+    import graft.operators.Profile
+    val df = Seq(("a", 70L), ("a", 30L), ("b", 50L), ("c", 10L),
+      (null.asInstanceOf[String], 99L)).toDF("src", "w")
+    val out = Profile.sourceCoverage(df, "src", "w")
+      .orderBy("rank")
+      .as[(Long, String, Long, Long, Double, Double)].collect().toSeq
+    assert(out.map(_._2) == Seq("a", "b", "c")) // null source excluded
+    assert(out.map(_._4) == Seq(100L, 50L, 10L))
+    assert(out.map(_._5) == Seq(0.625, 0.3125, 0.0625))
+    assert(out.map(_._6) == Seq(0.625, 0.9375, 1.0))
+  }
+
   test("round-10 drift/skew/shuffle/fusion ops tolerate empty inputs") {
     import graft.operators.{Ann, Curation, Profile, Retrieval, Sampling}
     val noLongs = Seq.empty[Long].toDF("v")
