@@ -1788,6 +1788,37 @@ object Oracles {
         |    AS "entropy"
         |FROM a CROSS JOIN t""".stripMargin,
 
+    // Log-odds classifier: retrain (per-class token counts, add-1 over
+    // the joint vocabulary, rounded to 9) and rescore (tf-weighted
+    // decimal-accumulated mean, unknown terms take the 0/0 default).
+    "q_logodds" ->
+      s"""WITH pt AS (SELECT unnest(${toks("text")}) AS term
+         |  FROM documents WHERE lang = 'en'),
+         |nt AS (SELECT unnest(${toks("text")}) AS term
+         |  FROM documents WHERE lang != 'en'),
+         |ca AS (SELECT term, count(*) AS ca FROM pt GROUP BY 1),
+         |cb AS (SELECT term, count(*) AS cb FROM nt GROUP BY 1),
+         |j AS (SELECT coalesce(ca.term, cb.term) AS term,
+         |    coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+         |  FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+         |st AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS v
+         |       FROM j),
+         |model AS (SELECT term,
+         |    round(ln((ca + 1)::DOUBLE / (na + v))
+         |      - ln((cb + 1)::DOUBLE / (nb + v)), 9) AS lo
+         |  FROM j CROSS JOIN st),
+         |dflt AS (SELECT round(ln(1::DOUBLE / (na + v))
+         |    - ln(1::DOUBLE / (nb + v)), 9) AS d FROM st),
+         |tf AS (SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(${toks("text")}) AS term
+         |        FROM documents)
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, sum(tf)::BIGINT AS "n_tokens",
+         |  round(sum((coalesce(lo, d) * tf)::DECIMAL(28,12))::DOUBLE
+         |    / sum(tf), 6) AS "score"
+         |FROM tf LEFT JOIN model USING (term) CROSS JOIN dflt
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
     // Equi-depth quartiles: nearest-rank thresholds at ceil(i*n/4)
     // from cumulative counts, then the first-match CASE.
     "q_equidepth" ->

@@ -316,6 +316,24 @@ object QueriesLlm {
       .orderBy("category")
   }
 
+  /** Learned quality classifier (Curation.trainLogOdds +
+    * logOddsScore): token log-odds trained on English docs vs the
+    * rest, then every document's mean-log-odds score — the
+    * "reference corpus vs crawl" filtering pass with the model ITSELF
+    * derived relationally. The oracle retrains and rescores the whole
+    * thing in SQL, including the NULL-term unknown default.
+    */
+  def logOddsQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+    val model = Curation.trainLogOdds(
+      docs.where(col("lang") === "en"),
+      docs.where(col("lang") =!= "en"), "text")
+    Curation.logOddsScore(docs.select("doc_id", "text"), "doc_id",
+        "text", model)
+      .orderBy("doc_id")
+  }
+
   /** Equi-depth banding (Curation.equiDepthBuckets): every document's
     * length quartile with nearest-rank thresholds from the corpus
     * itself — the equal-population bands stratified sampling keys on.
@@ -1151,6 +1169,7 @@ object QueriesLlm {
     "q_kanon" -> (kAnonQ _),
     "q_key_skew" -> (keySkewQ _),
     "q_equidepth" -> (equiDepthQ _),
+    "q_logodds" -> (logOddsQ _),
     "q_source_coverage" -> (sourceCoverageQ _),
     "q_shuffle_shards" -> (shuffleShardsQ _),
     "q_rrf_fusion" -> (rrfFusionQ _),

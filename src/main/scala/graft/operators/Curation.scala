@@ -240,6 +240,77 @@ object Curation {
     docs.where(col(valueCol) >= a && col(valueCol) <= b)
   }
 
+  /** Train a token log-odds quality model — the CCNet/LLaMA-style
+    * "looks like the reference corpus vs looks like the crawl"
+    * classifier, as a naive-Bayes table: for every token of either
+    * class, `ln((c_pos+1)/(N_pos+V)) - ln((c_neg+1)/(N_neg+V))` with
+    * add-1 smoothing over the joint vocabulary V. Positive values
+    * mark reference-corpus tokens, negative values crawl tokens. One
+    * extra row with a NULL term carries the unknown-token log-odds
+    * (both counts 0 — the same formula), so [[logOddsScore]] needs no
+    * side channel.
+    *
+    * Scale shape: one explode + map-side-combinable count per class,
+    * a vocabulary-sized outer join, three scalars collected. Rounded
+    * to 9 places so scoring sums identical values on every engine.
+    *
+    * @return (term, logodds) — one row per joint-vocabulary term plus
+    *   the NULL-term unknown default
+    */
+  def trainLogOdds(pos: DataFrame, neg: DataFrame,
+      textCol: String): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    def counts(df: DataFrame, n: String): DataFrame =
+      df.select(explode(T.tokens(col(textCol))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as(n))
+    val j = counts(pos, "ca").join(counts(neg, "cb"), Seq("term"),
+        "full_outer")
+      .select(col("term"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val st = j.agg(sum("ca"), sum("cb"), count(lit(1))).head
+    val (na, nb, v) = (st.getLong(0), st.getLong(1), st.getLong(2))
+    def lo(ca: org.apache.spark.sql.Column,
+        cb: org.apache.spark.sql.Column) = round(
+      log((ca + 1L).cast("double") / lit((na + v).toDouble)) -
+        log((cb + 1L).cast("double") / lit((nb + v).toDouble)), 9)
+    j.select(col("term"), lo(col("ca"), col("cb")).as("logodds"))
+      .unionByName(pos.sparkSession.range(1)
+        .select(lit(null).cast("string").as("term"),
+          lo(lit(0L), lit(0L)).as("logodds")))
+  }
+
+  /** Score documents under a [[trainLogOdds]] model: each document's
+    * mean token log-odds — the per-document quality number the
+    * curation gate thresholds ("keep what scores reference-like").
+    * Out-of-vocabulary tokens take the model's NULL-term default, so
+    * the score is total.
+    *
+    * Scale shape: the [[unigramLogProb]] plan with the corpus's own
+    * model swapped for the trained one — per-doc term frequencies
+    * collapse map-side, the model re-enters BROADCAST (vocabularies
+    * broadcast; corpora don't), and the mean accumulates in
+    * DECIMAL(28,12) for engine-exact 6-place scores.
+    *
+    * @return (idCol, n_tokens, score) — empty/tokenless docs absent
+    */
+  def logOddsScore(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    val default = model.where(col("term").isNull)
+      .select("logodds").head.getDouble(0)
+    val tf = docs
+      .select(col(idCol), explode(T.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(model.where(col("term").isNotNull)), Seq("term"),
+        "left_outer")
+      .withColumn("lo", coalesce(col("logodds"), lit(default)))
+      .groupBy(col(idCol))
+      .agg(sum("tf").as("n_tokens"),
+        round(sum((col("lo") * col("tf")).cast("decimal(28,12)"))
+          .cast("double") / sum("tf"), 6).as("score"))
+  }
+
   /** Equi-depth bucket assignment — the data-derived banding pass
     * ([[lengthFilter]]'s sibling): every row gets the quantile bucket
     * its `valueCol` falls in, with thresholds at the nearest-rank

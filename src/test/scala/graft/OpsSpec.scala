@@ -327,6 +327,30 @@ class OpsSpec extends SparkSpec {
     assert(out("zh")._4 > 0.0 && out("fr")._4 > 0.0)
   }
 
+  test("logOdds: class vocabulary separates, unknown tokens take the default") {
+    import graft.operators.Curation
+    val pos = Seq("excellent prose flows here", "prose reads excellent")
+      .toDF("text")
+    val neg = Seq("spam spam click buy", "click spam buy now")
+      .toDF("text")
+    val model = Curation.trainLogOdds(pos, neg, "text")
+    val lo = model.collect()
+      .map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    assert(lo(Some("excellent")) > 0 && lo(Some("spam")) < 0)
+    // symmetric counts -> the unknown default sits between the classes
+    assert(lo(Some("spam")) < lo(None) && lo(None) < lo(Some("excellent")))
+    val docs = Seq(
+      (1L, "excellent prose"),     // pure positive vocabulary
+      (2L, "spam click buy"),      // pure negative vocabulary
+      (3L, "zzz qqq")              // fully out of vocabulary
+    ).toDF("doc_id", "text")
+    val s = Curation.logOddsScore(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s(1L) > 0 && s(2L) < 0)
+    assert(math.abs(s(3L) - lo(None)) < 1e-6) // mean of defaults
+    assert(s(2L) < s(3L) && s(3L) < s(1L))
+  }
+
   test("equiDepthBuckets: equal populations, repeated values stay together") {
     import graft.operators.Curation
     val out = Curation.equiDepthBuckets((1L to 100L).toDF("v"), "v", 4)
