@@ -370,4 +370,24 @@ class PropertiesSpec extends SparkSpec {
       assert(out == expected)
     }
   }
+
+  test("zValue uninterleaves back to its inputs on random 31-bit keys (100)") {
+    import graft.io.ZOrder
+    // the Morton code is a bijection on 31-bit pairs: recovering x
+    // (even bits) and y (odd bits) must return the inputs exactly
+    def unspread(z: Long, off: Int): Long =
+      (0 until 31).foldLeft(0L) { (v, i) =>
+        v | ((z >> (2 * i + off)) & 1L) << i
+      }
+    val pts = Seq.fill(100)(
+      (math.abs(rnd.nextLong()) & 0x7FFFFFFFL,
+        math.abs(rnd.nextLong()) & 0x7FFFFFFFL))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder.zValue(col("x"), col("y")).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) =>
+      assert(z >= 0, s"sign bit set for ($x,$y)")
+      assert(unspread(z, 0) == x && unspread(z, 1) == y, s"($x,$y) -> $z")
+    }
+  }
 }
