@@ -1788,6 +1788,30 @@ object Oracles {
         |    AS "entropy"
         |FROM a CROSS JOIN t""".stripMargin,
 
+    // Hashed tf-idf vectors: md5 bucketing with additive collisions,
+    // decimal-accumulated bucket sums and squared norm, rounded 6.
+    "q_hashed_vectors" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents
+         |           WHERE doc_id < 100),
+         |ex AS (SELECT doc_id, unnest(${toks("text")}) AS term FROM d),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM ex
+         |       GROUP BY 1, 2),
+         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM d),
+         |b AS (SELECT doc_id,
+         |    ${md5_60("term")} % 32 AS ix,
+         |    sum((tf * (ln((n + 1)::DOUBLE / (df::DOUBLE + 1)) + 1))
+         |        ::DECIMAL(28,12))::DOUBLE AS wraw
+         |  FROM tf JOIN dfx USING (term) CROSS JOIN nn
+         |  GROUP BY 1, 2),
+         |nrm AS (SELECT doc_id,
+         |    sqrt(sum((wraw * wraw)::DECIMAL(28,12))::DOUBLE) AS nrm
+         |  FROM b GROUP BY 1)
+         |SELECT doc_id, ix::BIGINT AS "ix",
+         |  round(wraw / nrm, 6) AS "w"
+         |FROM b JOIN nrm USING (doc_id)
+         |ORDER BY doc_id, ix""".stripMargin,
+
     // Log-odds classifier: retrain (per-class token counts, add-1 over
     // the joint vocabulary, rounded to 9) and rescore (tf-weighted
     // decimal-accumulated mean, unknown terms take the 0/0 default).

@@ -316,6 +316,18 @@ object QueriesLlm {
       .orderBy("category")
   }
 
+  /** Hashed TF-IDF vectors (Retrieval.hashedTfidfVectors): every
+    * document's l2-normalized 32-bucket sparse vector in long form —
+    * the model-free text-to-vector bridge. The oracle re-derives
+    * tf/df, the md5 bucketing with additive collisions, the decimal
+    * norm, and the rounded weights.
+    */
+  def hashedVectorsQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.hashedTfidfVectors(
+        t(s, dir, "documents").where(col("doc_id") < 100)
+          .select("doc_id", "text"), "doc_id", "text", dim = 32)
+      .orderBy("doc_id", "ix")
+
   /** Learned quality classifier (Curation.trainLogOdds +
     * logOddsScore): token log-odds trained on English docs vs the
     * rest, then every document's mean-log-odds score — the
@@ -1170,6 +1182,7 @@ object QueriesLlm {
     "q_key_skew" -> (keySkewQ _),
     "q_equidepth" -> (equiDepthQ _),
     "q_logodds" -> (logOddsQ _),
+    "q_hashed_vectors" -> (hashedVectorsQ _),
     "q_source_coverage" -> (sourceCoverageQ _),
     "q_shuffle_shards" -> (shuffleShardsQ _),
     "q_rrf_fusion" -> (rrfFusionQ _),

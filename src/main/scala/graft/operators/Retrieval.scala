@@ -100,6 +100,55 @@ object Retrieval {
       Seq("score", "term"), k)
   }
 
+  /** Hashed TF-IDF document vectors (the "hashing trick"
+    * vectorizer) — the bridge from raw text to the ANN/semantic-dedup
+    * family when no embedding model is in the loop: every document
+    * becomes an l2-normalized `dim`-bucket sparse vector, with terms
+    * md5-hashed into buckets (collisions ADD, the standard treatment)
+    * and weighted by the [[tfidfTopTerms]] smooth idf. Output is
+    * LONG-FORM (doc_id, ix, w) — sparse, shuffle-friendly, and
+    * directly consumable by a dot-product join
+    * (`sum(a.w * b.w) GROUP BY pair` over matching `ix`).
+    *
+    * Determinism: bucket sums and the squared-norm both accumulate in
+    * DECIMAL(28,12) before one final IEEE sqrt/divide and 6-place
+    * round, so vectors are engine-exact. The hash is the
+    * [[graft.expressions.Kernels.md5_60]] derivation, reproducible
+    * anywhere.
+    *
+    * Scale shape: explode feeds two map-side-combinable aggregates
+    * (per-doc-term tf, per-term df) joined on `term` AFTER both
+    * collapsed; bucketing is a codegen'd projection; the norm is a
+    * second map-side-combinable per-doc aggregate over at most `dim`
+    * rows per document.
+    *
+    * @return (doc_id, ix 0..dim-1, w) — occupied buckets only
+    */
+  def hashedTfidfVectors(docs: DataFrame, idCol: String,
+      textCol: String, dim: Int): DataFrame = {
+    require(dim > 0, "dim must be > 0")
+    val n = docs.count().toDouble
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(T.tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val bucket = tf.join(dfT, "term")
+      .withColumn("w", col("tf") *
+        (log(lit(n + 1.0) / (col("df").cast("double") + 1.0)) + 1.0))
+      .withColumn("ix",
+        conv(substring(md5(col("term")), 1, 15), 16, 10)
+          .cast("long") % dim.toLong)
+      .groupBy("doc_id", "ix")
+      .agg(sum(col("w").cast("decimal(28,12)")).cast("double")
+        .as("wraw"))
+    val norm = bucket.groupBy("doc_id")
+      .agg(sqrt(sum((col("wraw") * col("wraw"))
+        .cast("decimal(28,12)")).cast("double")).as("nrm"))
+    bucket.join(norm, "doc_id")
+      .select(col("doc_id"), col("ix"),
+        round(col("wraw") / col("nrm"), 6).as("w"))
+  }
+
   /** Reciprocal-rank fusion — the standard way to combine a lexical
     * ranking (BM25) with an embedding ranking (ANN cosine) without
     * comparing their incommensurable scores: each list contributes

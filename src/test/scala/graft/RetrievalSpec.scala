@@ -62,6 +62,29 @@ class RetrievalSpec extends SparkSpec {
     assert(out.map(_._1).distinct.size == 4)
   }
 
+  test("hashedTfidfVectors: unit norm, additive collisions, long-form sparse") {
+    val docs = Seq(
+      (1L, "alpha beta alpha gamma"),
+      (2L, "alpha alpha alpha alpha")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.hashedTfidfVectors(docs, "doc_id", "text",
+        dim = 64)
+      .as[(Long, Long, Double)].collect().toSeq
+    // every vector l2-normalizes to ~1 (rounded weights)
+    out.groupBy(_._1).values.foreach { rs =>
+      assert(math.abs(rs.map(r => r._3 * r._3).sum - 1.0) < 1e-4)
+    }
+    assert(out.forall(r => r._2 >= 0 && r._2 < 64))
+    // a single-term doc is a unit spike regardless of tf
+    val spike = out.filter(_._1 == 2L)
+    assert(spike.size == 1 && spike.head._3 == 1.0)
+    // dim=1 forces every term into one bucket -> also a unit spike
+    val one = Retrieval.hashedTfidfVectors(docs, "doc_id", "text",
+        dim = 1)
+      .as[(Long, Long, Double)].collect()
+    assert(one.forall(r => r._2 == 0L && r._3 == 1.0))
+  }
+
   test("bm25: rarer term outweighs common term at equal tf") {
     val docs = Seq(
       (1L, "common rare"),
