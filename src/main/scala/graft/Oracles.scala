@@ -1812,6 +1812,40 @@ object Oracles {
          |FROM b JOIN nrm USING (doc_id)
          |ORDER BY doc_id, ix""".stripMargin,
 
+    // Sparse cosine search: the hashed-vector derivation feeding an
+    // inverted-index self-join on ix, decimal-accumulated dot
+    // products of the ROUNDED weights, (cosine, doc_id) desc head.
+    "q_sparse_search" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents
+         |           WHERE doc_id < 100),
+         |ex AS (SELECT doc_id, unnest(${toks("text")}) AS term FROM d),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM ex
+         |       GROUP BY 1, 2),
+         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM d),
+         |b AS (SELECT doc_id,
+         |    ${md5_60("term")} % 32 AS ix,
+         |    sum((tf * (ln((n + 1)::DOUBLE / (df::DOUBLE + 1)) + 1))
+         |        ::DECIMAL(28,12))::DOUBLE AS wraw
+         |  FROM tf JOIN dfx USING (term) CROSS JOIN nn
+         |  GROUP BY 1, 2),
+         |nrm AS (SELECT doc_id,
+         |    sqrt(sum((wraw * wraw)::DECIMAL(28,12))::DOUBLE) AS nrm
+         |  FROM b GROUP BY 1),
+         |v AS (SELECT doc_id, ix, round(wraw / nrm, 6) AS w
+         |      FROM b JOIN nrm USING (doc_id)),
+         |q AS (SELECT doc_id AS query_id, ix, w AS qw FROM v
+         |      WHERE doc_id < 5),
+         |sc AS (SELECT query_id, v.doc_id,
+         |    round(sum((v.w * qw)::DECIMAL(28,12))::DOUBLE, 6)
+         |      AS cosine
+         |  FROM v JOIN q USING (ix) GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, cosine, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, doc_id DESC)
+         |      AS rn FROM sc)
+         |SELECT query_id, rn::BIGINT AS "rank", cosine, doc_id
+         |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+
     // Log-odds classifier: retrain (per-class token counts, add-1 over
     // the joint vocabulary, rounded to 9) and rescore (tf-weighted
     // decimal-accumulated mean, unknown terms take the 0/0 default).

@@ -328,6 +328,24 @@ object QueriesLlm {
           .select("doc_id", "text"), "doc_id", "text", dim = 32)
       .orderBy("doc_id", "ix")
 
+  /** Sparse cosine search (Retrieval.sparseCosineTopK): top-5 most
+    * similar documents for each of the first five docs, over the
+    * hashed vectors — the inverted-index similarity join. Each query
+    * finds itself at rank 1 / cosine 1.0 by construction; the oracle
+    * replays vectors, the bucket join, and the head.
+    */
+  def sparseSearchQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").where(col("doc_id") < 100)
+      .select("doc_id", "text")
+    val vecs = graft.operators.Retrieval.hashedTfidfVectors(docs,
+      "doc_id", "text", dim = 32)
+    graft.operators.Retrieval.sparseCosineTopK(vecs,
+        docs.where(col("doc_id") < 5).select("doc_id"), k = 5)
+      .select(col("query_id"), col("rank"), col("cosine"),
+        col("doc_id"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Learned quality classifier (Curation.trainLogOdds +
     * logOddsScore): token log-odds trained on English docs vs the
     * rest, then every document's mean-log-odds score — the
@@ -1183,6 +1201,7 @@ object QueriesLlm {
     "q_equidepth" -> (equiDepthQ _),
     "q_logodds" -> (logOddsQ _),
     "q_hashed_vectors" -> (hashedVectorsQ _),
+    "q_sparse_search" -> (sparseSearchQ _),
     "q_source_coverage" -> (sourceCoverageQ _),
     "q_shuffle_shards" -> (shuffleShardsQ _),
     "q_rrf_fusion" -> (rrfFusionQ _),

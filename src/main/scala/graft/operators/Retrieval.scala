@@ -149,6 +149,39 @@ object Retrieval {
         round(col("wraw") / col("nrm"), 6).as("w"))
   }
 
+  /** Sparse cosine top-k over [[hashedTfidfVectors]]-style long-form
+    * vectors — text similarity search with NO embedding model and NO
+    * dense arrays: the join on `ix` IS an inverted index, so a query
+    * only ever meets documents sharing at least one occupied bucket
+    * (never all-pairs), and unit-norm inputs make the dot product the
+    * cosine. The other text near-dup shapes here (MinHash, SimHash)
+    * answer "is this a near copy"; this answers "what is most
+    * SIMILAR", graded, without leaving the relational plan.
+    *
+    * Determinism: products accumulate in DECIMAL(28,12), scores round
+    * to 6 BEFORE the head, ties break doc_id-desc inside the salted
+    * two-phase [[graft.etl.Ops.topKPerGroup]] — engine-exact, skew-
+    * immune (a stop-word-heavy bucket cannot pin one reducer).
+    *
+    * @param vecs (idCol, ix, w) unit-norm long-form vectors
+    * @param queryIds frame with idCol naming the query documents
+    *   (small — it broadcasts)
+    * @return (query_id, rank 1..k, cosine, idCol)
+    */
+  def sparseCosineTopK(vecs: DataFrame, queryIds: DataFrame, k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val q = vecs.join(
+        broadcast(queryIds.select(col(idCol).as("query_id"))),
+        col(idCol) === col("query_id"))
+      .select(col("query_id"), col("ix"), col("w").as("qw"))
+    val scored = vecs.join(q, "ix")
+      .groupBy(col("query_id"), col(idCol))
+      .agg(round(sum((col("w") * col("qw")).cast("decimal(28,12)"))
+        .cast("double"), 6).as("cosine"))
+    graft.etl.Ops.topKPerGroup(scored, Seq("query_id"),
+      Seq("cosine", idCol), k)
+  }
+
   /** Reciprocal-rank fusion — the standard way to combine a lexical
     * ranking (BM25) with an embedding ranking (ANN cosine) without
     * comparing their incommensurable scores: each list contributes

@@ -85,6 +85,29 @@ class RetrievalSpec extends SparkSpec {
     assert(one.forall(r => r._2 == 0L && r._3 == 1.0))
   }
 
+  test("sparseCosineTopK: self at rank 1, overlap beats disjoint") {
+    val docs = Seq(
+      (1L, "shared words plus alpha"),
+      (2L, "shared words plus beta"),   // heavy overlap with 1
+      (3L, "entirely different tokens") // no overlap with 1
+    ).toDF("doc_id", "text")
+    val vecs = Retrieval.hashedTfidfVectors(docs, "doc_id", "text",
+      dim = 256)
+    val out = Retrieval.sparseCosineTopK(vecs,
+        Seq(1L).toDF("doc_id"), k = 3)
+      .orderBy("rank")
+      .select("doc_id", "rank", "cosine")
+      .as[(Long, Long, Double)].collect().toSeq
+    // self tops the list at ~1.0 (weights round to 6 places before the
+    // dot product, so the self-cosine can land a few 1e-6 off 1)
+    assert(out.head._1 == 1L && out.head._2 == 1L)
+    assert(math.abs(out.head._3 - 1.0) < 1e-5)
+    assert(out(1)._1 == 2L && out(1)._3 > 0.5)
+    // doc 3 shares no bucket with doc 1 at dim=256 -> absent entirely
+    // (the inverted index never generates the pair)
+    assert(!out.map(_._1).contains(3L))
+  }
+
   test("bm25: rarer term outweighs common term at equal tf") {
     val docs = Seq(
       (1L, "common rare"),
