@@ -343,4 +343,13 @@ class PlanRegressionSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"cartesian in $q")
     }
   }
+
+  test("q_sparse_search / q_logodds: bucket/vocab equi-joins only, no all-pairs") {
+    for (q <- Seq("q_sparse_search", "q_logodds")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"cartesian in $q")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in $q")
+      assert(!p.contains("ScalaUDF"), s"UDF in $q")
+    }
+  }
 }
