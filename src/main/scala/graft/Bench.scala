@@ -30,8 +30,16 @@ object Bench {
       catch { case e: Throwable =>
         Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(120)) }
     }
+    // Dev-only: SPARK_GRAFT_ONLY=q_a,q_b restricts the run; the driver
+    // never sets it, so its benches always cover every query.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None        => SparkEntry.queries
+    }
     val results: Seq[(String, Either[String, Seq[Double]])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map {
+      selected.toSeq.sortBy(_._1).map {
         case (name, fn) =>
           val warm = once(fn)
           name -> (warm match {

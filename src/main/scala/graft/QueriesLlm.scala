@@ -340,7 +340,8 @@ object QueriesLlm {
     val vecs = graft.operators.Retrieval.hashedTfidfVectors(docs,
       "doc_id", "text", dim = 32)
     graft.operators.Retrieval.sparseCosineTopK(vecs,
-        docs.where(col("doc_id") < 5).select("doc_id"), k = 5)
+        docs.where(col("doc_id") < 5).select("doc_id"), k = 5,
+        cache = Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       .select(col("query_id"), col("rank"), col("cosine"),
         col("doc_id"))
       .orderBy("query_id", "rank")

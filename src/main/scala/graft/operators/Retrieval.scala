@@ -166,15 +166,21 @@ object Retrieval {
     * @param vecs (idCol, ix, w) unit-norm long-form vectors
     * @param queryIds frame with idCol naming the query documents
     *   (small — it broadcasts)
+    * @param cache storage level for `vecs`, which BOTH join sides
+    *   consume — uncached, an expensive upstream derivation (e.g.
+    *   [[hashedTfidfVectors]]' explode + three aggregates) runs twice
     * @return (query_id, rank 1..k, cosine, idCol)
     */
   def sparseCosineTopK(vecs: DataFrame, queryIds: DataFrame, k: Int,
-      idCol: String = "doc_id"): DataFrame = {
-    val q = vecs.join(
+      idCol: String = "doc_id",
+      cache: Option[org.apache.spark.storage.StorageLevel] = None)
+      : DataFrame = {
+    val v = cache.fold(vecs)(vecs.persist)
+    val q = v.join(
         broadcast(queryIds.select(col(idCol).as("query_id"))),
         col(idCol) === col("query_id"))
       .select(col("query_id"), col("ix"), col("w").as("qw"))
-    val scored = vecs.join(q, "ix")
+    val scored = v.join(q, "ix")
       .groupBy(col("query_id"), col(idCol))
       .agg(round(sum((col("w") * col("qw")).cast("decimal(28,12)"))
         .cast("double"), 6).as("cosine"))
