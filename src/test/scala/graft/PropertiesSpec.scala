@@ -371,6 +371,52 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("keySkew equals a driver-side brute force on random keys (3x)") {
+    import graft.operators.Profile
+    for (_ <- 1 to 3) {
+      val keys = Seq.fill(300)(rnd.nextInt(20).toLong)
+      val got = Profile.keySkew(keys.toDF("k"), "k")
+        .select("n_rows", "n_keys", "top_key", "top_n", "top_share",
+          "entropy")
+        .as[(Long, Long, String, Long, Double, Double)].collect().head
+      val counts = keys.groupBy(identity).view.mapValues(_.size.toLong)
+        .toMap
+      val n = keys.size.toLong
+      // top = max count, ties by string-rendered key desc (struct max)
+      val (tk, tn) = counts.toSeq.map { case (k, c) => (k.toString, c) }
+        .maxBy { case (k, c) => (c, k) }
+      assert(got._1 == n && got._2 == counts.size.toLong)
+      assert(got._3 == tk && got._4 == tn)
+      assert(math.abs(got._5 - tn.toDouble / n) < 1e-6)
+      val h = math.log(n.toDouble) -
+        counts.values.map(c => c * math.log(c.toDouble)).sum / n
+      assert(math.abs(got._6 - h) < 1e-6)
+    }
+  }
+
+  test("equiDepthBuckets matches driver-side nearest-rank thresholds (3x)") {
+    import graft.operators.Curation
+    for (_ <- 1 to 3) {
+      val vals = Seq.fill(200)(rnd.nextInt(50).toLong)
+      val k = 2 + rnd.nextInt(6)
+      val got = Curation.equiDepthBuckets(vals.toDF("v"), "v", k)
+        .as[(Long, Long)].collect()
+      val sorted = vals.sorted
+      val n = vals.size
+      def at(rank: Long): Long = sorted(math.min(rank, n).toInt - 1)
+      val thr = (1 until k).map(i =>
+        at(math.max(math.ceil(i.toDouble / k * n).toLong, 1L)))
+      def bucket(v: Long): Long =
+        thr.indexWhere(v <= _) match {
+          case -1 => (k - 1).toLong
+          case i  => i.toLong
+        }
+      got.foreach { case (v, b) =>
+        assert(b == bucket(v), s"v=$v b=$b expected=${bucket(v)} k=$k")
+      }
+    }
+  }
+
   test("zValue uninterleaves back to its inputs on random 31-bit keys (100)") {
     import graft.io.ZOrder
     // the Morton code is a bijection on 31-bit pairs: recovering x
