@@ -1812,6 +1812,58 @@ object Oracles {
          |FROM b JOIN nrm USING (doc_id)
          |ORDER BY doc_id, ix""".stripMargin,
 
+    // Dataset card: each headline number re-derived — the q_drift PSI
+    // tree summed, the coverage head, the keySkew entropy, dup rate
+    // via the exact-dedup fingerprint, shares over full counts.
+    "q_dataset_card" ->
+      s"""WITH a AS (SELECT n_chars FROM documents WHERE doc_id < 250),
+         |b AS (SELECT n_chars FROM documents WHERE doc_id >= 250),
+         |mm AS (SELECT min(n_chars)::BIGINT AS mn,
+         |    ((max(n_chars) - min(n_chars)) // 12 + 1)::BIGINT AS w
+         |  FROM (SELECT n_chars FROM a UNION ALL SELECT n_chars FROM b)),
+         |na AS (SELECT count(*) AS n FROM a),
+         |nb AS (SELECT count(*) AS n FROM b),
+         |ba AS (SELECT (n_chars - mn) // w AS bin, count(*) AS n_a
+         |  FROM a CROSS JOIN mm GROUP BY 1),
+         |bb AS (SELECT (n_chars - mn) // w AS bin, count(*) AS n_b
+         |  FROM b CROSS JOIN mm GROUP BY 1),
+         |j AS (SELECT coalesce(ba.bin, bb.bin) AS bin,
+         |    coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+         |  FROM ba FULL OUTER JOIN bb ON ba.bin = bb.bin),
+         |p AS (SELECT round(((n_a + 1)::DOUBLE / (na.n + 12)
+         |      - (n_b + 1)::DOUBLE / (nb.n + 12)) *
+         |    ln(((n_a + 1)::DOUBLE / (na.n + 12)) /
+         |       ((n_b + 1)::DOUBLE / (nb.n + 12))), 9) AS psi
+         |  FROM j CROSS JOIN na CROSS JOIN nb),
+         |sc AS (SELECT source, count(*) AS cnt,
+         |    sum(n_chars)::BIGINT AS wgt
+         |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+         |tot AS (SELECT sum(wgt) AS t, sum(cnt) AS nr,
+         |    sum((cnt::DOUBLE * ln(cnt))::DECIMAL(28,12)) AS s
+         |  FROM sc),
+         |top AS (SELECT wgt FROM sc ORDER BY wgt DESC, source DESC
+         |        LIMIT 1)
+         |SELECT 'en_share' AS "metric",
+         |  round(sum(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END)
+         |    / count(*), 6) AS "value"
+         |FROM documents
+         |UNION ALL SELECT 'exact_dup_rate',
+         |  round(1.0 - count(DISTINCT md5(${norm("text")}))::DOUBLE
+         |    / count(*), 6) FROM documents
+         |UNION ALL SELECT 'length_drift_psi',
+         |  (SELECT round(sum(psi::DECIMAL(28,12))::DOUBLE, 6) FROM p)
+         |UNION ALL SELECT 'n_docs',
+         |  (SELECT count(*)::DOUBLE FROM documents)
+         |UNION ALL SELECT 'source_entropy',
+         |  (SELECT round(ln(nr::DOUBLE) - s::DOUBLE / nr::DOUBLE, 6)
+         |   FROM tot)
+         |UNION ALL SELECT 'top_source_share',
+         |  (SELECT round(top.wgt::DOUBLE / tot.t, 6)
+         |   FROM top CROSS JOIN tot)
+         |UNION ALL SELECT 'total_chars',
+         |  (SELECT sum(n_chars)::DOUBLE FROM documents)
+         |ORDER BY metric""".stripMargin,
+
     // Sparse cosine search: the hashed-vector derivation feeding an
     // inverted-index self-join on ix, decimal-accumulated dot
     // products of the ROUNDED weights, (cosine, doc_id) desc head.

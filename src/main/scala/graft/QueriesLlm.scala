@@ -328,6 +328,46 @@ object QueriesLlm {
           .select("doc_id", "text"), "doc_id", "text", dim = 32)
       .orderBy("doc_id", "ix")
 
+  /** Corpus datasheet (composition capstone): the one-page headline
+    * panel a dataset release publishes — size, exact-dup rate,
+    * language share, source concentration (top share + entropy), and
+    * the halves-drift PSI — as (metric, value) rows, every number
+    * produced by the engine's own profiling operators and replayed
+    * exactly by the oracle.
+    */
+  def datasetCardQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Profile
+    val docs = t(s, dir, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val basic = docs.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        sum("n_chars").cast("double").as("total_chars"),
+        round(lit(1.0) - count_distinct(T.fingerprint(col("text")))
+          .cast("double") / count(lit(1)), 6).as("exact_dup_rate"),
+        round(sum(when(col("lang") === "en", 1.0).otherwise(0.0)) /
+          count(lit(1)), 6).as("en_share"))
+      .selectExpr("stack(4, 'n_docs', n_docs, " +
+        "'total_chars', total_chars, " +
+        "'exact_dup_rate', exact_dup_rate, " +
+        "'en_share', en_share) as (metric, value)")
+    val topShare = Profile.sourceCoverage(docs, "source", "n_chars")
+      .where(col("rank") === 1)
+      .select(lit("top_source_share").as("metric"),
+        col("share").as("value"))
+    val srcEntropy = Profile.keySkew(docs.select("source"), "source")
+      .select(lit("source_entropy").as("metric"),
+        col("entropy").as("value"))
+    val drift = Profile.distributionDrift(
+        docs.where(col("doc_id") < 250),
+        docs.where(col("doc_id") >= 250), "n_chars", bins = 12)
+      .agg(round(sum(col("psi").cast("decimal(28,12)")).cast("double"), 6)
+        .as("value"))
+      .select(lit("length_drift_psi").as("metric"), col("value"))
+    basic.unionByName(topShare).unionByName(srcEntropy)
+      .unionByName(drift)
+      .orderBy("metric")
+  }
+
   /** Sparse cosine search (Retrieval.sparseCosineTopK): top-5 most
     * similar documents for each of the first five docs, over the
     * hashed vectors — the inverted-index similarity join. Each query
@@ -1203,6 +1243,7 @@ object QueriesLlm {
     "q_logodds" -> (logOddsQ _),
     "q_hashed_vectors" -> (hashedVectorsQ _),
     "q_sparse_search" -> (sparseSearchQ _),
+    "q_dataset_card" -> (datasetCardQ _),
     "q_source_coverage" -> (sourceCoverageQ _),
     "q_shuffle_shards" -> (shuffleShardsQ _),
     "q_rrf_fusion" -> (rrfFusionQ _),
