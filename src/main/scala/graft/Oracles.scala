@@ -1812,6 +1812,47 @@ object Oracles {
          |FROM b JOIN nrm USING (doc_id)
          |ORDER BY doc_id, ix""".stripMargin,
 
+    // Passage search: the q_chunk_docs windows feeding the
+    // q_sparse_search derivation at dim 64, query = passage 0.
+    "q_passage_search" ->
+      s"""WITH d0 AS (SELECT doc_id, coalesce(text, '') AS t
+         |  FROM documents WHERE doc_id < 50),
+         |ncn AS (SELECT doc_id, t,
+         |  greatest(ceil(greatest(length(t) - 50, 1)::DOUBLE / 150)
+         |    ::BIGINT, 1) AS nc
+         |  FROM d0),
+         |ch AS (SELECT doc_id * 1000 + ix AS pid,
+         |    substr(t, (ix * 150 + 1)::INT, 200) AS text
+         |  FROM (SELECT doc_id, t,
+         |          unnest(generate_series(0, nc - 1)) AS ix
+         |        FROM ncn)),
+         |ex AS (SELECT pid, unnest(${toks("text")}) AS term FROM ch),
+         |tf AS (SELECT pid, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM ch),
+         |b AS (SELECT pid,
+         |    ${md5_60("term")} % 64 AS ix,
+         |    sum((tf * (ln((n + 1)::DOUBLE / (df::DOUBLE + 1)) + 1))
+         |        ::DECIMAL(28,12))::DOUBLE AS wraw
+         |  FROM tf JOIN dfx USING (term) CROSS JOIN nn
+         |  GROUP BY 1, 2),
+         |nrm AS (SELECT pid,
+         |    sqrt(sum((wraw * wraw)::DECIMAL(28,12))::DOUBLE) AS nrm
+         |  FROM b GROUP BY 1),
+         |v AS (SELECT pid, ix, round(wraw / nrm, 6) AS w
+         |      FROM b JOIN nrm USING (pid)),
+         |q AS (SELECT pid AS query_id, ix, w AS qw FROM v
+         |      WHERE pid = 0),
+         |sc AS (SELECT query_id, v.pid,
+         |    round(sum((v.w * qw)::DECIMAL(28,12))::DOUBLE, 6)
+         |      AS cosine
+         |  FROM v JOIN q USING (ix) GROUP BY 1, 2),
+         |r AS (SELECT query_id, pid, cosine, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, pid DESC)
+         |      AS rn FROM sc)
+         |SELECT query_id, rn::BIGINT AS "rank", cosine, pid
+         |FROM r WHERE rn <= 10 ORDER BY rn""".stripMargin,
+
     // Dataset card: each headline number re-derived — the q_drift PSI
     // tree summed, the coverage head, the keySkew entropy, dup rate
     // via the exact-dedup fingerprint, shares over full counts.

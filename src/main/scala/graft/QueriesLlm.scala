@@ -328,6 +328,33 @@ object QueriesLlm {
           .select("doc_id", "text"), "doc_id", "text", dim = 32)
       .orderBy("doc_id", "ix")
 
+  /** Passage-level retrieval (the RAG preprocessing + search path in
+    * one composition): documents chunk into overlapping 200-char
+    * passages, passages vectorize with the hashing trick, and the
+    * inverted-index search returns the top-10 passages for passage 0
+    * (self at rank 1, then the template-similar passages of other
+    * documents in this synthetic corpus). All three stages are the
+    * proven operators; the oracle replays chunk -> vectorize ->
+    * search end-to-end.
+    */
+  def passageSearchQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").where(col("doc_id") < 50)
+      .select("doc_id", "text")
+    val chunks = graft.operators.Curation.chunkDocs(docs, "doc_id",
+        "text", chunkChars = 200, overlap = 50)
+      .select((col("doc_id") * 1000 + col("chunk_ix")).as("pid"),
+        col("chunk_text").as("text"))
+    val vecs = graft.operators.Retrieval.hashedTfidfVectors(chunks,
+      "pid", "text", dim = 64)
+    graft.operators.Retrieval.sparseCosineTopK(vecs,
+        chunks.where(col("pid") === 0)
+          .select(col("pid").as("doc_id")), k = 10,
+        cache = Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .select(col("query_id"), col("rank"), col("cosine"),
+        col("doc_id").as("pid"))
+      .orderBy("rank")
+  }
+
   /** Corpus datasheet (composition capstone): the one-page headline
     * panel a dataset release publishes — size, exact-dup rate,
     * language share, source concentration (top share + entropy), and
@@ -1244,6 +1271,7 @@ object QueriesLlm {
     "q_hashed_vectors" -> (hashedVectorsQ _),
     "q_sparse_search" -> (sparseSearchQ _),
     "q_dataset_card" -> (datasetCardQ _),
+    "q_passage_search" -> (passageSearchQ _),
     "q_source_coverage" -> (sourceCoverageQ _),
     "q_shuffle_shards" -> (shuffleShardsQ _),
     "q_rrf_fusion" -> (rrfFusionQ _),
