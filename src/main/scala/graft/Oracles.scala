@@ -772,6 +772,13 @@ object Oracles {
         |       ((n_base + 1)::DOUBLE / (nbt + 8))), 9) AS "psi"
         |FROM j CROSS JOIN nb ORDER BY 1, 2""".stripMargin,
 
+    // Idempotent sink: the manifest absorbs the replay and the
+    // overlap, so every delivered key appears exactly once.
+    "q_idempotent_sink" ->
+      """SELECT o_orderkey AS "k", 1::BIGINT AS "n_deliveries"
+        |FROM orders WHERE o_orderkey < 150
+        |ORDER BY 1""".stripMargin,
+
     // §2.11 incremental job: cumulative output over both micro-batch
     // runs = one decorated assembly over all suppliers, exactly once.
     "q_incremental_job" ->

@@ -265,6 +265,34 @@ object Queries {
     Readers.jsonl(s, s"$d/braze", schema).orderBy("regionkey")
   }
 
+  /** Idempotent sink (io.Writers.idempotentConnectorOutput): batch A
+    * delivered, batch A REPLAYED (the reference's Lambda-retry
+    * double-send), then an overlapping batch B — the read-back must
+    * hold every key exactly once, the manifest having absorbed the
+    * replay and the overlap. The oracle states the exactly-once
+    * invariant directly from the construction.
+    */
+  def idempotentSink(s: SparkSession, dir: String): DataFrame = {
+    val d = tmp("idemsink")
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+    val a = orders.where(col("k") < 100)
+    val b = orders.where(col("k") >= 50 && col("k") < 150)
+    val rt = java.time.LocalDateTime.of(2024, 1, 2, 3, 4, 5)
+    def deliver(batch: DataFrame, t: java.time.LocalDateTime) =
+      Writers.idempotentConnectorOutput(batch, s"$d/out", "conn", t,
+        Seq("k"), s"$d/manifest")
+    require(deliver(a, rt).count() == a.count(), "first A truncated")
+    require(deliver(a, rt.plusHours(1)).isEmpty, // the retry
+      "replayed batch re-delivered")
+    val bNew = deliver(b, rt.plusHours(2)).count()
+    require(bNew > 0 && bNew < b.count(), "overlap not absorbed")
+    s.read.option("recursiveFileLookup", "true")
+      .json(s"$d/out/conn")
+      .groupBy("k").agg(count(lit(1)).as("n_deliveries"))
+      .orderBy("k")
+  }
+
   /** K2: gated errors sink — the error split written through
     * [[Writers.errors]] into the `errors/<jobType>/year=.../time=...`
     * layout and read back (reference `related_items_etl.py:114-133`).
@@ -1208,6 +1236,7 @@ object Queries {
     "q_zvalue" -> (zvalueQ _),
     "q_zorder_layout" -> (zorderLayout _),
     "q_errors_sink" -> (errorsSink _),
+    "q_idempotent_sink" -> (idempotentSink _),
     "q_config_parse" -> (configParse _),
     "q_error_split_ok" -> (errorSplitOk _),
     "q_error_split_err" -> (errorSplitErr _),

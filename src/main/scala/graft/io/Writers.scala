@@ -48,6 +48,55 @@ object Writers {
     dir
   }
 
+  /** Idempotent connector output — the exactly-once upgrade SURVEY
+    * §2.11 leaves open in the reference (its enqueue can double-send a
+    * payload on a Lambda retry because nothing remembers what was
+    * already delivered). A key MANIFEST (a [[StateTable]] of the sink
+    * key columns — userId + runDateTime in the reference's terms)
+    * records every delivered key; a retried or overlapping batch
+    * anti-joins the manifest first, so each key's payload reaches the
+    * output exactly once no matter how many times the batch replays.
+    *
+    * Scale shape: the manifest holds KEYS only (never payloads), the
+    * dedup is a key-only left-anti join, and the manifest append is
+    * O(new keys) — the [[StateTable]] O(delta) pattern. Periodic
+    * manifest compaction comes free from
+    * [[StateTable.maybeCompact]].
+    *
+    * Failure window: the output write and the manifest append are two
+    * operations — a crash between them re-delivers that batch once on
+    * retry (at-least-once within the window, exactly-once after the
+    * manifest lands). That matches object-store reality: without
+    * transactional multi-file commits there is no stronger guarantee,
+    * and downstream consumers keyed on the same columns stay
+    * idempotent.
+    *
+    * @return the new (previously undelivered) rows actually written
+    */
+  def idempotentConnectorOutput(df: DataFrame, outputRoot: String,
+      connector: String, runTime: LocalDateTime,
+      keyCols: Seq[String], manifestDir: String,
+      compression: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    val fresh =
+      if (StateTable.versions(spark, manifestDir).isEmpty) df
+      else df.join(
+        StateTable.readLatest(spark, manifestDir, keyCols),
+        keyCols, "left_anti")
+    val pinned = fresh.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (!pinned.isEmpty) {
+        connectorOutput(pinned, outputRoot, connector, runTime,
+          compression)
+        StateTable.append(
+          pinned.select(keyCols.map(col): _*).distinct(), manifestDir)
+      }
+      pinned
+    } finally pinned.unpersist()
+  }
+
   /** K2: error sink — written only when enabled and non-empty
     * (reference `related_items_etl.py:114-133`). Returns the path if
     * anything was written.
