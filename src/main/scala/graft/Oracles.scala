@@ -1352,6 +1352,26 @@ object Oracles {
          |    (a, b) -> a + b), 3) AS "feat_sum"
          |FROM m JOIN f USING (doc_id) ORDER BY 1""".stripMargin,
 
+    // Media near-dup: the decode-stub features replicated in FLOAT
+    // arithmetic, then ALL pairs brute-forced — no planted-pair shape
+    // assumed, so spurious pairs and misses both fail.
+    "q_media_neardup" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents
+         |              WHERE doc_id < 200),
+         |aug AS (SELECT doc_id, text FROM base
+         |        UNION ALL SELECT doc_id + 100000, text FROM base
+         |        WHERE doc_id < 40),
+         |m AS (SELECT doc_id, md5(text) AS hx FROM aug),
+         |f AS (SELECT doc_id, list_transform(generate_series(0, 15),
+         |    i -> ((((${md5_60("hx || '_' || i")}) % 2001) - 1000)
+         |      ::FLOAT / 1000.0::FLOAT)::DOUBLE) AS v
+         |  FROM m)
+         |SELECT a.doc_id AS "id_a", b.doc_id AS "id_b",
+         |  round(${cosSql("a.v", "b.v")}, 6) AS "cosine"
+         |FROM f a JOIN f b ON a.doc_id < b.doc_id
+         |WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.95
+         |ORDER BY 1, 2""".stripMargin,
+
     "q_frame_sample" ->
       """SELECT doc_id AS "media_id",
         |  greatest(ceil(octet_length(encode(text)) / 128.0)::BIGINT, 1)

@@ -1199,6 +1199,32 @@ object QueriesLlm {
       .orderBy("media_id")
   }
 
+  /** Multimodal near-dup (cross-family composition): binary payloads
+    * (40 exact-duplicate twins planted at doc_id+100000) decode to
+    * md5-derived feature vectors, and the sign-LSH cosine pass finds
+    * the duplicate media — the image/audio dedup shape with the codec
+    * stubbed and everything else real. The oracle BRUTE-FORCES all
+    * pairs over the replicated float features (verified: exactly the
+    * 40 planted pairs clear 0.95; natural feature pairs top out below
+    * 0.7), so both false positives and misses fail the compare.
+    */
+  def mediaNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").where(col("doc_id") < 200)
+      .select("doc_id", "text")
+    val twins = docs.where(col("doc_id") < 40)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val media = Multimodal.asMedia(docs.unionByName(twins), "doc_id",
+      "text", kind = "image", format = "png")
+    val decoded = Multimodal.decodeAndFeaturize(media, featureDim = 16)
+    Ann.cosineNearDupPairs(
+        decoded.select(col("media_id").as("vec_id"),
+          col("features").as("embedding")),
+        threshold = 0.95, dim = 16, numPlanes = 16, bands = 4,
+        corpusIdCol = "vec_id")
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Frame-sampling plumbing: chunk count per payload is oracle-
     * computable from the text length.
     */
@@ -1243,6 +1269,7 @@ object QueriesLlm {
     "q_langid" -> (langId _),
     "q_fingerprints" -> (fingerprints _),
     "q_multimodal_decode" -> (multimodalDecode _),
+    "q_media_neardup" -> (mediaNearDup _),
     "q_image_dims" -> (imageDims _),
     "q_frame_sample" -> (frameSample _),
     "q_keep_best" -> (keepBestQ _),
