@@ -772,6 +772,14 @@ object Oracles {
         |       ((n_base + 1)::DOUBLE / (nbt + 8))), 9) AS "psi"
         |FROM j CROSS JOIN nb ORDER BY 1, 2""".stripMargin,
 
+    // Idempotent streaming relay: a full reprocess with a fresh
+    // checkpoint still delivers each key once — the manifest, not the
+    // checkpoint, carries the guarantee.
+    "q_idempotent_relay" ->
+      """SELECT o_orderkey AS "k", 1::BIGINT AS "n_deliveries"
+        |FROM orders WHERE o_orderkey < 120
+        |ORDER BY 1""".stripMargin,
+
     // Idempotent sink: the manifest absorbs the replay and the
     // overlap, so every delivered key appears exactly once.
     "q_idempotent_sink" ->

@@ -971,6 +971,45 @@ object Queries {
       .orderBy("win_start_us", "bin")
   }
 
+  /** Exactly-once streaming delivery (streaming source + foreachBatch
+    * + [[Writers.idempotentConnectorOutput]]): the SAME input is
+    * streamed twice with SEPARATE checkpoints — a full reprocess
+    * after checkpoint loss, the failure Structured Streaming's own
+    * tracking cannot absorb — and the key manifest still holds every
+    * delivery to exactly once. This is the §2.11 "enqueue can
+    * double-send on retry" gap closed end-to-end at the streaming
+    * layer, not just per batch.
+    */
+  def idempotentRelay(s: SparkSession, dir: String): DataFrame = {
+    val d = tmp("idemrelay")
+    t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+      .where(col("k") < 120)
+      .write.mode("overwrite").json(s"$d/in")
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", DoubleType)))
+    def run(ckpt: String): Unit = {
+      val q = s.readStream.schema(schema).json(s"$d/in")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          Writers.idempotentConnectorOutput(batch, s"$d/out", "conn",
+            java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+              .plusSeconds(id),
+            Seq("k"), s"$d/manifest")
+          ()
+        }
+        .option("checkpointLocation", s"$d/$ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run("ckpt1")
+    run("ckpt2") // full reprocess: fresh checkpoint, same input
+    s.read.option("recursiveFileLookup", "true").json(s"$d/out/conn")
+      .groupBy("k").agg(count(lit(1)).as("n_deliveries"))
+      .orderBy("k")
+  }
+
   /** §2.12 stateful streaming sessionization, driver-checkable: an
     * AvailableNow run of the `flatMapGroupsWithState` Sessionizer over
     * the events table (file 1 = all real events, file 2 = one sentinel
@@ -1264,6 +1303,7 @@ object Queries {
     "q_attribution" -> (attribution _),
     "q_streaming_dedup_equiv" -> (streamingDedupEquiv _),
     "q_stream_drift" -> (streamDrift _),
+    "q_idempotent_relay" -> (idempotentRelay _),
     "q_incremental_job" -> (incrementalJob _),
     "q_sessionize_stream" -> (sessionizeStream _),
     "q_queue_relay" -> (queueRelay _),
