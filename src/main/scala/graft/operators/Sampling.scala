@@ -163,7 +163,9 @@ object Sampling {
     * order is total even at 100 TB collision counts.
     *
     * @return df's columns plus `shard` (0..shards-1), `pos` (1-based
-    *   within shard), `global_pos` (0-based over the whole input)
+    *   within shard), `global_pos` (0-based over the whole input);
+    *   input columns named `shard`/`pos`/`global_pos` would collide —
+    *   rename them first
     */
   def shuffleShards(df: org.apache.spark.sql.DataFrame, keyCol: String,
       shards: Int): org.apache.spark.sql.DataFrame = {
