@@ -1116,6 +1116,35 @@ object Oracles {
          |WHERE vec_id NOT IN (SELECT vec_id FROM drp)
          |ORDER BY vec_id""".stripMargin,
 
+    // Trained semantic dedup: two unrolled Lloyd's iterations over the
+    // twin-augmented set, then the same assignment + neighbor-EXISTS
+    // as q_semantic_dedup, all from cent2.
+    "q_semdedup_trained" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |              FROM embeddings),
+         |tw AS (SELECT vec_id + 100000 AS vec_id, v FROM base
+         |       WHERE vec_id < 50),
+         |vec AS (SELECT * FROM base UNION ALL SELECT * FROM tw),
+         |cent0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1
+         |            AS cell, v AS cv
+         |          FROM (SELECT vec_id, v FROM vec ORDER BY vec_id
+         |                LIMIT 8)),
+         |${lloydIter(0, 64)},
+         |${lloydIter(1, 64)},
+         |fsc AS (SELECT vec_id, cell, ${cosSql("v", "cv")} AS s
+         |  FROM vec CROSS JOIN cent2),
+         |fasg AS (SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY s DESC, cell DESC) AS rn FROM fsc) WHERE rn = 1),
+         |av AS (SELECT a.vec_id, a.cell, v.v
+         |       FROM fasg a JOIN vec v USING (vec_id)),
+         |drp AS (SELECT DISTINCT a.vec_id FROM av a JOIN av b
+         |        ON a.cell = b.cell AND b.vec_id < a.vec_id
+         |        AND round(${cosSql("a.v", "b.v")}, 6) >= 0.95)
+         |SELECT vec_id, cell::BIGINT AS "cell" FROM fasg
+         |WHERE vec_id NOT IN (SELECT vec_id FROM drp)
+         |ORDER BY vec_id""".stripMargin,
+
     // ---- similarity search ----------------------------------------------
 
     "q_ann_brute" -> annBruteSql,

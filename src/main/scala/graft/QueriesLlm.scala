@@ -941,6 +941,21 @@ object QueriesLlm {
         threshold = 0.95)
       .orderBy("vec_id")
 
+  /** Semantic dedup with k-means-TRAINED centroids — the production
+    * configuration (sample centroids misplace cluster boundaries;
+    * training re-centers them): two deterministic Lloyd's iterations
+    * feed [[Ann.semanticDedup]], and the oracle unrolls training,
+    * assignment, AND the neighbor-EXISTS — the full trained pipeline
+    * hash-checked end to end.
+    */
+  def semanticDedupTrainedQ(s: SparkSession, dir: String): DataFrame = {
+    val corpus = vecsWithTwins(s, dir)
+    val cents = Ann.trainIvfCentroids(corpus, nCells = 8, iters = 2)
+    Ann.semanticDedup(corpus, nCells = 8, threshold = 0.95,
+        trainedCentroids = Some(cents))
+      .orderBy("vec_id")
+  }
+
   // ---- similarity search -----------------------------------------------
 
   /** Exact brute-force cosine top-k (the ANN baseline). */
@@ -1253,6 +1268,7 @@ object QueriesLlm {
     "q_char_jaccard" -> (charJaccard _),
     "q_embed_neardup" -> (embedNearDup _),
     "q_semantic_dedup" -> (semanticDedupQ _),
+    "q_semdedup_trained" -> (semanticDedupTrainedQ _),
     "q_ann_brute" -> (annBrute _),
     "q_ann_quantized" -> (annQuantized _),
     "q_ann_lsh" -> (annLsh _),
