@@ -1,17 +1,45 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.lang.management.ManagementFactory
+import scala.jdk.CollectionConverters._
 
 /** Benchmark main: runs every [[SparkEntry.queries]] entry on
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Each query runs three
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Each query runs four
   * times — the first warms the JVM/codegen caches, the best of the next
-  * two is reported (a single GC pause or page-cache miss otherwise
+  * three is reported (a single GC pause or page-cache miss otherwise
   * inflates one query by 5-10x) — and failures are recorded per query
-  * instead of masquerading as fast timings (VERDICT r1 item 9). Both
+  * instead of masquerading as fast timings (VERDICT r1 item 9). All
   * post-warm runs are also emitted verbatim under `"runs"` so readers
   * comparing against rounds measured under a different protocol (single
-  * post-warm run through round 3) can reconstruct either statistic.
+  * post-warm run through round 3; best-of-2 through round 10) can
+  * reconstruct either statistic.
+  *
+  * Self-diagnosis (VERDICT r10 item 1): rounds 7 and 10 both showed
+  * uniform 1.1-1.9x slowdowns on byte-identical code, attributed to a
+  * loaded box — but "attributed" was an inference, not a measurement.
+  * The JSON now carries the evidence to settle that per run:
+  *   - "load": /proc/loadavg 1-min samples at start and end of the whole
+  *     bench, plus the max sampled between queries. A loaded box shows
+  *     load >> allotted cpus.
+  *   - "gc": cumulative JVM GC count/time and peak heap at the end.
+  *   - per-query "gc_ms": GC time (ms) that elapsed DURING each timed
+  *     run, parallel to "runs". An outlier whose gc_ms ≈ its wall time
+  *     is a heap artifact of the 130-query shared JVM, not a plan
+  *     regression.
   */
 object Bench {
+  private def loadAvg1m(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.split("\\s+")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
+  private def gcTotals(): (Long, Long) = {
+    val beans = ManagementFactory.getGarbageCollectorMXBeans.asScala
+    (beans.map(_.getCollectionCount.max(0L)).sum,
+     beans.map(_.getCollectionTime.max(0L)).sum)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -23,11 +51,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadStart = loadAvg1m()
+    var loadMax = loadStart
+    // One timed run: wall seconds plus the GC milliseconds that elapsed
+    // inside it, so a slow sample carries its own explanation.
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Either[String, Double] = {
+        : Either[String, (Double, Long)] = {
+      val (_, gcMs0) = gcTotals()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val (_, gcMs1) = gcTotals()
+        Right((dt, gcMs1 - gcMs0))
+      } catch { case e: Throwable =>
         Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(120)) }
     }
     // Dev-only: SPARK_GRAFT_ONLY=q_a,q_b restricts the run; the driver
@@ -38,32 +75,42 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries
     }
-    val results: Seq[(String, Either[String, Seq[Double]])] =
+    val reps = sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption).getOrElse(3)
+    val results: Seq[(String, Either[String, Seq[(Double, Long)]])] =
       selected.toSeq.sortBy(_._1).map {
         case (name, fn) =>
+          loadMax = math.max(loadMax, loadAvg1m())
           val warm = once(fn)
           name -> (warm match {
             case Left(m) => Left(m)
-            case Right(_) => (once(fn), once(fn)) match {
-              case (Right(a), Right(b)) => Right(Seq(a, b))
-              case (Right(a), Left(_))  => Right(Seq(a))
-              case (Left(_), Right(b))  => Right(Seq(b))
-              case (Left(m), _)         => Left(m)
-            }
+            case Right(_) =>
+              val timed = Seq.fill(reps)(once(fn))
+              val oks = timed.collect { case Right(t) => t }
+              if (oks.nonEmpty) Right(oks)
+              else Left(timed.collectFirst { case Left(m) => m }.getOrElse("?"))
           })
       }
     def jq(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
     val ok = results.collect { case (n, Right(ts)) => n -> ts }
     val errs = results.collect { case (n, Left(m)) => n -> m }
-    val qs = ok.map { case (k, ts) => jq(k) + ":" + ts.min }
+    val qs = ok.map { case (k, ts) => jq(k) + ":" + ts.map(_._1).min }
       .mkString("{", ",", "}")
-    val rs = ok.map { case (k, ts) => jq(k) + ":" + ts.mkString("[", ",", "]") }
+    val rs = ok.map { case (k, ts) =>
+      jq(k) + ":" + ts.map(_._1).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val gs = ok.map { case (k, ts) =>
+      jq(k) + ":" + ts.map(_._2).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val es = errs.map { case (k, m) => jq(k) + ":" + jq(m) }
       .mkString("{", ",", "}")
-    val total = ok.map(_._2.min).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"errors":$es,"n_ok":${ok.size},"n_err":${errs.size},"sf":"$sfDir"}""")
+    val total = ok.map(_._2.map(_._1).min).sum
+    val loadEnd = loadAvg1m()
+    val (gcCount, gcMs) = gcTotals()
+    val heapMb = ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
+    val load = s"""{"start":$loadStart,"end":$loadEnd,"max":$loadMax}"""
+    val gc = s"""{"count":$gcCount,"time_ms":$gcMs,"heap_used_mb":${heapMb.getUsed / 1048576},"heap_max_mb":${heapMb.getMax / 1048576}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"gc_ms":$gs,"errors":$es,"n_ok":${ok.size},"n_err":${errs.size},"reps":$reps,"load":$load,"gc":$gc,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
