@@ -1609,6 +1609,57 @@ object Oracles {
          |SELECT cust, rn::BIGINT AS "rank", item, cosine
          |FROM r WHERE rn <= 5 ORDER BY cust, rn""".stripMargin,
 
+    // ANN-backed hard negatives: replays the IVF chain end to end —
+    // first-8-by-id default centroids, unrounded (s DESC, cell DESC)
+    // assignment + probe order (the annIvfSql recipe), the per-user
+    // k+overfetch=15 head on ROUNDED cosine (cosine DESC, item ASC),
+    // the positive anti-join, then the final 1..5 re-rank in the same
+    // tie order.
+    "q_hard_negatives_ann" ->
+      s"""WITH inter AS (SELECT DISTINCT o_custkey AS cust,
+         |    l_partkey AS item
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE o_custkey < 100),
+         |users AS (SELECT DISTINCT cust FROM inter),
+         |vec AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |        FROM embeddings),
+         |ivec AS (SELECT p_partkey AS item, v
+         |         FROM part JOIN vec ON vec_id = p_partkey
+         |         WHERE p_partkey < 300),
+         |cent AS (SELECT (row_number() OVER (ORDER BY item)) - 1 AS cell,
+         |                v AS cv
+         |         FROM (SELECT item, v FROM ivec ORDER BY item LIMIT 8)),
+         |isc AS (SELECT item, cell, ${cosSql("v", "cv")} AS s
+         |        FROM ivec CROSS JOIN cent),
+         |asg AS (SELECT item, cell FROM (
+         |    SELECT item, cell, row_number() OVER (PARTITION BY item
+         |      ORDER BY s DESC, cell DESC) AS rn FROM isc) WHERE rn = 1),
+         |uvec AS (SELECT u.cust, vec.v FROM users u
+         |         JOIN vec ON vec.vec_id = u.cust),
+         |usc AS (SELECT cust, cell, ${cosSql("v", "cv")} AS s
+         |        FROM uvec CROSS JOIN cent),
+         |prb AS (SELECT cust, cell FROM (
+         |    SELECT cust, cell, row_number() OVER (PARTITION BY cust
+         |      ORDER BY s DESC, cell DESC) AS rn FROM usc) WHERE rn <= 4),
+         |cand AS (SELECT p.cust, a.item
+         |         FROM prb p JOIN asg a ON a.cell = p.cell),
+         |cs AS (SELECT c.cust, c.item,
+         |    round(${cosSql("uv.v", "iv.v")}, 6) AS cosine
+         |  FROM cand c JOIN uvec uv ON uv.cust = c.cust
+         |              JOIN ivec iv ON iv.item = c.item),
+         |head AS (SELECT cust, item, cosine FROM (
+         |    SELECT cust, item, cosine, row_number() OVER (
+         |        PARTITION BY cust ORDER BY cosine DESC, item ASC) AS rn
+         |      FROM cs) WHERE rn <= 15),
+         |fresh AS (SELECT h.* FROM head h WHERE NOT EXISTS
+         |  (SELECT 1 FROM inter i
+         |   WHERE i.cust = h.cust AND i.item = h.item)),
+         |r AS (SELECT cust, item, cosine, row_number() OVER (
+         |    PARTITION BY cust ORDER BY cosine DESC, item ASC) AS rn
+         |  FROM fresh)
+         |SELECT cust, rn::BIGINT AS "rank", item, cosine
+         |FROM r WHERE rn <= 5 ORDER BY cust, rn""".stripMargin,
+
     // Fuzzy linkage: blocking shapes the PLAN, not the rows — the
     // oracle brute-forces levenshtein over the restricted sets.
     "q_fuzzy_join" ->

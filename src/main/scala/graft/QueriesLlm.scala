@@ -632,6 +632,31 @@ object QueriesLlm {
       .orderBy("cust", "rank")
   }
 
+  /** ANN-backed hard-negative mining (Sampling.hardNegativesAnn): the
+    * unbounded-catalog variant of [[hardNegativesQ]] — same
+    * interactions and pool, but candidates come from IVF cell probing
+    * (8 cells, 4 probes, overfetch 10) instead of a broadcast
+    * users x pool scan. The oracle replays the whole chain: default
+    * first-8-by-id centroids, (s DESC, cell DESC) assignment and
+    * probe order, per-user (cosine DESC, item ASC) overfetch head,
+    * positive anti-join, and the final re-rank.
+    */
+  def hardNegativesAnnQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val interactions = t(s, dir, "orders").where(col("o_custkey") < 100)
+      .join(t(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+    val e = t(s, dir, "embeddings")
+    val userVecs = e.select(col("vec_id").as("cust"), col("embedding"))
+    val itemVecs = t(s, dir, "part").where(col("p_partkey") < 300)
+      .select(col("p_partkey").as("item"))
+      .join(e.select(col("vec_id").as("item"), col("embedding")), "item")
+    Sampling.hardNegativesAnn(interactions, "cust", "item", userVecs,
+        itemVecs, k = 5, nCells = 8, nProbe = 4, overfetch = 10)
+      .orderBy("cust", "rank")
+  }
+
   /** Item-item co-occurrence related-items (Frequency.coOccurrence):
     * per part, the top-3 parts most often sharing an order, with lift
     * — the self-computed "customers also bought" table. The oracle
@@ -1301,6 +1326,7 @@ object QueriesLlm {
     "q_quota_sample" -> (quotaSampleQ _),
     "q_rec_training" -> (recTrainingQ _),
     "q_hard_negatives" -> (hardNegativesQ _),
+    "q_hard_negatives_ann" -> (hardNegativesAnnQ _),
     "q_temperature_mix" -> (temperatureMixQ _),
     "q_bigram_logprob" -> (bigramLogProbQ _),
     "q_histogram" -> (histogramQ _),

@@ -266,20 +266,34 @@ object Sampling {
     * Scale shape: the candidate space is |users| x |pool| with the
     * pool BROADCAST — the pool is the caller's lever, and production
     * negative samplers bound it the same way (a popularity head or
-    * stratified pool of thousands, not the full catalog). The
-    * interaction anti-join shuffles (user, item) keys only; the
+    * stratified pool of thousands, not the full catalog). That contract
+    * is ENFORCED, not just documented (the [[graft.operators.Curation]]
+    * `rankBounds` refuse-guard pattern): the distinct pool is counted
+    * once — it is collected for the broadcast anyway — and a pool
+    * larger than `maxPool` refuses with a pointer to the bounded
+    * alternative instead of silently exploding |users| x |catalog|.
+    * The interaction anti-join shuffles (user, item) keys only; the
     * per-user head reuses [[graft.etl.Ops.topKPerGroup]].
     *
     * @return (userCol, rank 1..k, itemCol)
     */
   def negativeSample(interactions: org.apache.spark.sql.DataFrame,
       userCol: String, itemCol: String,
-      pool: org.apache.spark.sql.DataFrame, k: Int)
+      pool: org.apache.spark.sql.DataFrame, k: Int,
+      maxPool: Long = 100000L)
       : org.apache.spark.sql.DataFrame = {
+    val poolIds = pool.select(col(itemCol)).distinct()
+    val poolN = poolIds.count()
+    require(poolN <= maxPool,
+      s"negative-sampling pool has $poolN distinct items, over " +
+        s"maxPool=$maxPool; the users x pool candidate space is only " +
+        "safe for a bounded pool (popularity head / stratified " +
+        "candidate set). Shrink the pool, raise maxPool deliberately, " +
+        "or use hardNegativesAnn for similarity-ranked negatives " +
+        "against an unbounded catalog")
     val users = interactions.select(col(userCol)).distinct()
     val cand = users
-      .crossJoin(org.apache.spark.sql.functions.broadcast(
-        pool.select(col(itemCol)).distinct()))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(poolIds))
       .withColumn("h", hashBucket(concat(
         col(userCol).cast("string"), lit(":"),
         col(itemCol).cast("string"), lit(":neg"))))
@@ -306,7 +320,11 @@ object Sampling {
     * cosine projection, positives leave via a key-only anti-join,
     * and the per-user head reuses [[graft.etl.Ops.topKPerGroup]].
     * Nothing corpus-sized ever shuffles with vectors attached except
-    * the user's own single vector row.
+    * the user's own single vector row. As in [[negativeSample]], the
+    * bounded-pool contract is enforced: the pool is counted once
+    * (it is collected for the broadcast anyway) and refused over
+    * `maxPool` with a pointer to [[hardNegativesAnn]], the
+    * unbounded-catalog path.
     *
     * @param userVecs (userCol, vecCol) — one embedding per user
     * @param itemVecs (itemCol, vecCol) — one embedding per pool item
@@ -316,9 +334,16 @@ object Sampling {
       userCol: String, itemCol: String,
       userVecs: org.apache.spark.sql.DataFrame,
       itemVecs: org.apache.spark.sql.DataFrame, k: Int,
-      vecCol: String = "embedding")
+      vecCol: String = "embedding", maxPool: Long = 100000L)
       : org.apache.spark.sql.DataFrame = {
     import graft.functions.{VectorFunctions => V}
+    val poolN = itemVecs.select(col(itemCol)).distinct().count()
+    require(poolN <= maxPool,
+      s"hard-negative pool has $poolN distinct items, over " +
+        s"maxPool=$maxPool; the broadcast users x pool cosine scan is " +
+        "only safe for a bounded pool. Shrink the pool, raise maxPool " +
+        "deliberately, or use hardNegativesAnn (IVF candidate " +
+        "generation) for an unbounded catalog")
     val users = interactions.select(col(userCol)).distinct()
       .join(userVecs.select(col(userCol),
         V.toDouble(col(vecCol)).as("__uv")), Seq(userCol))
@@ -333,6 +358,64 @@ object Sampling {
       Seq(userCol, itemCol), "left_anti")
     graft.etl.Ops.topKPerGroup(fresh, Seq(userCol),
         Seq("cosine", itemCol), k)
+      .select(col(userCol), col("rank"), col(itemCol), col("cosine"))
+  }
+
+  /** Hard-negative mining against an UNBOUNDED catalog — the scale
+    * path [[hardNegatives]]' refuse-guard points at. Instead of
+    * broadcasting the whole pool and scoring |users| x |pool|
+    * cosines, candidate generation goes through
+    * [[graft.operators.Ann.ivfTopK]]: the catalog partitions into
+    * `nCells` Voronoi cells (one shuffle on the cell key), each user
+    * probes its `nProbe` nearest cells, and exact cosine re-ranks only
+    * those cells' members — candidates per user are nProbe/nCells of
+    * the catalog, never all of it, and nothing is required to fit in
+    * a broadcast.
+    *
+    * Each user OVERFETCHES `k + overfetch` nearest items, positives
+    * leave via the key-only anti-join, and a per-user window re-ranks
+    * the survivors 1..k with ivfTopK's own tie order (cosine desc,
+    * item asc). Approximation contract, stated: a user with more than
+    * `overfetch` positives inside their ANN head, or whose true hard
+    * negatives hide in unprobed cells, can receive fewer than `k` rows
+    * or miss a negative the exact scan would find — that is the
+    * standard ANN recall trade, measured for this engine's IVF by
+    * `q_ann_recall`. Determinism is unchanged: rounded-cosine scoring
+    * and total tie orders make membership and rank engine-exact.
+    *
+    * @param userVecs (userCol, vecCol) — one embedding per user
+    * @param itemVecs (itemCol, vecCol) — one embedding per catalog item
+    * @param trainedCentroids optional k-means cells
+    *   ([[graft.operators.Ann.trainIvfCentroids]]); default cells are
+    *   the first `nCells` catalog vectors by item id
+    * @return (userCol, rank 1..k, itemCol, cosine)
+    */
+  def hardNegativesAnn(interactions: org.apache.spark.sql.DataFrame,
+      userCol: String, itemCol: String,
+      userVecs: org.apache.spark.sql.DataFrame,
+      itemVecs: org.apache.spark.sql.DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 2, overfetch: Int = 10,
+      vecCol: String = "embedding",
+      trainedCentroids: Option[Seq[Seq[Double]]] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val users = interactions.select(col(userCol)).distinct()
+      .join(userVecs.select(col(userCol), col(vecCol)), Seq(userCol))
+    val cand = graft.operators.Ann.ivfTopK(
+      users.select(col(userCol).as("query_id"), col(vecCol)),
+      itemVecs.select(col(itemCol).as("vec_id"), col(vecCol)),
+      k + overfetch, nCells, nProbe, vecCol = vecCol,
+      trainedCentroids = trainedCentroids)
+    val fresh = cand
+      .select(col("query_id").as(userCol), col("vec_id").as(itemCol),
+        col("cosine"))
+      .join(interactions.select(col(userCol), col(itemCol)).distinct(),
+        Seq(userCol, itemCol), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol)
+      .orderBy(col("cosine").desc, col(itemCol).asc)
+    fresh
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
       .select(col(userCol), col("rank"), col(itemCol), col("cosine"))
   }
 

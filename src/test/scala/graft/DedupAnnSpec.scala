@@ -435,6 +435,53 @@ class DedupAnnSpec extends SparkSpec {
     assert(out == Seq((11L, 1L), (12L, 2L))) // hardest first, k caps
   }
 
+  test("negativeSample/hardNegatives refuse an oversized pool") {
+    import graft.operators.Sampling
+    val inter = Seq((1L, 10L)).toDF("user", "item")
+    val pool = (10L to 29L).toDF("item") // 20 distinct items
+    val iv = (10L to 29L).map(i => (i, Seq(1.0f, i.toFloat)))
+      .toDF("item", "embedding")
+    val uv = Seq((1L, Seq(1.0f, 0.0f))).toDF("user", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Sampling.negativeSample(inter, "user", "item", pool, k = 3,
+        maxPool = 10L)
+    }
+    assert(e1.getMessage.contains("hardNegativesAnn"))
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.hardNegatives(inter, "user", "item", uv, iv, k = 3,
+        maxPool = 10L)
+    }
+    assert(e2.getMessage.contains("hardNegativesAnn"))
+    // at exactly the bound, both proceed
+    assert(Sampling.negativeSample(inter, "user", "item", pool, k = 3,
+      maxPool = 20L).count() == 3)
+  }
+
+  test("hardNegativesAnn: exhaustive probing matches the exact miner") {
+    import graft.operators.Sampling
+    val inter = Seq((1L, 10L)).toDF("user", "item")
+    val uv = Seq((1L, Seq(1.0f, 0.0f))).toDF("user", "embedding")
+    val iv = Seq(
+      (10L, Seq(1.0f, 0.0f)),    // identical but POSITIVE -> excluded
+      (11L, Seq(0.9f, 0.1f)),
+      (12L, Seq(0.5f, 0.5f)),
+      (13L, Seq(0.0f, 1.0f))
+    ).toDF("item", "embedding")
+    // nProbe = nCells probes every cell -> candidates are the whole
+    // catalog and the ANN head must equal hardNegatives' exact scan
+    // (cosines here are distinct, so the tie orders cannot diverge)
+    val out = Sampling.hardNegativesAnn(inter, "user", "item", uv, iv,
+        k = 2, nCells = 2, nProbe = 2, overfetch = 5)
+      .orderBy("rank").select("item", "rank")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((11L, 1L), (12L, 2L)))
+    // restricted probing still never returns a positive and caps at k
+    val narrow = Sampling.hardNegativesAnn(inter, "user", "item", uv,
+        iv, k = 2, nCells = 2, nProbe = 1, overfetch = 1)
+      .select("item").as[Long].collect().toSeq
+    assert(narrow.size <= 2 && !narrow.contains(10L))
+  }
+
   test("minhashNearDupsAgainst flags batch near-dups of corpus docs only") {
     import graft.operators.Dedup
     val base = "the quick brown fox jumps over the lazy dog and then " +
