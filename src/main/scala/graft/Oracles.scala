@@ -1116,6 +1116,24 @@ object Oracles {
          |WHERE vec_id NOT IN (SELECT vec_id FROM drp)
          |ORDER BY vec_id""".stripMargin,
 
+    // Skew-skip census: same first-4-by-id centroid assignment as the
+    // dedup oracles, then just a HAVING over the cell populations.
+    "q_semdedup_census" ->
+      s"""WITH vec AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |             FROM embeddings),
+         |cent AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1
+         |           AS cell, v AS cv
+         |         FROM (SELECT vec_id, v FROM vec
+         |               ORDER BY vec_id LIMIT 4)),
+         |sc AS (SELECT vec_id, cell, ${cosSql("v", "cv")} AS s
+         |       FROM vec CROSS JOIN cent),
+         |asg AS (SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY s DESC, cell DESC) AS rn FROM sc) WHERE rn = 1)
+         |SELECT cell::BIGINT AS cell, count(*)::BIGINT AS "rows"
+         |FROM asg GROUP BY 1 HAVING count(*) > 60
+         |ORDER BY 1""".stripMargin,
+
     // Trained semantic dedup: two unrolled Lloyd's iterations over the
     // twin-augmented set, then the same assignment + neighbor-EXISTS
     // as q_semantic_dedup, all from cent2.

@@ -966,6 +966,18 @@ object QueriesLlm {
         threshold = 0.95)
       .orderBy("vec_id")
 
+  /** Skew-skip census for semantic dedup (Ann.semanticDedupCensus):
+    * the cells whose population exceeds maxCell — the rows the skew
+    * policy passes through undeduped. nCells = 4 over the embeddings
+    * table guarantees (pigeonhole) at least one cell over the
+    * maxCell = 60 bar at every sf, so the census is provably
+    * non-empty and the oracle replays assignment + HAVING exactly.
+    */
+  def semdedupCensusQ(s: SparkSession, dir: String): DataFrame =
+    Ann.semanticDedupCensus(t(s, dir, "embeddings"), nCells = 4,
+        maxCell = 60)
+      .orderBy("cell")
+
   /** Semantic dedup with k-means-TRAINED centroids — the production
     * configuration (sample centroids misplace cluster boundaries;
     * training re-centers them): two deterministic Lloyd's iterations
@@ -1293,6 +1305,7 @@ object QueriesLlm {
     "q_char_jaccard" -> (charJaccard _),
     "q_embed_neardup" -> (embedNearDup _),
     "q_semantic_dedup" -> (semanticDedupQ _),
+    "q_semdedup_census" -> (semdedupCensusQ _),
     "q_semdedup_trained" -> (semanticDedupTrainedQ _),
     "q_ann_brute" -> (annBrute _),
     "q_ann_quantized" -> (annQuantized _),

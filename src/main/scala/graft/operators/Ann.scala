@@ -227,6 +227,23 @@ object Ann {
         transform(sort_array(collect_list(struct(col("d"), col("m")))),
           x => x.getField("m")).as("mean"))
 
+  /** Sign-LSH banding stage shared by [[cosineNearDupPairs]] and
+    * [[cosineNearDupSkewCensus]]: (id, v) vectors and the narrow
+    * (id, k) band-key explosion. Narrow candidate generation — only
+    * (bucket, id) shuffles; vectors re-enter late for candidate ids
+    * only (same shape as [[graft.operators.Dedup.minhashNearDups]]).
+    */
+  private def signBanded(corpus: DataFrame, dim: Int, numPlanes: Int,
+      bands: Int, corpusIdCol: String, vecCol: String)
+      : (DataFrame, DataFrame) = {
+    val planes = V.hyperplanes(dim, numPlanes)
+    val vecs = corpus.select(col(corpusIdCol).as("id"),
+      V.toDouble(col(vecCol)).as("v"))
+    val banded = vecs.select(col("id"),
+      explode(V.signLshBandKeys(col("v"), planes, bands)).as("k"))
+    (vecs, banded)
+  }
+
   /** Embedding-cosine near-duplicate pairs: sign-LSH self-join, exact
     * cosine >= threshold, id_a < id_b. The 5th dedup family from the
     * brief, sharing the Ann bucketing machinery.
@@ -235,14 +252,8 @@ object Ann {
       numPlanes: Int = 16, bands: Int = 4,
       corpusIdCol: String = "vec_id", vecCol: String = "embedding",
       maxBucket: Int = 100000): DataFrame = {
-    val planes = V.hyperplanes(dim, numPlanes)
-    val vecs = corpus.select(col(corpusIdCol).as("id"),
-      V.toDouble(col(vecCol)).as("v"))
-    // Narrow candidate generation: only (bucket, id) shuffles; vectors
-    // re-enter late for candidate ids only (same shape as
-    // [[graft.operators.Dedup.minhashNearDups]]).
-    val banded = vecs.select(col("id"),
-      explode(V.signLshBandKeys(col("v"), planes, bands)).as("k"))
+    val (vecs, banded) =
+      signBanded(corpus, dim, numPlanes, bands, corpusIdCol, vecCol)
     val bucketCounts = banded.groupBy("k").count()
       .where(col("count") <= maxBucket && col("count") > 1)
     val inBuckets = banded.join(bucketCounts.select("k"), "k")
@@ -291,35 +302,97 @@ object Ann {
   def semanticDedup(corpus: DataFrame, nCells: Int, threshold: Double,
       corpusIdCol: String = "vec_id", vecCol: String = "embedding",
       trainedCentroids: Option[Seq[Seq[Double]]] = None,
-      maxCell: Int = 100000): DataFrame = {
+      maxCell: Int = 100000): DataFrame =
+    cellAssign(corpus, nCells, corpusIdCol, vecCol, trainedCentroids)
+      match {
+      // No centroids (empty corpus, or trainedCentroids = Some(empty))
+      // -> no cells, no candidate pairs, so NOTHING can be deduped and
+      // every row survives with sentinel cell -1. (ADVICE r10: the old
+      // empty-frame return silently dropped a non-empty corpus when
+      // the trained centroid list was empty.)
+      case None =>
+        corpus.select(col(corpusIdCol).as("vec_id"), lit(-1L).as("cell"))
+      case Some(c) =>
+        val dedupCells = c.groupBy("cell").count()
+          .where(col("count") <= maxCell && col("count") > 1)
+          .select("cell")
+        val inCells = c.join(dedupCells, "cell")
+        val dropped = inCells.alias("a").join(inCells.alias("b"),
+            col("a.cell") === col("b.cell") &&
+            col("b.vec_id") < col("a.vec_id") &&
+            round(V.cosine(col("a.cv"), col("b.cv")), 6) >= threshold)
+          .select(col("a.vec_id").as("vec_id")).distinct()
+        c.join(dropped, Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("cell").cast("long").as("cell"))
+    }
+
+  /** Nearest-centroid assignment shared by [[semanticDedup]] and
+    * [[semanticDedupCensus]] — one source of truth for the cell key,
+    * so the census can never drift from the operator it audits.
+    * Returns (vec_id, cv, cell), or None when no centroid exists to
+    * build the assignment expression.
+    */
+  private def cellAssign(corpus: DataFrame, nCells: Int,
+      corpusIdCol: String, vecCol: String,
+      trainedCentroids: Option[Seq[Seq[Double]]]): Option[DataFrame] = {
     import org.apache.spark.sql.Column
     val centroids: Seq[Seq[Double]] = trainedCentroids.getOrElse(corpus
       .select(col(corpusIdCol), V.toDouble(col(vecCol)).as("v"))
       .orderBy(corpusIdCol).limit(nCells)
       .collect().toSeq.map(_.getSeq[Double](1).toSeq))
-    // empty corpus (or empty trained set) -> nothing to dedup; an
-    // empty centroid list cannot build the assignment array expression
-    if (centroids.isEmpty)
-      return corpus.select(col(corpusIdCol).as("vec_id"),
-        lit(0L).as("cell")).where(lit(false))
-    def scored(v: Column): Column = array(centroids.zipWithIndex.map {
-      case (c, i) =>
-        struct(V.cosine(v, array(c.map(lit(_)): _*)).as("s"),
-          lit(i).as("c"))
-    }: _*)
-    val c = corpus.select(col(corpusIdCol).as("vec_id"),
-        V.toDouble(col(vecCol)).as("cv"))
-      .withColumn("cell", array_max(scored(col("cv"))).getField("c"))
-    val dedupCells = c.groupBy("cell").count()
-      .where(col("count") <= maxCell && col("count") > 1)
-      .select("cell")
-    val inCells = c.join(dedupCells, "cell")
-    val dropped = inCells.alias("a").join(inCells.alias("b"),
-        col("a.cell") === col("b.cell") &&
-        col("b.vec_id") < col("a.vec_id") &&
-        round(V.cosine(col("a.cv"), col("b.cv")), 6) >= threshold)
-      .select(col("a.vec_id").as("vec_id")).distinct()
-    c.join(dropped, Seq("vec_id"), "left_anti")
-      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+    if (centroids.isEmpty) None
+    else {
+      def scored(v: Column): Column = array(centroids.zipWithIndex.map {
+        case (c, i) =>
+          struct(V.cosine(v, array(c.map(lit(_)): _*)).as("s"),
+            lit(i).as("c"))
+      }: _*)
+      Some(corpus.select(col(corpusIdCol).as("vec_id"),
+          V.toDouble(col(vecCol)).as("cv"))
+        .withColumn("cell", array_max(scored(col("cv"))).getField("c")))
+    }
   }
+
+  /** Skew census for [[semanticDedup]] (VERDICT r10 item 3: no silent
+    * caps): the cells whose population exceeds `maxCell` — exactly the
+    * rows `semanticDedup` passes through UNDEDUPED under its skew
+    * policy. Empty census = the dedup covered every row; a non-empty
+    * one quantifies the coverage gap and says how much to raise
+    * `nCells` (or that centroids need training). Same parameters, same
+    * assignment expression, one narrow aggregate on the cell key.
+    *
+    * @return (cell, rows) — rows skipped per oversized cell
+    */
+  def semanticDedupCensus(corpus: DataFrame, nCells: Int,
+      corpusIdCol: String = "vec_id", vecCol: String = "embedding",
+      trainedCentroids: Option[Seq[Seq[Double]]] = None,
+      maxCell: Int = 100000): DataFrame =
+    cellAssign(corpus, nCells, corpusIdCol, vecCol, trainedCentroids)
+      match {
+      case None =>
+        corpus.select(lit(0L).as("cell"), lit(0L).as("rows"))
+          .where(lit(false))
+      case Some(c) =>
+        c.groupBy("cell").count().where(col("count") > maxCell)
+          .select(col("cell").cast("long").as("cell"),
+            col("count").as("rows"))
+    }
+
+  /** Skew census for [[cosineNearDupPairs]]: sign-LSH band buckets
+    * larger than `maxBucket`, within which candidate pairs were NOT
+    * generated. Unlike [[semanticDedupCensus]]'s cells, an oversized
+    * band bucket does not exclude its rows outright — a pair can still
+    * surface through one of the other `bands - 1` buckets it lands in —
+    * so `rows` here measures lost candidate-generation coverage in
+    * that band, not rows guaranteed undeduped.
+    *
+    * @return (k, rows) — band-bucket key and its population
+    */
+  def cosineNearDupSkewCensus(corpus: DataFrame, dim: Int,
+      numPlanes: Int = 16, bands: Int = 4,
+      corpusIdCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucket: Int = 100000): DataFrame =
+    signBanded(corpus, dim, numPlanes, bands, corpusIdCol, vecCol)._2
+      .groupBy("k").count().where(col("count") > maxBucket)
+      .select(col("k"), col("count").as("rows"))
 }

@@ -117,17 +117,8 @@ object Dedup {
       shingleWidth: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5, maxBucket: Int = 1000,
       cache: Option[StorageLevel] = None): DataFrame = {
-    val rpb = numHashes / bands
-    def cached(d: DataFrame): DataFrame = cache.fold(d)(d.persist)
-    // No array_distinct: minhash minima and jaccard (which dedups
-    // internally) are both duplicate-insensitive.
-    val shingled = cached(df.select(
-      col(idCol).as("id"),
-      H.wordShingles(T.tokens(col(textCol)), shingleWidth).as("shingles")))
-    val banded = cached(shingled.select(
-      col("id"),
-      explode(H.bandKeys(H.minhashSignature(col("shingles"), numHashes),
-        bands, rpb)).as("band")))
+    val (shingled, banded) = minhashBandedStage(df, idCol, textCol,
+      shingleWidth, numHashes, bands, cache)
     // Skew guard: degenerate buckets out.
     val counts = banded.groupBy("band").count()
       .where(col("count") <= maxBucket && col("count") > 1)
@@ -148,6 +139,46 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Shingle + minhash-band stage shared by [[minhashNearDups]] and
+    * [[minhashSkewCensus]] — one source of truth for the band key.
+    * Returns (shingled (id, shingles), banded (id, band)). No
+    * array_distinct: minhash minima and jaccard (which dedups
+    * internally) are both duplicate-insensitive.
+    */
+  private def minhashBandedStage(df: DataFrame, idCol: String,
+      textCol: String, shingleWidth: Int, numHashes: Int, bands: Int,
+      cache: Option[StorageLevel]): (DataFrame, DataFrame) = {
+    val rpb = numHashes / bands
+    def cached(d: DataFrame): DataFrame = cache.fold(d)(d.persist)
+    val shingled = cached(df.select(
+      col(idCol).as("id"),
+      H.wordShingles(T.tokens(col(textCol)), shingleWidth).as("shingles")))
+    val banded = cached(shingled.select(
+      col("id"),
+      explode(H.bandKeys(H.minhashSignature(col("shingles"), numHashes),
+        bands, rpb)).as("band")))
+    (shingled, banded)
+  }
+
+  /** Skew census for [[minhashNearDups]] (VERDICT r10 item 3: no
+    * silent caps): the band buckets larger than `maxBucket`, inside
+    * which the skew guard suppressed candidate generation. An
+    * oversized bucket does not exclude its rows outright — a pair can
+    * still collide in one of the other `bands - 1` buckets — so `rows`
+    * measures lost coverage in that band, not rows guaranteed
+    * undeduped. Same parameters as the operator, one narrow aggregate
+    * on the band key.
+    *
+    * @return (band, rows) — oversized band-bucket key and population
+    */
+  def minhashSkewCensus(df: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      maxBucket: Int = 1000): DataFrame =
+    minhashBandedStage(df, idCol, textCol, shingleWidth, numHashes,
+        bands, cache = None)._2
+      .groupBy("band").count().where(col("count") > maxBucket)
+      .select(col("band"), col("count").as("rows"))
 
   /** Duplicate-PASSAGE detection via winnowed fingerprints (MOSS
     * selection): flags document pairs sharing verbatim passages even
@@ -260,12 +291,7 @@ object Dedup {
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 10000,
       cache: Option[StorageLevel] = None): DataFrame = {
-    val pieces = maxHamming + 1
-    def cached(d: DataFrame): DataFrame = cache.fold(d)(d.persist)
-    val sims = cached(df.select(col(idCol).as("id"),
-      H.simhash60(T.tokens(col(textCol))).as("sim")))
-    val banded = cached(sims.withColumn("k",
-      explode(H.simhashBandKeys(col("sim"), pieces))))
+    val banded = simhashBandedStage(df, idCol, textCol, maxHamming, cache)
     val counts = banded.groupBy("k").count()
       .where(col("count") <= maxBucket && col("count") > 1)
     val inBuckets = banded.join(counts, "k")
@@ -281,6 +307,36 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** Simhash piece-band stage shared by [[simhashNearDups]] and
+    * [[simhashSkewCensus]]: (id, sim, k) with one row per pigeonhole
+    * piece.
+    */
+  private def simhashBandedStage(df: DataFrame, idCol: String,
+      textCol: String, maxHamming: Int,
+      cache: Option[StorageLevel]): DataFrame = {
+    val pieces = maxHamming + 1
+    def cached(d: DataFrame): DataFrame = cache.fold(d)(d.persist)
+    val sims = cached(df.select(col(idCol).as("id"),
+      H.simhash60(T.tokens(col(textCol))).as("sim")))
+    cached(sims.withColumn("k",
+      explode(H.simhashBandKeys(col("sim"), pieces))))
+  }
+
+  /** Skew census for [[simhashNearDups]]: piece-buckets larger than
+    * `maxBucket` whose candidate generation the skew guard suppressed.
+    * As with [[minhashSkewCensus]], a pair in an oversized bucket can
+    * still collide through another of its `maxHamming + 1` pieces, so
+    * `rows` measures per-piece coverage lost, not rows guaranteed
+    * undeduped.
+    *
+    * @return (k, rows) — oversized piece-bucket key and population
+    */
+  def simhashSkewCensus(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame =
+    simhashBandedStage(df, idCol, textCol, maxHamming, cache = None)
+      .groupBy("k").count().where(col("count") > maxBucket)
+      .select(col("k"), col("count").as("rows"))
 
   /** Benchmark decontamination: word-n-gram containment of each corpus
     * document against each benchmark item — the train/test-overlap scan

@@ -177,6 +177,72 @@ class DedupAnnSpec extends SparkSpec {
     assert(guarded == Set(1L, 2L, 3L, 4L, 5L, 6L))
   }
 
+  test("semanticDedupCensus reports exactly the cells the guard skips") {
+    val corpus = vecs.unionByName(Seq(
+      (5L, Seq(0.998f, 0.02f, 0.0f, 0.0f)),
+      (6L, Seq(0.0f, 1.0f, 0.001f, 0.0f))
+    ).toDF("vec_id", "embedding"))
+    val axes = Some(Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0)))
+    // maxCell = 2: cell 0 holds {1,2,5}, cell 1 holds {3,4,6} -> both
+    // oversized, both skipped by the operator, both in the census with
+    // their populations
+    val census = Ann.semanticDedupCensus(corpus, nCells = 2,
+        trainedCentroids = axes, maxCell = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(census == Set((0L, 3L), (1L, 3L)))
+    // at the operator's own default the same corpus yields an empty
+    // census — no silent cap in play
+    assert(Ann.semanticDedupCensus(corpus, nCells = 2,
+      trainedCentroids = axes).isEmpty)
+    // census rows == rows the guarded operator passed through undeduped
+    val skipped = census.toSeq.map(_._2).sum
+    assert(Ann.semanticDedup(corpus, nCells = 2, threshold = 0.99,
+      trainedCentroids = axes, maxCell = 2).count() == skipped)
+  }
+
+  test("semanticDedup with an empty trained centroid list keeps every row") {
+    // ADVICE r10: Some(Seq.empty) on a non-empty corpus must mean "no
+    // dedup possible -> all survive", never an empty result
+    val out = Ann.semanticDedup(vecs, nCells = 2, threshold = 0.9,
+        trainedCentroids = Some(Seq.empty))
+      .as[(Long, Long)].collect().toSet
+    assert(out.map(_._1) == Set(1L, 2L, 3L, 4L))
+    assert(out.forall(_._2 == -1L)) // sentinel cell: unassigned
+    // and an empty corpus still yields an empty frame
+    assert(Ann.semanticDedup(vecs.where(lit(false)), nCells = 2,
+      threshold = 0.9).count() == 0)
+  }
+
+  test("minhash/simhash skew censuses surface suppressed buckets") {
+    import graft.operators.Dedup
+    // 12 identical docs: every band bucket they share has 12 members
+    val docs = (1L to 12L).map(i => (i, "the quick brown fox jumps " +
+      "over the lazy dog tonight")).toDF("id", "text")
+    val mh = Dedup.minhashSkewCensus(docs, "id", "text", maxBucket = 10)
+      .as[(Long, Long)].collect()
+    assert(mh.nonEmpty && mh.forall(_._2 == 12L))
+    // and the operator under the same bound finds no pairs (all its
+    // buckets are oversized) — the census explains the silence
+    assert(Dedup.minhashNearDups(docs, "id", "text", maxBucket = 10)
+      .count() == 0)
+    val sh = Dedup.simhashSkewCensus(docs, "id", "text", maxBucket = 10)
+      .as[(Long, Long)].collect()
+    assert(sh.nonEmpty && sh.forall(_._2 == 12L))
+    assert(Dedup.simhashNearDups(docs, "id", "text", maxBucket = 10)
+      .count() == 0)
+    // raise the bound and both censuses empty out
+    assert(Dedup.minhashSkewCensus(docs, "id", "text").isEmpty)
+    assert(Dedup.simhashSkewCensus(docs, "id", "text").isEmpty)
+    // cosine variant: 12 identical embeddings, every sign-LSH bucket
+    // oversized under a tight bound
+    val emb = (1L to 12L).map(i => (i, Seq(1.0f, 0.5f, 0.25f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cc = Ann.cosineNearDupSkewCensus(emb, dim = 4, maxBucket = 10)
+      .as[(Long, Long)].collect()
+    assert(cc.nonEmpty && cc.forall(_._2 == 12L))
+    assert(Ann.cosineNearDupSkewCensus(emb, dim = 4).isEmpty)
+  }
+
   test("dedupGroups: multi-hop chains collapse to the min id") {
     // Component A: 1-2-3-4 chain (3 hops); component B: 7-9; 5 isolated
     // from the pair list entirely (absent nodes stay absent).
