@@ -759,10 +759,15 @@ object Oracles {
         |    AS win_start_us, (v - mn) // w AS bin, count(*) AS n
         |  FROM ev CROSS JOIN mm GROUP BY 1, 2),
         |wt AS (SELECT win_start_us, sum(n) AS n_win FROM wb GROUP BY 1),
-        |j AS (SELECT wb.win_start_us, wb.bin, wb.n, wt.n_win,
+        |g AS (SELECT wt.win_start_us, gs.bin
+        |  FROM wt CROSS JOIN generate_series(0, 7) AS gs(bin)),
+        |f AS (SELECT g.win_start_us, g.bin, coalesce(wb.n, 0) AS n
+        |  FROM g LEFT JOIN wb ON g.win_start_us = wb.win_start_us
+        |                     AND g.bin = wb.bin),
+        |j AS (SELECT f.win_start_us, f.bin, f.n, wt.n_win,
         |    coalesce(b.n_base, 0) AS n_base
-        |  FROM wb JOIN wt USING (win_start_us)
-        |       LEFT JOIN base b ON wb.bin = b.bin)
+        |  FROM f JOIN wt USING (win_start_us)
+        |       LEFT JOIN base b ON f.bin = b.bin)
         |SELECT win_start_us::BIGINT AS "win_start_us",
         |  bin::BIGINT AS "bin", j.n::BIGINT AS "n",
         |  n_base::BIGINT AS "n_base",
@@ -1871,9 +1876,11 @@ object Oracles {
         |  FROM a CROSS JOIN mm GROUP BY 1),
         |bb AS (SELECT (n_chars - mn) // w AS bin, count(*) AS n_b
         |  FROM b CROSS JOIN mm GROUP BY 1),
-        |j AS (SELECT coalesce(ba.bin, bb.bin) AS bin,
+        |g AS (SELECT generate_series AS bin FROM generate_series(0, 11)),
+        |j AS (SELECT g.bin,
         |    coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
-        |  FROM ba FULL OUTER JOIN bb ON ba.bin = bb.bin),
+        |  FROM g LEFT JOIN ba ON g.bin = ba.bin
+        |         LEFT JOIN bb ON g.bin = bb.bin),
         |p AS (SELECT bin, n_a, n_b,
         |    (n_a + 1)::DOUBLE / (na.n + 12) AS pa,
         |    (n_b + 1)::DOUBLE / (nb.n + 12) AS pb
@@ -2118,7 +2125,8 @@ object Oracles {
         |t3 AS (SELECT min(v) AS t FROM cum, nn
         |  WHERE cs >= greatest(ceil(0.75 * n), 1))
         |SELECT doc_id, n_chars,
-        |  (CASE WHEN n_chars <= t1.t THEN 0
+        |  (CASE WHEN n_chars IS NULL THEN NULL
+        |        WHEN n_chars <= t1.t THEN 0
         |        WHEN n_chars <= t2.t THEN 1
         |        WHEN n_chars <= t3.t THEN 2
         |        ELSE 3 END)::BIGINT AS "bucket"

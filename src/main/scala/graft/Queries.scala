@@ -276,13 +276,18 @@ object Queries {
     val d = tmp("idemsink")
     val orders = t(s, dir, "orders")
       .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+    // batch A carries IN-BATCH twins (keys < 10 appear twice with
+    // identical payloads) — the sink must collapse them too, not just
+    // cross-batch replays (ADVICE r10)
     val a = orders.where(col("k") < 100)
+      .unionByName(orders.where(col("k") < 10))
     val b = orders.where(col("k") >= 50 && col("k") < 150)
     val rt = java.time.LocalDateTime.of(2024, 1, 2, 3, 4, 5)
     def deliver(batch: DataFrame, t: java.time.LocalDateTime) =
       Writers.idempotentConnectorOutput(batch, s"$d/out", "conn", t,
         Seq("k"), s"$d/manifest")
-    require(deliver(a, rt).count() == a.count(), "first A truncated")
+    require(deliver(a, rt).count() == a.dropDuplicates("k").count(),
+      "first A truncated or in-batch twins not collapsed")
     require(deliver(a, rt.plusHours(1)).isEmpty, // the retry
       "replayed batch re-delivered")
     val bNew = deliver(b, rt.plusHours(2)).count()

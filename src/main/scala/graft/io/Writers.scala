@@ -63,6 +63,17 @@ object Writers {
     * manifest compaction comes free from
     * [[StateTable.maybeCompact]].
     *
+    * In-batch duplicates: rows sharing a key WITHIN one batch are
+    * collapsed to a single delivery too (`dropDuplicates(keyCols)`
+    * before the write — ADVICE r10: the manifest alone only absorbs
+    * cross-batch replays, it cannot see twins inside the batch it is
+    * about to record). When in-batch twins carry byte-identical
+    * payloads — the replay/retry case this sink exists for — the
+    * collapse is exact; twins with DIFFERING payloads under one key
+    * deliver an arbitrary representative, so callers for whom payload
+    * identity matters must resolve conflicts upstream (the key is the
+    * delivery contract, not the payload).
+    *
     * Failure window: the output write and the manifest append are two
     * operations — a crash between them re-delivers that batch once on
     * retry (at-least-once within the window, exactly-once after the
@@ -79,9 +90,10 @@ object Writers {
       compression: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
+    val once = df.dropDuplicates(keyCols)
     val fresh =
-      if (StateTable.versions(spark, manifestDir).isEmpty) df
-      else df.join(
+      if (StateTable.versions(spark, manifestDir).isEmpty) once
+      else once.join(
         StateTable.readLatest(spark, manifestDir, keyCols),
         keyCols, "left_anti")
     val pinned = fresh.persist(

@@ -363,7 +363,11 @@ object Curation {
         Some(branch)
     }.map(_.otherwise(lit((nBuckets - 1).toLong)))
       .getOrElse(lit(0L))
-    df.withColumn("bucket", bucket)
+    // NULL values carry no rank (the histogram above excluded them) —
+    // they band to a NULL bucket, not the top quantile the bare CASE's
+    // otherwise() would silently assign (ADVICE r10).
+    df.withColumn("bucket",
+      when(col(valueCol).isNotNull, bucket))
   }
 
   /** k-anonymity audit: the quasi-identifier combinations shared by

@@ -43,17 +43,22 @@ object Profile {
     * stability index): both sides are binned on ONE shared integer
     * grid derived from their union, then each bin contributes
     * `(pa - pb) * ln(pa / pb)` with add-1-smoothed shares
-    * `p = (n + 1) / (N + bins)` — smoothing keeps empty bins finite,
-    * and a bin empty on BOTH sides contributes exactly 0, so omitting
-    * never-occupied bins loses nothing. The per-bin expression is one
-    * fixed IEEE tree over integers any engine reproduces; callers sum
-    * `psi` for the headline number (> 0.2 conventionally = drifted).
+    * `p = (n + 1) / (N + bins)` — smoothing keeps empty bins finite.
+    * ALL `bins` grid bins are emitted, occupied or not (ADVICE r10): a
+    * bin empty on both sides still carries smoothing mass
+    * `(1/(nA+bins) - 1/(nB+bins)) * ln(...)` whenever the totals
+    * differ, and emitting the whole grid is what makes each side's
+    * smoothed shares sum to exactly 1 — so the summed `psi` is the
+    * true full-grid PSI, not an occupied-bins approximation. The
+    * per-bin expression is one fixed IEEE tree over integers any
+    * engine reproduces; callers sum `psi` for the headline number
+    * (> 0.2 conventionally = drifted).
     *
     * Scale shape: same as [[histogram]] twice — two scalars collected
     * for the grid, two counts for the totals, one map-side-combinable
     * groupBy per side, and a bins-sized outer join.
     *
-    * @return (bin, lo, hi, n_a, n_b, psi) per occupied bin
+    * @return (bin, lo, hi, n_a, n_b, psi) for every grid bin 0..bins-1
     */
   def distributionDrift(dfA: DataFrame, dfB: DataFrame,
       valueCol: String, bins: Int): DataFrame = {
@@ -73,7 +78,11 @@ object Profile {
         .agg(count(lit(1)).as(n))
     val nA = dfA.where(col(valueCol).isNotNull).count()
     val nB = dfB.where(col(valueCol).isNotNull).count()
-    binned(dfA, "n_a").join(binned(dfB, "n_b"), Seq("bin"), "full_outer")
+    // the grid covers every representable bin (data bins are 0..bins-1
+    // by construction of w), so left joins from it lose nothing
+    val grid = dfA.sparkSession.range(0, bins).select(col("id").as("bin"))
+    grid.join(binned(dfA, "n_a"), Seq("bin"), "left_outer")
+      .join(binned(dfB, "n_b"), Seq("bin"), "left_outer")
       .select(col("bin"),
         (lit(mn) + col("bin") * w).as("lo"),
         (lit(mn) + (col("bin") + 1) * w - 1).as("hi"),

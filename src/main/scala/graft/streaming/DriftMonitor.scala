@@ -33,7 +33,12 @@ object DriftMonitor {
       windowDur: String, watermark: String, mn: Long,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be > 0")
-    src.withWatermark(tsCol, watermark)
+    // NULL metric values carry no bin (same contract as
+    // Profile.histogram) — without this filter they'd form a
+    // (window, NULL-bin) row that score() grades against an n_base of
+    // 0, inflating PSI (ADVICE r10)
+    src.where(col(valueCol).isNotNull)
+      .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowDur).as("win"),
         expr(s"(CAST(`$valueCol` AS BIGINT) - ${mn}L) div ${binWidth}L")
           .as("bin"))
@@ -46,10 +51,15 @@ object DriftMonitor {
     * memory/Delta sink [[windowedBins]] feeds): add-1-smoothed PSI of
     * each window's bin shares against the baseline's, the
     * [[graft.operators.Profile.distributionDrift]] expression with
-    * the baseline as side A. Only bins the window OCCUPIES are
-    * scored (an all-empty window emits nothing to score); `bins` is
-    * the grid's nominal bin count, used as the smoothing mass so the
-    * shares match the batch operator's.
+    * the baseline as side A. Every window scores the FULL grid
+    * 0..bins-1 (ADVICE r10, same reasoning as the batch operator): a
+    * bin the window left empty still carries smoothing mass against
+    * the baseline's share, so each window's summed `psi` is the true
+    * full-grid PSI. Bins outside the nominal grid that the stream
+    * nonetheless occupied (values past the baseline's max) are also
+    * scored; `bins` stays the smoothing denominator either way so the
+    * shares match the batch operator's. An all-empty window emits
+    * nothing (it has no row in `winBins` to anchor the grid).
     *
     * Input sizes here are windows x bins — driver-trivial; the heavy
     * lifting already happened in the stream.
@@ -63,11 +73,20 @@ object DriftMonitor {
     val nbRow = baseline.agg(sum("n_base")).head
     require(!nbRow.isNullAt(0), "baseline is empty — nothing to score against")
     val nBase = nbRow.getLong(0)
-    // renamed key before the self-derived join: a memory-sink input
+    // renamed keys before the self-derived joins: a memory-sink input
     // carries identical attribute ids on both branches otherwise
+    val grid = winBins.select(col("win_start_us").as("__gw")).distinct()
+      .select(col("__gw"),
+        explode(sequence(lit(0L), lit((bins - 1).toLong))).as("__gb"))
+    val full = grid.join(winBins,
+        col("__gw") === col("win_start_us") && col("__gb") === col("bin"),
+        "full_outer")
+      .select(coalesce(col("win_start_us"), col("__gw")).as("win_start_us"),
+        coalesce(col("bin"), col("__gb")).as("bin"),
+        coalesce(col("n"), lit(0L)).as("n"))
     val totals = winBins.select(col("win_start_us").as("__w"), col("n"))
       .groupBy("__w").agg(sum("n").as("n_win"))
-    winBins
+    full
       .join(totals, col("win_start_us") === col("__w"))
       .drop("__w")
       .join(broadcast(baseline), Seq("bin"), "left_outer")

@@ -307,6 +307,17 @@ class OpsSpec extends SparkSpec {
     // ((pa-pb) and ln(pa/pb) share sign); a real shift must show up
     assert(shifted.forall(_ >= 0.0))
     assert(shifted.sum > 0.2, s"psi total ${shifted.sum}")
+    // the FULL grid is emitted (ADVICE r10): unequal totals give even
+    // a both-sides-empty bin nonzero smoothing mass, which the summed
+    // headline PSI must include
+    val unequal = Profile.distributionDrift(
+        Seq(0L, 100L).toDF("v"),
+        Seq(0L, 0L, 0L, 100L, 100L, 100L).toDF("v"), "v", bins = 10)
+      .select("bin", "n_a", "n_b", "psi")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(unequal.map(_._1).toSeq == (0L to 9L)) // all 10 bins present
+    val emptyBins = unequal.filter(r => r._2 == 0 && r._3 == 0)
+    assert(emptyBins.nonEmpty && emptyBins.forall(_._4 != 0.0))
   }
 
   test("categoricalDrift: identical sides zero, one-sided category positive") {
@@ -363,6 +374,15 @@ class OpsSpec extends SparkSpec {
     val sk = Curation.equiDepthBuckets(skew, "v", 4)
       .as[(Long, Long)].collect()
     assert(sk.filter(_._1 == 5L).map(_._2).distinct.toSeq == Seq(0L))
+    // NULL values band to a NULL bucket, not the top quantile
+    // (ADVICE r10); non-null rows keep their thresholds
+    val withNulls = Curation.equiDepthBuckets(
+      (Seq[java.lang.Long](null, null) ++ (1L to 100L).map(Long.box))
+        .toDF("v"), "v", 4)
+    assert(withNulls.where(col("v").isNull && col("bucket").isNotNull)
+      .isEmpty)
+    assert(withNulls.where(col("v") === 100L).select("bucket")
+      .as[Long].head() == 3L)
   }
 
   test("sourceCoverage: heaviest first, shares cumulate to 1") {

@@ -52,6 +52,34 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq(("00:00", 2L, 3.0)))
   }
 
+  test("drift monitor: null metrics drop, score emits the full grid") {
+    import graft.streaming.DriftMonitor
+    // windowedBins on a batch frame (watermark is a no-op in batch):
+    // the null-valued row must not form a (window, NULL-bin) count
+    // (ADVICE r10)
+    val src = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), Some(5.0)),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:20:00"), None),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:30:00"), Some(35.0))
+    ).toDF("user_id", "ts", "value")
+    val wb = DriftMonitor.windowedBins(src, "ts", "value", "1 hour",
+      "0 seconds", mn = 0L, binWidth = 10L)
+    assert(wb.where(col("bin").isNull).isEmpty)
+    assert(wb.agg(sum("n")).as[Long].head() == 2L) // null row excluded
+    // score fills the unoccupied grid bins with n = 0 and scores them
+    // (full-grid PSI, ADVICE r10): bins 0 and 3 occupied, 1 and 2 not
+    val baseline = Seq((0L, 5L), (1L, 5L), (2L, 5L), (3L, 5L))
+      .toDF("bin", "n_base")
+    val scored = DriftMonitor.score(wb, baseline, bins = 4)
+      .orderBy("bin")
+      .select("bin", "n", "psi").as[(Long, Long, Double)].collect()
+    assert(scored.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    val empties = scored.filter(_._2 == 0L)
+    // window share 1/6 vs baseline share 6/24: unequal -> nonzero psi
+    assert(empties.map(_._1).toSeq == Seq(1L, 2L) &&
+      empties.forall(_._3 != 0.0))
+  }
+
   test("stateful sessionizer closes sessions by gap and by timeout") {
     import graft.streaming.{SessionEvent, Sessionizer}
     val dir = tmpDir("sess")
