@@ -37,6 +37,24 @@ object Queries {
   private def tmp(tag: String): String =
     Files.createTempDirectory(s"graft-$tag-").toString
 
+  /** Run `f` with `spark.sql.shuffle.partitions` temporarily lowered —
+    * for the STREAMING executions only. A stateful micro-batch writes
+    * one state-store delta file per shuffle partition per batch, so at
+    * the session's 32 partitions a 3-batch AvailableNow run pays ~100
+    * state-file round-trips to shuffle a few thousand rows; the fixed
+    * I/O, not the operator, dominated the bench (VERDICT r10 item 4).
+    * The stream pins the setting at start, so restoring it after
+    * `awaitTermination` leaves every batch query (including the
+    * post-stream scoring reads) at the session default. At production
+    * scale the right value is sized to the state volume — this knob is
+    * per-query, exactly as it would be there.
+    */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   // ---- shared builders -------------------------------------------------
 
   /** Batch-inference-shaped frame built from orders+lineitem: per order,
@@ -962,14 +980,16 @@ object Queries {
       .option("recursiveFileLookup", "true").json(s"$d/in")
     val table =
       "sdrift_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = DriftMonitor.windowedBins(src, "ts", "v", "2 days",
-        "0 seconds", mn, w)
-      .writeStream.format("memory").queryName(table)
-      .outputMode("append")
-      .option("checkpointLocation", s"$d/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withShufflePartitions(s, 4) {
+      val q = DriftMonitor.windowedBins(src, "ts", "v", "2 days",
+          "0 seconds", mn, w)
+        .writeStream.format("memory").queryName(table)
+        .outputMode("append")
+        .option("checkpointLocation", s"$d/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     DriftMonitor.score(
         s.table(table).where(col("win_start_us") <= maxUs),
         baseline, bins = 8)
@@ -1053,14 +1073,16 @@ object Queries {
       .as[SessionEvent]
     val table =
       "sessq_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = Sessionizer.sessionize(src, gapSeconds = 1800)
-      .toDF()
-      .writeStream.format("memory").queryName(table)
-      .outputMode("append")
-      .option("checkpointLocation", s"$d/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withShufflePartitions(s, 4) {
+      val q = Sessionizer.sessionize(src, gapSeconds = 1800)
+        .toDF()
+        .writeStream.format("memory").queryName(table)
+        .outputMode("append")
+        .option("checkpointLocation", s"$d/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(table)
       .where(col("userId") =!= -1L)
       .select(col("userId").as("user_id"),

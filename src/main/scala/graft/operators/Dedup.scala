@@ -392,9 +392,12 @@ object Dedup {
     * randomized PropertiesSpec graph test). Checkpointing rewraps each
     * round as a leaf `LogicalRDD`, keeping the plan O(1) per round; the
     * trade (blocks pinned to executors, recompute impossible on
-    * executor loss) is the standard one for iterative algorithms —
-    * resilient deployments point `spark.checkpoint.dir` at durable
-    * storage and swap in `checkpoint()`.
+    * executor loss) is the standard one for iterative algorithms.
+    * Resilient deployments pass `reliableCheckpoint = true` to swap in
+    * `checkpoint()` against the durable directory set via
+    * `SparkContext.setCheckpointDir` (the `spark.checkpoint.dir`
+    * location) — each round then survives executor loss at the cost of
+    * a distributed-filesystem write per iteration.
     *
     * Convergence costs no extra pass: labels are monotone
     * non-increasing, so a round is a fixpoint iff the exact decimal
@@ -404,7 +407,14 @@ object Dedup {
     *   rows with `id != comp` are the duplicates to drop.
     */
   def dedupGroups(pairs: DataFrame, idACol: String = "id_a",
-      idBCol: String = "id_b", maxIter: Int = 50): DataFrame = {
+      idBCol: String = "id_b", maxIter: Int = 50,
+      reliableCheckpoint: Boolean = false): DataFrame = {
+    if (reliableCheckpoint)
+      require(pairs.sparkSession.sparkContext.getCheckpointDir.nonEmpty,
+        "reliableCheckpoint = true needs a checkpoint directory: call " +
+          "SparkContext.setCheckpointDir(<durable path>) first")
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
     val fwd = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
     val edges = fwd.unionByName(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
@@ -414,9 +424,8 @@ object Dedup {
       df.agg(sum(col("comp").cast("decimal(38,0)"))).collect()(0)
         .getDecimal(0)
     try {
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("comp", col("id"))
-        .localCheckpoint()
+      var labels = ckpt(edges.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id")))
       var prev = checksum(labels)
       // Empty pair set: sum over zero rows is null, and there is
       // nothing to propagate — every doc is its own singleton group.
@@ -427,9 +436,9 @@ object Dedup {
         val neigh = edges
           .join(labels.withColumnRenamed("id", "dst"), "dst")
           .select(col("src").as("id"), col("comp"))
-        val next = labels.select("id", "comp").unionByName(neigh)
-          .groupBy("id").agg(min("comp").as("comp"))
-          .localCheckpoint() // eager: truncates lineage, materializes
+        val next = ckpt(labels.select("id", "comp").unionByName(neigh)
+          .groupBy("id").agg(min("comp").as("comp")))
+          // eager: truncates lineage, materializes
         val cur = checksum(next)
         converged = cur.compareTo(prev) == 0
         prev = cur

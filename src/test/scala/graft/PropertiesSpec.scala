@@ -114,7 +114,21 @@ class PropertiesSpec extends SparkSpec {
 
   test("dedupGroups equals union-find components on random graphs (3x)") {
     import scala.collection.mutable
-    for (_ <- 1 to 3) {
+    // exercise BOTH checkpoint modes: ephemeral localCheckpoint (the
+    // default) and the reliable checkpoint() against a set
+    // checkpoint dir
+    // the guard must fire while no checkpoint dir is set yet
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      val e = intercept[IllegalArgumentException] {
+        graft.operators.Dedup.dedupGroups(
+          Seq((1L, 2L)).toDF("id_a", "id_b"), reliableCheckpoint = true)
+      }
+      assert(e.getMessage.contains("setCheckpointDir"))
+    }
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    for (round <- 1 to 3) {
       val n = 30
       val edges = List.fill(25)((rnd.nextInt(n).toLong,
         rnd.nextInt(n).toLong)).filter(e => e._1 != e._2).distinct
@@ -132,11 +146,13 @@ class PropertiesSpec extends SparkSpec {
       val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
         .map(x => x -> find(x)).toMap
       val out = graft.operators.Dedup.dedupGroups(
-          edges.toDF("id_a", "id_b"))
+          edges.toDF("id_a", "id_b"),
+          reliableCheckpoint = round == 2)
         .as[(Long, Long)].collect().toMap
       assert(out == expected)
     }
   }
+
 
   test("keepBest equals union-find + argmax on random graphs (3x)") {
     for (_ <- 1 to 3) {
