@@ -843,6 +843,21 @@ object Oracles {
          |FROM fps GROUP BY fp HAVING count(*) > 1
          |ORDER BY "keeper"""".stripMargin,
 
+    // Duplicate-weighted dedup: same normalized-md5 grouping as
+    // q_dedup_exact, but one keeper row per distinct content with its
+    // copy count as the training weight.
+    "q_dedup_weighted" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 200000,
+         |         upper(substr(text, 1, 10)) || substr(text, 11) || '  '
+         |  FROM documents WHERE doc_id < 100),
+         |fps AS (SELECT doc_id, md5(${norm("text")}) AS fp FROM all_docs)
+         |SELECT min(doc_id) AS "doc_id", fp,
+         |       count(*)::BIGINT AS "weight"
+         |FROM fps GROUP BY fp ORDER BY 1""".stripMargin,
+
     "q_dedup_minhash" ->
       """SELECT doc_id AS "id_a", doc_id + 100000 AS "id_b"
         |FROM documents WHERE doc_id < 150 ORDER BY 1, 2""".stripMargin,
@@ -956,6 +971,33 @@ object Oracles {
         |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
         |   len(regexp_extract_all(text, 'https?://[^ ]+')) +
         |   len(regexp_extract_all(text, '[0-9]{7,}'))) > 0 AS "flagged"
+        |FROM seeded ORDER BY doc_id""".stripMargin,
+
+    // Redaction replays the same three patterns as global replaces in
+    // the engine's fixed order (emails, then URLs, then number runs);
+    // DuckDB regexp_replace needs the 'g' flag to match Spark's
+    // replace-all semantics.
+    "q_pii_redact" ->
+      """WITH seeded AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN ' contact user' || doc_id::VARCHAR || '@example.com now'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN ' see https://example.org/p/' || doc_id::VARCHAR || ' ok'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN ' acct 123456789 end' ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |        '<EMAIL>', 'g'),
+        |      'https?://[^ ]+', '<URL>', 'g'),
+        |    '[0-9]{7,}', '<NUM>', 'g') AS "clean"
         |FROM seeded ORDER BY doc_id""".stripMargin,
 
     // Group-aware split: the chain construction fixes each group root

@@ -66,6 +66,44 @@ object QueriesLlm {
       .orderBy("keeper")
   }
 
+  /** Duplicate-weighted exact dedup (Dedup.exactWeighted): same
+    * planted case/whitespace twins as [[dedupExact]], but the output
+    * is the TRAINING-side artifact — one keeper per distinct content
+    * with its copy count as a loss weight. The oracle recomputes the
+    * normalized-md5 grouping, min-id keeper, and counts.
+    */
+  def dedupWeighted(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val twins = docs.where(col("doc_id") < 100)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat(upper(substring(col("text"), lit(1), lit(10))),
+          substring(col("text"), lit(11), length(col("text"))),
+          lit("  ")).as("text"))
+    Dedup.exactWeighted(docs.unionByName(twins), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** PII redaction (TextFunctions.redactPii): the scan's planted
+    * emails/URLs/number runs replaced by placeholder tokens — the
+    * transform stage the scan routes documents to. The oracle replays
+    * the same three global regexp_replaces in the same order.
+    */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" see https://example.org/p/"), col("doc_id"),
+            lit(" ok"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit(" acct 123456789 end")).otherwise(lit(""))).as("text"))
+    docs.select(col("doc_id"),
+        graft.functions.TextFunctions.redactPii(col("text")).as("clean"))
+      .orderBy("doc_id")
+  }
+
   /** MinHash+LSH near-dup RECALL check: the corpus gets 90%-truncation
     * twins (shingle jaccard ~0.9, so the 16-band/r=2 S-curve misses a
     * twin with p < 1e-7), and the output is the operator's pair set
@@ -1301,6 +1339,8 @@ object QueriesLlm {
     "q_heavy_hitters" -> (heavyHittersQ _),
     "q_group_split" -> (groupSplit _),
     "q_pii_scan" -> (piiScan _),
+    "q_pii_redact" -> (piiRedact _),
+    "q_dedup_weighted" -> (dedupWeighted _),
     "q_repetition" -> (repetition _),
     "q_char_jaccard" -> (charJaccard _),
     "q_embed_neardup" -> (embedNearDup _),

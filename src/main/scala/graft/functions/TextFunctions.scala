@@ -149,4 +149,20 @@ object TextFunctions {
   /** Runs of 7+ digits (phone/account-number shaped). */
   def longNumberCount(text: Column): Column =
     regexp_count(text, lit(LongNumberPattern)).cast("long")
+
+  /** PII redaction — the transform counterpart of the scan counters:
+    * each signal hit is replaced by a fixed placeholder token, using
+    * the SAME patterns as the counters so scan and redact agree on
+    * what a hit is. Replacement order matters and is fixed: emails
+    * first (an email contains digit runs and dots a later pattern
+    * could half-consume), then URLs (which may embed digit runs), then
+    * bare long-number runs. Three chained codegen'd `regexp_replace`
+    * projections — per-row, no shuffle, streaming-safe.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit(EmailPattern), lit("<EMAIL>")),
+        lit(UrlPattern), lit("<URL>")),
+      lit(LongNumberPattern), lit("<NUM>"))
 }

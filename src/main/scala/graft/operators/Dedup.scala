@@ -27,6 +27,25 @@ object Dedup {
     fp.join(keepers, "fp")
   }
 
+  /** Exact dedup with multiplicity weights — "dedup but keep the
+    * counts" (duplicate-aware loss re-weighting: train on deduplicated
+    * text while weighting each kept document by how many raw copies it
+    * stood for, so dedup does not silently reshape the training
+    * distribution). One row per distinct content: the minimum id as
+    * keeper plus the copy count. Same 128-bit fingerprint key as
+    * [[exact]], ONE map-side-combinable shuffle, and both aggregates
+    * ride the same grouping — strictly cheaper than running [[exact]]
+    * and re-counting.
+    *
+    * @return (idCol = keeper min id, fp, weight = number of copies)
+    */
+  def exactWeighted(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol), T.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min(idCol).as(idCol), count(lit(1)).as("weight"))
+      .select(col(idCol), col("fp"), col("weight"))
+
   /** Incremental exact dedup: the daily-ingest shape. Drops batch rows
     * whose content fingerprint ALREADY EXISTS in the corpus, then
     * self-dedups the batch (min id per fingerprint), returning the

@@ -26,6 +26,32 @@ class DedupAnnSpec extends SparkSpec {
     assert(out.head.getAs[Long]("keep") == 1L)
   }
 
+  test("exactWeighted: one keeper per content, weight counts the copies") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "same text here"),
+      (2L, "SAME   text here  "), // normalizes equal to 1
+      (3L, "same text here"),     // verbatim copy of 1
+      (4L, "different entirely")
+    ).toDF("id", "text")
+    val out = Dedup.exactWeighted(docs, "id", "text")
+      .select("id", "weight").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 3L), (4L, 1L))) // min-id keepers, counts
+    // weights conserve the corpus: sum == raw row count
+    assert(out.toSeq.map(_._2).sum == 4L)
+  }
+
+  test("redactPii replaces scan hits with placeholders, leaves prose") {
+    import graft.functions.{TextFunctions => T}
+    val out = Seq(
+      "mail a.b@x.org or see https://x.org/a?id=1234567 acct 987654321 ok",
+      "no signals here 123456"
+    ).toDF("text").select(T.redactPii(col("text"))).as[String].collect()
+    // the URL swallows its own digit run; the bare account run redacts
+    assert(out(0) == "mail <EMAIL> or see <URL> acct <NUM> ok")
+    assert(out(1) == "no signals here 123456") // 6 digits: below 7+ bar
+  }
+
   test("minhash near-dup finds the near pair, skips the distinct doc") {
     val pairs = Dedup.minhashNearDups(corpus, "doc_id", "text",
         shingleWidth = 2, numHashes = 32, bands = 16, threshold = 0.5)
