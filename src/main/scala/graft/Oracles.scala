@@ -1865,6 +1865,13 @@ object Oracles {
       """SELECT doc_id + 100000 AS "batch_id", doc_id AS "corpus_id"
         |FROM documents WHERE doc_id < 150 ORDER BY 1""".stripMargin,
 
+    // Index-probed variant: identical planted-recall contract — the
+    // persisted (band, id) index must change WHERE signatures come
+    // from, never WHAT collides.
+    "q_neardup_indexed" ->
+      """SELECT doc_id + 100000 AS "batch_id", doc_id AS "corpus_id"
+        |FROM documents WHERE doc_id < 150 ORDER BY 1""".stripMargin,
+
     // Source-level gate: survivors of sources whose mean length >= 300.
     "q_source_filter" ->
       """SELECT doc_id, source, n_chars FROM documents

@@ -815,6 +815,37 @@ object QueriesLlm {
       .orderBy("batch_id")
   }
 
+  /** Near-dup against a PERSISTED minhash index
+    * (Dedup.minhashIndexWrite + minhashNearDupsAgainstIndex): the
+    * index is built once from the corpus — including an APPEND of the
+    * high-id half, proving the incremental maintenance path — then the
+    * same 90%-truncation twins as [[nearDupAgainst]] probe it. Same
+    * planted recall contract, so the oracle is the same statement.
+    */
+  def nearDupAgainstIndex(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val corpus = t(s, dir, "documents").select("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-mhidx-").toString + "/bands"
+    val mid = 250L
+    Dedup.minhashIndexWrite(corpus.where(col("doc_id") < mid),
+      "doc_id", "text", idx, numHashes = 32, bands = 16)
+    Dedup.minhashIndexWrite(corpus.where(col("doc_id") >= mid),
+      "doc_id", "text", idx, numHashes = 32, bands = 16, append = true)
+    val batch = corpus.where(col("doc_id") < 150)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        substring(col("text"), lit(1),
+          (length(col("text")) * 90 / 100).cast("int")).as("text"))
+    Dedup.minhashNearDupsAgainstIndex(batch, corpus, "doc_id", "text",
+        idx, shingleWidth = 3, numHashes = 32, bands = 16,
+        threshold = 0.3,
+        cache = Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .where(col("corpus_id") < 150 &&
+        col("batch_id") === col("corpus_id") + 100000)
+      .select(col("batch_id"), col("corpus_id"))
+      .orderBy("batch_id")
+  }
+
   /** Source-level quality gate (Curation.sourceFilter): keep documents
     * whose source's MEAN length clears 300 — the domain-level filtering
     * pass, graded on the aggregate-then-semi-join, with the threshold
@@ -1401,6 +1432,7 @@ object QueriesLlm {
     "q_length_filter" -> (lengthFilterQ _),
     "q_unigram_logprob" -> (unigramLogProbQ _),
     "q_neardup_against" -> (nearDupAgainst _),
+    "q_neardup_indexed" -> (nearDupAgainstIndex _),
     "q_chunk_docs" -> (chunkDocsQ _),
     "q_curation_pipeline" -> (curationPipeline _),
     "q_release_manifest" -> (releaseManifestQ _)

@@ -295,6 +295,81 @@ object Dedup {
       .select(col("batch_id"), col("corpus_id"), col("jaccard"))
   }
 
+  /** Persist a corpus's MinHash banded signatures as a parquet INDEX —
+    * the steady-state upgrade both [[minhashNearDupsAgainst]] and this
+    * file's scale notes assume ("in steady state the corpus's banded
+    * signatures are a precomputed table"): sketch the corpus ONCE,
+    * store only the narrow (band, id) rows, and every later ingest
+    * batch probes the stored index instead of re-sketching 100 TB of
+    * text. `append = true` is the maintenance op — after a batch is
+    * accepted into the corpus, append its signatures so tomorrow's
+    * batch dedups against it too (signatures are per-document, so
+    * append IS the correct incremental index update; no rebuild).
+    *
+    * Storage cost: `bands` longs + an id per document — vanishing next
+    * to the text. Shingles are deliberately NOT stored: verification
+    * re-shingles only the candidate ids (the late-payload-fetch
+    * pattern), which beats persisting a shingle column larger than the
+    * corpus itself.
+    */
+  def minhashIndexWrite(corpus: DataFrame, idCol: String,
+      textCol: String, indexDir: String, shingleWidth: Int = 3,
+      numHashes: Int = 32, bands: Int = 8,
+      append: Boolean = false): Unit =
+    minhashBandedStage(corpus, idCol, textCol, shingleWidth, numHashes,
+        bands, cache = None)._2
+      .write.mode(if (append) "append" else "overwrite")
+      .parquet(indexDir)
+
+  /** Incremental near-dup against a PERSISTED index
+    * ([[minhashIndexWrite]]): same semantics and same verification as
+    * [[minhashNearDupsAgainst]], but the corpus side's sketch pass is
+    * replaced by a parquet scan of (band, id) rows. The corpus frame
+    * is still required — for the exact-Jaccard payload fetch of the
+    * (few) candidate ids only; its text is never sketched corpus-wide
+    * here. The batch must be sketched with the index's own
+    * (shingleWidth, numHashes, bands) or band keys will not collide —
+    * the caller owns that contract, as with any persisted index.
+    *
+    * @return (batch_id, corpus_id, jaccard) pairs at or above
+    *   `threshold`
+    */
+  def minhashNearDupsAgainstIndex(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, indexDir: String,
+      shingleWidth: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, maxBucket: Int = 1000,
+      cache: Option[StorageLevel] = None): DataFrame = {
+    def cached(d: DataFrame): DataFrame = cache.fold(d)(d.persist)
+    def shingle(df: DataFrame) = cached(df.select(
+      col(idCol).as("id"),
+      H.wordShingles(T.tokens(col(textCol)), shingleWidth).as("shingles")))
+    val bSh = shingle(batch)
+    val bBand = cached(bSh.select(
+      col("id"),
+      explode(H.bandKeys(H.minhashSignature(col("shingles"), numHashes),
+        bands, numHashes / bands)).as("band")))
+    val cBand = batch.sparkSession.read.parquet(indexDir)
+    val ok = cBand.groupBy("band").count()
+      .where(col("count") <= maxBucket).select("band")
+    val pairIds = bBand
+      .join(cBand.join(ok, "band")
+        .select(col("band"), col("id").as("corpus_id")), "band")
+      .select(col("id").as("batch_id"), col("corpus_id"))
+      .distinct()
+    val bCand = bSh.join(broadcast(
+      pairIds.select(col("batch_id").as("id")).distinct()), "id")
+      .select(col("id").as("batch_id"), col("shingles").as("sh_b"))
+    // late payload fetch: only candidate corpus ids are re-shingled
+    val cCand = shingle(corpus.join(broadcast(
+        pairIds.select(col("corpus_id").as(idCol)).distinct()), idCol))
+      .select(col("id").as("corpus_id"), col("shingles").as("sh_c"))
+    pairIds
+      .join(bCand, "batch_id").join(cCand, "corpus_id")
+      .withColumn("jaccard", H.jaccard(col("sh_b"), col("sh_c")))
+      .where(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+  }
+
   /** SimHash near-dup pairs within a Hamming radius. Candidate
     * generation by the pigeonhole banding of [[H.simhashBandKeys]]
     * (complete for radius <= pieces-1), verified by exact Hamming

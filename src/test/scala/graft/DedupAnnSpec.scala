@@ -637,6 +637,38 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("minhash index probe equals the direct against-corpus scan") {
+    import graft.operators.Dedup
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val corpus = Seq(
+      (1L, base),
+      (2L, "completely unrelated content about database engines and " +
+        "query optimizers running at tremendous scale"),
+      (3L, "a third document with its own distinct words entirely")
+    ).toDF("id", "text")
+    val batch = Seq(
+      (10L, base + " extra"),           // near-dup of corpus 1
+      (11L, "nothing like anything in the corpus at all honestly")
+    ).toDF("id", "text")
+    val direct = Dedup.minhashNearDupsAgainst(batch, corpus, "id",
+        "text", threshold = 0.3)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-mhidx-test-").toString + "/bands"
+    // split write + append: the incremental maintenance path must
+    // yield the same index as a one-shot build
+    Dedup.minhashIndexWrite(corpus.where(col("id") < 3), "id", "text",
+      idx)
+    Dedup.minhashIndexWrite(corpus.where(col("id") >= 3), "id", "text",
+      idx, append = true)
+    val probed = Dedup.minhashNearDupsAgainstIndex(batch, corpus, "id",
+        "text", idx, threshold = 0.3)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(probed == direct)
+    assert(probed.contains((10L, 1L)) && !probed.exists(_._1 == 11L))
+  }
+
   test("dedupAgainst drops corpus hits, self-dedups the batch, keeps fresh rows") {
     import graft.operators.Dedup
     val corpus = Seq((1L, "Hello World"), (2L, "other doc"))
