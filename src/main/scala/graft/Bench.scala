@@ -26,6 +26,19 @@ import scala.jdk.CollectionConverters._
   *     run, parallel to "runs". An outlier whose gc_ms ≈ its wall time
   *     is a heap artifact of the 130-query shared JVM, not a plan
   *     regression.
+  *
+  * Timed action (VERDICT r11 item 1): `queryExecution.toRdd.count()`,
+  * not `df.count()`. A DataFrame count lets Catalyst prune every column
+  * the count doesn't need, so projection-only queries (decode, redact,
+  * langid) were under-measured — the expression being benchmarked was
+  * optimized out of the counted plan. Iterating the physical plan's
+  * InternalRows forces every output column to be computed while still
+  * keeping the rows on the executors (no driver collect).
+  *
+  * Evidence chain (VERDICT r11 item 2): the full JSON line is also
+  * written to SPARK_GRAFT_BENCH_OUT (default ./BENCH_full_latest.json)
+  * so the round's per-query evidence survives even when the driver's
+  * stdout capture truncates the tail.
   */
 object Bench {
   private def loadAvg1m(): Double =
@@ -60,7 +73,7 @@ object Bench {
       val (_, gcMs0) = gcTotals()
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
+        fn(spark, sfDir).queryExecution.toRdd.count()
         val dt = (System.nanoTime() - t0) / 1e9
         val (_, gcMs1) = gcTotals()
         Right((dt, gcMs1 - gcMs0))
@@ -75,7 +88,11 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries
     }
-    val reps = sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption).getOrElse(3)
+    // A zero or negative rep count would make every warm-successful query
+    // report as error "?" (no timed samples), so refuse it fast (ADVICE r11).
+    val reps = sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption)
+      .map { r => require(r > 0, s"SPARK_GRAFT_REPS must be > 0, got $r"); r }
+      .getOrElse(3)
     val results: Seq[(String, Either[String, Seq[(Double, Long)]])] =
       selected.toSeq.sortBy(_._1).map {
         case (name, fn) =>
@@ -110,7 +127,14 @@ object Bench {
     val heapMb = ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
     val load = s"""{"start":$loadStart,"end":$loadEnd,"max":$loadMax}"""
     val gc = s"""{"count":$gcCount,"time_ms":$gcMs,"heap_used_mb":${heapMb.getUsed / 1048576},"heap_max_mb":${heapMb.getMax / 1048576}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"gc_ms":$gs,"errors":$es,"n_ok":${ok.size},"n_err":${errs.size},"reps":$reps,"load":$load,"gc":$gc,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"gc_ms":$gs,"errors":$es,"n_ok":${ok.size},"n_err":${errs.size},"reps":$reps,"load":$load,"gc":$gc,"sf":"$sfDir"}"""
+    println(line)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full_latest.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"bench: could not write $outPath: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data profiling: the per-column statistics a pipeline's data-quality
@@ -14,30 +14,104 @@ object Profile {
     * common type; callers pre-cast columns whose native string
     * rendering is engine-ambiguous, e.g. doubles to DECIMAL).
     *
-    * One union branch per column, each a partial/final HashAggregate
-    * over a single-column (parquet-pruned) scan — total I/O equals one
-    * scan of the profiled columns. Deliberately NOT one wide aggregate
-    * with N count-distincts: that plans through Expand (every full-
-    * width row replicated N+1 times into a SortAggregate), measured 2x
-    * slower at sf0.1 and strictly worse at scale. `exact = false`
-    * swaps HLL approx_count_distinct in (~2% error) — at 100 TB the
-    * lever when exact key cardinality isn't required.
+    * ONE scan of the input, one job (VERDICT r11 item 3). Exact mode
+    * melts each row into N narrow `(idx, value, num)` structs
+    * (explode), counts occurrences per distinct `(idx, value)` — a
+    * HashAggregate with map-side combine, so the shuffle carries one
+    * row per distinct value, exactly what N separate count-distinct
+    * scans would move in total — and then derives EVERY statistic from
+    * that distinct table: `n_rows = sum(n)`, `n_nulls` from the null
+    * group's count, `n_distinct = count(non-null rows)` (the table is
+    * already distinct), and min/max over the distinct values (min over
+    * distincts == min over all). This deliberately avoids the
+    * Expand-with-N-count-distincts plan Catalyst produces for one wide
+    * agg: min/max(string) buffers force the N+1-times-replicated
+    * full-width Expand output into a SortAggregate, measured 2x slower
+    * at sf0.1; the melt keys hash-aggregate instead.
+    *
+    * Native value ORDER survives the common string type via a numeric
+    * proxy field: integral and (scale<=18, intDigits<=20) decimal
+    * columns carry `value :: DECIMAL(38,18)` — lossless — and min/max
+    * compare `(num, str)` structs, so "9" < "10" orders numerically.
+    * Strings, booleans, dates and timestamps carry a null proxy and
+    * fall back to their string rendering, whose lexical order equals
+    * the native order for those types (ISO dates/timestamps; variable
+    * fraction digits still compare correctly because renderings carry
+    * no trailing zeros). Float/double and oversized decimals are
+    * refused — pre-cast them to DECIMAL (the documented contract; their
+    * rendering is engine-ambiguous anyway).
+    *
+    * `exact = false` swaps in one wide aggregate with HLL
+    * approx_count_distinct (~2% error) per column — no Expand (only
+    * exact multi-column count-distinct plans through Expand) — then
+    * unpivots the single row with `stack`; at 100 TB the lever when
+    * exact key cardinality isn't required, since nothing shuffles but
+    * N sketch buffers.
     */
-  def profile(df: DataFrame, exact: Boolean = true): DataFrame =
-    df.columns.toIndexedSeq.map { c =>
-      val nd =
-        if (exact) count_distinct(col(c)) else approx_count_distinct(col(c))
-      df.select(col(c)).agg(
-          count(lit(1)).as("n_rows"),
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
-          nd.as("n_distinct"),
-          min(col(c)).cast("string").as("min_str"),
-          max(col(c)).cast("string").as("max_str"))
-        .select(lit(c).as("col_name"), col("n_rows"),
+  def profile(df: DataFrame, exact: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.types._
+    val cols = df.columns.toIndexedSeq
+    require(cols.nonEmpty, "profile: input has no columns")
+    if (exact) {
+      def numProxy(c: String): Column = df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          col(c).cast(DecimalType(38, 18))
+        case d: DecimalType if d.scale <= 18 && d.precision - d.scale <= 20 =>
+          col(c).cast(DecimalType(38, 18))
+        case FloatType | DoubleType =>
+          throw new IllegalArgumentException(
+            s"profile: column `$c` is float/double — its string rendering " +
+            "is engine-ambiguous and has no lossless order proxy; " +
+            "pre-cast it to DECIMAL")
+        case d: DecimalType =>
+          throw new IllegalArgumentException(
+            s"profile: column `$c` ($d) exceeds the DECIMAL(38,18) order " +
+            "proxy; pre-cast to scale<=18 with <=20 integer digits")
+        case _ => lit(null).cast(DecimalType(38, 18))
+      }
+      val melted = df.select(explode(array(cols.zipWithIndex.map {
+        case (c, i) =>
+          struct(lit(i).as("idx"), col(c).cast("string").as("v"),
+            numProxy(c).as("num"))
+      }: _*)).as("kv"))
+        .select(col("kv.idx").as("idx"), col("kv.v").as("v"),
+          col("kv.num").as("num"))
+      val counted = melted.groupBy("idx", "v", "num")
+        .agg(count(lit(1)).as("n"))
+      val ordKey = when(col("v").isNotNull,
+        struct(col("num"), col("v")))
+      counted.groupBy("idx").agg(
+          sum("n").as("n_rows"),
+          coalesce(sum(when(col("v").isNull, col("n"))), lit(0L))
+            .as("n_nulls"),
+          count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+          min(ordKey).getField("v").as("min_str"),
+          max(ordKey).getField("v").as("max_str"))
+        .select(
+          element_at(array(cols.map(lit): _*), (col("idx") + 1).cast("int"))
+            .as("col_name"),
+          col("n_rows").cast("long").as("n_rows"),
           col("n_nulls").cast("long").as("n_nulls"),
           col("n_distinct").cast("long").as("n_distinct"),
           col("min_str"), col("max_str"))
-    }.reduce(_ unionByName _)
+    } else {
+      val aggs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long")
+          .as(s"nn_$i"),
+        approx_count_distinct(col(c)).cast("long").as(s"nd_$i"),
+        min(col(c)).cast("string").as(s"mn_$i"),
+        max(col(c)).cast("string").as(s"mx_$i")) }
+      val wide = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      val stackArgs = cols.zipWithIndex.map { case (c, i) =>
+        s"'${c.replace("'", "''")}', nn_$i, nd_$i, mn_$i, mx_$i"
+      }.mkString(", ")
+      wide.select(col("n_rows"), expr(
+          s"stack(${cols.size}, $stackArgs) AS " +
+          "(col_name, n_nulls, n_distinct, min_str, max_str)"))
+        .select("col_name", "n_rows", "n_nulls", "n_distinct",
+          "min_str", "max_str")
+    }
+  }
 
   /** Distribution drift between two snapshots of a corpus (population
     * stability index): both sides are binned on ONE shared integer

@@ -153,15 +153,26 @@ class PlanRegressionSpec extends SparkSpec {
       s"side filter not pushed to scan:\n$p")
   }
 
-  test("q_profile: per-column pruned aggregates, never an Expand plan") {
-    // One wide aggregate with N count-distincts plans through Expand
-    // (full-width rows replicated N+1 times into a SortAggregate) —
-    // measured 2.5x slower at sf0.1 and strictly worse at scale.
+  test("q_profile: one scan, melt keys hash-aggregate, never Expand") {
+    // The profile must be ONE pass over the input (VERDICT r11): one
+    // parquet scan feeding the melted (idx, value) aggregate — not a
+    // union of per-column scans (N jobs / N decode passes) and not the
+    // Expand plan Catalyst emits for one wide agg with N exact
+    // count-distincts (full-width rows replicated N+1 times into a
+    // SortAggregate — measured 2x slower at sf0.1).
     val p = plan("q_profile")
     assert(!p.contains("Expand"), s"Expand reappeared:\n$p")
-    // each branch's scan must read only its own column
-    assert(p.contains("ReadSchema: struct<o_orderkey:bigint>"),
-      s"single-column pruning lost:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected exactly 1 scan, got $scans:\n$p")
+    // the one scan reads only the profiled columns (file order)
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint," +
+      "o_orderstatus:string,o_orderdate:"),
+      s"profiled-column pruning lost:\n$p")
+    // the melt keys hash-aggregate (the distinct count's heavy phase);
+    // only the final idx-grouped rollup may sort, and it runs over the
+    // already-distinct (small) table
+    assert(p.contains("HashAggregate(keys=[idx"),
+      s"melt aggregate not hash-based:\n$p")
   }
 
   test("q_bm25: corpus never shuffles against the query side") {
