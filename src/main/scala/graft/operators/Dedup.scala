@@ -315,11 +315,121 @@ object Dedup {
   def minhashIndexWrite(corpus: DataFrame, idCol: String,
       textCol: String, indexDir: String, shingleWidth: Int = 3,
       numHashes: Int = 32, bands: Int = 8,
-      append: Boolean = false): Unit =
+      append: Boolean = false): Unit = {
+    val spark = corpus.sparkSession
+    if (append) readIndexParams(spark, indexDir).foreach { p =>
+      require(p == ((shingleWidth, numHashes, bands)),
+        s"minhashIndexWrite(append): index at $indexDir was built with " +
+        s"(shingleWidth, numHashes, bands) = $p but this append uses " +
+        s"(${shingleWidth}, ${numHashes}, ${bands}) — mixed-parameter " +
+        "signatures would silently never collide")
+    }
     minhashBandedStage(corpus, idCol, textCol, shingleWidth, numHashes,
         bands, cache = None)._2
       .write.mode(if (append) "append" else "overwrite")
       .parquet(indexDir)
+    writeIndexParams(spark, indexDir, shingleWidth, numHashes, bands)
+  }
+
+  /** Sidecar recording the sketch parameters an index was built with —
+    * probing (or appending) with different parameters produces band
+    * keys that silently never collide, so the contract is enforced by
+    * `require`, not documentation (ADVICE r11). Underscore-prefixed so
+    * parquet directory listing ignores it, like `_SUCCESS`.
+    */
+  private val IndexParamsFile = "_graft_minhash_params.json"
+
+  private def indexFs(spark: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeIndexParams(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, shingleWidth: Int, numHashes: Int,
+      bands: Int): Unit = {
+    val f = indexFs(spark, indexDir)
+    val out = f.create(
+      new org.apache.hadoop.fs.Path(indexDir, IndexParamsFile), true)
+    try out.write(
+      (s"""{"shingleWidth":$shingleWidth,"numHashes":$numHashes,""" +
+       s""""bands":$bands}""").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** (shingleWidth, numHashes, bands) recorded for the index, or None
+    * for a pre-sidecar index.
+    */
+  private def readIndexParams(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[(Int, Int, Int)] = {
+    val f = indexFs(spark, indexDir)
+    val p = new org.apache.hadoop.fs.Path(indexDir, IndexParamsFile)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      def field(n: String): Int =
+        s""""$n"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toInt)
+          .getOrElse(throw new IllegalStateException(
+            s"minhash index sidecar $p is corrupt: missing $n in: $txt"))
+      Some((field("shingleWidth"), field("numHashes"), field("bands")))
+    }
+  }
+
+  /** Compact a persisted minhash index ([[minhashIndexWrite]]): drop
+    * signatures of ids the corpus no longer contains (documents deleted
+    * or re-keyed since their append) and collapse re-appended duplicate
+    * (band, id) rows. Append-only maintenance grows the index and its
+    * file count forever; compaction is the amortized counterweight,
+    * exactly as [[graft.io.StateTable.compact]] is for the version
+    * chain (VERDICT r11 item 4).
+    *
+    * One hash shuffle on id (left-semi against the corpus's distinct
+    * ids) plus one on (band, id) for the dedup — both over narrow
+    * (band, id) longs, never text. The compacted rows are written to a
+    * sibling temp dir and atomically renamed over the index, so a
+    * probe never reads a half-written index and the plan never
+    * re-reads deleted input files; the params sidecar is re-written
+    * after the swap. Single-sequential-writer assumed, like StateTable.
+    *
+    * @return (rows_before, rows_after)
+    */
+  def minhashIndexCompact(corpus: DataFrame, idCol: String,
+      indexDir: String): (Long, Long) = {
+    val spark = corpus.sparkSession
+    val params = readIndexParams(spark, indexDir)
+    val before = spark.read.parquet(indexDir).count()
+    val compacted = spark.read.parquet(indexDir)
+      .join(corpus.select(col(idCol).as("id")).distinct(),
+        Seq("id"), "left_semi")
+      .dropDuplicates("band", "id")
+    val tmp = indexDir.stripSuffix("/") + "__compacting"
+    compacted.write.mode("overwrite").parquet(tmp)
+    val f = indexFs(spark, indexDir)
+    val dirP = new org.apache.hadoop.fs.Path(indexDir)
+    f.delete(dirP, true)
+    require(f.rename(new org.apache.hadoop.fs.Path(tmp), dirP),
+      s"minhashIndexCompact: rename $tmp -> $indexDir failed")
+    params.foreach { case (sw, nh, b) =>
+      writeIndexParams(spark, indexDir, sw, nh, b) }
+    (before, spark.read.parquet(indexDir).count())
+  }
+
+  /** Compact when the index's part-file count exceeds `maxFiles` — the
+    * amortization policy callers wire after an append burst, mirroring
+    * [[graft.io.StateTable.maybeCompact]]: every append adds files (and
+    * possibly re-appended signatures), so probe-side scan cost grows
+    * until a compact folds it back.
+    */
+  def minhashIndexMaybeCompact(corpus: DataFrame, idCol: String,
+      indexDir: String, maxFiles: Int = 64): Option[(Long, Long)] = {
+    val f = indexFs(corpus.sparkSession, indexDir)
+    val n = f.listStatus(new org.apache.hadoop.fs.Path(indexDir))
+      .count(_.getPath.getName.startsWith("part-"))
+    if (n > maxFiles) Some(minhashIndexCompact(corpus, idCol, indexDir))
+    else None
+  }
 
   /** Incremental near-dup against a PERSISTED index
     * ([[minhashIndexWrite]]): same semantics and same verification as
@@ -329,7 +439,9 @@ object Dedup {
     * (few) candidate ids only; its text is never sketched corpus-wide
     * here. The batch must be sketched with the index's own
     * (shingleWidth, numHashes, bands) or band keys will not collide —
-    * the caller owns that contract, as with any persisted index.
+    * ENFORCED against the sidecar [[minhashIndexWrite]] records (a
+    * mismatch used to return silently near-empty results; ADVICE r11);
+    * a pre-sidecar index falls back to the caller-owned contract.
     *
     * @return (batch_id, corpus_id, jaccard) pairs at or above
     *   `threshold`
@@ -339,6 +451,14 @@ object Dedup {
       shingleWidth: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5, maxBucket: Int = 1000,
       cache: Option[StorageLevel] = None): DataFrame = {
+    readIndexParams(batch.sparkSession, indexDir).foreach { p =>
+      require(p == ((shingleWidth, numHashes, bands)),
+        s"minhashNearDupsAgainstIndex: index at $indexDir was built " +
+        s"with (shingleWidth, numHashes, bands) = $p but this probe " +
+        s"uses (${shingleWidth}, ${numHashes}, ${bands}) — band keys " +
+        "from mixed parameters never collide, so the result would be " +
+        "silently (near-)empty")
+    }
     def cached(d: DataFrame): DataFrame = cache.fold(d)(d.persist)
     def shingle(df: DataFrame) = cached(df.select(
       col(idCol).as("id"),

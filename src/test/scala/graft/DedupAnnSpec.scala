@@ -667,6 +667,55 @@ class DedupAnnSpec extends SparkSpec {
       .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
     assert(probed == direct)
     assert(probed.contains((10L, 1L)) && !probed.exists(_._1 == 11L))
+
+    // Params sidecar enforcement (ADVICE r11): probing or appending
+    // with different sketch parameters must refuse, not silently
+    // return a near-empty result.
+    val probeErr = intercept[IllegalArgumentException] {
+      Dedup.minhashNearDupsAgainstIndex(batch, corpus, "id", "text",
+        idx, bands = 4, threshold = 0.3)
+    }
+    assert(probeErr.getMessage.contains("built"))
+    intercept[IllegalArgumentException] {
+      Dedup.minhashIndexWrite(corpus, "id", "text", idx,
+        numHashes = 16, bands = 4, append = true)
+    }
+
+    // Probe-after-compact equivalence (VERDICT r11 item 4): re-append
+    // half the corpus (duplicate signatures) and shrink the corpus by
+    // one document (stale index rows); compaction must fold both away
+    // and the probe must equal the direct scan on the LIVE corpus.
+    Dedup.minhashIndexWrite(corpus.where(col("id") < 3), "id", "text",
+      idx, append = true)
+    val live = corpus.where(col("id") =!= 3L)
+    val (nBefore, nAfter) = Dedup.minhashIndexCompact(live, "id", idx)
+    assert(nBefore > nAfter, s"compaction dropped nothing: $nBefore")
+    // after compact the index is exactly the live corpus's distinct
+    // (band, id) rows — no re-append duplicates, no stale ids
+    val rows = spark.read.parquet(idx)
+    assert(rows.count() == rows.dropDuplicates("band", "id").count())
+    assert(rows.select("id").distinct().as[Long].collect().toSet ==
+      Set(1L, 2L))
+    val directLive = Dedup.minhashNearDupsAgainst(batch, live, "id",
+        "text", threshold = 0.3)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val probedAfter = Dedup.minhashNearDupsAgainstIndex(batch, live,
+        "id", "text", idx, threshold = 0.3)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(probedAfter == directLive)
+    // the params sidecar survives the compaction swap
+    intercept[IllegalArgumentException] {
+      Dedup.minhashNearDupsAgainstIndex(batch, live, "id", "text",
+        idx, bands = 4, threshold = 0.3)
+    }
+
+    // maybeCompact policy: far below the file bound -> no-op; bound 0
+    // -> compacts (and is then idempotent on the row count)
+    assert(Dedup.minhashIndexMaybeCompact(live, "id", idx,
+      maxFiles = 10000).isEmpty)
+    val Some((b2, a2)) =
+      Dedup.minhashIndexMaybeCompact(live, "id", idx, maxFiles = 0)
+    assert(b2 == a2 && a2 == nAfter)
   }
 
   test("dedupAgainst drops corpus hits, self-dedups the batch, keeps fresh rows") {
