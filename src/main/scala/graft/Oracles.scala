@@ -756,7 +756,8 @@ object Oracles {
         |  FROM ev CROSS JOIN mm GROUP BY 1),
         |nb AS (SELECT sum(n_base) AS nbt FROM base),
         |wb AS (SELECT (us // 172800000000) * 172800000000
-        |    AS win_start_us, (v - mn) // w AS bin, count(*) AS n
+        |    AS win_start_us,
+        |    LEAST(GREATEST((v - mn) // w, 0), 7) AS bin, count(*) AS n
         |  FROM ev CROSS JOIN mm GROUP BY 1, 2),
         |wt AS (SELECT win_start_us, sum(n) AS n_win FROM wb GROUP BY 1),
         |g AS (SELECT wt.win_start_us, gs.bin

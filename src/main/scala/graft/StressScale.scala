@@ -48,7 +48,18 @@ object StressScale {
     // strides: a round power of ten above the source's max key keeps
     // replica key ranges disjoint and human-readable
     def stride(df: DataFrame, c: String): Long = {
-      val mx = df.agg(max(col(c))).head.getLong(0)
+      // getAs[Number] + null check, not getLong: an empty source table
+      // or a non-bigint key column should name the column, not NPE
+      // (ADVICE r11 — dev tool, a clear failure is enough)
+      val row = df.agg(max(col(c))).head
+      require(!row.isNullAt(0),
+        s"stride: key column `$c` has no non-null values (empty table?)")
+      val mx = row.get(0) match {
+        case n: java.lang.Number => n.longValue()
+        case other => throw new IllegalArgumentException(
+          s"stride: key column `$c` must be integral, got " +
+            s"${other.getClass.getSimpleName} ($other)")
+      }
       var s = 10L
       while (s <= mx) s *= 10
       s

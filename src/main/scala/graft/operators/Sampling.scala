@@ -268,12 +268,15 @@ object Sampling {
     * negative samplers bound it the same way (a popularity head or
     * stratified pool of thousands, not the full catalog). That contract
     * is ENFORCED, not just documented (the [[graft.operators.Curation]]
-    * `rankBounds` refuse-guard pattern): the distinct pool is counted
-    * once — it is collected for the broadcast anyway — and a pool
-    * larger than `maxPool` refuses with a pointer to the bounded
-    * alternative instead of silently exploding |users| x |catalog|.
-    * The interaction anti-join shuffles (user, item) keys only; the
-    * per-user head reuses [[graft.etl.Ops.topKPerGroup]].
+    * `rankBounds` refuse-guard pattern): the distinct pool is
+    * COLLECTED at construction time — an eager action, noted — with a
+    * `limit(maxPool + 1)` bound, so the guard and the broadcast share
+    * ONE computation of the pool (ADVICE r11: count-then-broadcast
+    * computed it twice) and an oversized pool stops at the limit
+    * instead of materializing the full catalog before refusing with a
+    * pointer to the bounded alternative. The interaction anti-join
+    * shuffles (user, item) keys only; the per-user head reuses
+    * [[graft.etl.Ops.topKPerGroup]].
     *
     * @return (userCol, rank 1..k, itemCol)
     */
@@ -283,17 +286,20 @@ object Sampling {
       maxPool: Long = 100000L)
       : org.apache.spark.sql.DataFrame = {
     val poolIds = pool.select(col(itemCol)).distinct()
-    val poolN = poolIds.count()
-    require(poolN <= maxPool,
-      s"negative-sampling pool has $poolN distinct items, over " +
-        s"maxPool=$maxPool; the users x pool candidate space is only " +
-        "safe for a bounded pool (popularity head / stratified " +
-        "candidate set). Shrink the pool, raise maxPool deliberately, " +
-        "or use hardNegativesAnn for similarity-ranked negatives " +
-        "against an unbounded catalog")
+    val bound = math.min(maxPool, Int.MaxValue - 1L).toInt
+    val poolRows = poolIds.limit(bound + 1).collect()
+    require(poolRows.length <= bound,
+      s"negative-sampling pool has more than " +
+        s"maxPool=$maxPool distinct items; the users x pool candidate " +
+        "space is only safe for a bounded pool (popularity head / " +
+        "stratified candidate set). Shrink the pool, raise maxPool " +
+        "deliberately, or use hardNegativesAnn for similarity-ranked " +
+        "negatives against an unbounded catalog")
+    val poolLocal = interactions.sparkSession.createDataFrame(
+      java.util.Arrays.asList(poolRows: _*), poolIds.schema)
     val users = interactions.select(col(userCol)).distinct()
     val cand = users
-      .crossJoin(org.apache.spark.sql.functions.broadcast(poolIds))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(poolLocal))
       .withColumn("h", hashBucket(concat(
         col(userCol).cast("string"), lit(":"),
         col(itemCol).cast("string"), lit(":neg"))))
@@ -321,10 +327,11 @@ object Sampling {
     * and the per-user head reuses [[graft.etl.Ops.topKPerGroup]].
     * Nothing corpus-sized ever shuffles with vectors attached except
     * the user's own single vector row. As in [[negativeSample]], the
-    * bounded-pool contract is enforced: the pool is counted once
-    * (it is collected for the broadcast anyway) and refused over
-    * `maxPool` with a pointer to [[hardNegativesAnn]], the
-    * unbounded-catalog path.
+    * bounded-pool contract is enforced by ONE construction-time
+    * collect (eager, noted; limit-bounded so an oversized catalog
+    * stops early) that both guards the size and feeds the broadcast —
+    * refusal points at [[hardNegativesAnn]], the unbounded-catalog
+    * path.
     *
     * @param userVecs (userCol, vecCol) — one embedding per user
     * @param itemVecs (itemCol, vecCol) — one embedding per pool item
@@ -337,20 +344,23 @@ object Sampling {
       vecCol: String = "embedding", maxPool: Long = 100000L)
       : org.apache.spark.sql.DataFrame = {
     import graft.functions.{VectorFunctions => V}
-    val poolN = itemVecs.select(col(itemCol)).distinct().count()
-    require(poolN <= maxPool,
-      s"hard-negative pool has $poolN distinct items, over " +
-        s"maxPool=$maxPool; the broadcast users x pool cosine scan is " +
-        "only safe for a bounded pool. Shrink the pool, raise maxPool " +
-        "deliberately, or use hardNegativesAnn (IVF candidate " +
-        "generation) for an unbounded catalog")
+    val pool = itemVecs.select(col(itemCol),
+      V.toDouble(col(vecCol)).as("__iv"))
+    val bound = math.min(maxPool, Int.MaxValue - 1L).toInt
+    val poolRows = pool.limit(bound + 1).collect()
+    require(poolRows.length <= bound,
+      s"hard-negative pool has more than maxPool=$maxPool items; the " +
+        "broadcast users x pool cosine scan is only safe for a " +
+        "bounded pool. Shrink the pool, raise maxPool deliberately, " +
+        "or use hardNegativesAnn (IVF candidate generation) for an " +
+        "unbounded catalog")
+    val poolLocal = interactions.sparkSession.createDataFrame(
+      java.util.Arrays.asList(poolRows: _*), pool.schema)
     val users = interactions.select(col(userCol)).distinct()
       .join(userVecs.select(col(userCol),
         V.toDouble(col(vecCol)).as("__uv")), Seq(userCol))
-    val pool = itemVecs.select(col(itemCol),
-      V.toDouble(col(vecCol)).as("__iv"))
     val scored = users
-      .crossJoin(org.apache.spark.sql.functions.broadcast(pool))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(poolLocal))
       .select(col(userCol), col(itemCol),
         round(V.cosine(col("__uv"), col("__iv")), 6).as("cosine"))
     val fresh = scored.join(

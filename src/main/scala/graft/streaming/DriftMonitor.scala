@@ -51,15 +51,19 @@ object DriftMonitor {
     * memory/Delta sink [[windowedBins]] feeds): add-1-smoothed PSI of
     * each window's bin shares against the baseline's, the
     * [[graft.operators.Profile.distributionDrift]] expression with
-    * the baseline as side A. Every window scores the FULL grid
+    * the baseline as side A. Every window scores EXACTLY the grid
     * 0..bins-1 (ADVICE r10, same reasoning as the batch operator): a
     * bin the window left empty still carries smoothing mass against
     * the baseline's share, so each window's summed `psi` is the true
-    * full-grid PSI. Bins outside the nominal grid that the stream
-    * nonetheless occupied (values past the baseline's max) are also
-    * scored; `bins` stays the smoothing denominator either way so the
-    * shares match the batch operator's. An all-empty window emits
-    * nothing (it has no row in `winBins` to anchor the grid).
+    * full-grid PSI. Stream values outside the baseline's grid (past
+    * its max, or below the caller's `mn`) CLAMP into the edge bins —
+    * the standard histogram overflow bucket — so their mass stays in
+    * the window's shares and shows up as edge-bin drift instead of
+    * either vanishing or producing rows the fixed grid doesn't define
+    * (ADVICE r11: the previous behavior emitted occupied out-of-grid
+    * bins, which the shares' `bins` denominator never accounted for).
+    * An all-empty window emits nothing (it has no row in `winBins` to
+    * anchor the grid).
     *
     * Input sizes here are windows x bins — driver-trivial; the heavy
     * lifting already happened in the stream.
@@ -73,18 +77,23 @@ object DriftMonitor {
     val nbRow = baseline.agg(sum("n_base")).head
     require(!nbRow.isNullAt(0), "baseline is empty — nothing to score against")
     val nBase = nbRow.getLong(0)
+    // overflow clamp: out-of-grid occupancy folds into the edge bins
+    // and re-aggregates, so every scored row is a defined grid bin
+    val clamped = winBins.select(col("win_start_us"),
+        greatest(lit(0L), least(col("bin"), lit((bins - 1).toLong)))
+          .as("bin"), col("n"))
+      .groupBy("win_start_us", "bin").agg(sum("n").as("n"))
     // renamed keys before the self-derived joins: a memory-sink input
     // carries identical attribute ids on both branches otherwise
-    val grid = winBins.select(col("win_start_us").as("__gw")).distinct()
+    val grid = clamped.select(col("win_start_us").as("__gw")).distinct()
       .select(col("__gw"),
         explode(sequence(lit(0L), lit((bins - 1).toLong))).as("__gb"))
-    val full = grid.join(winBins,
+    val full = grid.join(clamped,
         col("__gw") === col("win_start_us") && col("__gb") === col("bin"),
-        "full_outer")
-      .select(coalesce(col("win_start_us"), col("__gw")).as("win_start_us"),
-        coalesce(col("bin"), col("__gb")).as("bin"),
+        "left_outer")
+      .select(col("__gw").as("win_start_us"), col("__gb").as("bin"),
         coalesce(col("n"), lit(0L)).as("n"))
-    val totals = winBins.select(col("win_start_us").as("__w"), col("n"))
+    val totals = clamped.select(col("win_start_us").as("__w"), col("n"))
       .groupBy("__w").agg(sum("n").as("n_win"))
     full
       .join(totals, col("win_start_us") === col("__w"))

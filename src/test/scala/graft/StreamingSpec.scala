@@ -78,6 +78,24 @@ class StreamingSpec extends SparkSpec {
     // window share 1/6 vs baseline share 6/24: unequal -> nonzero psi
     assert(empties.map(_._1).toSeq == Seq(1L, 2L) &&
       empties.forall(_._3 != 0.0))
+
+    // Out-of-grid occupancy clamps into the edge bins (ADVICE r11):
+    // a value past the baseline's max (bin 9 on a 4-bin grid) and one
+    // below mn (bin -1) must fold into bins 3 and 0 — counted in the
+    // window's shares as edge drift, never emitted as undefined rows.
+    val wild = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 95.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:20:00"), -10.0),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:30:00"), 15.0)
+    ).toDF("user_id", "ts", "value")
+    val wbWild = DriftMonitor.windowedBins(wild, "ts", "value",
+      "1 hour", "0 seconds", mn = 0L, binWidth = 10L)
+    assert(wbWild.select("bin").as[Long].collect().toSet ==
+      Set(-1L, 1L, 9L))
+    val sWild = DriftMonitor.score(wbWild, baseline, bins = 4)
+      .orderBy("bin").select("bin", "n").as[(Long, Long)].collect()
+    assert(sWild.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(sWild.toSeq == Seq((0L, 1L), (1L, 1L), (2L, 0L), (3L, 1L)))
   }
 
   test("stateful sessionizer closes sessions by gap and by timeout") {
