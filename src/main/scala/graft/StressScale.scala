@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Stress-data scaler: writes an N-times-larger copy of a testdata
@@ -15,6 +15,20 @@ import org.apache.spark.sql.functions._
   * Foreign keys INTO dimensions (o_custkey, l_partkey) are left
   * unshifted for the same reason.
   *
+  * CONTENT columns mutate per replica (VERDICT r11 item 3): replicating
+  * `documents.text` / `embeddings.embedding` byte-identical would give
+  * every band/cell bucket N copies of each member, so near-dup
+  * verification pairs would grow N^2 — an artifact of the scaler, not a
+  * property of a real N-times-larger corpus. Instead replica i > 0
+  * suffixes every whitespace token with "x<i>" (word-shingle sets
+  * across replicas become disjoint) and circularly shifts each
+  * embedding by i positions (random vectors decorrelate at lag >= 1).
+  * Replica 0 stays byte-identical to the source, so fixtures that
+  * plant twins in the low-id range (docsWithTwins / vecsWithTwins)
+  * keep their planted structure, and each replica carries its own
+  * natural near-dup population — pair counts scale ~N, like a corpus
+  * that actually grew.
+  *
   * The output is a bench input, not a correctness fixture — oracle
   * queries keep running against the driver's own testdata.
   *
@@ -22,15 +36,41 @@ import org.apache.spark.sql.functions._
   */
 object StressScale {
   private def replicate(df: DataFrame, factor: Int,
-      offsets: Map[String, Long]): DataFrame = {
+      offsets: Map[String, Long],
+      mutations: Seq[(String, Column)] = Seq.empty): DataFrame = {
     // one row per (row, replica) pair via a codegen'd explode — no
     // driver loop, no union of N plans
     val exploded = df.withColumn("__rep",
       explode(sequence(lit(0L), lit(factor - 1L))))
-    offsets.foldLeft(exploded) { case (d, (c, stride)) =>
+    val keyed = offsets.foldLeft(exploded) { case (d, (c, stride)) =>
       d.withColumn(c, col(c) + col("__rep") * stride)
+    }
+    // mutation expressions may reference col("__rep") and earlier
+    // mutations' outputs (applied in sequence order — n_chars must see
+    // the already-mutated text), hence Seq, not Map
+    mutations.foldLeft(keyed) { case (d, (c, e)) =>
+      d.withColumn(c, e)
     }.drop("__rep")
   }
+
+  /** Replica-i text: every token suffixed with "x<i>" (i = 0 keeps the
+    * original bytes). One token's mutation never collides with another
+    * replica's, so word-shingle sets across replicas are disjoint.
+    */
+  private def mutateText(c: Column): Column =
+    when(col("__rep") === 0, c).otherwise(
+      array_join(transform(split(c, " "),
+        w => concat(w, lit("x"), col("__rep"))), " "))
+
+  /** Replica-i embedding: circular shift by i positions. Preserves the
+    * norm exactly and (for the generator's random-ish vectors)
+    * decorrelates replicas from the original and from each other.
+    */
+  private def mutateVec(c: Column): Column =
+    when(col("__rep") === 0, c).otherwise(concat(
+      slice(c, (col("__rep") + 1).cast("int"),
+        size(c) - col("__rep").cast("int")),
+      slice(c, lit(1), col("__rep").cast("int"))))
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -77,8 +117,16 @@ object StressScale {
       "embeddings" -> Map("vec_id" ->
         math.max(stride(t("embeddings"), "vec_id"), 1000000L)))
     val dims = Seq("part", "customer", "supplier", "nation", "region")
+    // n_chars tracks the mutated text so length-derived scores stay
+    // internally consistent on the scaled fixture
+    val mutations: Map[String, Seq[(String, Column)]] = Map(
+      "documents" -> Seq(
+        "text" -> mutateText(col("text")),
+        "n_chars" -> length(col("text")).cast("long")),
+      "embeddings" -> Seq(
+        "embedding" -> mutateVec(col("embedding"))))
     for ((n, off) <- facts) {
-      replicate(t(n), factor, off)
+      replicate(t(n), factor, off, mutations.getOrElse(n, Seq.empty))
         .write.mode("overwrite").parquet(s"$dst/$n.parquet")
       println(s"[scale] $n x$factor -> $dst/$n.parquet")
     }
