@@ -39,7 +39,16 @@ object Profile {
     * fraction digits still compare correctly because renderings carry
     * no trailing zeros). Float/double and oversized decimals are
     * refused — pre-cast them to DECIMAL (the documented contract; their
-    * rendering is engine-ambiguous anyway).
+    * rendering is engine-ambiguous anyway). Array/map/struct columns
+    * are refused too (ADVICE r12): their rendered-string lexical order
+    * does NOT match native ordering ([10] < [2] lexically), so a
+    * silent fallback would report wrong min/max — profile elements
+    * explicitly (explode, or project struct fields) instead.
+    *
+    * Empty input still emits one row per column with n_rows = 0
+    * (ADVICE r12): the rollup is left-joined back onto the static
+    * column grid, so data-quality gates keyed on per-column rows see
+    * every column in both modes.
     *
     * `exact = false` swaps in one wide aggregate with HLL
     * approx_count_distinct (~2% error) per column — no Expand (only
@@ -67,7 +76,15 @@ object Profile {
           throw new IllegalArgumentException(
             s"profile: column `$c` ($d) exceeds the DECIMAL(38,18) order " +
             "proxy; pre-cast to scale<=18 with <=20 integer digits")
-        case _ => lit(null).cast(DecimalType(38, 18))
+        case StringType | BooleanType | DateType | TimestampType |
+             TimestampNTZType =>
+          lit(null).cast(DecimalType(38, 18))
+        case other =>
+          throw new IllegalArgumentException(
+            s"profile: column `$c` ($other) has no order-preserving " +
+            "string rendering — lexical min/max of the rendered value " +
+            "would not match native order; profile its elements " +
+            "explicitly (explode arrays, project struct fields)")
       }
       val melted = df.select(explode(array(cols.zipWithIndex.map {
         case (c, i) =>
@@ -80,24 +97,30 @@ object Profile {
         .agg(count(lit(1)).as("n"))
       val ordKey = when(col("v").isNotNull,
         struct(col("num"), col("v")))
-      counted.groupBy("idx").agg(
+      val rolled = counted.groupBy("idx").agg(
           sum("n").as("n_rows"),
           coalesce(sum(when(col("v").isNull, col("n"))), lit(0L))
             .as("n_nulls"),
           count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
           min(ordKey).getField("v").as("min_str"),
           max(ordKey).getField("v").as("max_str"))
+      // static grid left-join: an empty input has an empty rollup, but
+      // every column must still emit its zero row (ADVICE r12)
+      df.sparkSession.range(cols.size)
+        .select(col("id").cast("int").as("idx"))
+        .join(rolled, Seq("idx"), "left")
         .select(
           element_at(array(cols.map(lit): _*), (col("idx") + 1).cast("int"))
             .as("col_name"),
-          col("n_rows").cast("long").as("n_rows"),
-          col("n_nulls").cast("long").as("n_nulls"),
-          col("n_distinct").cast("long").as("n_distinct"),
+          coalesce(col("n_rows").cast("long"), lit(0L)).as("n_rows"),
+          coalesce(col("n_nulls").cast("long"), lit(0L)).as("n_nulls"),
+          coalesce(col("n_distinct").cast("long"), lit(0L))
+            .as("n_distinct"),
           col("min_str"), col("max_str"))
     } else {
       val aggs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long")
-          .as(s"nn_$i"),
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as(s"nn_$i"),
         approx_count_distinct(col(c)).cast("long").as(s"nd_$i"),
         min(col(c)).cast("string").as(s"mn_$i"),
         max(col(c)).cast("string").as(s"mx_$i")) }

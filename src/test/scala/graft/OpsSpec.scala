@@ -204,6 +204,41 @@ class OpsSpec extends SparkSpec {
     assert(approx(0).getLong(3) == 2)
   }
 
+  test("profile: empty input emits a zero row per column in both modes") {
+    // ADVICE r12: the exact-mode rollup over an empty melt used to
+    // return 0 rows while the approx mode returned one per column —
+    // data-quality gates keyed on per-column n_rows saw nothing.
+    import graft.operators.Profile
+    val df = Seq((1L, "a")).toDF("k", "v").where(lit(false))
+    for (exact <- Seq(true, false)) {
+      val out = Profile.profile(df, exact = exact)
+        .orderBy("col_name").collect()
+      assert(out.map(_.getString(0)).toSeq == Seq("k", "v"),
+        s"exact=$exact missing columns")
+      for (r <- out) {
+        assert(r.getLong(1) == 0 && r.getLong(2) == 0 &&
+          r.getLong(3) == 0, s"exact=$exact nonzero stats: $r")
+        assert(r.isNullAt(4) && r.isNullAt(5),
+          s"exact=$exact min/max not null: $r")
+      }
+    }
+  }
+
+  test("profile: refuses array/map/struct columns instead of lexical min/max") {
+    // ADVICE r12: complex types fell into the null-proxy branch, so
+    // min/max came from the rendered string's LEXICAL order, which
+    // disagrees with native ordering ([10] < [2] lexically).
+    import graft.operators.Profile
+    val arr = Seq((1L, Seq(2)), (2L, Seq(10))).toDF("k", "e")
+    val err = intercept[IllegalArgumentException] {
+      Profile.profile(arr).collect()
+    }
+    assert(err.getMessage.contains("`e`") &&
+      err.getMessage.contains("order"))
+    val strct = Seq((1L, (1, "x"))).toDF("k", "s")
+    intercept[IllegalArgumentException] { Profile.profile(strct).collect() }
+  }
+
   test("decorate with empty field list star-expands all metadata columns") {
     val exploded = Seq(("q1", 0, "p1")).toDF("queryItemId", "pos",
       "recItemId")
