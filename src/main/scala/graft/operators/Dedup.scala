@@ -317,7 +317,8 @@ object Dedup {
       numHashes: Int = 32, bands: Int = 8,
       append: Boolean = false): Unit = {
     val spark = corpus.sparkSession
-    if (append) readIndexParams(spark, indexDir).foreach { p =>
+    val existing = if (append) readIndexParams(spark, indexDir) else None
+    existing.foreach { p =>
       require(p == ((shingleWidth, numHashes, bands)),
         s"minhashIndexWrite(append): index at $indexDir was built with " +
         s"(shingleWidth, numHashes, bands) = $p but this append uses " +
@@ -328,7 +329,13 @@ object Dedup {
         bands, cache = None)._2
       .write.mode(if (append) "append" else "overwrite")
       .parquet(indexDir)
-    writeIndexParams(spark, indexDir, shingleWidth, numHashes, bands)
+    // An append to a PRE-sidecar index must not stamp one (ADVICE r12):
+    // the appender's parameters would retroactively assert params the
+    // original build may not have used — refusing later probes that use
+    // the true originals and legitimizing this append if IT was the
+    // mismatched one. Pre-sidecar indexes stay caller-owned.
+    if (!append || existing.isDefined)
+      writeIndexParams(spark, indexDir, shingleWidth, numHashes, bands)
   }
 
   /** Sidecar recording the sketch parameters an index was built with —
@@ -387,11 +394,17 @@ object Dedup {
     *
     * One hash shuffle on id (left-semi against the corpus's distinct
     * ids) plus one on (band, id) for the dedup — both over narrow
-    * (band, id) longs, never text. The compacted rows are written to a
-    * sibling temp dir and atomically renamed over the index, so a
-    * probe never reads a half-written index and the plan never
-    * re-reads deleted input files; the params sidecar is re-written
-    * after the swap. Single-sequential-writer assumed, like StateTable.
+    * (band, id) longs, never text. The swap is rename-aside (ADVICE
+    * r12): the compacted rows are fully written to a sibling tmp dir,
+    * the live index is renamed aside, tmp is renamed into place, and
+    * only then is the old dir deleted — so no failure point destroys
+    * the index (a failed second rename leaves the full old index in
+    * `<dir>__old`; recover by renaming it back). This is two renames,
+    * not one atomic op: a probe racing the swap can momentarily see a
+    * missing directory, so readers are excluded during compaction —
+    * single-sequential-writer AND no concurrent probes, like
+    * StateTable. The params sidecar (absent from the freshly-written
+    * tmp) is re-written after the swap.
     *
     * @return (rows_before, rows_after)
     */
@@ -408,11 +421,17 @@ object Dedup {
     compacted.write.mode("overwrite").parquet(tmp)
     val f = indexFs(spark, indexDir)
     val dirP = new org.apache.hadoop.fs.Path(indexDir)
-    f.delete(dirP, true)
+    val oldP = new org.apache.hadoop.fs.Path(
+      indexDir.stripSuffix("/") + "__old")
+    f.delete(oldP, true) // leftover from a compact that died mid-swap
+    require(f.rename(dirP, oldP),
+      s"minhashIndexCompact: rename $indexDir -> $oldP failed")
     require(f.rename(new org.apache.hadoop.fs.Path(tmp), dirP),
-      s"minhashIndexCompact: rename $tmp -> $indexDir failed")
+      s"minhashIndexCompact: rename $tmp -> $indexDir failed; the " +
+      s"pre-compact index is intact at $oldP — rename it back to recover")
     params.foreach { case (sw, nh, b) =>
       writeIndexParams(spark, indexDir, sw, nh, b) }
+    f.delete(oldP, true)
     (before, spark.read.parquet(indexDir).count())
   }
 
@@ -756,12 +775,23 @@ object Dedup {
 
   private def pairJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
       shingler: DataFrame => org.apache.spark.sql.Column): DataFrame = {
-    val sh = docs.select(col(idCol).as("__id"),
-      array_distinct(shingler(docs)).as("__sh"))
+    // Late payload fetch (r13): shingle ONLY the documents that appear
+    // in a candidate pair. Without the semi-join the shingling
+    // projection runs over the ENTIRE corpus — twice, once per join
+    // side — because the pair-id filter reaches the join but never the
+    // projection above it; the r12 bench's full-materialization action
+    // exposed that as 16 s to score 150 pairs at sf0.1. Shingling
+    // after the semi-join makes the cost O(candidates), the same
+    // shape minhashNearDupsAgainstIndex uses for verification.
+    val ids = pairs.select(col("id_a").as(idCol))
+      .union(pairs.select(col("id_b").as(idCol))).distinct()
+    val sh = docs.join(ids, Seq(idCol), "left_semi")
+    val shingled = sh.select(col(idCol).as("__id"),
+      array_distinct(shingler(sh)).as("__sh"))
     pairs
-      .join(sh.withColumnRenamed("__id", "id_a")
+      .join(shingled.withColumnRenamed("__id", "id_a")
         .withColumnRenamed("__sh", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("__id", "id_b")
+      .join(shingled.withColumnRenamed("__id", "id_b")
         .withColumnRenamed("__sh", "sh_b"), "id_b")
       .select(col("id_a"), col("id_b"),
         H.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))

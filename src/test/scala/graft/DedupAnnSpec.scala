@@ -744,6 +744,42 @@ class DedupAnnSpec extends SparkSpec {
     assert(b2 == a2 && a2 == nAfter)
   }
 
+  test("append to a pre-sidecar index stays caller-owned: no retroactive params stamp") {
+    // ADVICE r12: appending to an index built before the sidecar
+    // existed used to stamp the APPENDER's params as if they were the
+    // build params — refusing later probes that use the true originals
+    // and legitimizing the append if IT was the mismatched one.
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, "one document full of perfectly ordinary words"),
+      (2L, "another document with different ordinary words")
+    ).toDF("id", "text")
+    val idx = tmpDir("mhidx-presidecar") + "/bands"
+    Dedup.minhashIndexWrite(corpus.where(col("id") === 1L), "id",
+      "text", idx)
+    val sidecar = new java.io.File(
+      new java.net.URI(s"file:$idx/_graft_minhash_params.json"))
+    assert(sidecar.exists(), "fresh build must stamp the sidecar")
+    // simulate a pre-sidecar index
+    assert(sidecar.delete())
+    Dedup.minhashIndexWrite(corpus.where(col("id") === 2L), "id",
+      "text", idx, append = true)
+    assert(!sidecar.exists(),
+      "append to a pre-sidecar index must not stamp params")
+    // caller-owned contract: a probe with matching params still works
+    val probed = Dedup.minhashNearDupsAgainstIndex(
+      corpus.limit(1).select(col("id") + 100 as "id", col("text")),
+      corpus, "id", "text", idx, threshold = 0.3)
+    assert(probed.count() == 1)
+    // compaction of a pre-sidecar index must not invent a sidecar
+    // either, and must leave no swap debris behind
+    Dedup.minhashIndexCompact(corpus, "id", idx)
+    assert(!sidecar.exists())
+    for (suffix <- Seq("__compacting", "__old"))
+      assert(!new java.io.File(new java.net.URI(s"file:$idx$suffix"))
+        .exists(), s"swap debris left at $idx$suffix")
+  }
+
   test("dedupAgainst drops corpus hits, self-dedups the batch, keeps fresh rows") {
     import graft.operators.Dedup
     val corpus = Seq((1L, "Hello World"), (2L, "other doc"))
