@@ -62,15 +62,24 @@ object StressScale {
       array_join(transform(split(c, " "),
         w => concat(w, lit("x"), col("__rep"))), " "))
 
-  /** Replica-i embedding: circular shift by i positions. Preserves the
-    * norm exactly and (for the generator's random-ish vectors)
-    * decorrelates replicas from the original and from each other.
+  /** Replica-i embedding: circular shift by `i mod dim` positions.
+    * Preserves the norm exactly and (for the generator's random-ish
+    * vectors) decorrelates replicas from the original and from each
+    * other. `pmod` keeps the slice lengths legal for any replica index
+    * (ADVICE r12 — a raw `i` shift went negative-length past the
+    * dimension); the byte-identical degenerate at `i mod dim == 0`
+    * (which would reintroduce the N^2 near-dup artifact this mutation
+    * exists to avoid) is excluded by main's `factor <= dim` guard, so
+    * within the supported range every replica's shift is distinct and
+    * non-zero.
     */
-  private def mutateVec(c: Column): Column =
-    when(col("__rep") === 0, c).otherwise(concat(
-      slice(c, (col("__rep") + 1).cast("int"),
-        size(c) - col("__rep").cast("int")),
-      slice(c, lit(1), col("__rep").cast("int"))))
+  private[graft] def mutateVec(c: Column): Column = {
+    val shift = pmod(col("__rep"), size(c).cast("long"))
+    when(shift === 0, c).otherwise(concat(
+      slice(c, (shift + 1).cast("int"),
+        (size(c) - shift.cast("int")).cast("int")),
+      slice(c, lit(1), shift.cast("int"))))
+  }
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -119,6 +128,20 @@ object StressScale {
     val dims = Seq("part", "customer", "supplier", "nation", "region")
     // n_chars tracks the mutated text so length-derived scores stay
     // internally consistent on the scaled fixture
+    // factor <= embedding dim (ADVICE r12): a dim-wide circular shift
+    // family has only dim - 1 distinct non-zero rotations, so replica
+    // indexes at/past the dim would repeat a shift (or shift by 0) and
+    // plant byte-identical vectors across replicas — exactly the N^2
+    // near-dup artifact mutateVec exists to avoid.
+    t("embeddings").select(size(col("embedding"))).limit(1).collect()
+      .headOption.foreach { r =>
+        val dim = r.getInt(0)
+        require(factor <= dim,
+          s"StressScale: factor $factor > embedding dimension $dim — " +
+          s"only $dim distinct circular shifts exist, so some replicas " +
+          "would carry byte-identical embeddings (an N^2 near-dup " +
+          s"artifact of the scaler); use factor <= $dim")
+      }
     val mutations: Map[String, Seq[(String, Column)]] = Map(
       "documents" -> Seq(
         "text" -> mutateText(col("text")),
