@@ -234,15 +234,17 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("q_keep_best: keeper is a struct-max aggregate, never a window sort") {
+  test("q_keep_best: keeper is a struct-min aggregate, never a window sort") {
     val p = plan("q_keep_best")
     // a row_number() formulation would sort every cluster on one
-    // reducer; the struct-max shape is a running maximum with MAP-SIDE
-    // PARTIALS (partial_max before the group-key exchange), immune to a
-    // million-member cluster. Struct ordering forces SortAggregate —
-    // the sort is per-partition by group key, not per-cluster by score.
+    // reducer; the struct-min shape (min over (score-is-null,
+    // -score, id) — r12's id-type-generic tie order) is a running
+    // minimum with MAP-SIDE PARTIALS (partial_min before the group-key
+    // exchange), immune to a million-member cluster. Struct ordering
+    // forces SortAggregate — the sort is per-partition by group key,
+    // not per-cluster by score.
     assert(!p.contains("Window"), p.take(400))
-    assert(p.contains("partial_max"), p.take(600))
+    assert(p.contains("partial_min"), p.take(600))
     assert(!p.contains("CartesianProduct"))
   }
 
