@@ -893,12 +893,20 @@ object Oracles {
          |WHERE bit_count(xor(a.sim, b.sim)) <= 8
          |ORDER BY 1, 2""".stripMargin,
 
+    // NOTE on the <3-token fallback (here and in q_repetition /
+    // q_contamination): DuckDB's array_to_string([]) is NULL while
+    // Spark's array_join([]) is '' — without the coalesce an
+    // empty-text document's shingle list collapses to [] (list_distinct
+    // drops the NULL) and its jaccard becomes 0/0 = NaN, which DuckDB
+    // then orders ABOVE any threshold. Found by the seeded synthetic
+    // replay (scripts/synthgen.py), invisible on the fixed testdata
+    // (no empty documents there).
     "q_ngram_jaccard" ->
       s"""WITH all_docs AS ($docsTwins60),
          |tok AS (SELECT doc_id, ${toks("text")} AS t FROM all_docs),
          |sh AS (SELECT doc_id,
          |  list_distinct(CASE WHEN len(t) < 3
-         |    THEN [array_to_string(t, ' ')]
+         |    THEN [coalesce(array_to_string(t, ' '), '')]
          |    ELSE list_transform(generate_series(1, len(t) - 2),
          |           i -> array_to_string(t[i:i+2], ' ')) END) AS s
          |  FROM tok),
@@ -926,7 +934,8 @@ object Oracles {
     "q_repetition" ->
       s"""WITH tok AS (SELECT doc_id, ${toks("text")} AS t FROM documents),
          |sh AS (SELECT doc_id,
-         |  CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+         |  CASE WHEN len(t) < 2
+         |    THEN [coalesce(array_to_string(t, ' '), '')]
          |  ELSE list_transform(generate_series(1, len(t) - 1),
          |         i -> array_to_string(t[i:i+1], ' ')) END AS s
          |  FROM tok),
@@ -1088,7 +1097,7 @@ object Oracles {
       s"""WITH dtok AS (SELECT doc_id, ${toks("text")} AS t FROM documents),
          |dsh AS (SELECT doc_id,
          |  list_distinct(CASE WHEN len(t) < 3
-         |    THEN [array_to_string(t, ' ')]
+         |    THEN [coalesce(array_to_string(t, ' '), '')]
          |    ELSE list_transform(generate_series(1, len(t) - 2),
          |           i -> array_to_string(t[i:i+2], ' ')) END) AS s
          |  FROM dtok),
@@ -1099,7 +1108,7 @@ object Oracles {
          |btok AS (SELECT bench_id, ${toks("text")} AS t FROM bdoc),
          |bsh AS (SELECT bench_id,
          |  list_distinct(CASE WHEN len(t) < 3
-         |    THEN [array_to_string(t, ' ')]
+         |    THEN [coalesce(array_to_string(t, ' '), '')]
          |    ELSE list_transform(generate_series(1, len(t) - 2),
          |           i -> array_to_string(t[i:i+2], ' ')) END) AS s
          |  FROM btok)
@@ -1944,10 +1953,15 @@ object Oracles {
 
     // Categorical PSI: per-language counts per side, C = union's
     // distinct categories, add-1 shares over N + C, same rounded
-    // (pa-pb)*ln(pa/pb) tree as q_drift.
+    // (pa-pb)*ln(pa/pb) tree as q_drift. The null filter mirrors
+    // Profile.categoricalDrift's `isNotNull` — without it a NULL
+    // category row per side survives the FULL OUTER JOIN unmerged
+    // (NULL never equi-joins), found by the seeded synthetic replay.
     "q_cat_drift" ->
-      """WITH a AS (SELECT lang FROM documents WHERE doc_id < 250),
-        |b AS (SELECT lang FROM documents WHERE doc_id >= 250),
+      """WITH a AS (SELECT lang FROM documents
+        |       WHERE doc_id < 250 AND lang IS NOT NULL),
+        |b AS (SELECT lang FROM documents
+        |      WHERE doc_id >= 250 AND lang IS NOT NULL),
         |ca AS (SELECT lang AS category, count(*) AS n_a
         |       FROM a GROUP BY 1),
         |cb AS (SELECT lang AS category, count(*) AS n_b
