@@ -24,6 +24,15 @@ VARCHAR, lang VARCHAR, source VARCHAR, n_chars BIGINT),
 embeddings(vec_id BIGINT, embedding FLOAT[], label INT). doc_id stays
 0..N-1 because the query fixtures split/plant on id ranges. NOT part
 of the shipped library.
+
+Replayable subset = every documents/embeddings-only query EXCEPT
+q_embed_neardup, whose oracle is construction-based (it asserts
+exactly the planted +100000 twins, valid only when the corpus has no
+natural cosine >= 0.95 pair — this generator plants in-table twins,
+so natural pairs exist by design). Round-13 status: 41 queries green
+on seeds 1 and 2; first runs surfaced and fixed four oracle bugs
+(NaN fallback shingles, NULL category join rows, two variant-
+distinctness construction shortcuts).
 """
 import sys
 import numpy as np

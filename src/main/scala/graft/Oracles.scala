@@ -1537,10 +1537,28 @@ object Oracles {
     // Incremental dedup: construction fixes the survivors — exact
     // copies die against the corpus, " v2" variants survive, and the
     // batch-internal duplicate of each variant loses to the min id.
+    // Generic replay of dedupAgainst (anti-join on corpus fingerprints,
+    // then batch self-dedup to the min id per fingerprint) rather than
+    // the old "the +800000 variants all survive" construction shortcut,
+    // which silently assumed all variant texts are pairwise distinct —
+    // false on the synthetic corpora (empty docs make every variant
+    // collapse to 'v2'; scripts/synthgen.py).
     "q_incremental_dedup" ->
-      s"""SELECT doc_id + 800000 AS "doc_id",
-         |  md5(${norm("text || ' v2'")}) AS "fp"
-         |FROM documents WHERE doc_id < 100 ORDER BY 1""".stripMargin,
+      s"""WITH corpus_fp AS (
+         |  SELECT DISTINCT md5(${norm("text")}) AS fp FROM documents),
+         |batch AS (
+         |  SELECT doc_id + 700000 AS doc_id, text FROM documents
+         |  WHERE doc_id < 100
+         |  UNION ALL
+         |  SELECT doc_id + 800000, text || ' v2' FROM documents
+         |  WHERE doc_id < 100
+         |  UNION ALL
+         |  SELECT doc_id + 900000, text || ' v2' FROM documents
+         |  WHERE doc_id < 50),
+         |bfp AS (SELECT doc_id, md5(${norm("text")}) AS fp FROM batch)
+         |SELECT min(doc_id) AS "doc_id", fp AS "fp"
+         |FROM bfp WHERE fp NOT IN (SELECT fp FROM corpus_fp)
+         |GROUP BY fp ORDER BY 1""".stripMargin,
 
     // Temperature mixing: integer-exact rate derivation (corrected
     // floor-sqrt weights, integer sum, truncating // to ppm) over the
@@ -1789,10 +1807,25 @@ object Oracles {
     // Bloom-pruned incremental dedup: same construction (" v3"
     // variants), same fixed survivor set — the prefilter may only
     // change the plan, never the result.
+    // Same generic dedupAgainst replay as q_incremental_dedup (the
+    // Bloom prefilter changes the plan, never the result), ' v3'
+    // variants.
     "q_dedup_bloom" ->
-      s"""SELECT doc_id + 800000 AS "doc_id",
-         |  md5(${norm("text || ' v3'")}) AS "fp"
-         |FROM documents WHERE doc_id < 100 ORDER BY 1""".stripMargin,
+      s"""WITH corpus_fp AS (
+         |  SELECT DISTINCT md5(${norm("text")}) AS fp FROM documents),
+         |batch AS (
+         |  SELECT doc_id + 700000 AS doc_id, text FROM documents
+         |  WHERE doc_id < 100
+         |  UNION ALL
+         |  SELECT doc_id + 800000, text || ' v3' FROM documents
+         |  WHERE doc_id < 100
+         |  UNION ALL
+         |  SELECT doc_id + 900000, text || ' v3' FROM documents
+         |  WHERE doc_id < 50),
+         |bfp AS (SELECT doc_id, md5(${norm("text")}) AS fp FROM batch)
+         |SELECT min(doc_id) AS "doc_id", fp AS "fp"
+         |FROM bfp WHERE fp NOT IN (SELECT fp FROM corpus_fp)
+         |GROUP BY fp ORDER BY 1""".stripMargin,
 
     // End-to-end curation pipeline: replay the full chain — exact-dedup
     // keepers, nearest-rank length band ON THE DEDUPED SET, per-lang
