@@ -21,18 +21,45 @@ collision/tie structure each seed. Same routine as the driver after:
 
 Schemas mirror /root/testdata/sf*/: documents(doc_id BIGINT, text
 VARCHAR, lang VARCHAR, source VARCHAR, n_chars BIGINT),
-embeddings(vec_id BIGINT, embedding FLOAT[], label INT). doc_id stays
-0..N-1 because the query fixtures split/plant on id ranges. NOT part
-of the shipped library.
+embeddings(vec_id BIGINT, embedding FLOAT[], label INT),
+events(event_id BIGINT, ts TIMESTAMP_NS, user_id BIGINT, event_type
+VARCHAR, value DOUBLE, props VARCHAR). doc_id stays 0..N-1 because
+the query fixtures split/plant on id ranges. NOT part of the shipped
+library.
+
+The events table targets the sessionization / as-of / window family
+(q_sessionize, q_session_window, q_session_prefixes, q_event_dedup,
+q_asof_join, q_attribution, q_events_window, q_events_sliding,
+q_sessionize_stream, q_stream_drift, q_zvalue, q_layout_sorted,
+q_zorder_layout) with the tie/boundary structure the driver's events
+never contain: duplicate timestamps within a user (identical ns and
+same-us-different-ns), session gaps of exactly 1800 s (same session
+for the floor-second `> gap` sessionizer, NEW session for
+session_window's `>= gap` us semantics — the two operators must
+diverge identically in both engines), dedup gaps of exactly 60 and
+61 floor-seconds, purchase-at-view-timestamp and purchase-at-
+view+1-day attribution boundaries, events exactly on and 1 ns under
+hour-bucket edges, a 25-event single-second burst user, single-event
+users, and heavy user skew.
+
+Two generator-side contracts keep construction-sensitive oracles
+valid: VIEW events are (user_id, ts_us)-unique (DuckDB's ASOF JOIN
+breaks us-ties arbitrarily, so q_asof_join's contract requires
+unique view timestamps per user — collisions are retyped to click),
+and `value` is never NULL (the drift monitor null-filters before
+binning; its oracle replays the grid without a null branch).
 
 Replayable subset = every documents/embeddings-only query EXCEPT
 q_embed_neardup, whose oracle is construction-based (it asserts
 exactly the planted +100000 twins, valid only when the corpus has no
 natural cosine >= 0.95 pair — this generator plants in-table twins,
-so natural pairs exist by design). Round-13 status: 41 queries green
-on seeds 1 and 2; first runs surfaced and fixed four oracle bugs
-(NaN fallback shingles, NULL category join rows, two variant-
-distinctness construction shortcuts).
+so natural pairs exist by design). Round-13 status: 41 documents/
+embeddings queries + 13 events queries green on seeds 1 and 2; first
+runs surfaced and fixed six oracle bugs (NaN fallback shingles, NULL
+category join rows, two variant-distinctness construction shortcuts,
+NULLS LAST ordering under null event_type, and a falsified
+session_window boundary claim - Spark merges an event arriving
+exactly at the previous session's end, the `>=` replay split it).
 """
 import sys
 import numpy as np
@@ -137,6 +164,118 @@ def gen_embeddings(rng):
     })
 
 
+N_USERS = 80
+EPOCH_NS = 1704067200 * 10**9          # 2024-01-01 00:00:00 UTC
+DAY_NS = 86400 * 10**9
+SEC_NS = 10**9
+
+
+def gen_events(rng):
+    types = np.array(["view", "click", "purchase", "signup", "error"])
+    type_p = np.array([0.35, 0.20, 0.15, 0.15, 0.15])
+    rows = []                           # (ts_ns, user, type, value)
+
+    def val():
+        # ~20% exact integers: floor(value) ties for the drift binner
+        # and DECIMAL-exact sums everywhere
+        v = rng.uniform(0.01, 500.0)
+        return float(int(v)) if rng.random() < 0.2 else round(v, 2)
+
+    # --- bulk: user skew p ~ 1/(rank+2); users 70..79 get exactly one
+    # event each (single-event sessions), user 60 is reserved for the
+    # burst below
+    p = 1.0 / (np.arange(60) + 2.0)
+    p /= p.sum()
+    for _ in range(3600):
+        u = int(rng.choice(60, p=p))
+        ts = EPOCH_NS + int(rng.integers(0, 27 * DAY_NS))
+        rows.append((ts, u, str(rng.choice(types, p=type_p)), val()))
+    for u in range(70, N_USERS):
+        rows.append((EPOCH_NS + int(rng.integers(0, 27 * DAY_NS)),
+                     u, str(rng.choice(types, p=type_p)), val()))
+
+    # --- burst user 60: 25 events inside one second — identical-ns
+    # ties and same-us-different-ns ties; clicks/errors only (the view
+    # uniqueness contract stays trivially satisfied)
+    t0 = EPOCH_NS + 5 * DAY_NS + 3723 * SEC_NS
+    for i in range(25):
+        off = [0, 0, 1, 500, 999, 1000, 2000][i % 7]  # ns offsets
+        rows.append((t0 + off, 60, "click" if i % 3 else "error", val()))
+
+    # --- per-user boundary plants, users 20..39 (kept clear of the
+    # zipf bulk's hottest ids so plant structure is not drowned out)
+    for u in range(20, 40):
+        base = EPOCH_NS + (u - 18) * DAY_NS + int(rng.integers(0, 3600)) * SEC_NS
+        # session-gap ladder: gaps of exactly 1799 s, 1800 s, 1801 s,
+        # and 1800 s + 999999 us (floor-second gap still 1800)
+        t = base
+        for gap_ns in (1799 * SEC_NS, 1800 * SEC_NS, 1801 * SEC_NS,
+                       1800 * SEC_NS + 999999000):
+            rows.append((t, u, "click", val()))
+            t += gap_ns
+        rows.append((t, u, "click", val()))
+        # dedup ladder on (user, click): 60 s (dropped), 61 s (kept),
+        # 60.999999 s (floor gap 60 -> dropped)
+        t = base + 10 * DAY_NS
+        for gap_ns in (60 * SEC_NS, 61 * SEC_NS, 60 * SEC_NS + 999999000):
+            rows.append((t, u, "click", val()))
+            t += gap_ns
+        rows.append((t, u, "click", val()))
+        # as-of / attribution boundaries: purchase before any view
+        # (asof NULL match), purchase AT the view's timestamp
+        # (inclusive >=), at view + 1 day exactly (attribution
+        # inclusive upper), and at view + 1 day + 1 us (excluded)
+        tv = base + 15 * DAY_NS
+        rows.append((tv - 3600 * SEC_NS, u, "purchase", val()))
+        rows.append((tv, u, "view", val()))
+        rows.append((tv, u, "purchase", val()))
+        rows.append((tv + DAY_NS, u, "purchase", val()))
+        rows.append((tv + DAY_NS + 1000, u, "purchase", val()))
+        # hour-bucket edges: on the edge, 1 ns under, 1 ns over
+        th = base - (base % (3600 * SEC_NS))      # aligned hour
+        rows.append((th + 20 * DAY_NS, u, "view", val()))
+        rows.append((th + 20 * DAY_NS + 3600 * SEC_NS - 1, u, "click",
+                     val()))
+        rows.append((th + 20 * DAY_NS + 3600 * SEC_NS + 1, u, "click",
+                     val()))
+
+    # --- assemble: shuffle rows, then assign event_id in shuffled
+    # order so id order carries no information about plant structure
+    rng.shuffle(rows)
+    ts = np.array([r[0] for r in rows], dtype="datetime64[ns]")
+    user = np.array([r[1] for r in rows], dtype=np.int64)
+    etype = [r[2] for r in rows]
+    value = np.array([r[3] for r in rows], dtype=np.float64)
+
+    # contract: VIEW timestamps unique per (user, us) — q_asof_join's
+    # oracle is DuckDB ASOF with no tie-break. Colliding views retype
+    # to click (the deliberate view/purchase same-us plants above are
+    # cross-type and unaffected).
+    seen = set()
+    for i in range(len(rows)):
+        if etype[i] == "view":
+            key = (int(user[i]), int(rows[i][0]) // 1000)
+            if key in seen:
+                etype[i] = "click"
+            else:
+                seen.add(key)
+
+    n = len(rows)
+    return pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(ts),
+        "user_id": pa.array(user),
+        "event_type": pa.array(
+            [None if rng.random() < 0.02 else t for t in etype],
+            pa.string()),
+        "value": pa.array(value),
+        "props": pa.array(
+            [None if rng.random() < 0.05
+             else '{"k": %d}' % rng.integers(0, 100) for _ in range(n)],
+            pa.string()),
+    })
+
+
 def main():
     seed, out = int(sys.argv[1]), sys.argv[2]
     rng = np.random.default_rng(seed)
@@ -144,8 +283,10 @@ def main():
     os.makedirs(out, exist_ok=True)
     pq.write_table(gen_documents(rng), f"{out}/documents.parquet")
     pq.write_table(gen_embeddings(rng), f"{out}/embeddings.parquet")
+    pq.write_table(gen_events(rng), f"{out}/events.parquet",
+                   version="2.6")       # keep ns timestamps, no coercion
     print(f"[synthgen] seed={seed} -> {out}/documents.parquet, "
-          f"{out}/embeddings.parquet")
+          f"{out}/embeddings.parquet, {out}/events.parquet")
 
 
 if __name__ == "__main__":

@@ -420,12 +420,16 @@ object Oracles {
         |       value AS "value"
         |FROM attrs ORDER BY 1, 2""".stripMargin,
 
+    // NULLS FIRST mirrors Spark's ascending-sort default on the
+    // nullable event_type (DuckDB defaults to NULLS LAST; the compare
+    // is row-order-sensitive). Same in q_events_sliding.
     "q_events_window" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
         |         '%Y-%m-%d %H:%M:%S') AS "window_start",
         |       event_type, count(*)::BIGINT AS "n",
         |       sum(value::DECIMAL(18,6))::DOUBLE AS "sum_value"
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM events GROUP BY 1, 2
+        |ORDER BY 1, 2 NULLS FIRST""".stripMargin,
 
     "q_sql_api" ->
       """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS "n",
@@ -608,15 +612,22 @@ object Oracles {
         |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS "window_start",
         |       event_type, count(*)::BIGINT AS "n",
         |       sum(value::DECIMAL(18,6))::DOUBLE AS "sum_value"
-        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM w GROUP BY 1, 2
+        |ORDER BY 1, 2 NULLS FIRST""".stripMargin,
 
-    // session_window semantics: new session when the gap REACHES 30 min
-    // (window end is exclusive); end = last event + gap.
+    // session_window semantics: an event arriving EXACTLY at the
+    // previous session's end (gap == 30 min to the microsecond) MERGES
+    // into it — Spark extends a session whenever the new event's window
+    // start touches the current end, so a new session needs gap
+    // STRICTLY > 30 min; end = last event + gap. (Measured on the
+    // synthetic gap ladder, scripts/synthgen.py: the old `>=` replay
+    // split one session per exact-1800 s pair that Spark merges;
+    // invisible on driver data, which has no exact-gap pairs.)
     "q_session_window" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
         |marked AS (SELECT user_id, us,
         |    CASE WHEN lag(us) OVER w IS NULL
-        |              OR us - lag(us) OVER w >= 1800000000
+        |              OR us - lag(us) OVER w > 1800000000
         |         THEN 1 ELSE 0 END AS ns
         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us)),
         |sess AS (SELECT user_id, us,
