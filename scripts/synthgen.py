@@ -4,8 +4,9 @@
 Usage: python3 scripts/synthgen.py <seed> <outDir>
 
 All 135 oracles replay on the driver's fixed testdata; this writes a
-seeded synthetic `documents` + `embeddings` parquet pair with the
-shapes that fixed data never exercises — exact-duplicate and
+full seeded synthetic tenth-scale testdata set (documents,
+embeddings, events, and the seven TPC-H tables) with the shapes that
+fixed data never exercises — exact-duplicate and
 one-token-edit near-duplicate texts at RANDOM positions (not the
 fixtures' planted +100000 twins), empty texts, single-token and
 punctuation-only documents, heavy token skew (zipf), null lang/source,
@@ -49,17 +50,28 @@ unique view timestamps per user — collisions are retyped to click),
 and `value` is never NULL (the drift monitor null-filters before
 binning; its oracle replays the grid without a null branch).
 
-Replayable subset = every documents/embeddings-only query EXCEPT
-q_embed_neardup, whose oracle is construction-based (it asserts
-exactly the planted +100000 twins, valid only when the corpus has no
-natural cosine >= 0.95 pair — this generator plants in-table twins,
-so natural pairs exist by design). Round-13 status: 41 documents/
-embeddings queries + 13 events queries green on seeds 1 and 2; first
-runs surfaced and fixed six oracle bugs (NaN fallback shingles, NULL
-category join rows, two variant-distinctness construction shortcuts,
-NULLS LAST ordering under null event_type, and a falsified
-session_window boundary claim - Spark merges an event arriving
-exactly at the previous session's end, the `>=` replay split it).
+The TPC-H tables target the relational/dataflow families (joins,
+windows, delta, pivots, sampling fixtures, state tables, sinks) with
+order-price ties, a 300-line burst order, an exact part-count tie,
+orphan FKs, quantity plants at filter edges, and millisecond
+year-boundary dates — see gen_tpch's docstring for the fixture
+contracts it honors.
+
+Replayable subset = the FULL suite except q_embed_neardup, whose
+oracle is construction-based (it asserts exactly the planted +100000
+twins, valid only when the corpus has no natural cosine >= 0.95 pair
+— this generator plants in-table twins, so natural pairs exist by
+design). Round-13 status: 134/135 queries green on seeds 1 and 2
+(the one failure is q_embed_neardup, above). The replays surfaced
+and fixed seven real divergences: six oracle bugs (NaN fallback
+shingles, NULL category join rows, two variant-distinctness
+construction shortcuts, NULLS LAST ordering under null lang /
+event_type, and a falsified session_window boundary claim - Spark
+merges an event arriving exactly at the previous session's end, the
+`>=` replay split it) and ONE operator bug — quotaSample's restore
+join dropped a NULL stratum's entire quota (null-unsafe equi-join
+after a window head that counted NULL as a group; no driver fixture
+has a NULL lang, so 135-green never reached it).
 """
 import sys
 import numpy as np
@@ -276,6 +288,187 @@ def gen_events(rng):
     })
 
 
+N_ORDERS = 4000
+N_LINES = 12000
+N_CUST = 400
+N_SUPP = 100
+N_PART = 400
+MS_1995 = 788918400 * 1000              # 1995-01-01 00:00:00 UTC, ms
+
+
+def _price(rng, lo, hi):
+    v = rng.uniform(lo, hi)
+    return round(v, 2)
+
+
+def gen_tpch(rng):
+    """TPC-H-shaped tables mirroring the driver's schemas and domains
+    (statuses O/F/P, the five priorities, Customer#%09d names, ms
+    timestamps 1995..2001) with the tie/skew/boundary structure the
+    driver's uniform generator never produces. Query-fixture contracts
+    honored: o_orderkey unique and dense from 0 (state-table plants
+    < 2000, relay keys < 120), 1996 dates present (partition pruning),
+    custkey < 100 users interact and partkey < 300 pool is populated
+    (sampling fixtures), c_name >= 11 chars (fuzzy-join substr), all
+    FKs resolve (orphan lineitems excepted, deliberately).
+    """
+    tables = {}
+    # --- region / nation: the driver's fixed tiny dimensions
+    rnames = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+    tables["region"] = pa.table({
+        "r_regionkey": pa.array(range(5), pa.int32()),
+        "r_name": pa.array(rnames, pa.string()),
+    })
+    tables["nation"] = pa.table({
+        "n_nationkey": pa.array(range(25), pa.int32()),
+        "n_name": pa.array([f"NATION_{i}" for i in range(25)],
+                           pa.string()),
+        "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
+    })
+    # --- customer: last 50 keys orderless (semi/anti probes); acctbal
+    # with exact ties, zeros, negatives
+    bal_pool = [0.0, -1.0, 123.45, 123.45, 9999.99, -994.28]
+    tables["customer"] = pa.table({
+        "c_custkey": pa.array(range(N_CUST), pa.int64()),
+        "c_name": pa.array([f"Customer#{i:09d}" for i in range(N_CUST)],
+                           pa.string()),
+        "c_nationkey": pa.array(
+            [int(rng.integers(0, 25)) for _ in range(N_CUST)],
+            pa.int32()),
+        "c_acctbal": pa.array(
+            [bal_pool[int(rng.integers(0, len(bal_pool)))]
+             if rng.random() < 0.2 else _price(rng, -1000, 10000)
+             for _ in range(N_CUST)], pa.float64()),
+        "c_mktsegment": pa.array(
+            [str(rng.choice(["BUILDING", "AUTOMOBILE", "MACHINERY",
+                             "HOUSEHOLD", "FURNITURE"]))
+             for _ in range(N_CUST)], pa.string()),
+    })
+    tables["supplier"] = pa.table({
+        "s_suppkey": pa.array(range(N_SUPP), pa.int64()),
+        "s_name": pa.array([f"Supplier#{i:09d}" for i in range(N_SUPP)],
+                           pa.string()),
+        "s_nationkey": pa.array(
+            [int(rng.integers(0, 25)) for _ in range(N_SUPP)],
+            pa.int32()),
+        "s_acctbal": pa.array([_price(rng, -1000, 10000)
+                               for _ in range(N_SUPP)], pa.float64()),
+    })
+    adjs = ["small", "large", "red", "blue", "hot", "cold", "dim",
+            "plated"]
+    nouns = ["ring", "widget", "bolt", "gear", "case", "tube", "disk",
+             "frame"]
+    tables["part"] = pa.table({
+        "p_partkey": pa.array(range(N_PART), pa.int64()),
+        "p_name": pa.array(
+            [f"{adjs[int(rng.integers(0, 8))]} "
+             f"{nouns[int(rng.integers(0, 8))]}" for _ in range(N_PART)],
+            pa.string()),
+        "p_brand": pa.array(
+            [f"Brand#{rng.integers(0, 25)}" for _ in range(N_PART)],
+            pa.string()),
+        "p_type": pa.array(
+            [str(rng.choice(["ECONOMY", "SMALL", "MEDIUM", "PROMO",
+                             "STANDARD", "LARGE"]))
+             for _ in range(N_PART)], pa.string()),
+        "p_size": pa.array([int(rng.integers(1, 51))
+                            for _ in range(N_PART)], pa.int32()),
+        "p_retailprice": pa.array(
+            [round(900.0 + rng.integers(0, 1000) / 10.0, 1)
+             for _ in range(N_PART)], pa.float64()),
+    })
+    # --- orders: customer skew p ~ 1/(rank+2) over keys 0..349; exact
+    # price ties planted; dates include the 1996 year boundary to the
+    # millisecond on both sides
+    cp = 1.0 / (np.arange(350) + 2.0)
+    cp /= cp.sum()
+    n_dates = np.empty(N_ORDERS, dtype="int64")
+    prices = np.empty(N_ORDERS, dtype="float64")
+    for i in range(N_ORDERS):
+        r = rng.random()
+        if r < 0.005:
+            n_dates[i] = MS_1995 + 365 * 86400000      # 1996-01-01 00:00
+        elif r < 0.01:
+            n_dates[i] = MS_1995 + 365 * 86400000 - 1  # 1995-12-31 23:59:59.999
+        else:
+            n_dates[i] = MS_1995 + int(rng.integers(0, 2400)) * 86400000 \
+                + int(rng.integers(0, 86400000))
+        prices[i] = 1013.70 if rng.random() < 0.03 \
+            else _price(rng, 900, 500000)
+    tables["orders"] = pa.table({
+        "o_orderkey": pa.array(range(N_ORDERS), pa.int64()),
+        "o_custkey": pa.array(
+            [int(rng.choice(350, p=cp)) for _ in range(N_ORDERS)],
+            pa.int64()),
+        "o_orderstatus": pa.array(
+            [str(rng.choice(["O", "F", "P"], p=[0.5, 0.4, 0.1]))
+             for _ in range(N_ORDERS)], pa.string()),
+        "o_totalprice": pa.array(prices),
+        "o_orderdate": pa.array(n_dates.view("datetime64[ms]")),
+        "o_orderpriority": pa.array(
+            [str(rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM",
+                             "4-NOT SPECIFIED", "5-LOW"]))
+             for _ in range(N_ORDERS)], pa.string()),
+    })
+    # --- lineitem: order skew (orderkey 7 gets a 300-line burst),
+    # part skew with an EXACT top-count tie between partkeys 13 and 17
+    # (key-skew's top-1 then resolves on the VARCHAR key desc), orphan
+    # orderkeys >= N_ORDERS, duplicate (orderkey, linenumber) pairs,
+    # quantity boundary plants at the fixtures' 48/50 filter edges
+    rows = []
+
+    def pk_draw():
+        # partkeys 13/17 are reserved for the exact-tie plant below;
+        # every other draw remaps them so the tie stays exact
+        pk = int(rng.integers(0, N_PART))
+        return 18 if pk in (13, 17) else pk
+
+    for _ in range(N_LINES - 300 - 2 * 200 - 20):
+        ok = 7 if rng.random() < 0.01 else int(rng.integers(0, N_ORDERS))
+        q = float(rng.integers(1, 51))
+        if rng.random() < 0.05:
+            q = float(rng.choice([48.0, 50.0]))  # filter-edge plants
+        rows.append((ok, pk_draw(), q))
+    for _ in range(300):                   # burst order
+        rows.append((7, pk_draw(), 1.0))
+    for _ in range(200):                   # exact part-count tie
+        rows.append((int(rng.integers(0, N_ORDERS)), 13,
+                     float(rng.integers(1, 51))))
+        rows.append((int(rng.integers(0, N_ORDERS)), 17,
+                     float(rng.integers(1, 51))))
+    for i in range(20):                    # orphan lineitems
+        rows.append((N_ORDERS + i, pk_draw(), 2.0))
+    rng.shuffle(rows)
+    tables["lineitem"] = pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+        "l_suppkey": pa.array([int(rng.integers(0, N_SUPP))
+                               for _ in rows], pa.int64()),
+        # duplicates within an order by construction: 1..7 at random
+        "l_linenumber": pa.array([int(rng.integers(1, 8))
+                                  for _ in rows], pa.int32()),
+        "l_quantity": pa.array([r[2] for r in rows], pa.float64()),
+        "l_extendedprice": pa.array(
+            [901.82 if rng.random() < 0.03 else _price(rng, 900, 105000)
+             for _ in rows], pa.float64()),
+        "l_discount": pa.array(
+            [round(int(rng.integers(0, 11)) / 100.0, 2) for _ in rows],
+            pa.float64()),
+        "l_tax": pa.array(
+            [round(int(rng.integers(0, 9)) / 100.0, 2) for _ in rows],
+            pa.float64()),
+        "l_returnflag": pa.array(
+            [str(rng.choice(["A", "N", "R"])) for _ in rows],
+            pa.string()),
+        "l_linestatus": pa.array(
+            [str(rng.choice(["F", "O"])) for _ in rows], pa.string()),
+        "l_shipdate": pa.array(
+            (MS_1995 + rng.integers(0, 2500, len(rows)) * 86400000)
+            .astype("int64").view("datetime64[ms]")),
+    })
+    return tables
+
+
 def main():
     seed, out = int(sys.argv[1]), sys.argv[2]
     rng = np.random.default_rng(seed)
@@ -285,8 +478,10 @@ def main():
     pq.write_table(gen_embeddings(rng), f"{out}/embeddings.parquet")
     pq.write_table(gen_events(rng), f"{out}/events.parquet",
                    version="2.6")       # keep ns timestamps, no coercion
-    print(f"[synthgen] seed={seed} -> {out}/documents.parquet, "
-          f"{out}/embeddings.parquet, {out}/events.parquet")
+    for name, tbl in gen_tpch(rng).items():
+        pq.write_table(tbl, f"{out}/{name}.parquet", version="2.6")
+    print(f"[synthgen] seed={seed} -> {out}: documents, embeddings, "
+          f"events + 7 TPC-H tables")
 
 
 if __name__ == "__main__":

@@ -1636,7 +1636,8 @@ object Oracles {
          |    PARTITION BY lang ORDER BY h ASC, doc_id DESC) AS rn
          |  FROM b)
          |SELECT doc_id, lang, source, rn::BIGINT AS "rank"
-         |FROM r WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+         |FROM r WHERE rn <= 20
+         |ORDER BY lang NULLS FIRST, rn""".stripMargin,
 
     // Co-occurrence related items: pair counts over distinct
     // (order, part), exact-integer lift with one double division
@@ -1866,7 +1867,8 @@ object Oracles {
          |            ELSE 'test' END AS "split",
          |  lang, count(*)::BIGINT AS "n_docs",
          |  sum(n_chars)::BIGINT AS "sum_chars"
-         |FROM samp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+         |FROM samp GROUP BY 1, 2
+         |ORDER BY 1, 2 NULLS FIRST""".stripMargin,
 
     // Release manifest: ':sample' keep, ':split' train gate, ':shuffle'
     // shard + per-shard row_number + offset prefix sum, then the
@@ -2261,7 +2263,7 @@ object Oracles {
     "q_kanon" ->
       """SELECT lang, source, count(*)::BIGINT AS "n_rows"
         |FROM documents GROUP BY 1, 2 HAVING count(*) < 4
-        |ORDER BY lang, source""".stripMargin,
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
 
     // Shuffle shards: ':shuffle'-salted 60-bit hash, shard = h % 8,
     // per-shard row_number over (h, id), shard-offset prefix sum.

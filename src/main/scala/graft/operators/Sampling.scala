@@ -201,7 +201,8 @@ object Sampling {
     * an exact integer sum, one truncating integer division to ppm —
     * so any engine derives the identical rates from the identical
     * counts; membership is then [[stratifiedKeep]]'s salted-hash
-    * predicate. Only the per-source count table reaches the driver.
+    * predicate, with a NULL source treated as its own stratum. Only
+    * the per-source count table reaches the driver.
     *
     * @return df's rows surviving the temperature-weighted keep
     */
@@ -215,16 +216,27 @@ object Sampling {
       else if ((f + 1) * (f + 1) <= n) f + 1
       else f
     }
-    val counts = df.groupBy(sourceCol)
-      .agg(count(lit(1)).as("n")).collect()
-      .map(r => r.get(0).toString -> r.getLong(1)).toMap
-    val totalW = counts.values.map(isqrt).sum
-    val rates = counts.map { case (src, n) =>
-      src -> math.min(Buckets,
-        1000000L * budgetRows * isqrt(n) / (totalW * n))
+    val counts: Seq[(Option[String], Long)] = df.groupBy(sourceCol)
+      .agg(count(lit(1)).as("n")).collect().toSeq
+      .map(r => Option(r.get(0)).map(_.toString) -> r.getLong(1))
+    val totalW = counts.map { case (_, n) => isqrt(n) }.sum
+    def rate(n: Long): Long = math.min(Buckets,
+      1000000L * budgetRows * isqrt(n) / (totalW * n))
+    val named = counts.collect { case (Some(src), n) => src -> rate(n) }
+      .toMap
+    val keep = stratifiedKeep(col(keyCol), col(sourceCol), named,
+      defaultPpm = 0L)
+    // a NULL source is a real stratum (un-attributed crawl shards are
+    // routine): it gets its own sqrt-damped rate like any other, not
+    // stratifiedKeep's default-drop (and not the NPE the old
+    // .toString count map hit)
+    counts.collectFirst { case (None, n) => n } match {
+      case Some(n) => df.where(
+        when(col(sourceCol).isNull,
+          saltedBucket(col(keyCol), SampleSalt) < lit(rate(n)))
+          .otherwise(keep))
+      case None => df.where(keep)
     }
-    df.where(stratifiedKeep(col(keyCol), col(sourceCol), rates,
-      defaultPpm = 0L))
   }
 
   /** Exact per-stratum quotas: each stratum's `quota` rows with the
@@ -239,7 +251,11 @@ object Sampling {
     * Scale shape: the head reuses [[graft.etl.Ops.topKPerGroup]]
     * (salted two-phase, O(rows/salts) buffers per hot stratum), then
     * one equi-join restores the full-width rows — only (stratum, key,
-    * rank) ever shuffles for the selection itself.
+    * rank) ever shuffles for the selection itself. The restore join
+    * is NULL-SAFE on the stratum: a NULL stratum is a real group to
+    * the window head (un-tagged language, missing domain), and a
+    * plain equi-join would silently drop exactly that group's picks
+    * after the head counted them against its quota.
     *
     * @return df's rows of the selected sample, plus `rank` (1..quota
     *   within stratum)
@@ -251,8 +267,15 @@ object Sampling {
       .withColumn("nb", -saltedBucket(col(keyCol), SampleSalt))
     val picked = graft.etl.Ops.topKPerGroup(slim, Seq(stratumCol),
         Seq("nb", keyCol), quota)
-      .select(col(stratumCol), col(keyCol), col("rank"))
-    df.join(picked, Seq(stratumCol, keyCol))
+      .select(col(stratumCol).as("__qs_stratum"),
+        col(keyCol).as("__qs_key"), col("rank"))
+    val rest = df.columns.toSeq
+      .filterNot(c => c == stratumCol || c == keyCol)
+    df.join(picked,
+        col(stratumCol) <=> col("__qs_stratum") &&
+          col(keyCol) === col("__qs_key"))
+      .select((Seq(stratumCol, keyCol) ++ rest).map(col) :+
+        col("rank"): _*)
   }
 
   /** Deterministic negative sampling for recommender/contrastive

@@ -447,6 +447,14 @@ class DedupAnnSpec extends SparkSpec {
     assert(nSmall > 18 && nSmall < 50, s"small kept $nSmall")
     // flattening: small keeps at a materially higher RATE than big
     assert(nSmall / 100.0 > 1.3 * (nBig / 400.0))
+    // a NULL source is its own stratum, not an NPE (old .toString
+    // count map) and not a silent drop (stratifiedKeep's default)
+    val withNull = ((1L to 400L).map(i => (i, "big")) ++
+      (1001L to 1100L).map(i => (i, null: String))).toDF("id", "src")
+    val keptNull = Sampling
+      .temperatureMix(withNull, "id", "src", budgetRows = 100)
+      .where(col("src").isNull).count().toDouble
+    assert(keptNull > 18 && keptNull < 50, s"null kept $keptNull")
   }
 
   test("round-10 operators tolerate empty and degenerate inputs") {
@@ -490,6 +498,16 @@ class DedupAnnSpec extends SparkSpec {
     val small = Sampling.quotaSample(
       docs.where(col("id") <= 5), "id", "s", quota = 10)
     assert(small.count() == 5)
+    // a NULL stratum is a real group: the window head counts it, and
+    // the restore join must be null-safe or its picks vanish (caught
+    // by the synthgen replay: null-lang documents drew a quota the
+    // equi-join then dropped)
+    val withNull = (1L to 60L)
+      .map(i => (i, if (i % 3 == 0) null else "a"))
+      .toDF("id", "s")
+    val nOut = Sampling.quotaSample(withNull, "id", "s", quota = 10)
+    assert(nOut.where(col("s").isNull).count() == 10)
+    assert(nOut.count() == 20)
   }
 
   test("coOccurrence ranks by co-basket count, lift favors rare affinity") {
