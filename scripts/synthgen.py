@@ -57,21 +57,21 @@ orphan FKs, quantity plants at filter edges, and millisecond
 year-boundary dates — see gen_tpch's docstring for the fixture
 contracts it honors.
 
-Replayable subset = the FULL suite except q_embed_neardup, whose
-oracle is construction-based (it asserts exactly the planted +100000
-twins, valid only when the corpus has no natural cosine >= 0.95 pair
-— this generator plants in-table twins, so natural pairs exist by
-design). Round-13 status: 134/135 queries green on seeds 1 and 2
-(the one failure is q_embed_neardup, above). The replays surfaced
-and fixed seven real divergences: six oracle bugs (NaN fallback
-shingles, NULL category join rows, two variant-distinctness
-construction shortcuts, NULLS LAST ordering under null lang /
-event_type, and a falsified session_window boundary claim - Spark
-merges an event arriving exactly at the previous session's end, the
-`>=` replay split it) and ONE operator bug — quotaSample's restore
-join dropped a NULL stratum's entire quota (null-unsafe equi-join
-after a window head that counted NULL as a group; no driver fixture
-has a NULL lang, so 135-green never reached it).
+Replayable subset = the FULL 135-query suite. (q_embed_neardup's
+oracle was the last construction-bound one — it asserted exactly the
+planted +100000 twins; it now replays the whole sign-LSH pipeline
+generically, since the hyperplanes are md5-derived and DuckDB can
+rebuild the exact band keys.) Round-13 status: 135/135 green on
+seeds 1 and 2. The replays surfaced and fixed seven real
+divergences: six oracle bugs (NaN fallback shingles, NULL category
+join rows, two variant-distinctness construction shortcuts, NULLS
+LAST ordering under null lang / event_type, and a falsified
+session_window boundary claim - Spark merges an event arriving
+exactly at the previous session's end, the `>=` replay split it) and
+ONE operator bug — quotaSample's restore join dropped a NULL
+stratum's entire quota (null-unsafe equi-join after a window head
+that counted NULL as a group; no driver fixture has a NULL lang, so
+135-green never reached it).
 """
 import sys
 import numpy as np

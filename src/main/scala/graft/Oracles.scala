@@ -1147,14 +1147,42 @@ object Oracles {
          |FROM pairs JOIN sh a ON a.doc_id = ia JOIN sh b ON b.doc_id = ib
          |ORDER BY 1""".stripMargin,
 
+    // Sign-LSH near-dup replayed GENERICALLY: the hyperplanes are
+    // md5-derived (plane_p_d -> md5_60 / 2^60 * 2 - 1, VectorFunctions
+    // .hyperplanes), so DuckDB rebuilds the exact plane matrix, band
+    // keys (4 sign bits per band, key = bits | (band+1)<<56, matching
+    // Kernels.signLshBandKeys), eligible buckets (>1, <=100000), and
+    // candidate pairs — then exact rounded cosine >= 0.95. No planted-
+    // pair shape assumed: natural near-dup pairs (synthetic replay
+    // seeds plant in-table twins) must surface identically in both
+    // engines, and spurious pairs fail the compare.
     "q_embed_neardup" ->
-      """SELECT vec_id AS "id_a", vec_id + 100000 AS "id_b",
-        |  round(list_dot_product(e, e) /
-        |    (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(e, e))), 6)
-        |    AS "cosine"
-        |FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-        |      WHERE vec_id < 50)
-        |ORDER BY 1, 2""".stripMargin,
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |              FROM embeddings),
+         |tw AS (SELECT vec_id + 100000 AS vec_id, v FROM base
+         |       WHERE vec_id < 50),
+         |vec AS (SELECT * FROM base UNION ALL SELECT * FROM tw),
+         |pl AS (SELECT p, d,
+         |    ${md5_60("'plane_' || p || '_' || d")}
+         |      / 1152921504606846976.0 * 2 - 1 AS w
+         |  FROM range(16) rp(p), range(64) rd(d)),
+         |pls AS (SELECT p, list(w ORDER BY d) AS pv FROM pl GROUP BY p),
+         |dots AS (SELECT vec_id, p, list_dot_product(v, pv) AS dot
+         |         FROM vec CROSS JOIN pls),
+         |bk AS (SELECT vec_id,
+         |    ((p // 4) + 1) * 72057594037927936 +
+         |      sum(CASE WHEN dot >= 0 THEN 1 << (p % 4) ELSE 0 END) AS k
+         |  FROM dots GROUP BY vec_id, (p // 4)),
+         |ok AS (SELECT k FROM bk GROUP BY k
+         |       HAVING count(*) > 1 AND count(*) <= 100000),
+         |cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+         |  FROM bk a JOIN ok USING (k) JOIN bk b ON a.k = b.k
+         |    AND a.vec_id < b.vec_id),
+         |sc AS (SELECT ia, ib, round(${cosSql("va.v", "vb.v")}, 6) AS c
+         |  FROM cand JOIN vec va ON va.vec_id = ia
+         |            JOIN vec vb ON vb.vec_id = ib)
+         |SELECT ia AS "id_a", ib AS "id_b", c AS "cosine"
+         |FROM sc WHERE c >= 0.95 ORDER BY 1, 2""".stripMargin,
 
     // Semantic dedup replayed generically: the ivf-style centroid
     // assignment over the twin-augmented set, then drop any vector

@@ -1013,9 +1013,12 @@ object QueriesLlm {
       .orderBy("id_a")
   }
 
-  /** Embedding-cosine near-dup via sign-LSH buckets: exactly the planted
-    * parallel twins at threshold 0.95 (max natural pairwise cosine in
-    * this corpus is ~0.51).
+  /** Embedding-cosine near-dup via sign-LSH buckets at threshold
+    * 0.95. The oracle replays the WHOLE pipeline generically — the
+    * md5-derived hyperplanes, band keys, bucket eligibility, exact
+    * rounded cosine — so it holds on any input (driver fixtures
+    * recover exactly the planted parallel twins; synthetic replay
+    * seeds add natural in-table twins).
     */
   def embedNearDup(s: SparkSession, dir: String): DataFrame =
     Ann.cosineNearDupPairs(vecsWithTwins(s, dir), threshold = 0.95,
