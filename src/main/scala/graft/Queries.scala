@@ -619,14 +619,17 @@ object Queries {
 
   /** Tumbling-window aggregation over the events table (batch shape of
     * the streaming windowed agg; watermark variant in StreamingSpec).
-    * events.ts is TIMESTAMP(NANOS) parquet, which Spark reads as a nano
-    * long under `spark.sql.legacy.parquet.nanosAsLong` (set in Verify/
-    * Bench/tests) — `div` keeps the e18-scale arithmetic exact where
-    * double division would lose microseconds.
+    * events.ts has been generated both as TIMESTAMP(NANOS) parquet
+    * (surfacing as a ns long under `spark.sql.legacy.parquet.nanosAsLong`)
+    * and as timestamp[us] (surfacing as TIMESTAMP_NTZ) — every events
+    * query normalizes through [[graft.operators.Events.tsMicros]], which
+    * adapts to whichever encoding the scan produced.
     */
   def eventsWindow(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-      .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+    val raw = t(s, dir, "events")
+    val ev = raw
+      .withColumn("tstamp",
+        timestamp_micros(graft.operators.Events.tsMicros(raw)))
     graft.operators.Events.windowedAgg(ev, tsCol = "tstamp")
       .orderBy("window_start", "event_type")
   }
@@ -635,8 +638,10 @@ object Queries {
     * every 30 minutes, so each event lands in exactly 2 windows.
     */
   def eventsSliding(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-      .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+    val raw = t(s, dir, "events")
+    val ev = raw
+      .withColumn("tstamp",
+        timestamp_micros(graft.operators.Events.tsMicros(raw)))
     graft.operators.Events.windowedAgg(ev, tsCol = "tstamp",
         slide = Some("30 minutes"))
       .orderBy("window_start", "event_type")
@@ -647,8 +652,10 @@ object Queries {
     * microsecond precision, formatted to seconds for comparison.
     */
   def sessionWindowQ(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-      .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+    val raw = t(s, dir, "events")
+    val ev = raw
+      .withColumn("tstamp",
+        timestamp_micros(graft.operators.Events.tsMicros(raw)))
     ev.groupBy(col("user_id"),
         session_window(col("tstamp"), "30 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"))
@@ -666,10 +673,11 @@ object Queries {
     * what DuckDB sees after its ns->us parquet truncation.
     */
   def sessionize(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events").select(
-      col("user_id"), col("event_id"),
-      expr("ts div 1000").as("ts_us"),
-      expr("ts div 1000000000").as("ts_s"))
+    val raw = t(s, dir, "events")
+    val ev = raw.select(
+        col("user_id"), col("event_id"),
+        graft.operators.Events.tsMicros(raw).as("ts_us"))
+      .withColumn("ts_s", expr("ts_us div 1000000"))
     val sessions = graft.operators.Events.sessionize(ev, "user_id", "ts_s",
       gapMinutes = 30, orderCols = Seq("ts_us", "event_id"))
     graft.operators.Events.sessionStats(sessions, "user_id", "ts_s")
@@ -685,10 +693,11 @@ object Queries {
     * array-column path, and the string form is order-exact anyway.
     */
   def sessionPrefixesQ(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events").select(
-      col("user_id"), col("event_id"),
-      expr("ts div 1000").as("ts_us"),
-      expr("ts div 1000000000").as("ts_s"))
+    val raw = t(s, dir, "events")
+    val ev = raw.select(
+        col("user_id"), col("event_id"),
+        graft.operators.Events.tsMicros(raw).as("ts_us"))
+      .withColumn("ts_s", expr("ts_us div 1000000"))
     graft.operators.Events.sessionPrefixes(ev, "user_id", "ts_s",
         "event_id", gapMinutes = 30,
         orderCols = Seq("ts_us", "event_id"), maxPrefix = 10)
@@ -703,10 +712,11 @@ object Queries {
     * [[sessionize]]; gap arithmetic on floor-seconds.
     */
   def eventDedup(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events").select(
-      col("event_id"), col("user_id"), col("event_type"),
-      expr("ts div 1000").as("ts_us"),
-      expr("ts div 1000000000").as("ts_s"))
+    val raw = t(s, dir, "events")
+    val ev = raw.select(
+        col("event_id"), col("user_id"), col("event_type"),
+        graft.operators.Events.tsMicros(raw).as("ts_us"))
+      .withColumn("ts_s", expr("ts_us div 1000000"))
     graft.operators.Events.dedupWithin(ev, Seq("user_id", "event_type"),
         "ts_s", windowSeconds = 60, orderCols = Seq("ts_us", "event_id"))
       .select("event_id", "user_id", "event_type", "ts_s")
@@ -719,8 +729,9 @@ object Queries {
     * DuckDB's native ASOF LEFT JOIN.
     */
   def asofJoin(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
-      expr("ts div 1000").as("ts_us"), col("event_type"))
+    val raw = t(s, dir, "events")
+    val ev = raw.select(col("user_id"), col("event_id"),
+      graft.operators.Events.tsMicros(raw).as("ts_us"), col("event_type"))
     val purchases = ev.where(col("event_type") === "purchase")
       .select(col("user_id"), col("ts_us"),
         col("event_id").as("purchase_id"))
@@ -896,8 +907,10 @@ object Queries {
     * Conversions = purchases within 1 day of a view by the same user.
     */
   def attribution(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-      .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+    val raw = t(s, dir, "events")
+    val ev = raw
+      .withColumn("tstamp",
+        timestamp_micros(graft.operators.Events.tsMicros(raw)))
     val views = ev.where(col("event_type") === "view")
       .select(col("user_id"), col("tstamp").as("view_ts"),
         col("event_id").as("view_id"))
@@ -956,8 +969,10 @@ object Queries {
     */
   def streamDrift(s: SparkSession, dir: String): DataFrame = {
     val d = tmp("sdrift")
-    val evB = t(s, dir, "events")
-      .select(timestamp_micros(expr("ts div 1000")).as("ts"),
+    val rawEv = t(s, dir, "events")
+    val evB = rawEv
+      .select(timestamp_micros(graft.operators.Events.tsMicros(rawEv))
+          .as("ts"),
         floor(col("value")).cast("long").as("v"))
     evB.write.mode("overwrite").json(s"$d/in/f1")
     // sentinel far past every window + watermark: the final no-data
@@ -1048,12 +1063,14 @@ object Queries {
     import graft.streaming.{SessionEvent, Sessionizer}
     import s.implicits._
     val d = tmp("sessq")
-    val ev = t(s, dir, "events")
-      .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+    val rawEv = t(s, dir, "events")
+    val ev = rawEv
+      .select(col("user_id"),
+        timestamp_micros(graft.operators.Events.tsMicros(rawEv)).as("ts"),
         col("event_id"))
     ev.write.mode("overwrite").json(s"$d/in/f1")
-    val maxUs = t(s, dir, "events")
-      .agg(max(expr("ts div 1000"))).head.getLong(0)
+    val maxUs = rawEv
+      .agg(max(graft.operators.Events.tsMicros(rawEv))).head.getLong(0)
     ev.limit(1).select(lit(-1L).as("user_id"),
         timestamp_micros(lit(maxUs + 2L * 86400 * 1000000)).as("ts"),
         lit(-1L).as("event_id"))

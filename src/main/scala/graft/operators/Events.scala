@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Event-stream operators over a (user, ts, type, value) log: tumbling-
   * window aggregation and gap-based sessionization. Batch shapes here —
@@ -11,6 +12,27 @@ import org.apache.spark.sql.functions._
   * is partition-dependent and would make results non-reproducible.
   */
 object Events {
+
+  /** Microsecond-epoch view of an event-log `ts` column, independent of
+    * the parquet encoding the generator used. TIMESTAMP(NANOS) data
+    * surfaces as a nanosecond LongType under
+    * `spark.sql.legacy.parquet.nanosAsLong` — integer `div` keeps the
+    * e18-scale arithmetic exact where double division would lose
+    * microseconds. `timestamp[us]` data surfaces as TIMESTAMP_NTZ (or
+    * TIMESTAMP when the writer flagged UTC adjustment) — `unix_micros`
+    * on the session-UTC reading maps the naive wall clock to the same
+    * epoch DuckDB's `epoch_us` computes (all entry points pin
+    * `spark.sql.session.timeZone=UTC`).
+    */
+  def tsMicros(events: DataFrame, tsCol: String = "ts"): Column =
+    events.schema(tsCol).dataType match {
+      case LongType         => expr(s"$tsCol div 1000")
+      case TimestampNTZType => unix_micros(col(tsCol).cast(TimestampType))
+      case TimestampType    => unix_micros(col(tsCol))
+      case other => throw new IllegalArgumentException(
+        s"unsupported event-time column $tsCol: $other " +
+          "(expected ns-long, TIMESTAMP, or TIMESTAMP_NTZ)")
+    }
 
   /** Tumbling- or sliding-window aggregate: (window start, event_type)
     * -> count + exact decimal sum. Shuffles once on the (window, type)
