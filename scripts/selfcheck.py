@@ -36,9 +36,21 @@ def canon(val):
     return val
 
 
+def load_optional(path):
+    try:
+        return json.load(open(path))
+    except FileNotFoundError:
+        return None
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # graft.Verify writes a per-query failure manifest and the full query
+    # roster; a missing or failed query must become a red row here, never
+    # a silent shrink (round-13 regression class).
+    failures = load_optional(f"{out_dir}/failures.json") or {}
+    manifest = load_optional(f"{out_dir}/manifest.json")
     con = duckdb.connect()
     for t in TABLES:
         try:
@@ -51,7 +63,14 @@ def main():
             pass
     results = {}
     names = sorted(p.split("/")[-1] for p in glob.glob(f"{out_dir}/q_*"))
+    if manifest is not None:
+        for missing in sorted(set(manifest) - set(names)):
+            results[missing] = {"err": "query absent from verify output "
+                                       "(no parquet dir written)"}
     for name in names:
+        if name in failures:
+            results[name] = {"err": f"spark query failed: {failures[name]}"}
+            continue
         entry = {}
         try:
             got = con.execute(
@@ -101,6 +120,12 @@ def main():
     print(json.dumps(results, indent=1, default=str))
     print(f"\n== {n_ok} ok / {n_ro} rows-only / "
           f"{len(results) - n_ok - n_ro} failing of {len(results)}")
+    if manifest is not None:
+        assert len(results) == len(manifest), (
+            f"correctness artifact covers {len(results)} queries but the "
+            f"verify manifest lists {len(manifest)} — a query was lost")
+    if len(results) != n_ok + n_ro:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
