@@ -103,6 +103,11 @@ object Bench {
       selected.toSeq.sortBy(_._1).map {
         case (name, fn) =>
           loadMax = math.max(loadMax, loadAvg1m())
+          // Queries that cache intermediates would otherwise accumulate
+          // heap across the whole 135-query run (one r13 sample carried
+          // a 22 s GC pause under that coupling) — each query starts
+          // against an empty cache it must populate itself.
+          spark.catalog.clearCache()
           val warm = once(fn)
           name -> (warm match {
             case Left(m) => Left(m)
