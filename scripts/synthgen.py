@@ -471,17 +471,37 @@ def gen_tpch(rng):
 
 def main():
     seed, out = int(sys.argv[1]), sys.argv[2]
+    # Third arg picks the events.ts physical encoding — the driver has
+    # shipped BOTH, and round 13 proved a one-encoding engine breaks on
+    # regeneration day:
+    #   ns (default): TIMESTAMP(NANOS) parquet (version=2.6, no
+    #       coercion) — Spark surfaces a nanosecond long under
+    #       spark.sql.legacy.parquet.nanosAsLong.
+    #   us: timestamp[us] — Spark surfaces TIMESTAMP_NTZ. The ns->us
+    #       cast truncates (safe=False), exactly what DuckDB does when
+    #       it reads the ns variant, so the two variants carry the SAME
+    #       us-resolution instants and every oracle replay must agree.
+    ts_enc = sys.argv[3] if len(sys.argv) > 3 else "ns"
+    assert ts_enc in ("ns", "us"), f"ts encoding must be ns|us: {ts_enc}"
     rng = np.random.default_rng(seed)
     import os
     os.makedirs(out, exist_ok=True)
     pq.write_table(gen_documents(rng), f"{out}/documents.parquet")
     pq.write_table(gen_embeddings(rng), f"{out}/embeddings.parquet")
-    pq.write_table(gen_events(rng), f"{out}/events.parquet",
-                   version="2.6")       # keep ns timestamps, no coercion
+    events = gen_events(rng)
+    if ts_enc == "us":
+        i = events.schema.get_field_index("ts")
+        events = events.set_column(
+            i, "ts", pa.compute.cast(events.column("ts"),
+                                     pa.timestamp("us"), safe=False))
+        pq.write_table(events, f"{out}/events.parquet")
+    else:
+        pq.write_table(events, f"{out}/events.parquet",
+                       version="2.6")   # keep ns timestamps, no coercion
     for name, tbl in gen_tpch(rng).items():
         pq.write_table(tbl, f"{out}/{name}.parquet", version="2.6")
     print(f"[synthgen] seed={seed} -> {out}: documents, embeddings, "
-          f"events + 7 TPC-H tables")
+          f"events ({ts_enc}) + 7 TPC-H tables")
 
 
 if __name__ == "__main__":

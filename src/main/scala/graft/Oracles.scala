@@ -729,7 +729,7 @@ object Oracles {
         |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // §2.12 streaming attribution run in batch: a plain range join.
-    // Microsecond epochs on both sides (epoch_us here, `ts div 1000`
+    // Microsecond epochs on both sides (epoch_us here, Events.tsMicros
     // in Spark) so nano-precision boundary events cannot diverge.
     "q_attribution" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
@@ -1430,6 +1430,13 @@ object Oracles {
 
     // DECIMAL(30,15)-accumulated per-(group, dim) means == the engine's
     // meanPool (exactly associative, so order-independent on both sides).
+    // The m* columns round a DOUBLE at 6 places. Spark's round() is
+    // repr-based (BigDecimal.valueOf = shortest string); DuckDB's
+    // rounds the binary value — on quantized synthetic embeddings the
+    // mean can land exactly on a .5 ulp-boundary at 6 places and the
+    // two conventions split (0.250938 vs 0.250937, r14 seed-3 replay).
+    // DuckDB's ::VARCHAR is the same shortest repr, so bridging
+    // VARCHAR -> DECIMAL -> round replays Spark's convention exactly.
     "q_embed_meanpool" ->
       """WITH vec AS (SELECT vec_id, vec_id % 10 AS g,
         |                    embedding::DOUBLE[] AS v FROM embeddings),
@@ -1438,9 +1445,12 @@ object Oracles {
         |    count(*) AS n
         |  FROM vec CROSS JOIN range(64) dr GROUP BY g, dr.range)
         |SELECT g, max(n)::BIGINT AS "n_vecs",
-        |  round(max(CASE WHEN d = 0 THEN m END), 6) AS "m0",
-        |  round(max(CASE WHEN d = 1 THEN m END), 6) AS "m1",
-        |  round(max(CASE WHEN d = 63 THEN m END), 6) AS "m63"
+        |  round((max(CASE WHEN d = 0 THEN m END))::VARCHAR
+        |    ::DECIMAL(28,15), 6)::DOUBLE AS "m0",
+        |  round((max(CASE WHEN d = 1 THEN m END))::VARCHAR
+        |    ::DECIMAL(28,15), 6)::DOUBLE AS "m1",
+        |  round((max(CASE WHEN d = 63 THEN m END))::VARCHAR
+        |    ::DECIMAL(28,15), 6)::DOUBLE AS "m63"
         |FROM m GROUP BY g ORDER BY g""".stripMargin,
 
     "q_vocab_topk" ->
@@ -1604,7 +1614,8 @@ object Oracles {
     // constructed skewed subset, then the ':sample'-salted keep.
     "q_temperature_mix" ->
       s"""WITH sk AS (SELECT doc_id, source FROM documents
-         |  WHERE doc_id % (1 + substr(source, 4)::INT % 4) = 0),
+         |  WHERE doc_id %
+         |    (1 + TRY_CAST(substr(source, 4) AS INT) % 4) = 0),
          |cnt AS (SELECT source, count(*) AS n FROM sk GROUP BY 1),
          |w AS (SELECT source, n,
          |    CASE WHEN f * f > n THEN f - 1

@@ -597,9 +597,13 @@ object QueriesLlm {
     */
   def temperatureMixQ(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Sampling
+    // try_cast: a non-numeric source suffix (or NULL source) nulls the
+    // modulus and the row filters out — identically in both engines —
+    // instead of an ANSI cast error (the r14 seed-3 replay's dominant
+    // source is non-numeric 'srcA').
     val skewed = t(s, dir, "documents").select("doc_id", "source")
       .where(col("doc_id") %
-        (lit(1) + substring(col("source"), 4, 10).cast("int") % 4)
+        (lit(1) + expr("try_cast(substring(source, 4, 10) AS int)") % 4)
         === 0)
     Sampling.temperatureMix(skewed, "doc_id", "source",
         budgetRows = 150)
