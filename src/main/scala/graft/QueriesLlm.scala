@@ -402,12 +402,22 @@ object QueriesLlm {
     */
   def datasetCardQ(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Profile
+    // One text pass: the five metric subtrees each re-scan their input,
+    // and `text` is the petabyte column — derive the narrow per-doc
+    // columns (16-byte fingerprint instead of text) once and persist
+    // THAT, so the wide scan happens exactly once and the panel's
+    // aggregates read a ~40 B/row frame. At 100 TB this is the
+    // difference between one wide scan + five narrow passes and six
+    // wide scans. (No unpersist here: the frame must stay cached until
+    // the caller materializes; Bench clears the cache between queries.)
     val docs = t(s, dir, "documents")
-      .select("doc_id", "text", "lang", "source", "n_chars")
+      .select(col("doc_id"), T.fingerprint(col("text")).as("fp"),
+        col("lang"), col("source"), col("n_chars"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val basic = docs.agg(
         count(lit(1)).cast("double").as("n_docs"),
         sum("n_chars").cast("double").as("total_chars"),
-        round(lit(1.0) - count_distinct(T.fingerprint(col("text")))
+        round(lit(1.0) - count_distinct(col("fp"))
           .cast("double") / count(lit(1)), 6).as("exact_dup_rate"),
         round(sum(when(col("lang") === "en", 1.0).otherwise(0.0)) /
           count(lit(1)), 6).as("en_share"))
