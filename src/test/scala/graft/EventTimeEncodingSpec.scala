@@ -78,6 +78,37 @@ class EventTimeEncodingSpec extends SparkSpec {
     }
   }
 
+  test("tsMicros: 200 random epochs agree across encodings (seeded)") {
+    // covers epochs the fixture doesn't: pre-1970 negatives, sub-us ns
+    // remainders (truncated identically by the ns-long path and by a
+    // generator's ns->us cast), and the us-grid corners
+    val rnd = new scala.util.Random(20260813L)
+    val epochs = Seq(0L, -1L, 999999L, -999999L, 1L) ++
+      Seq.fill(195)(rnd.between(-4102444800000000L, 4102444800000000L))
+    val d = tmpDir("enc-prop")
+    val base = epochs.zipWithIndex
+      .map { case (us, i) => (i.toLong, us) }
+      .toDF("event_id", "ts_us")
+    base.select(col("event_id"), (col("ts_us") * 1000L).as("ts"))
+      .write.mode("overwrite").parquet(s"$d/ns/events.parquet")
+    base.select(col("event_id"),
+        timestamp_micros(col("ts_us")).cast(TimestampNTZType).as("ts"))
+      .write.mode("overwrite").parquet(s"$d/ntz/events.parquet")
+    def read(sub: String): Map[Long, Long] = {
+      val ev = spark.read.parquet(s"$d/$sub/events.parquet")
+      ev.select(col("event_id"), Events.tsMicros(ev).as("us"))
+        .as[(Long, Long)].collect().toMap
+    }
+    val (ns, ntz) = (read("ns"), read("ntz"))
+    val expected = epochs.zipWithIndex.map { case (us, i) =>
+      i.toLong -> us
+    }.toMap
+    assert(ntz == expected)
+    // exact-us instants: ns div 1000 has no remainder, so truncating
+    // integral division agrees with the us value for negatives too
+    assert(ns == expected)
+  }
+
   test("tsMicros refuses a non-time column") {
     val ev = spark.read.parquet(s"${dirs("ns-long")}/events.parquet")
     val ex = intercept[IllegalArgumentException] {
