@@ -52,10 +52,14 @@ def main():
     failures = load_optional(f"{out_dir}/failures.json") or {}
     manifest = load_optional(f"{out_dir}/manifest.json")
     con = duckdb.connect()
+    import os
     for t in TABLES:
+        # driver testdata is one file per table; Spark-written fixtures
+        # (graft.StressScale) are parquet DIRECTORIES — glob those
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
         try:
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
         except duckdb.Error:
             # synthetic dirs (scripts/synthgen.py) carry only the tables
             # their query subset reads; a query touching a missing view
