@@ -365,4 +365,21 @@ class PlanRegressionSpec extends SparkSpec {
       assert(!p.contains("ScalaUDF"), s"UDF in $q")
     }
   }
+
+  test("q_dataset_card: text scanned once, aggregates read the cached " +
+      "narrow frame") {
+    val p = plan("q_dataset_card")
+    // the wide `text` column is scanned once, into the persisted narrow
+    // frame; the five metric subtrees each read an InMemoryTableScan of
+    // it (the plan string reprints the one cached child scan under each
+    // of the five cache reads, so text-scan mentions <= cache reads).
+    // Un-cached regression = six independent wide scans, zero
+    // InMemoryTableScans — what this pin guards against.
+    val imts = "InMemoryTableScan".r.findAllIn(p).size
+    val textScans = "ReadSchema:[^\\n]*text".r.findAllIn(p).size
+    assert(imts >= 5, s"expected >=5 cached reads, got $imts")
+    assert(textScans <= imts,
+      s"$textScans text scans exceed $imts cached reads — text is " +
+        "being re-scanned outside the derived frame")
+  }
 }
