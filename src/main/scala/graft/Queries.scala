@@ -982,7 +982,7 @@ object Queries {
         lit(0L).as("v"))
       .write.mode("overwrite").json(s"$d/in/f2")
     val mm = evB.agg(min("v"), max("v"), max(unix_micros(col("ts"))))
-      .head
+      .head()
     val mn = mm.getLong(0)
     val w = (mm.getLong(1) - mn) / 8 + 1
     val maxUs = mm.getLong(2)
@@ -1070,7 +1070,7 @@ object Queries {
         col("event_id"))
     ev.write.mode("overwrite").json(s"$d/in/f1")
     val maxUs = rawEv
-      .agg(max(graft.operators.Events.tsMicros(rawEv))).head.getLong(0)
+      .agg(max(graft.operators.Events.tsMicros(rawEv))).head().getLong(0)
     ev.limit(1).select(lit(-1L).as("user_id"),
         timestamp_micros(lit(maxUs + 2L * 86400 * 1000000)).as("ts"),
         lit(-1L).as("event_id"))

@@ -100,7 +100,7 @@ object StressScale {
       // getAs[Number] + null check, not getLong: an empty source table
       // or a non-bigint key column should name the column, not NPE
       // (ADVICE r11 — dev tool, a clear failure is enough)
-      val row = df.agg(max(col(c))).head
+      val row = df.agg(max(col(c))).head()
       require(!row.isNullAt(0),
         s"stride: key column `$c` has no non-null values (empty table?)")
       val mx = row.get(0) match {

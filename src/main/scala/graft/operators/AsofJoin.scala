@@ -57,7 +57,7 @@ object AsofJoin {
     l2.unionByName(r2)
       .withColumn("__asof", last(col("__pay"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         payloadCols.map(f => col(s"__asof.$f").as(f)): _*)
   }
 }

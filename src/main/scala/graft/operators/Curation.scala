@@ -267,7 +267,7 @@ object Curation {
         "full_outer")
       .select(col("term"), coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
-    val st = j.agg(sum("ca"), sum("cb"), count(lit(1))).head
+    val st = j.agg(sum("ca"), sum("cb"), count(lit(1))).head()
     val (na, nb, v) = (st.getLong(0), st.getLong(1), st.getLong(2))
     def lo(ca: org.apache.spark.sql.Column,
         cb: org.apache.spark.sql.Column) = round(
@@ -297,7 +297,7 @@ object Curation {
       model: DataFrame): DataFrame = {
     import graft.functions.{TextFunctions => T}
     val default = model.where(col("term").isNull)
-      .select("logodds").head.getDouble(0)
+      .select("logodds").head().getDouble(0)
     val tf = docs
       .select(col(idCol), explode(T.tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))

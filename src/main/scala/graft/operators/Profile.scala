@@ -218,7 +218,7 @@ object Profile {
       .groupBy(col(srcCol).cast("string").as("source"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col(weightCol)).cast("long").as("n_weight"))
-    val totRow = bySource.agg(sum("n_weight")).head
+    val totRow = bySource.agg(sum("n_weight")).head()
     if (totRow.isNullAt(0)) return bySource
       .select(lit(0L).as("rank"), col("source"), col("n_rows"),
         col("n_weight"), lit(0.0).as("share"), lit(0.0).as("cum_share"))

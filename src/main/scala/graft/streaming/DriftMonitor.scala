@@ -74,7 +74,7 @@ object DriftMonitor {
   def score(winBins: DataFrame, baseline: DataFrame,
       bins: Int): DataFrame = {
     require(bins > 0, "bins must be > 0")
-    val nbRow = baseline.agg(sum("n_base")).head
+    val nbRow = baseline.agg(sum("n_base")).head()
     require(!nbRow.isNullAt(0), "baseline is empty — nothing to score against")
     val nBase = nbRow.getLong(0)
     // overflow clamp: out-of-grid occupancy folds into the edge bins
