@@ -74,8 +74,11 @@ class TestdataContractSpec extends SparkSpec {
       "l_shipdate" -> (instantLike _, "instant-like")),
     "events" -> Map(
       "event_id" -> (integral _, "integral"),
-      // all three encodings Events.tsMicros adapts to
-      "ts" -> (instantLike _, "ns-long / TIMESTAMP / TIMESTAMP_NTZ"),
+      // EXACTLY the encodings Events.tsMicros adapts to — a date-typed
+      // ts would pass a looser instant-like predicate here while every
+      // events query failed, which is the gap this spec exists to close
+      "ts" -> (((dt: DataType) => dt == LongType || dt == TimestampType ||
+        dt == TimestampNTZType), "ns-long / TIMESTAMP / TIMESTAMP_NTZ"),
       "user_id" -> (integral _, "integral"),
       "event_type" -> (text _, "string"),
       "value" -> (floating _, "floating")),
