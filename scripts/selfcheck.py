@@ -71,6 +71,14 @@ def main():
         for missing in sorted(set(manifest) - set(names)):
             results[missing] = {"err": "query absent from verify output "
                                        "(no parquet dir written)"}
+        # a q_* dir NOT in the manifest is stale output from an earlier
+        # (e.g. --only subset) Verify run into a reused out_dir — flag
+        # it red rather than compare it as if it were this run's
+        stale = sorted(set(names) - set(manifest))
+        names = [n for n in names if n not in stale]
+        for s in stale:
+            results[s] = {"err": "stale q_* dir not in verify manifest "
+                                 "(reused out_dir?)"}
     for name in names:
         if name in failures:
             results[name] = {"err": f"spark query failed: {failures[name]}"}
@@ -124,10 +132,12 @@ def main():
     print(json.dumps(results, indent=1, default=str))
     print(f"\n== {n_ok} ok / {n_ro} rows-only / "
           f"{len(results) - n_ok - n_ro} failing of {len(results)}")
-    if manifest is not None:
-        assert len(results) == len(manifest), (
-            f"correctness artifact covers {len(results)} queries but the "
-            f"verify manifest lists {len(manifest)} — a query was lost")
+    if manifest is not None and set(manifest) - set(results):
+        # absent-from-output already made err rows above; this is the
+        # can't-happen belt-and-braces (no assert: stripped under -O,
+        # and the err-row path exits 1 with a readable red row instead)
+        print(f"LOST QUERIES: {sorted(set(manifest) - set(results))}")
+        sys.exit(1)
     if len(results) != n_ok + n_ro:
         sys.exit(1)
 

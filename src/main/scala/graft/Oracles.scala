@@ -1446,11 +1446,11 @@ object Oracles {
         |  FROM vec CROSS JOIN range(64) dr GROUP BY g, dr.range)
         |SELECT g, max(n)::BIGINT AS "n_vecs",
         |  round((max(CASE WHEN d = 0 THEN m END))::VARCHAR
-        |    ::DECIMAL(28,15), 6)::DOUBLE AS "m0",
+        |    ::DECIMAL(38,18), 6)::DOUBLE AS "m0",
         |  round((max(CASE WHEN d = 1 THEN m END))::VARCHAR
-        |    ::DECIMAL(28,15), 6)::DOUBLE AS "m1",
+        |    ::DECIMAL(38,18), 6)::DOUBLE AS "m1",
         |  round((max(CASE WHEN d = 63 THEN m END))::VARCHAR
-        |    ::DECIMAL(28,15), 6)::DOUBLE AS "m63"
+        |    ::DECIMAL(38,18), 6)::DOUBLE AS "m63"
         |FROM m GROUP BY g ORDER BY g""".stripMargin,
 
     "q_vocab_topk" ->
@@ -1615,7 +1615,7 @@ object Oracles {
     "q_temperature_mix" ->
       s"""WITH sk AS (SELECT doc_id, source FROM documents
          |  WHERE doc_id %
-         |    (1 + TRY_CAST(substr(source, 4) AS INT) % 4) = 0),
+         |    (1 + TRY_CAST(substr(source, 4, 10) AS INT) % 4) = 0),
          |cnt AS (SELECT source, count(*) AS n FROM sk GROUP BY 1),
          |w AS (SELECT source, n,
          |    CASE WHEN f * f > n THEN f - 1

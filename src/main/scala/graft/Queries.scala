@@ -301,14 +301,18 @@ object Queries {
       .unionByName(orders.where(col("k") < 10))
     val b = orders.where(col("k") >= 50 && col("k") < 150)
     val rt = java.time.LocalDateTime.of(2024, 1, 2, 3, 4, 5)
-    def deliver(batch: DataFrame, t: java.time.LocalDateTime) =
-      Writers.idempotentConnectorOutput(batch, s"$d/out", "conn", t,
-        Seq("k"), s"$d/manifest")
-    require(deliver(a, rt).count() == a.dropDuplicates("k").count(),
+    // the sink returns its survivors persisted (caller owns unpersist);
+    // consume the cached frame once, release, return the count
+    def deliver(batch: DataFrame, t: java.time.LocalDateTime): Long = {
+      val r = Writers.idempotentConnectorOutput(batch, s"$d/out", "conn",
+        t, Seq("k"), s"$d/manifest")
+      try r.count() finally r.unpersist()
+    }
+    require(deliver(a, rt) == a.dropDuplicates("k").count(),
       "first A truncated or in-batch twins not collapsed")
-    require(deliver(a, rt.plusHours(1)).isEmpty, // the retry
+    require(deliver(a, rt.plusHours(1)) == 0L, // the retry
       "replayed batch re-delivered")
-    val bNew = deliver(b, rt.plusHours(2)).count()
+    val bNew = deliver(b, rt.plusHours(2))
     require(bNew > 0 && bNew < b.count(), "overlap not absorbed")
     s.read.option("recursiveFileLookup", "true")
       .json(s"$d/out/conn")
@@ -1035,7 +1039,7 @@ object Queries {
           Writers.idempotentConnectorOutput(batch, s"$d/out", "conn",
             java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
               .plusSeconds(id),
-            Seq("k"), s"$d/manifest")
+            Seq("k"), s"$d/manifest").unpersist()
           ()
         }
         .option("checkpointLocation", s"$d/$ckpt")

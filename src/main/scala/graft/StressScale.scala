@@ -32,7 +32,27 @@ import org.apache.spark.sql.functions._
   * The output is a bench input, not a correctness fixture — oracle
   * queries keep running against the driver's own testdata.
   *
-  * Usage: runMain graft.StressScale [srcDir] [dstDir] [factor]
+  * SKEW MODE (VERDICT r14 items 1-2): every uniform-mode ratio is
+  * measured on deliberately strided (uniform) keys, which says nothing
+  * about a hot key — the one 100 TB cliff the strided fixture cannot
+  * show. `mode = skew` plants two adversarial distributions AFTER
+  * replication:
+  *   - a HOT USER: every 7th event (~14%) reroutes `user_id` to one
+  *     fixed id, so per-user windows (sessionize, session prefixes,
+  *     event dedup, as-of) see a single reducer holding 14% of the
+  *     fact table — the generalization of the reference's
+  *     hot-`queryItemId` risk (SURVEY §7.4#7);
+  *   - a MEGA-CLUSTER: every 20th document (~5%) rewrites `text` to a
+  *     shared 60-token base plus one per-doc unique token — mutually
+  *     near-identical (word-shingle Jaccard ≈ 0.9), so MinHash banding
+  *     funnels them into one giant bucket and CC label propagation
+  *     sees one giant component. `n_chars` tracks the rewrite.
+  * Everything else (strides, dims, embedding mutation) is identical to
+  * uniform mode, so a skew-vs-uniform bench delta isolates the key
+  * distribution.
+  *
+  * Usage: runMain graft.StressScale [srcDir] [dstDir] [factor] [mode]
+  *   mode: "uniform" (default) | "skew"
   */
 object StressScale {
   private def replicate(df: DataFrame, factor: Int,
@@ -81,10 +101,43 @@ object StressScale {
       slice(c, lit(1), shift.cast("int"))))
   }
 
+  /** The planted hot user id (skew mode). A small constant far below
+    * any stride, so it never collides with a replica's shifted range
+    * ambiguously — it simply becomes the one user with ~14% of events.
+    */
+  val HotUserId = 7L
+
+  /** Skew-mode rewrite for one table's replicated frame (identity for
+    * tables without a planted distribution).
+    */
+  private[graft] def plantSkew(table: String, df: DataFrame): DataFrame =
+    table match {
+      case "events" =>
+        df.withColumn("user_id",
+          when(pmod(col("event_id"), lit(7L)) === 0, lit(HotUserId))
+            .otherwise(col("user_id")))
+      case "documents" =>
+        // 60 shared tokens + 1 unique: pairwise word-shingle Jaccard
+        // stays far above any near-dup threshold, but no two texts are
+        // byte-identical (a mega NEAR-dup cluster, not an exact-dup one)
+        val base = (1 to 60).map(i => s"mega$i").mkString(" ")
+        val hot = pmod(col("doc_id"), lit(20L)) === 0
+        df.withColumn("text",
+            when(hot, concat(lit(base + " uniq"), col("doc_id")))
+              .otherwise(col("text")))
+          .withColumn("n_chars",
+            when(hot, length(col("text")).cast("long"))
+              .otherwise(col("n_chars")))
+      case _ => df
+    }
+
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/tmp/graft-sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val mode = args.lift(3).getOrElse("uniform")
+    require(mode == "uniform" || mode == "skew",
+      s"StressScale: unknown mode `$mode` (uniform|skew)")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -149,9 +202,11 @@ object StressScale {
       "embeddings" -> Seq(
         "embedding" -> mutateVec(col("embedding"))))
     for ((n, off) <- facts) {
-      replicate(t(n), factor, off, mutations.getOrElse(n, Seq.empty))
-        .write.mode("overwrite").parquet(s"$dst/$n.parquet")
-      println(s"[scale] $n x$factor -> $dst/$n.parquet")
+      val scaled =
+        replicate(t(n), factor, off, mutations.getOrElse(n, Seq.empty))
+      val out = if (mode == "skew") plantSkew(n, scaled) else scaled
+      out.write.mode("overwrite").parquet(s"$dst/$n.parquet")
+      println(s"[scale] $n x$factor ($mode) -> $dst/$n.parquet")
     }
     for (n <- dims) {
       t(n).write.mode("overwrite").parquet(s"$dst/$n.parquet")

@@ -44,6 +44,12 @@ object Verify {
             StructType(Seq(StructField("__verify_error", StringType))))
           .write.mode("overwrite").parquet(s"$outDir/$name")
       }
+      // Queries that persist an intermediate (dataset card's narrow
+      // frame, the idempotent sink's survivors) rely on the caller to
+      // release it; Verify runs all ~135 in one session, so clear the
+      // cache per query like Bench does — otherwise entries accumulate
+      // for the whole run (ADVICE r14).
+      finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

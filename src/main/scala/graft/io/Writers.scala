@@ -82,7 +82,13 @@ object Writers {
     * and downstream consumers keyed on the same columns stay
     * idempotent.
     *
-    * @return the new (previously undelivered) rows actually written
+    * @return the new (previously undelivered) rows actually written —
+    *   returned STILL PERSISTED (the write + manifest append already
+    *   materialized them), so a consuming action (`count`, re-write)
+    *   reads the cache instead of recomputing the manifest anti-join
+    *   from scratch. The caller owns the handle: call `.unpersist()`
+    *   when done (ADVICE r14 — the old `finally unpersist` made every
+    *   downstream action pay the state read twice).
     */
   def idempotentConnectorOutput(df: DataFrame, outputRoot: String,
       connector: String, runTime: LocalDateTime,
@@ -98,15 +104,13 @@ object Writers {
         keyCols, "left_anti")
     val pinned = fresh.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      if (!pinned.isEmpty) {
-        connectorOutput(pinned, outputRoot, connector, runTime,
-          compression)
-        StateTable.append(
-          pinned.select(keyCols.map(col): _*).distinct(), manifestDir)
-      }
-      pinned
-    } finally pinned.unpersist()
+    if (!pinned.isEmpty) {
+      connectorOutput(pinned, outputRoot, connector, runTime,
+        compression)
+      StateTable.append(
+        pinned.select(keyCols.map(col): _*).distinct(), manifestDir)
+    }
+    pinned
   }
 
   /** K2: error sink — written only when enabled and non-empty

@@ -5,7 +5,7 @@ import java.time.LocalDateTime
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.io.{Bucketing, Readers, Writers}
+import graft.io.{Bucketing, Readers, StateTable, Writers}
 import graft.schema.Schemas
 
 /** Source/sink specs (SURVEY.md §2.1-§2.2): schema backfill, codec
@@ -132,15 +132,43 @@ class IoSpec extends SparkSpec {
     val batch = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("k", "v")
     val fresh = Writers.idempotentConnectorOutput(batch, s"$dir/out",
       "conn", clock, Seq("k"), s"$dir/manifest")
-    assert(fresh.count() == 2)
+    try assert(fresh.count() == 2) finally fresh.unpersist()
     val delivered = spark.read.option("recursiveFileLookup", "true")
       .json(s"$dir/out/conn")
     assert(delivered.count() == 2)
     assert(delivered.groupBy("k").count()
       .where(col("count") > 1).isEmpty)
     // and the cross-batch replay path still holds
-    assert(Writers.idempotentConnectorOutput(batch, s"$dir/out", "conn",
-      clock.plusHours(1), Seq("k"), s"$dir/manifest").isEmpty)
+    val replay = Writers.idempotentConnectorOutput(batch, s"$dir/out",
+      "conn", clock.plusHours(1), Seq("k"), s"$dir/manifest")
+    try assert(replay.isEmpty) finally replay.unpersist()
+  }
+
+  test("StateTable.append: interleaved concurrent appends lose nothing") {
+    val dir = tmpDir("state-cas")
+    // two writers, 8 appends each, racing for version slots — the
+    // tmp-dir + atomic-rename CAS must serialize them into 16 DISTINCT
+    // versions with every key batch surviving (the reference allows
+    // MaxConcurrentRuns: 2; the old errorifexists write could interleave
+    // two writers' files into one v=N dir)
+    import java.util.concurrent.Executors
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val futs = (0 until 2).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Seq[Int]] {
+          def call(): Seq[Int] = (0 until 8).map { i =>
+            StateTable.append(
+              Seq((w * 1000L + i, s"w$w-b$i")).toDF("k", "val"), dir)
+          }
+        })
+      }
+      val claimed = futs.flatMap(_.get())
+      assert(claimed.distinct.size == 16, s"version collision: $claimed")
+      assert(StateTable.versions(spark, dir) == claimed.sorted)
+      val state = StateTable.readLatest(spark, dir, Seq("k"))
+      assert(state.count() == 16) // no lost update, no duplicated key
+      assert(state.select("k").distinct().count() == 16)
+    } finally pool.shutdown()
   }
 
   test("state write-back overwrites the previous snapshot") {

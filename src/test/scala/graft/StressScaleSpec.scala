@@ -27,4 +27,36 @@ class StressScaleSpec extends SparkSpec {
     // norm preserved for every replica
     assert(out.values.forall(_.sorted == v))
   }
+
+  test("plantSkew routes ~1/7 of events to the hot user, leaves the rest") {
+    val df = (0L until 700L).map(i => (i, 1000L + i)).toDF("event_id", "user_id")
+    val out = StressScale.plantSkew("events", df)
+    val hot = out.where(col("user_id") === StressScale.HotUserId).count()
+    assert(hot == 100) // every 7th event_id of 0..699
+    // non-hot rows keep their original user ids
+    assert(out.where(col("user_id") =!= StressScale.HotUserId &&
+      col("user_id") === col("event_id") + 1000L).count() == 600)
+  }
+
+  test("plantSkew mega-cluster: shared-base near-dups, no exact twins") {
+    val df = (0L until 100L).map(i => (i, s"doc $i body", 10L))
+      .toDF("doc_id", "text", "n_chars")
+    val out = StressScale.plantSkew("documents", df).cache()
+    val hot = out.where(col("doc_id") % 20 === 0)
+    assert(hot.count() == 5)
+    // all mega docs share the 60-token base but none are byte-identical
+    assert(hot.where(col("text").startsWith("mega1 ")).count() == 5)
+    assert(hot.select("text").distinct().count() == 5)
+    // n_chars tracks the rewritten text exactly
+    assert(hot.where(length(col("text")) === col("n_chars")).count() == 5)
+    // cold docs untouched
+    assert(out.where(col("doc_id") % 20 =!= 0 &&
+      !col("text").startsWith("mega")).count() == 95)
+    out.unpersist()
+  }
+
+  test("plantSkew is identity for tables without a planted distribution") {
+    val df = Seq((1L, 2L)).toDF("o_orderkey", "o_custkey")
+    assert(StressScale.plantSkew("orders", df) eq df)
+  }
 }
