@@ -98,10 +98,21 @@ VOCAB = (
 ).split()
 
 
-def gen_documents(rng):
+def gen_documents(rng, skew=False):
     # zipf-ish token skew: p ~ 1/(rank+1)
     p = 1.0 / (np.arange(len(VOCAB)) + 1.0)
     p /= p.sum()
+    if skew:
+        # HOT TERM (skew knob, VERDICT r14 item 8): half of every token
+        # draw lands on VOCAB[0] — stresses the hot-posting inverted
+        # index, vocab top-k, and co-occurrence oracles
+        p = p * 0.5
+        p[0] += 0.5
+    # MEGA-CLUSTER base (skew): one 40-token body shared by ~8% of the
+    # non-twin-range docs (each with one unique trailing token), so
+    # MinHash banding gets one giant bucket and CC labeling one giant
+    # component — as a CORRECTNESS input, not just a bench fixture
+    mega_base = " ".join(rng.choice(VOCAB, size=40, p=p)) if skew else None
     langs = ["en", "en", "en", "es", "zh", "de", None]
     texts = []
     for i in range(N_DOCS):
@@ -136,6 +147,10 @@ def gen_documents(rng):
             texts.append("")                       # empty text
         elif r < 0.15 and not in_twin_range:
             texts.append(VOCAB[rng.integers(0, len(VOCAB))])  # one token
+        elif skew and r < 0.23 and not in_twin_range:
+            # mega-cluster member: shared base + unique trailing token
+            # (near-identical pairwise, never byte-identical)
+            texts.append(f"{mega_base} u{i}")
         else:
             n = int(rng.pareto(1.5) * 8) + 1       # heavy-tailed length
             if in_twin_range:
@@ -182,7 +197,7 @@ DAY_NS = 86400 * 10**9
 SEC_NS = 10**9
 
 
-def gen_events(rng):
+def gen_events(rng, skew=False):
     types = np.array(["view", "click", "purchase", "signup", "error"])
     type_p = np.array([0.35, 0.20, 0.15, 0.15, 0.15])
     rows = []                           # (ts_ns, user, type, value)
@@ -199,7 +214,14 @@ def gen_events(rng):
     p = 1.0 / (np.arange(60) + 2.0)
     p /= p.sum()
     for _ in range(3600):
-        u = int(rng.choice(60, p=p))
+        # HOT USER (skew knob): ~25% of bulk events land on user 3 — a
+        # key outside every plant range (20..39 boundary ladders, 60
+        # burst, 70..79 singles) — so per-user windows, quota/stratified
+        # sampling, and top-k replay against a hot stratum
+        if skew and rng.random() < 0.25:
+            u = 3
+        else:
+            u = int(rng.choice(60, p=p))
         ts = EPOCH_NS + int(rng.integers(0, 27 * DAY_NS))
         rows.append((ts, u, str(rng.choice(types, p=type_p)), val()))
     for u in range(70, N_USERS):
@@ -483,12 +505,19 @@ def main():
     #       us-resolution instants and every oracle replay must agree.
     ts_enc = sys.argv[3] if len(sys.argv) > 3 else "ns"
     assert ts_enc in ("ns", "us"), f"ts encoding must be ns|us: {ts_enc}"
+    # Fourth arg "skew" plants a hot user (~25% of bulk events), a hot
+    # term (half of all token draws), and a near-dup mega-cluster (~8%
+    # of non-twin-range docs) — the adversarial KEY DISTRIBUTIONS the
+    # uniform seeds never produce (VERDICT r14 item 8). Uniform-mode
+    # output is bit-identical to before the knob existed (no extra rng
+    # draws unless skew is on).
+    skew = len(sys.argv) > 4 and sys.argv[4] == "skew"
     rng = np.random.default_rng(seed)
     import os
     os.makedirs(out, exist_ok=True)
-    pq.write_table(gen_documents(rng), f"{out}/documents.parquet")
+    pq.write_table(gen_documents(rng, skew), f"{out}/documents.parquet")
     pq.write_table(gen_embeddings(rng), f"{out}/embeddings.parquet")
-    events = gen_events(rng)
+    events = gen_events(rng, skew)
     if ts_enc == "us":
         i = events.schema.get_field_index("ts")
         events = events.set_column(
@@ -501,7 +530,7 @@ def main():
     for name, tbl in gen_tpch(rng).items():
         pq.write_table(tbl, f"{out}/{name}.parquet", version="2.6")
     print(f"[synthgen] seed={seed} -> {out}: documents, embeddings, "
-          f"events ({ts_enc}) + 7 TPC-H tables")
+          f"events ({ts_enc}{', skew' if skew else ''}) + 7 TPC-H tables")
 
 
 if __name__ == "__main__":
