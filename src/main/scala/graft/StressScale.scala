@@ -82,23 +82,30 @@ object StressScale {
       array_join(transform(split(c, " "),
         w => concat(w, lit("x"), col("__rep"))), " "))
 
-  /** Replica-i embedding: circular shift by `i mod dim` positions.
-    * Preserves the norm exactly and (for the generator's random-ish
-    * vectors) decorrelates replicas from the original and from each
-    * other. `pmod` keeps the slice lengths legal for any replica index
+  /** Replica-i embedding: circular shift by `i mod dim` positions,
+    * globally negated on the second lap (`i / dim` odd). Both halves
+    * of the family preserve the norm exactly and (for the generator's
+    * random-ish vectors) decorrelate replicas from the original and
+    * from each other — a negated rotation has cosine -1 against its
+    * un-negated twin, far below any positive near-dup threshold.
+    * `pmod` keeps the slice lengths legal for any replica index
     * (ADVICE r12 — a raw `i` shift went negative-length past the
-    * dimension); the byte-identical degenerate at `i mod dim == 0`
-    * (which would reintroduce the N^2 near-dup artifact this mutation
-    * exists to avoid) is excluded by main's `factor <= dim` guard, so
-    * within the supported range every replica's shift is distinct and
-    * non-zero.
+    * dimension). Two replicas collide only at equal shift AND equal
+    * sign, i.e. equal index, so the family carries 2*dim distinct
+    * members; main's `factor <= 2*dim` guard (VERDICT r14 item 7 —
+    * the sf10 probe needs factor 100 > dim 64) keeps byte-identical
+    * replicas (the N^2 near-dup artifact this mutation exists to
+    * avoid) structurally impossible within the supported range.
     */
   private[graft] def mutateVec(c: Column): Column = {
-    val shift = pmod(col("__rep"), size(c).cast("long"))
-    when(shift === 0, c).otherwise(concat(
+    val dim = size(c).cast("long")
+    val shift = pmod(col("__rep"), dim)
+    val rotated = when(shift === 0, c).otherwise(concat(
       slice(c, (shift + 1).cast("int"),
         (size(c) - shift.cast("int")).cast("int")),
       slice(c, lit(1), shift.cast("int"))))
+    when(pmod(floor(col("__rep") / dim), lit(2)) === 0, rotated)
+      .otherwise(transform(rotated, x => -x))
   }
 
   /** The planted hot user id (skew mode). A small constant far below
@@ -181,19 +188,19 @@ object StressScale {
     val dims = Seq("part", "customer", "supplier", "nation", "region")
     // n_chars tracks the mutated text so length-derived scores stay
     // internally consistent on the scaled fixture
-    // factor <= embedding dim (ADVICE r12): a dim-wide circular shift
-    // family has only dim - 1 distinct non-zero rotations, so replica
-    // indexes at/past the dim would repeat a shift (or shift by 0) and
-    // plant byte-identical vectors across replicas — exactly the N^2
-    // near-dup artifact mutateVec exists to avoid.
+    // factor <= 2 * embedding dim (ADVICE r12 / VERDICT r14 item 7):
+    // mutateVec's rotation+second-lap-negation family has exactly
+    // 2*dim distinct members, so replica indexes at/past 2*dim would
+    // repeat one and plant byte-identical vectors across replicas —
+    // exactly the N^2 near-dup artifact mutateVec exists to avoid.
     t("embeddings").select(size(col("embedding"))).limit(1).collect()
       .headOption.foreach { r =>
         val dim = r.getInt(0)
-        require(factor <= dim,
-          s"StressScale: factor $factor > embedding dimension $dim — " +
-          s"only $dim distinct circular shifts exist, so some replicas " +
-          "would carry byte-identical embeddings (an N^2 near-dup " +
-          s"artifact of the scaler); use factor <= $dim")
+        require(factor <= 2 * dim,
+          s"StressScale: factor $factor > 2 x embedding dimension $dim — " +
+          s"only ${2 * dim} distinct rotation/negation mutations exist, " +
+          "so some replicas would carry byte-identical embeddings (an " +
+          s"N^2 near-dup artifact of the scaler); use factor <= ${2 * dim}")
       }
     val mutations: Map[String, Seq[(String, Column)]] = Map(
       "documents" -> Seq(

@@ -10,22 +10,25 @@ import org.apache.spark.sql.functions._
 class StressScaleSpec extends SparkSpec {
   import spark.implicits._
 
-  test("mutateVec rotates by rep mod dim and is total past the dimension") {
+  test("mutateVec rotates by rep mod dim, negates the second lap, " +
+      "and carries 2*dim distinct members") {
     val v = Seq(1f, 2f, 3f, 4f)
-    val df = Seq(0L, 1L, 4L, 5L, 6L).map((_, v)).toDF("__rep", "v")
+    val df = (0L until 8L).map((_, v)).toDF("__rep", "v")
     val out = df
       .withColumn("m", StressScale.mutateVec(col("v")))
       .select("__rep", "m").as[(Long, Seq[Float])]
       .collect().toMap
     assert(out(0L) == Seq(1f, 2f, 3f, 4f)) // replica 0: untouched
     assert(out(1L) == Seq(2f, 3f, 4f, 1f)) // left-rotate by 1
-    // rep == dim: shift 0 — identical by pmod, NOT a crash; main's
-    // factor <= dim guard keeps this degenerate out of real runs
-    assert(out(4L) == Seq(1f, 2f, 3f, 4f))
-    assert(out(5L) == Seq(2f, 3f, 4f, 1f)) // 5 mod 4 = 1
-    assert(out(6L) == Seq(3f, 4f, 1f, 2f)) // 6 mod 4 = 2
-    // norm preserved for every replica
-    assert(out.values.forall(_.sorted == v))
+    // second lap (rep / dim odd): same rotation, globally negated —
+    // distinct bytes AND cosine -1 against the first-lap twin, so the
+    // family stays near-dup-free through factor == 2*dim
+    assert(out(4L) == Seq(-1f, -2f, -3f, -4f))
+    assert(out(5L) == Seq(-2f, -3f, -4f, -1f)) // 5 mod 4 = 1, negated
+    assert(out(6L) == Seq(-3f, -4f, -1f, -2f)) // 6 mod 4 = 2, negated
+    // all 2*dim members pairwise distinct, norm preserved throughout
+    assert(out.values.toSeq.distinct.size == 8)
+    assert(out.values.forall(_.map(math.abs).sorted == v))
   }
 
   test("plantSkew routes ~1/7 of events to the hot user, leaves the rest") {
