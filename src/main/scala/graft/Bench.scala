@@ -107,7 +107,12 @@ object Bench {
           // heap across the whole 135-query run (one r13 sample carried
           // a 22 s GC pause under that coupling) — each query starts
           // against an empty cache it must populate itself.
-          spark.catalog.clearCache()
+          // SPARK_GRAFT_NO_CLEARCACHE is a dev-only diagnostic knob
+          // (VERDICT r14 item 4) restoring the pre-r14 accumulation
+          // behavior so the bare-JVM pathology hypothesis can be tested
+          // under its original conditions; the driver never sets it.
+          if (!sys.env.contains("SPARK_GRAFT_NO_CLEARCACHE"))
+            spark.catalog.clearCache()
           val warm = once(fn)
           name -> (warm match {
             case Left(m) => Left(m)
