@@ -51,8 +51,14 @@ import org.apache.spark.sql.functions._
   * uniform mode, so a skew-vs-uniform bench delta isolates the key
   * distribution.
   *
-  * Usage: runMain graft.StressScale [srcDir] [dstDir] [factor] [mode]
+  * Usage: runMain graft.StressScale [srcDir] [dstDir] [factor] [mode] [tables]
   *   mode: "uniform" (default) | "skew"
+  *   tables: optional comma list restricting output (e.g. "events") —
+  *     a single-family probe (the x100 events run) shouldn't pay the
+  *     60M-row lineitem rewrite it never reads. Unlisted tables are
+  *     simply not written; strides/guards for excluded tables are not
+  *     computed, so excluding `embeddings` also lifts its 2*dim factor
+  *     cap.
   */
 object StressScale {
   private def replicate(df: DataFrame, factor: Int,
@@ -145,6 +151,8 @@ object StressScale {
     val mode = args.lift(3).getOrElse("uniform")
     require(mode == "uniform" || mode == "skew",
       s"StressScale: unknown mode `$mode` (uniform|skew)")
+    val wanted: Option[Set[String]] =
+      args.lift(4).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -173,19 +181,33 @@ object StressScale {
       while (s <= mx) s *= 10
       s
     }
-    val orderStride = stride(t("orders"), "o_orderkey")
-    val facts: Seq[(String, Map[String, Long])] = Seq(
+    // offsets are thunks: a table excluded by `tables` must not pay
+    // (or require) its stride scan — orders/lineitem share one stride
+    // so their fact-to-fact join keys stay aligned per replica
+    lazy val orderStride = stride(t("orders"), "o_orderkey")
+    val allFacts: Seq[(String, () => Map[String, Long])] = Seq(
       // o_custkey/l_partkey unshifted: FKs into fixed dimensions
-      "orders" -> Map("o_orderkey" -> orderStride),
-      "lineitem" -> Map("l_orderkey" -> orderStride),
-      "events" -> Map(
+      "orders" -> (() => Map("o_orderkey" -> orderStride)),
+      "lineitem" -> (() => Map("l_orderkey" -> orderStride)),
+      "events" -> (() => Map(
         "event_id" -> stride(t("events"), "event_id"),
-        "user_id" -> stride(t("events"), "user_id")),
-      "documents" -> Map("doc_id" -> stride(t("documents"), "doc_id")),
+        "user_id" -> stride(t("events"), "user_id"))),
+      "documents" -> (() => Map("doc_id" -> stride(t("documents"), "doc_id"))),
       // embeddings stride must clear vecsWithTwins' +100000 twin range
-      "embeddings" -> Map("vec_id" ->
-        math.max(stride(t("embeddings"), "vec_id"), 1000000L)))
-    val dims = Seq("part", "customer", "supplier", "nation", "region")
+      "embeddings" -> (() => Map("vec_id" ->
+        math.max(stride(t("embeddings"), "vec_id"), 1000000L))))
+    val allDims = Seq("part", "customer", "supplier", "nation", "region")
+    wanted.foreach { w =>
+      val unknown = w -- (allFacts.map(_._1) ++ allDims).toSet
+      require(unknown.isEmpty,
+        s"StressScale: unknown tables ${unknown.mkString(", ")} " +
+          s"(know: ${(allFacts.map(_._1) ++ allDims).mkString(", ")})")
+    }
+    def included(n: String): Boolean = wanted.forall(_.contains(n))
+    val facts = allFacts.collect {
+      case (n, off) if included(n) => n -> off()
+    }
+    val dims = allDims.filter(included)
     // n_chars tracks the mutated text so length-derived scores stay
     // internally consistent on the scaled fixture
     // factor <= 2 * embedding dim (ADVICE r12 / VERDICT r14 item 7):
@@ -193,8 +215,9 @@ object StressScale {
     // 2*dim distinct members, so replica indexes at/past 2*dim would
     // repeat one and plant byte-identical vectors across replicas —
     // exactly the N^2 near-dup artifact mutateVec exists to avoid.
-    t("embeddings").select(size(col("embedding"))).limit(1).collect()
-      .headOption.foreach { r =>
+    if (included("embeddings"))
+      t("embeddings").select(size(col("embedding"))).limit(1).collect()
+        .headOption.foreach { r =>
         val dim = r.getInt(0)
         require(factor <= 2 * dim,
           s"StressScale: factor $factor > 2 x embedding dimension $dim — " +
