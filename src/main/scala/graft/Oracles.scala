@@ -172,7 +172,18 @@ object Oracles {
         |       rk::BIGINT AS "rank"
         |FROM r WHERE rk <= 5 ORDER BY 1, 4""".stripMargin
 
-  val all: Map[String, String] = Map(
+  // lazy: `base` is declared below (keeping the 135-entry literal last
+  // in the file for readability); a strict val here would read null
+  lazy val all: Map[String, String] = base ++ Map(
+    // The bucketed sessionize variants are output-identical to their
+    // plain shapes — the time-bucketed two-phase execution is a hot-key
+    // strategy, not a semantic change — so one oracle statement serves
+    // both, and a divergence between the two engines' shapes reads as
+    // a red row on exactly one of the pair.
+    "q_sessionize_bucketed" -> base("q_sessionize"),
+    "q_session_prefixes_bucketed" -> base("q_session_prefixes"))
+
+  private val base: Map[String, String] = Map(
 
     // ---- pipelines ------------------------------------------------------
 

@@ -710,6 +710,48 @@ object Queries {
       .orderBy("user_id", "session_seq", "label")
   }
 
+  /** [[sessionize]] through the hot-key-safe two-phase shape
+    * (Events.sessionizeBucketed, daily time buckets — coarse enough
+    * that a sparse uniform timeline doesn't shred into a
+    * one-row-per-bucket summary, fine enough to spread a hot entity
+    * over range/86400 reducers): output-identical to the plain
+    * per-user window — the oracle
+    * is q_sessionize's — but no reducer ever sorts one user's whole
+    * timeline, so a hot user costs its bucket count, not its event
+    * count (2.3x-and-growing at the x100 skew probe on the plain
+    * shape).
+    */
+  def sessionizeBucketedQ(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    val ev = raw.select(
+        col("user_id"), col("event_id"),
+        graft.operators.Events.tsMicros(raw).as("ts_us"))
+      .withColumn("ts_s", expr("ts_us div 1000000"))
+    val sessions = graft.operators.Events.sessionizeBucketed(ev,
+      "user_id", "ts_s", gapMinutes = 30,
+      orderCols = Seq("ts_us", "event_id"), bucketSeconds = 86400L)
+    graft.operators.Events.sessionStats(sessions, "user_id", "ts_s")
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** [[sessionPrefixesQ]] with the embedded sessionize routed through
+    * the bucketed two-phase shape — same oracle as q_session_prefixes.
+    */
+  def sessionPrefixesBucketedQ(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    val ev = raw.select(
+        col("user_id"), col("event_id"),
+        graft.operators.Events.tsMicros(raw).as("ts_us"))
+      .withColumn("ts_s", expr("ts_us div 1000000"))
+    graft.operators.Events.sessionPrefixes(ev, "user_id", "ts_s",
+        "event_id", gapMinutes = 30,
+        orderCols = Seq("ts_us", "event_id"), maxPrefix = 10,
+        bucketSeconds = Some(86400L))
+      .select(col("user_id"), col("session_seq"),
+        array_join(col("prefix"), ",").as("prefix"), col("label"))
+      .orderBy("user_id", "session_seq", "label")
+  }
+
   /** Time-windowed event dedup (Events.dedupWithin): drop events of the
     * same (user, type) within 60s of their immediate predecessor —
     * at-least-once log cleanup. Same ns->us ordering discipline as
@@ -1346,7 +1388,9 @@ object Queries {
     "q_events_sliding" -> (eventsSliding _),
     "q_session_window" -> (sessionWindowQ _),
     "q_sessionize" -> (sessionize _),
+    "q_sessionize_bucketed" -> (sessionizeBucketedQ _),
     "q_session_prefixes" -> (sessionPrefixesQ _),
+    "q_session_prefixes_bucketed" -> (sessionPrefixesBucketedQ _),
     "q_event_dedup" -> (eventDedup _),
     "q_attribution" -> (attribution _),
     "q_streaming_dedup_equiv" -> (streamingDedupEquiv _),

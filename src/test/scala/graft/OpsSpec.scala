@@ -551,6 +551,80 @@ class OpsSpec extends SparkSpec {
     assert(capped.toSeq == Seq(Seq(1L), Seq(2L))) // window of 1 slides
   }
 
+  test("sessionizeBucketed == sessionize: boundaries, chains, randomized") {
+    import graft.operators.Events
+    def both(ev: org.apache.spark.sql.DataFrame, bucketS: Long) = {
+      val plain = Events.sessionize(ev, "user_id", "ts_s",
+          gapMinutes = 30, orderCols = Seq("ts_s", "event_id"))
+        .select("user_id", "event_id", "session_seq")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val bucketed = Events.sessionizeBucketed(ev, "user_id", "ts_s",
+          gapMinutes = 30, orderCols = Seq("ts_s", "event_id"),
+          bucketSeconds = bucketS)
+        .select("user_id", "event_id", "session_seq")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      (plain, bucketed)
+    }
+    // handcrafted plants, bucket 100 s << gap 1800 s so single sessions
+    // chain-merge across MANY buckets; gap-exactly-1800 (same session,
+    // strict >) and gap-1801 (new session) both straddle bucket edges
+    val ev = Seq(
+      (1L, 1L, 0L), (1L, 2L, 99L),        // same bucket, same session
+      (1L, 3L, 101L), (1L, 4L, 1901L),    // next bucket; exact 1800 gap
+      (1L, 5L, 3702L),                    // 1801 gap -> NEW session
+      (1L, 6L, 3750L), (1L, 7L, 5550L),   // exact gap again, mid-chain
+      (2L, 8L, 50L), (2L, 9L, 10050L),    // other user: clean break
+      (3L, 10L, 250L)                     // single-event user
+    ).toDF("user_id", "event_id", "ts_s")
+    val (p1, b1) = both(ev, 100L)
+    assert(p1 == b1)
+    // session structure itself is right, not just self-consistent
+    assert(p1.map(_._3) == Seq(1L, 1L, 1L, 1L, 2L, 2L, 2L, 1L, 2L, 1L))
+    // bucket >> gap (one summary row per user) and bucket == gap
+    assert(both(ev, 1000000L)._1 == both(ev, 1000000L)._2)
+    assert(both(ev, 1800L)._1 == both(ev, 1800L)._2)
+    // randomized: clustered ts draws make real gap/boundary collisions
+    // likely at every bucket size; seed fixed for reproducibility
+    val rnd = new scala.util.Random(42)
+    val rand = (1 to 800).map { i =>
+      (rnd.nextInt(4).toLong,
+       i.toLong,
+       rnd.nextInt(50).toLong * 1800L + rnd.nextInt(40))
+    }.toDF("user_id", "event_id", "ts_s")
+    for (b <- Seq(137L, 1800L, 7200L, 86400L)) {
+      val (p, q) = both(rand, b)
+      assert(p == q, s"bucketSeconds=$b diverged")
+    }
+  }
+
+  test("sessionPrefixes chunked == plain across chunk/session edges") {
+    import graft.operators.Events
+    // tiny prefixChunkRows forces chunk boundaries INSIDE sessions and
+    // sessions spanning many chunks — the carry-row path every row
+    // near a boundary exercises; plain path is the semantics oracle
+    val rnd = new scala.util.Random(7)
+    val rand = (1 to 600).map { i =>
+      (rnd.nextInt(3).toLong, i.toLong,
+       rnd.nextInt(30).toLong * 1800L + rnd.nextInt(40))
+    }.toDF("user_id", "event_id", "ts_s")
+    def run(bucketS: Option[Long], chunk: Long, maxP: Int) =
+      Events.sessionPrefixes(rand, "user_id", "ts_s", "event_id",
+          gapMinutes = 30, orderCols = Seq("ts_s", "event_id"),
+          maxPrefix = maxP, bucketSeconds = bucketS,
+          prefixChunkRows = chunk)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2, t._4)).toSeq
+    for (maxP <- Seq(1, 3, 10); chunk <- Seq(maxP + 1L, 7L, 64L, 100000L)
+         if chunk > maxP) {
+      val plain = run(None, chunk, maxP)
+      val chunked = run(Some(1800L), chunk, maxP)
+      assert(plain == chunked, s"maxPrefix=$maxP chunk=$chunk diverged")
+    }
+  }
+
   test("bigramLogProb: coherent transitions outscore word salad") {
     import graft.operators.Curation
     // "x y" is a frequent transition in the corpus; doc 3 uses the
