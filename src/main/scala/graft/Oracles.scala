@@ -181,7 +181,8 @@ object Oracles {
     // both, and a divergence between the two engines' shapes reads as
     // a red row on exactly one of the pair.
     "q_sessionize_bucketed" -> base("q_sessionize"),
-    "q_session_prefixes_bucketed" -> base("q_session_prefixes"))
+    "q_session_prefixes_bucketed" -> base("q_session_prefixes"),
+    "q_asof_join_bucketed" -> base("q_asof_join"))
 
   private val base: Map[String, String] = Map(
 

@@ -789,6 +789,25 @@ object Queries {
       .orderBy("user_id", "ts_us")
   }
 
+  /** [[asofJoin]] through the hot-key-safe bucketed carry
+    * (AsofJoin.asofBackwardBucketed, daily buckets over epoch-micros):
+    * output-identical — same DuckDB ASOF oracle as q_asof_join.
+    */
+  def asofJoinBucketedQ(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    val ev = raw.select(col("user_id"), col("event_id"),
+      graft.operators.Events.tsMicros(raw).as("ts_us"), col("event_type"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"),
+        col("event_id").as("purchase_id"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"),
+        col("event_id").as("view_id"), col("ts_us").as("view_ts_us"))
+    graft.operators.AsofJoin.asofBackwardBucketed(purchases, views,
+        Seq("user_id"), "ts_us", bucketSpan = 86400L * 1000000L)
+      .orderBy("user_id", "ts_us")
+  }
+
   /** Skew-safe salted equi-join (Ops.saltedJoin): lineitem facts
     * scattered over 8 salted sub-partitions, orders dim replicated per
     * salt. Row-identical to the plain join, so the oracle is the plain
@@ -1346,6 +1365,7 @@ object Queries {
     "q_state_table" -> (stateTable _),
     "q_bucketed_join" -> (bucketedJoin _),
     "q_asof_join" -> (asofJoin _),
+    "q_asof_join_bucketed" -> (asofJoinBucketedQ _),
     "q_rollup" -> (rollupAgg _),
     "q_salted_join" -> (saltedJoinQ _),
     "q_partition_pruned" -> (partitionPruned _),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -26,8 +26,13 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
-  def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
-      timeCol: String, tieCol: Option[String] = None): DataFrame = {
+  /** Tagged union of both sides: (keys, time, __side, __tie, __pay,
+    * left-only columns). Right rows sort before left rows at equal
+    * time (inclusive match); later ties win within a side.
+    */
+  private def prep(left: DataFrame, right: DataFrame, keys: Seq[String],
+      timeCol: String, tieCol: Option[String])
+      : (DataFrame, DataFrame, Seq[String]) = {
     val leftOther = left.columns.toSeq.filterNot(keys.contains)
     val payloadCols = right.columns.toSeq
       .filterNot(c => keys.contains(c) || c == timeCol)
@@ -48,14 +53,92 @@ object AsofJoin {
         tie.cast("long").as("__tie"), rightStruct.as("__pay")) ++
         leftOther.filterNot(_ == timeCol).map(c =>
           lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    (l2.unionByName(r2), r2, payloadCols)
+  }
 
-    // (time, side, tie): right rows sort before left rows at equal time
-    // (inclusive match), later ties win within a side.
+  def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      timeCol: String, tieCol: Option[String] = None): DataFrame = {
+    val (unioned, _, payloadCols) = prep(left, right, keys, timeCol, tieCol)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(timeCol).asc, col("__side").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l2.unionByName(r2)
+    unioned
       .withColumn("__asof", last(col("__pay"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(left.columns.toIndexedSeq.map(col) ++
+        payloadCols.map(f => col(s"__asof.$f").as(f)): _*)
+  }
+
+  /** Hot-key-safe [[asofBackward]]: identical output, but the carry
+    * window is salted with a time bucket so no reducer ever sorts one
+    * key's whole timeline (the x100 skew probe priced that sort at
+    * 1.4x-and-growing on a 14% hot key; at 100 TB a billion-event
+    * entity makes the plain shape a single unbounded task).
+    *
+    * Phase 1 runs the same last-right-payload carry within each
+    * (key, time bucket). A row whose bucket holds no earlier right row
+    * needs the latest right payload from SOME earlier bucket: phase 2
+    * reduces each (key, bucket) to its last right payload (one summary
+    * row), chains "latest payload before this bucket" over the per-key
+    * bucket sequence — O(buckets) per key, empty buckets simply absent
+    * — and joins the carry back on the (key, bucket) partitioning
+    * phase 1 already established. `coalesce(local, carry)` is then the
+    * exact as-of payload: a local hit is always newer than any earlier
+    * bucket's, and every earlier-bucket right row is at-or-before any
+    * time in this bucket.
+    *
+    * `bucketSpan` is in `timeCol`'s own units (e.g. 86400e6 for daily
+    * buckets over epoch-microseconds); `timeCol` must be non-null.
+    */
+  def asofBackwardBucketed(left: DataFrame, right: DataFrame,
+      keys: Seq[String], timeCol: String, tieCol: Option[String] = None,
+      bucketSpan: Long): DataFrame = {
+    require(bucketSpan > 0, s"bucketSpan must be > 0, got $bucketSpan")
+    val (unioned, r2, payloadCols) = prep(left, right, keys, timeCol, tieCol)
+    val tL = col(timeCol).cast("long")
+    // exact floor division via pmod (negative times included)
+    val bkt = ((tL - pmod(tL, lit(bucketSpan))) / lit(bucketSpan))
+      .cast("long")
+    val tagged = unioned.withColumn("__bkt", bkt)
+    val kb = (keys :+ "__bkt").map(col)
+    val w1 = Window.partitionBy(kb: _*)
+      .orderBy(col(timeCol).asc, col("__side").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = tagged.withColumn("__local",
+      last(col("__pay"), ignoreNulls = true).over(w1))
+    // one row per (key, bucket-with-a-right-row): the bucket's last
+    // right payload, reduced from the RIGHT side alone — deriving it
+    // from `tagged` would re-run the full union+shuffle a second time
+    // (the partial-agg below the exchange defeats reuse), where the
+    // right side is the smaller input and aggregates map-side.
+    // max_by on (time, tie) mirrors w1's in-bucket right order; the
+    // window's asc-nulls-first tie equals coalesce(tie, MIN). Buckets
+    // with no right row are simply absent: the carry window's
+    // last(ignoreNulls) runs over present buckets only, and the left
+    // join leaves a null carry before the first right bucket.
+    val summary = r2.withColumn("__bkt", bkt).groupBy(kb: _*)
+      .agg(max_by(col("__pay"),
+        struct(tL.as("t"), coalesce(col("__tie"), lit(Long.MinValue))
+          .as("tb"))).as("__bucketLast"))
+    val wCarry = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    // "latest right payload in any STRICTLY EARLIER bucket" must see
+    // every bucket the left frame occupies, not only right buckets:
+    // project the carry onto the union's bucket roster via a window
+    // over the merged (bucket, bucketLast) rows, right-rows-absent
+    // buckets contributing null payloads the ignoreNulls carry skips.
+    val roster = tagged.select(kb: _*).distinct()
+      .join(summary, keys :+ "__bkt", "left")
+    val carry = roster
+      .withColumn("__carry",
+        last(col("__bucketLast"), ignoreNulls = true).over(wCarry))
+      .select(kb :+ col("__carry"): _*)
+    // SHUFFLE_HASH: the build side (carry, one row per occupied
+    // bucket) is the collapsed summary — a per-partition hash map over
+    // it never sorts the full event volume, and unlike BROADCAST it
+    // has no driver-memory bound (at scale carry is keys x buckets).
+    local.join(carry.hint("SHUFFLE_HASH"), keys :+ "__bkt")
+      .withColumn("__asof", coalesce(col("__local"), col("__carry")))
       .where(col("__side") === 1)
       .select(left.columns.toIndexedSeq.map(col) ++
         payloadCols.map(f => col(s"__asof.$f").as(f)): _*)

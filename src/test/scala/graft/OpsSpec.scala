@@ -280,6 +280,59 @@ class OpsSpec extends SparkSpec {
       (2L, 5L, "c", "NULL")))  // no right: left join semantics
   }
 
+  test("asofBackwardBucketed == asofBackward: edges, gaps, randomized") {
+    import graft.operators.AsofJoin
+    // handcrafted: the r10/r15/null-field plants above PLUS a right
+    // exactly on a bucket edge, a left in a bucket with no rights
+    // (carry skips an EMPTY bucket), and a no-right key
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 100L, "d"),
+      (1L, 305L, "e"), (2L, 5L, "c")).toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, Some("r10")), (1L, 15L, Some("r15")),
+      (1L, 18L, None), (1L, 100L, Some("edge"))).toDF("k", "t", "rv")
+    def run(b: Long) = {
+      val plain = AsofJoin.asofBackward(left, right, Seq("k"), "t")
+        .select("k", "t", "tag", "rv").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          if (r.isNullAt(3)) "NULL" else r.getString(3)))
+        .sortBy(x => (x._1, x._2)).toSeq
+      val bkt = AsofJoin.asofBackwardBucketed(left, right, Seq("k"), "t",
+          bucketSpan = b)
+        .select("k", "t", "tag", "rv").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          if (r.isNullAt(3)) "NULL" else r.getString(3)))
+        .sortBy(x => (x._1, x._2)).toSeq
+      (plain, bkt)
+    }
+    for (b <- Seq(7L, 50L, 100L, 1000000L)) {
+      val (p, q) = run(b)
+      assert(p == q, s"bucketSpan=$b diverged")
+    }
+    // randomized with a tie column (equal times per key are common)
+    val rnd = new scala.util.Random(11)
+    val lf = (1 to 400).map { i =>
+      (rnd.nextInt(3).toLong, rnd.nextInt(500).toLong, i.toLong)
+    }.toDF("k", "t", "lid")
+    val rf = (1 to 300).map { i =>
+      (rnd.nextInt(3).toLong, rnd.nextInt(500).toLong, i.toLong,
+       s"p$i")
+    }.toDF("k", "t", "rid", "pv")
+    def runR(b: Long) = {
+      def norm(df: org.apache.spark.sql.DataFrame) = df
+        .select("k", "t", "lid", "rid", "pv").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) "NULL" else r.getString(4)))
+        .sortBy(x => (x._1, x._3)).toSeq
+      (norm(AsofJoin.asofBackward(lf, rf, Seq("k"), "t", Some("rid"))),
+       norm(AsofJoin.asofBackwardBucketed(lf, rf, Seq("k"), "t",
+         Some("rid"), bucketSpan = b)))
+    }
+    for (b <- Seq(13L, 100L, 499L, 100000L)) {
+      val (p, q) = runR(b)
+      assert(p == q, s"randomized bucketSpan=$b diverged")
+    }
+  }
+
   test("dedupWithin keeps first-of-key and gap>window events only") {
     import graft.operators.Events
     // user 1 "click": burst at t=0,30,61,200 -> lag-relative semantics

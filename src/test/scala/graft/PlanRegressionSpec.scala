@@ -81,6 +81,38 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"))
   }
 
+  /** The hot-entity-safe variants exist so no window partitions on the
+    * bare user key: every Window's partition spec must carry a second
+    * dimension (time bucket / chunk / session), or the hot key
+    * re-serializes — exactly the regression these shapes ship to
+    * prevent. Also: no cartesian/nested-loop from the carry joins.
+    */
+  for (q <- Seq("q_sessionize_bucketed", "q_session_prefixes_bucketed",
+      "q_asof_join_bucketed"))
+    test(s"$q: no event-volume window partitioned by the bare user key") {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"cartesian in $q")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in $q")
+      // the event-carrying windows key on (user_id, __bkt)/(user_id,
+      // __chunk) — two partition columns before the order spec. A
+      // window whose SECOND element already carries ASC/DESC is
+      // partitioned by the bare user key; the only such window allowed
+      // is the per-bucket summary carry, recognizable by its __bkt
+      // ordering (one row per bucket, never event volume).
+      val userWindows = "windowspecdefinition\\(user_id#\\d+L?, ([^,]+)".r
+        .findAllMatchIn(p).toList
+      assert(userWindows.nonEmpty,
+        s"$q: no user-keyed window found — the pin went vacuous")
+      for (m <- userWindows) {
+        val second = m.group(1)
+        val isOrderSpec =
+          second.contains(" ASC") || second.contains(" DESC")
+        assert(!isOrderSpec || second.startsWith("__bkt"),
+          s"$q: event window partitioned by bare user key " +
+            s"(order spec `$second`):\n${m.matched}")
+      }
+    }
+
   test("q_partition_pruned: the year filter prunes at the directory level") {
     val df = SparkEntry.queries("q_partition_pruned")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
