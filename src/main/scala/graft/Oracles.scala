@@ -1114,6 +1114,14 @@ object Oracles {
         |CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS g)
         |ORDER BY 1""".stripMargin,
 
+    // 300-hop chain per doc: every node doc_id + k*100000 (k 0..300)
+    // belongs to the component rooted at doc_id
+    "q_dedup_groups_star" ->
+      """SELECT doc_id + 100000 * k AS "id", doc_id AS "comp"
+        |FROM (SELECT doc_id FROM documents WHERE doc_id < 60)
+        |CROSS JOIN (SELECT unnest(range(0, 301)) AS k)
+        |ORDER BY 1""".stripMargin,
+
     // Decontamination: per-(doc, bench) containment brute-forced over
     // the distinct-shingle lists; same shingle template as jaccard.
     "q_contamination" ->

@@ -996,6 +996,21 @@ object QueriesLlm {
     Dedup.dedupGroups(pairs).orderBy("id")
   }
 
+  /** Connected components via the O(log diameter) star alternation
+    * (Dedup.dedupGroupsStar) on a 300-hop chain per document — a
+    * diameter the per-round propagation CANNOT reach (dedupGroups
+    * throws past maxIter=50 by design; the star form converges in
+    * ~log2(300) rounds). Oracle: the chain structure is closed-form.
+    */
+  def dedupGroupsStarQ(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "documents").where(col("doc_id") < 60)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), lit(299L))).as("k"))
+      .select((col("doc_id") + col("k") * 100000L).as("id_a"),
+        (col("doc_id") + (col("k") + 1L) * 100000L).as("id_b"))
+    Dedup.dedupGroupsStar(pairs).orderBy("id")
+  }
+
   /** Benchmark decontamination (Dedup.benchmarkContamination): corpus =
     * documents, benchmark = the 60%-prefix of docs < 40 (so each bench
     * item overlaps its source doc heavily — the truncation's trailing
@@ -1383,6 +1398,7 @@ object QueriesLlm {
     "q_ngram_jaccard" -> (ngramJaccard _),
     "q_contamination" -> (contamination _),
     "q_dedup_groups" -> (dedupGroupsQ _),
+    "q_dedup_groups_star" -> (dedupGroupsStarQ _),
     "q_bm25" -> (bm25Q _),
     "q_heavy_hitters" -> (heavyHittersQ _),
     "q_group_split" -> (groupSplit _),

@@ -700,6 +700,130 @@ object Dedup {
     } finally edges.unpersist()
   }
 
+  /** Connected components in O(log diameter) rounds — the large-star /
+    * small-star alternation (public algorithm: Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14), for
+    * pair graphs whose chains outrun [[dedupGroups]]' per-round
+    * propagation. Min-label propagation needs one round PER HOP: a
+    * crawl-drift chain (doc v1 ~ v2 ~ ... ~ v5000 across snapshots)
+    * needs 5 000 full shuffles and throws at `maxIter`. Star rounds
+    * halve chain lengths instead:
+    *
+    *   large-star: per node u, every LARGER neighbor re-points to u's
+    *     component minimum m(u) = min(N(u) ∪ u);
+    *   small-star: per node u (edges oriented large→small), every
+    *     smaller neighbor and u itself re-point to m(u).
+    *
+    * Both preserve connectivity (each replaced edge (u,v)→(v,m) keeps
+    * u,v,m connected through u's star), and the fixed point is a
+    * forest of stars rooted at each component's minimum id — the SAME
+    * labels [[dedupGroups]] converges to, checked cheaply at exit: a
+    * star set has one out-edge per non-root and no root appearing as a
+    * source, so the claimed fixed point is ASSERTED from the data, not
+    * trusted from the checksum. Per-round cost matches one propagation
+    * round (a groupBy min + a join, both on the edge key); rounds drop
+    * from O(diameter) to O(log diameter).
+    *
+    * Same contract and output as [[dedupGroups]]: numeric ids,
+    * `(id, comp)` with comp = component minimum, every id that appears
+    * in `pairs` present (self-pairs become singletons). Default
+    * `maxIter = 30` covers diameters past 2^30 — raise nothing.
+    */
+  def dedupGroupsStar(pairs: DataFrame, idACol: String = "id_a",
+      idBCol: String = "id_b", maxIter: Int = 30,
+      reliableCheckpoint: Boolean = false): DataFrame = {
+    Seq(idACol, idBCol).foreach { c =>
+      require(pairs.schema(c).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"dedupGroupsStar: id column `$c` is " +
+          s"${pairs.schema(c).dataType.simpleString}, need a numeric " +
+          "type; assign string-keyed docs a dense numeric id first " +
+          "(zipWithIndex / row_number — NOT a hash, which could merge " +
+          "unrelated docs on collision) and join back")
+    }
+    if (reliableCheckpoint)
+      require(pairs.sparkSession.sparkContext.getCheckpointDir.nonEmpty,
+        "reliableCheckpoint = true needs a checkpoint directory: call " +
+          "SparkContext.setCheckpointDir(<durable path>) first")
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
+
+    val nodes = pairs.select(col(idACol).as("id"))
+      .unionByName(pairs.select(col(idBCol).as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var e = ckpt(pairs
+        .select(col(idACol).as("src"), col(idBCol).as("dst"))
+        .where(col("src") =!= col("dst")).distinct())
+
+      def largeStar(edges: DataFrame): DataFrame = {
+        val bidir = edges.unionByName(
+          edges.select(col("dst").as("src"), col("src").as("dst")))
+        val mins = bidir.groupBy("src").agg(min("dst").as("__mn"))
+          .select(col("src").as("__u"),
+            least(col("__mn"), col("__u")).as("__m"))
+        // no distinct here: small-star's end-of-round distinct
+        // canonicalizes, and its min aggregates tolerate duplicate
+        // edges — one less shuffle per round
+        bidir.join(mins, bidir("src") === mins("__u"))
+          .where(col("dst") > col("src"))
+          .select(col("dst").as("src"), col("__m").as("dst"))
+      }
+      def smallStar(edges: DataFrame): DataFrame = {
+        // orient large -> small (no self-loops by construction)
+        val ordered = edges.select(
+          greatest(col("src"), col("dst")).as("u"),
+          least(col("src"), col("dst")).as("v"))
+        val mins = ordered.groupBy("u").agg(min("v").as("__m"))
+        ordered.join(mins, "u")
+          .where(col("v") =!= col("__m"))
+          .select(col("v").as("src"), col("__m").as("dst"))
+          .unionByName(
+            mins.select(col("u").as("src"), col("__m").as("dst")))
+          .distinct()
+      }
+      def checksum(df: DataFrame): (Long, java.math.BigDecimal,
+          java.math.BigDecimal) = {
+        val r = df.agg(count(lit(1)),
+          sum(col("src").cast("decimal(38,0)")),
+          sum(col("dst").cast("decimal(38,0)"))).collect()(0)
+        (r.getLong(0), r.getDecimal(1), r.getDecimal(2))
+      }
+
+      var prev = checksum(e)
+      var converged = prev._1 == 0L // no edges at all: all singletons
+      var i = 0
+      while (!converged && i < maxIter) {
+        e = ckpt(smallStar(largeStar(e)))
+        val cur = checksum(e)
+        converged = cur == prev
+        prev = cur
+        i += 1
+      }
+      // Assert the star shape the labels depend on FROM THE DATA —
+      // a checksum collision then surfaces as this error, never as
+      // silently wrong components.
+      if (converged && prev._1 > 0L) {
+        val malformed = e.groupBy("src")
+          .agg(count(lit(1)).as("__deg"), min("dst").as("__r"))
+          .where(col("__deg") > 1).limit(1).count() +
+          e.select(col("dst").as("src")).distinct()
+            .join(e.select("src").distinct(), "src", "left_semi")
+            .limit(1).count()
+        if (malformed > 0) converged = false
+      }
+      if (!converged) throw new IllegalStateException(
+        s"dedupGroupsStar did not reach a star fixed point within " +
+          s"maxIter=$maxIter rounds — with O(log diameter) rounds this " +
+          "indicates a checksum collision or a graph far beyond any " +
+          "tested scale; raise maxIter")
+      nodes
+        .join(e.select(col("src").as("id"), col("dst").as("comp")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    } finally nodes.unpersist()
+  }
+
   /** Keeper selection over near-dup clusters: collapse each connected
     * component of `pairs` to its single BEST document — highest
     * `scoreCol`, ties to the smallest id — rather than

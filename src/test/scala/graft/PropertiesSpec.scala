@@ -154,6 +154,43 @@ class PropertiesSpec extends SparkSpec {
   }
 
 
+  test("dedupGroupsStar equals dedupGroups on random graphs; logs past the chain cap") {
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(java.nio.file.Files
+        .createTempDirectory("graft-ckpt-star-").toString)
+    // random graphs: byte-identical label maps from both algorithms
+    for (round <- 1 to 3) {
+      val n = 40
+      val edges = List.fill(35)((rnd.nextInt(n).toLong,
+        rnd.nextInt(n).toLong)).distinct // self-pairs INCLUDED (singletons)
+      val prop = graft.operators.Dedup.dedupGroups(
+          edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      val star = graft.operators.Dedup.dedupGroupsStar(
+          edges.toDF("id_a", "id_b"),
+          reliableCheckpoint = round == 2)
+        .as[(Long, Long)].collect().toMap
+      assert(star == prop, s"round $round diverged")
+    }
+    // a 120-hop chain: min-label propagation needs 120 rounds (throws
+    // at maxIter=10 — asserted on a 15-hop chain to keep the test
+    // fast), the star alternation collapses it within its default 30
+    val shortChain = (0L until 15L).map(i => (i, i + 1))
+    intercept[IllegalStateException] {
+      graft.operators.Dedup.dedupGroups(
+        shortChain.toDF("id_a", "id_b"), maxIter = 10).collect()
+    }
+    val chain = (0L until 120L).map(i => (i, i + 1))
+    val out = graft.operators.Dedup.dedupGroupsStar(
+        chain.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect()
+    assert(out.length == 121 && out.forall(_._2 == 0L),
+      "120-hop chain must collapse to component 0")
+    // empty pair set: empty label frame, like dedupGroups
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(graft.operators.Dedup.dedupGroupsStar(noPairs).count() == 0)
+  }
+
   test("keepBest equals union-find + argmax on random graphs (3x)") {
     for (_ <- 1 to 3) {
       val n = 40
