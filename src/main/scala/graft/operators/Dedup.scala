@@ -850,7 +850,8 @@ object Dedup {
     *   `group` is the component's min id ([[dedupGroups]]' label)
     */
   def keepBest(docs: DataFrame, pairs: DataFrame, idCol: String,
-      scoreCol: String, maxIter: Int = 50): DataFrame = {
+      scoreCol: String, maxIter: Int = 50,
+      logRounds: Boolean = false): DataFrame = {
     require(docs.schema(scoreCol).dataType
         .isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"keepBest: score column `$scoreCol` is " +
@@ -863,7 +864,11 @@ object Dedup {
         "type ([[dedupGroups]] checksums labels as DECIMAL(38,0)); " +
         "assign a dense numeric id (zipWithIndex / row_number) and " +
         "join back")
-    val groups = dedupGroups(pairs, maxIter = maxIter)
+    // logRounds: route clustering through the O(log diameter) star
+    // alternation — the keeper for pair graphs with chains past any
+    // per-round propagation budget (crawl version drift)
+    val groups = (if (logRounds) dedupGroupsStar(pairs, maxIter = maxIter)
+                  else dedupGroups(pairs, maxIter = maxIter))
       .withColumnRenamed("id", idCol)
     docs.join(groups, Seq(idCol), "left_outer")
       .withColumn("group", coalesce(col("comp"), col(idCol)))

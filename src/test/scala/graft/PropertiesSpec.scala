@@ -219,6 +219,11 @@ class PropertiesSpec extends SparkSpec {
           edges.toDF("id_a", "id_b"), "id", "score")
         .as[(Long, Long, Long, Long)].collect().toSet
       assert(out == expected)
+      // the star-clustered route is keeper-identical
+      val star = graft.operators.Dedup.keepBest(docs,
+          edges.toDF("id_a", "id_b"), "id", "score", logRounds = true)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(star == expected)
     }
   }
 
