@@ -87,7 +87,15 @@ object StateTable {
             java.nio.file.Paths.get(dst.toUri.getPath),
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           true
-        } catch { case _: java.nio.file.FileSystemException => false }
+        } catch {
+          // ONLY the two shapes a lost race can take: the claimed dir
+          // already exists (ENOTEMPTY/EEXIST). A broader
+          // FileSystemException catch turned any persistent failure —
+          // vanished tmp dir, read-only volume, EIO — into an infinite
+          // claim loop instead of an error (round-15 review).
+          case _: java.nio.file.DirectoryNotEmptyException |
+               _: java.nio.file.FileAlreadyExistsException => false
+        }
       else
         try { fc.rename(tmp, dst); true }
         catch {

@@ -104,12 +104,18 @@ object Writers {
         keyCols, "left_anti")
     val pinned = fresh.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (!pinned.isEmpty) {
-      connectorOutput(pinned, outputRoot, connector, runTime,
-        compression)
-      StateTable.append(
-        pinned.select(keyCols.map(col): _*).distinct(), manifestDir)
-    }
+    // a throwing write/append must release the cache itself — the
+    // caller never receives the handle, and a long-lived session
+    // retrying delivery would otherwise strand one pinned copy of the
+    // batch per failed attempt (round-15 review)
+    try {
+      if (!pinned.isEmpty) {
+        connectorOutput(pinned, outputRoot, connector, runTime,
+          compression)
+        StateTable.append(
+          pinned.select(keyCols.map(col): _*).distinct(), manifestDir)
+      }
+    } catch { case e: Throwable => pinned.unpersist(); throw e }
     pinned
   }
 

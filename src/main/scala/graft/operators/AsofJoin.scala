@@ -127,8 +127,19 @@ object AsofJoin {
     // project the carry onto the union's bucket roster via a window
     // over the merged (bucket, bucketLast) rows, right-rows-absent
     // buckets contributing null payloads the ignoreNulls carry skips.
-    val roster = tagged.select(kb: _*).distinct()
-      .join(summary, keys :+ "__bkt", "left")
+    // null-safe key joins throughout: the plain shape's window groups
+    // NULL keys into one partition and emits their rows (null-key
+    // rights match null-key lefts); null-rejecting equi-joins here
+    // silently dropped them (round-15 review). __bkt is non-null by
+    // the timeCol contract.
+    def nullSafeOn(l: DataFrame, r: DataFrame): Column =
+      keys.map(k => l(k) <=> r(k))
+        .reduce(_ && _) && l("__bkt") === r("__bkt")
+    val buckets = tagged.select(kb: _*).distinct()
+    val roster = buckets.join(summary, nullSafeOn(buckets, summary),
+        "left")
+      .select(buckets("__bkt") +: keys.map(buckets(_)) :+
+        summary("__bucketLast"): _*)
     val carry = roster
       .withColumn("__carry",
         last(col("__bucketLast"), ignoreNulls = true).over(wCarry))
@@ -137,10 +148,11 @@ object AsofJoin {
     // bucket) is the collapsed summary — a per-partition hash map over
     // it never sorts the full event volume, and unlike BROADCAST it
     // has no driver-memory bound (at scale carry is keys x buckets).
-    local.join(carry.hint("SHUFFLE_HASH"), keys :+ "__bkt")
-      .withColumn("__asof", coalesce(col("__local"), col("__carry")))
+    val carryH = carry.hint("SHUFFLE_HASH")
+    local.join(carryH, nullSafeOn(local, carryH))
+      .withColumn("__asof", coalesce(col("__local"), carryH("__carry")))
       .where(col("__side") === 1)
-      .select(left.columns.toIndexedSeq.map(col) ++
+      .select(left.columns.toIndexedSeq.map(local(_)) ++
         payloadCols.map(f => col(s"__asof.$f").as(f)): _*)
   }
 }

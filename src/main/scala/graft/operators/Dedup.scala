@@ -750,8 +750,7 @@ object Dedup {
 
     val nodes = pairs.select(col(idACol).as("id"))
       .unionByName(pairs.select(col(idBCol).as("id"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
+    locally {
       var e = ckpt(pairs
         .select(col(idACol).as("src"), col(idBCol).as("dst"))
         .where(col("src") =!= col("dst")).distinct())
@@ -805,7 +804,7 @@ object Dedup {
       // silently wrong components.
       if (converged && prev._1 > 0L) {
         val malformed = e.groupBy("src")
-          .agg(count(lit(1)).as("__deg"), min("dst").as("__r"))
+          .agg(count(lit(1)).as("__deg"))
           .where(col("__deg") > 1).limit(1).count() +
           e.select(col("dst").as("src")).distinct()
             .join(e.select("src").distinct(), "src", "left_semi")
@@ -817,11 +816,15 @@ object Dedup {
           s"maxIter=$maxIter rounds — with O(log diameter) rounds this " +
           "indicates a checksum collision or a graph far beyond any " +
           "tested scale; raise maxIter")
-      nodes
+      // checkpoint the labels like dedupGroups does: the caller's
+      // action then reads a materialized leaf instead of re-running
+      // the pairs lineage (often an expensive candidate-pair plan)
+      // for the nodes-distinct branch
+      ckpt(nodes
         .join(e.select(col("src").as("id"), col("dst").as("comp")),
           Seq("id"), "left")
-        .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
-    } finally nodes.unpersist()
+        .select(col("id"), coalesce(col("comp"), col("id")).as("comp")))
+    }
   }
 
   /** Keeper selection over near-dup clusters: collapse each connected

@@ -166,7 +166,14 @@ object Events {
         coalesce(sum(col("__cnt")).over(wsBefore), lit(0L)))
       .select(u, col("__bkt"), (col("__before") - col("__m")).as("__off"),
         col("__rowsBefore"))
-    local.join(offsets, Seq(userCol, "__bkt"))
+    // null-safe key equality: the plain window groups a NULL user into
+    // one partition and keeps its rows; a null-rejecting equi-join
+    // here would silently drop them (round-15 review). __bkt is
+    // non-null by the tsCol contract; userCol may be null.
+    val o = offsets.withColumnRenamed(userCol, "__ou")
+      .withColumnRenamed("__bkt", "__obkt")
+    local.join(o, local(userCol) <=> o("__ou") &&
+        local("__bkt") === o("__obkt"))
       .withColumn("session_seq", col("__lseq") + col("__off"))
       .withColumn("__pos", col("__rn") + col("__rowsBefore"))
       .select(events.columns.map(col) ++

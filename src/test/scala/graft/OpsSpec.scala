@@ -308,18 +308,23 @@ class OpsSpec extends SparkSpec {
       assert(p == q, s"bucketSpan=$b diverged")
     }
     // randomized with a tie column (equal times per key are common)
+    // and a NULL-key stripe on both sides: the plain window groups
+    // null keys together, so null-key rights must decorate null-key
+    // lefts in the bucketed shape too (round-15 review)
     val rnd = new scala.util.Random(11)
     val lf = (1 to 400).map { i =>
-      (rnd.nextInt(3).toLong, rnd.nextInt(500).toLong, i.toLong)
+      (if (i % 17 == 0) None else Some(rnd.nextInt(3).toLong),
+       rnd.nextInt(500).toLong, i.toLong)
     }.toDF("k", "t", "lid")
     val rf = (1 to 300).map { i =>
-      (rnd.nextInt(3).toLong, rnd.nextInt(500).toLong, i.toLong,
-       s"p$i")
+      (if (i % 19 == 0) None else Some(rnd.nextInt(3).toLong),
+       rnd.nextInt(500).toLong, i.toLong, s"p$i")
     }.toDF("k", "t", "rid", "pv")
     def runR(b: Long) = {
       def norm(df: org.apache.spark.sql.DataFrame) = df
         .select("k", "t", "lid", "rid", "pv").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        .map(r => (if (r.isNullAt(0)) Long.MinValue else r.getLong(0),
+          r.getLong(1), r.getLong(2),
           if (r.isNullAt(3)) -1L else r.getLong(3),
           if (r.isNullAt(4)) "NULL" else r.getString(4)))
         .sortBy(x => (x._1, x._3)).toSeq
@@ -607,16 +612,18 @@ class OpsSpec extends SparkSpec {
   test("sessionizeBucketed == sessionize: boundaries, chains, randomized") {
     import graft.operators.Events
     def both(ev: org.apache.spark.sql.DataFrame, bucketS: Long) = {
+      def u(r: org.apache.spark.sql.Row) =
+        if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
       val plain = Events.sessionize(ev, "user_id", "ts_s",
           gapMinutes = 30, orderCols = Seq("ts_s", "event_id"))
         .select("user_id", "event_id", "session_seq")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .collect().map(r => (u(r), r.getLong(1), r.getLong(2)))
         .sortBy(t => (t._1, t._2)).toSeq
       val bucketed = Events.sessionizeBucketed(ev, "user_id", "ts_s",
           gapMinutes = 30, orderCols = Seq("ts_s", "event_id"),
           bucketSeconds = bucketS)
         .select("user_id", "event_id", "session_seq")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .collect().map(r => (u(r), r.getLong(1), r.getLong(2)))
         .sortBy(t => (t._1, t._2)).toSeq
       (plain, bucketed)
     }
@@ -639,10 +646,12 @@ class OpsSpec extends SparkSpec {
     assert(both(ev, 1000000L)._1 == both(ev, 1000000L)._2)
     assert(both(ev, 1800L)._1 == both(ev, 1800L)._2)
     // randomized: clustered ts draws make real gap/boundary collisions
-    // likely at every bucket size; seed fixed for reproducibility
+    // likely at every bucket size; a NULL user stripe pins the
+    // null-safe offset join (the plain window keeps the null-user
+    // partition — round-15 review); seed fixed for reproducibility
     val rnd = new scala.util.Random(42)
     val rand = (1 to 800).map { i =>
-      (rnd.nextInt(4).toLong,
+      (if (i % 13 == 0) None else Some(rnd.nextInt(4).toLong),
        i.toLong,
        rnd.nextInt(50).toLong * 1800L + rnd.nextInt(40))
     }.toDF("user_id", "event_id", "ts_s")
@@ -659,7 +668,7 @@ class OpsSpec extends SparkSpec {
     // near a boundary exercises; plain path is the semantics oracle
     val rnd = new scala.util.Random(7)
     val rand = (1 to 600).map { i =>
-      (rnd.nextInt(3).toLong, i.toLong,
+      (if (i % 11 == 0) None else Some(rnd.nextInt(3).toLong), i.toLong,
        rnd.nextInt(30).toLong * 1800L + rnd.nextInt(40))
     }.toDF("user_id", "event_id", "ts_s")
     def run(bucketS: Option[Long], chunk: Long, maxP: Int) =
@@ -668,7 +677,8 @@ class OpsSpec extends SparkSpec {
           maxPrefix = maxP, bucketSeconds = bucketS,
           prefixChunkRows = chunk)
         .collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2), r.getLong(3)))
+        .map(r => (if (r.isNullAt(0)) Long.MinValue else r.getLong(0),
+          r.getLong(1), r.getSeq[Long](2), r.getLong(3)))
         .sortBy(t => (t._1, t._2, t._4)).toSeq
     for (maxP <- Seq(1, 3, 10); chunk <- Seq(maxP + 1L, 7L, 64L, 100000L)
          if chunk > maxP) {
