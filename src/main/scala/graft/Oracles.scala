@@ -1875,6 +1875,32 @@ object Oracles {
          |FROM j GROUP BY 1, 2 HAVING count(*) >= 2
          |ORDER BY 1, 2""".stripMargin,
 
+    // Cross-document segment dedup: the same 4-token segmentation,
+    // distinct-doc census (>= 4 docs ⇒ boilerplate), and ordered
+    // reassembly; the final LEFT JOIN keeps token-less documents the
+    // explode drops, mirroring the engine's reattach.
+    "q_seg_dedup" ->
+      s"""WITH tok AS (SELECT doc_id, ${toks("text")} AS t FROM documents),
+         |seg AS (SELECT doc_id, u.i AS idx,
+         |    array_to_string(t[(u.i*4+1):(u.i*4+4)], ' ') AS s
+         |  FROM tok,
+         |    LATERAL unnest(generate_series(0, (len(t)+3)//4 - 1))
+         |      AS u(i)),
+         |cnt AS (SELECT s FROM (SELECT DISTINCT s, doc_id FROM seg)
+         |        GROUP BY s HAVING count(*) >= 4),
+         |tag AS (SELECT g.doc_id, g.idx, g.s, c.s IS NOT NULL AS dropd
+         |        FROM seg g LEFT JOIN cnt c ON g.s = c.s),
+         |re AS (SELECT doc_id,
+         |    coalesce(string_agg(CASE WHEN NOT dropd THEN s END,
+         |                        ' ' ORDER BY idx), '') AS ct,
+         |    sum(CASE WHEN dropd THEN 1 ELSE 0 END) AS nd
+         |  FROM tag GROUP BY doc_id)
+         |SELECT d.doc_id AS "doc_id",
+         |  coalesce(re.ct, '') AS "clean_text",
+         |  coalesce(re.nd, 0)::BIGINT AS "n_dropped"
+         |FROM documents d LEFT JOIN re USING (doc_id)
+         |ORDER BY 1""".stripMargin,
+
     // Bloom-pruned incremental dedup: same construction (" v3"
     // variants), same fixed survivor set — the prefilter may only
     // change the plan, never the result.

@@ -1390,8 +1390,21 @@ object QueriesLlm {
       .orderBy("media_id")
   }
 
+  /** Cross-document segment dedup (Dedup.dropCommonSegments): 4-token
+    * segments occurring in >= 4 distinct documents are boilerplate and
+    * are stripped from every carrier, texts reassembled in order — the
+    * C4-style cleanup pass. The oracle replays segmentation, the
+    * distinct-doc census, and the ordered string_agg reassembly.
+    */
+  def segDedupQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.dropCommonSegments(
+        t(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", segWords = 4, minDocs = 4)
+      .orderBy("doc_id")
+
   /** All LLM-family queries. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seg_dedup" -> (segDedupQ _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_simhash" -> (dedupSimhash _),

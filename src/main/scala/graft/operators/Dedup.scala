@@ -905,6 +905,66 @@ object Dedup {
     pairJaccard(docs, pairs, idCol,
       d => H.charShingles(T.normalize(col(textCol)), n))
 
+  /** Cross-document segment dedup (C4-style boilerplate removal,
+    * reference `src/glue/common_etl.py`'s dedup family generalized to
+    * sub-document granularity; public precedent: the C4 dataset's
+    * "discard any three-sentence span occurring more than once"). Each
+    * document is cut into consecutive `segWords`-token segments; a
+    * segment that occurs in at least `minDocs` DISTINCT documents is
+    * boilerplate (navigation chrome, license banners, templated
+    * snippets) and is removed from every document that carries it. The
+    * remaining segments are reassembled in order.
+    *
+    * Scale shape (100 TB): three keyed shuffles, no windows, no
+    * all-pairs — (1) distinct (segment, doc) + count per segment, both
+    * map-side combinable; (2) the segment→common-set join keys on the
+    * segment string (AQE broadcasts the common side when the threshold
+    * keeps it small, the usual case — boilerplate is by definition a
+    * tiny fraction of distinct segments); (3) per-document reassembly
+    * groups on the doc id. A mega-frequent segment is one count row,
+    * never a hot reducer: the per-doc side stays O(doc segments).
+    *
+    * @return one row PER INPUT DOCUMENT: (idCol, clean_text, n_dropped)
+    *         — documents whose every segment was boilerplate survive
+    *         with clean_text = "" (the caller decides whether emptied
+    *         docs are then length-filtered out), and token-less
+    *         documents pass through with n_dropped = 0.
+    */
+  def dropCommonSegments(df: DataFrame, idCol: String, textCol: String,
+      segWords: Int = 4, minDocs: Int = 4): DataFrame = {
+    require(segWords >= 1, s"segWords must be >= 1, got $segWords")
+    require(minDocs >= 2,
+      s"minDocs < 2 would drop every segment, got $minDocs")
+    val toks = T.tokens(col(textCol))
+    // sequence(0, nseg-1) with nseg == 0 would step BACKWARD ([0, -1]);
+    // guard token-less docs to an empty segment list instead.
+    val segsOf = when(size(toks) === 0,
+        array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0),
+          floor((size(toks) + (segWords - 1)) / segWords).cast("int") - 1),
+        i => array_join(slice(toks, i * segWords + 1, lit(segWords)), " ")))
+    val seg = df.select(col(idCol), posexplode(segsOf).as(Seq("idx", "s")))
+    val common = seg.select("s", idCol).distinct()
+      .groupBy("s").agg(count(lit(1)).as("__ndocs"))
+      .where(col("__ndocs") >= minDocs)
+      .select(col("s"), lit(true).as("__common"))
+    val re = seg.join(common, Seq("s"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__common").isNull,
+            struct(col("idx"), col("s"))))),
+          x => x("s")), " ").as("clean_text"),
+        sum(when(col("__common").isNotNull, 1L).otherwise(0L))
+          .as("n_dropped"))
+    df.select(col(idCol))
+      .join(re, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
   private def pairJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
       shingler: DataFrame => org.apache.spark.sql.Column): DataFrame = {
     // Late payload fetch (r13): shingle ONLY the documents that appear

@@ -831,6 +831,35 @@ class DedupAnnSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("dropCommonSegments strips cross-doc boilerplate, reassembles in order") {
+    import graft.operators.Dedup
+    val chrome = "subscribe to our newsletter" // 4-token boilerplate
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $chrome"),
+      (2L, s"epsilon zeta eta theta $chrome"),
+      (3L, s"iota kappa lambda mu $chrome tail words beyond segment"),
+      (4L, chrome),                    // boilerplate-only: empties out
+      (5L, "unique content with no shared segments anywhere at all"),
+      (6L, "   ")                      // token-less: passes through
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropCommonSegments(docs, "doc_id", "text",
+        segWords = 4, minDocs = 4)
+      .orderBy("doc_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "alpha beta gamma delta", 1L),
+      (2L, "epsilon zeta eta theta", 1L),
+      (3L, "iota kappa lambda mu tail words beyond segment", 1L),
+      (4L, "", 1L),
+      (5L, "unique content with no shared segments anywhere at all", 0L),
+      (6L, "", 0L)))
+    // raise the threshold past the carrier count: nothing is dropped
+    val none = Dedup.dropCommonSegments(docs, "doc_id", "text",
+        segWords = 4, minDocs = 5)
+      .agg(sum("n_dropped")).as[Long].head()
+    assert(none == 0L)
+  }
+
   test("dedupAgainstBloom equals dedupAgainst even with a saturated filter") {
     import graft.operators.Dedup
     val corpus = Seq((1L, "Hello World"), (2L, "other doc"))
