@@ -1901,6 +1901,20 @@ object Oracles {
          |FROM documents d LEFT JOIN re USING (doc_id)
          |ORDER BY 1""".stripMargin,
 
+    // Token-budget selection: the oracle states the NAIVE global
+    // running sum (one total order, inclusive frame); the engine's
+    // bucketed two-phase prefix sum must reproduce it exactly.
+    "q_budget_select" ->
+      s"""WITH c AS (SELECT doc_id, n_chars,
+         |    len(${toks("text")})::BIGINT AS n_tokens FROM documents),
+         |r AS (SELECT doc_id, n_chars, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id)
+         |      ::BIGINT AS cum_cost
+         |  FROM c)
+         |SELECT doc_id AS "doc_id", n_chars AS "n_chars",
+         |  n_tokens AS "n_tokens", cum_cost AS "cum_cost"
+         |FROM r WHERE cum_cost <= 8000 ORDER BY 1""".stripMargin,
+
     // Bloom-pruned incremental dedup: same construction (" v3"
     // variants), same fixed survivor set — the prefilter may only
     // change the plan, never the result.

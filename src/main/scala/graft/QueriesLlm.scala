@@ -1402,9 +1402,29 @@ object QueriesLlm {
         "doc_id", "text", segWords = 4, minDocs = 4)
       .orderBy("doc_id")
 
+  /** Token-budget corpus selection (Sampling.budgetSelect): the
+    * longest documents (n_chars rank, doc_id tiebreak) kept while
+    * their running token cost fits an 8,000-token budget — computed as
+    * the two-phase bucketed prefix sum, never a global one-reducer
+    * window. The oracle is the naive global formulation
+    * (`sum(cost) OVER (ORDER BY score DESC, id)`), so the test IS the
+    * scalable == naive equivalence.
+    */
+  def budgetSelectQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val docs = t(s, dir, "documents").select(
+      col("doc_id"), col("n_chars"),
+      size(T.tokens(col("text"))).cast("long").as("n_tokens"))
+    Sampling.budgetSelect(docs, "doc_id", "n_tokens", "n_chars",
+        budget = 8000L, bucketWidth = 16L)
+      .select("doc_id", "n_chars", "n_tokens", "cum_cost")
+      .orderBy("doc_id")
+  }
+
   /** All LLM-family queries. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_seg_dedup" -> (segDedupQ _),
+    "q_budget_select" -> (budgetSelectQ _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_simhash" -> (dedupSimhash _),

@@ -192,6 +192,66 @@ object Sampling {
       .drop("__h", "__offset")
   }
 
+  /** Token-budget corpus selection — "take the best documents until the
+    * token budget is spent", the greedy quality-ranked cut that sizes a
+    * training mix (public precedent: quality-classifier-thresholded
+    * corpora à la GPT-3/CCNet, phrased as an exact budget instead of a
+    * score threshold). A document is kept iff the running token cost of
+    * the corpus ranked above it (score DESC, then idCol for a total
+    * order) still fits `budget` INCLUDING the document itself.
+    *
+    * The naive formulation is `sum(cost) OVER (ORDER BY score DESC)` —
+    * an unpartitioned global window, i.e. every row through ONE
+    * reducer: the classic 100 TB driver-of-death. Instead, the same
+    * two-phase shape as [[shuffleShards]]: (1) rows group into
+    * score-monotone buckets (`floor(score / bucketWidth)` — a pure
+    * codegen'd function of the row, so recomputation is always
+    * consistent, unlike sampled range boundaries); per-bucket cost
+    * sums (a tiny table, one row per occupied bucket) prefix-sum into
+    * global offsets on a single bounded reducer and broadcast back;
+    * (2) one window partition PER BUCKET computes the within-bucket
+    * running sum, so no reducer ever sorts more than a bucket's rows.
+    * `cum_cost = offset + running` is then the exact global inclusive
+    * prefix sum in (score DESC, idCol) order, independent of
+    * partitioning, bucket width, and cluster size. Size `bucketWidth`
+    * so score buckets hold ~1/cores of the data; a degenerate
+    * single-score corpus degrades to the one-reducer sort — salt the
+    * score first if that is a real distribution.
+    *
+    * NULL scores sort last on both engines (Spark DESC and DuckDB's
+    * default are both NULLS LAST) and share the NULL bucket.
+    *
+    * @return df's kept rows plus `cum_cost` (inclusive running cost in
+    *         rank order; max value <= budget by construction)
+    */
+  def budgetSelect(df: org.apache.spark.sql.DataFrame, idCol: String,
+      costCol: String, scoreCol: String, budget: Long,
+      bucketWidth: Long = 1L): org.apache.spark.sql.DataFrame = {
+    require(budget > 0, "budget must be > 0")
+    require(bucketWidth > 0, "bucketWidth must be > 0")
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = df.withColumn("__bkt",
+      floor(col(scoreCol).cast("double") / bucketWidth).cast("long"))
+    val offsets = bucketed.groupBy("__bkt")
+      .agg(sum(col(costCol).cast("long")).as("__n"))
+      .withColumn("__offset",
+        coalesce(sum("__n").over(Window.orderBy(col("__bkt").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bkt"), col("__offset"))
+    val w = Window.partitionBy("__bkt")
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .withColumn("__run", sum(col(costCol).cast("long")).over(w))
+      // null-safe key: the NULL-score bucket must meet its offset row,
+      // not silently drop out of an equi-join
+      .join(broadcast(offsets.withColumnRenamed("__bkt", "__obkt")),
+        col("__bkt") <=> col("__obkt"))
+      .withColumn("cum_cost", col("__offset") + col("__run"))
+      .where(col("cum_cost") <= budget)
+      .drop("__bkt", "__obkt", "__offset", "__run")
+  }
+
   /** Temperature-flattened corpus mixing (the size^alpha resampling of
     * multilingual/multi-source LLM training recipes, alpha = 1/2):
     * per-source keep rates proportional to sqrt(size)/size, so

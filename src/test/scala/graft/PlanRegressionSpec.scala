@@ -373,6 +373,32 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!p.contains("ScalaUDF"))
   }
 
+  test("q_budget_select: per-bucket windows, offsets broadcast, no global window") {
+    val p = plan("q_budget_select")
+    // the corpus-sized running sum must window per score bucket; an
+    // unpartitioned window over the full input is the one-reducer sort
+    // this operator exists to avoid. The only single-partition window
+    // allowed is the one over the tiny per-bucket offsets table, which
+    // re-enters via broadcast.
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(p.contains("Window"))
+    val specs = "windowspecdefinition\\(([^,)]+)".r
+      .findAllMatchIn(p).toList
+    assert(specs.nonEmpty, p.take(600))
+    for (m <- specs) {
+      val first = m.group(1)
+      // a first element already carrying ASC/DESC means NO partition
+      // columns — only the tiny offsets window (ordered by __bkt) may
+      // be shaped that way
+      val isOrderSpec = first.contains(" ASC") || first.contains(" DESC")
+      assert(!isOrderSpec || first.startsWith("__bkt"),
+        s"corpus-sized window lost its bucket partitioning " +
+          s"(spec head `$first`):\n${m.matched}")
+    }
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("ScalaUDF"))
+  }
+
   test("q_semantic_dedup: cell-key self-join only, assignment is codegen'd") {
     val p = plan("q_semantic_dedup")
     // pair generation must key on the cell — never an all-pairs scan —

@@ -362,6 +362,33 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("budgetSelect equals the naive global running sum (3x, any bucket width)") {
+    import org.apache.spark.sql.expressions.Window
+    for (trial <- 1 to 3) {
+      // heavy score ties + a null-score stripe: the orders that break
+      // a sloppy total order or an equi-join on the bucket key
+      val rows = (0L until 120L).map { i =>
+        val score: java.lang.Long =
+          if (i % 17 == 0) null else (rnd.nextInt(6) * 10).toLong
+        (i, score, 1L + rnd.nextInt(9).toLong)
+      }
+      val df = rows.toDF("id", "score", "cost")
+      val naive = df.withColumn("cum_cost",
+          sum("cost").over(Window.orderBy(col("score").desc, col("id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .where(col("cum_cost") <= 100L)
+        .select("id", "cum_cost").as[(Long, Long)].collect().toSet
+      assert(naive.nonEmpty, s"trial $trial: degenerate budget")
+      for (width <- Seq(1L, 7L, 1000L)) {
+        val fast = graft.operators.Sampling.budgetSelect(
+            df, "id", "cost", "score", budget = 100L,
+            bucketWidth = width)
+          .select("id", "cum_cost").as[(Long, Long)].collect().toSet
+        assert(fast == naive, s"trial $trial width $width diverged")
+      }
+    }
+  }
+
   test("dedupGroups throws on an iteration-cap exit instead of returning wrong labels") {
     // A 5-node chain needs ~diameter rounds; maxIter=1 exits with
     // labels still moving. Silent return would feed wrong components
