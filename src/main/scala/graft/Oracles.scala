@@ -1279,6 +1279,34 @@ object Oracles {
          |WHERE vec_id NOT IN (SELECT vec_id FROM drp)
          |ORDER BY vec_id""".stripMargin,
 
+    // Cluster-balanced sampling: the q_ann_ivf_kmeans training replay
+    // (two unrolled Lloyd iterations, highest-cell tie-break) feeding
+    // the q_quota_sample salted-hash window, quota 10 per cell.
+    "q_cluster_sample" ->
+      s"""WITH vec AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |             FROM embeddings),
+         |cent0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1
+         |            AS cell, v AS cv
+         |          FROM (SELECT vec_id, v FROM vec ORDER BY vec_id
+         |                LIMIT 8)),
+         |${lloydIter(0, 64)},
+         |${lloydIter(1, 64)},
+         |fsc AS (SELECT vec_id, cell, ${cosSql("v", "cv")} AS s
+         |  FROM vec CROSS JOIN cent2),
+         |fasg AS (SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY s DESC, cell DESC) AS rn FROM fsc) WHERE rn = 1),
+         |b AS (SELECT vec_id, cell,
+         |    ${md5_60("vec_id::VARCHAR || ':sample'")} % 1000000 AS h
+         |  FROM fasg),
+         |r AS (SELECT vec_id, cell, row_number() OVER (
+         |    PARTITION BY cell ORDER BY h ASC, vec_id DESC) AS rn
+         |  FROM b)
+         |SELECT cell::BIGINT AS "cell", vec_id AS "vec_id",
+         |  rn::BIGINT AS "rank"
+         |FROM r WHERE rn <= 10
+         |ORDER BY 1, 3""".stripMargin,
+
     // ---- similarity search ----------------------------------------------
 
     "q_ann_brute" -> annBruteSql,

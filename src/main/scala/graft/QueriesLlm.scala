@@ -1421,10 +1421,29 @@ object QueriesLlm {
       .orderBy("doc_id")
   }
 
+  /** Cluster-balanced embedding sampling: k-means cells
+    * (Ann.trainIvfCentroids + cellAssignments) composed with the exact
+    * per-stratum quota draw (Sampling.quotaSample) — "keep N vectors
+    * from every region of embedding space", the diversity-preserving
+    * subsample that counters majority-cluster domination. The oracle
+    * unrolls both Lloyd iterations in SQL and replays the salted-hash
+    * quota window per cell.
+    */
+  def clusterSampleQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val cents = Ann.trainIvfCentroids(emb, nCells = 8, iters = 2)
+    Sampling.quotaSample(
+        Ann.cellAssignments(emb, cents), "vec_id", "cell", quota = 10)
+      .select(col("cell"), col("vec_id"), col("rank"))
+      .orderBy("cell", "rank")
+  }
+
   /** All LLM-family queries. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_seg_dedup" -> (segDedupQ _),
     "q_budget_select" -> (budgetSelectQ _),
+    "q_cluster_sample" -> (clusterSampleQ _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_simhash" -> (dedupSimhash _),

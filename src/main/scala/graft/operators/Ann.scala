@@ -197,6 +197,27 @@ object Ann {
       .where(col("rank") <= k)
   }
 
+  /** Nearest-centroid cell assignment as a standalone frame —
+    * (idCol, cell) for every corpus vector, the building block
+    * [[ivfTopK]] and [[semanticDedup]] use internally, exposed for
+    * cluster-level curation (cluster-balanced sampling, per-cell
+    * censuses, cell-keyed layouts). Centroids inline as literals so
+    * the argmax is one codegen'd projection over the scan: no shuffle,
+    * no join, no UDF. Cosine ties resolve to the HIGHEST cell id —
+    * the same struct-max convention as [[ivfTopK]]'s assignment.
+    */
+  def cellAssignments(corpus: DataFrame, centroids: Seq[Seq[Double]],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(V.cosine(col("__v"), array(c.map(lit(_)): _*)).as("s"),
+        lit(i).as("c"))
+    }: _*)
+    corpus.select(col(idCol), V.toDouble(col(vecCol)).as("__v"))
+      .withColumn("cell", array_max(scored).getField("c").cast("long"))
+      .select(col(idCol), col("cell"))
+  }
+
   /** Element-wise mean of vectors per group — embedding pooling
     * (chunk->document, document->cluster rollups). Output:
     * (group, n_vecs, mean: array<double> ordered by dimension). Same

@@ -831,6 +831,24 @@ class DedupAnnSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("cellAssignments: nearest centroid by cosine, ties to the highest cell") {
+    import graft.operators.Ann
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val vecs = Seq(
+      (1L, Array(0.9f, 0.1f)),  // cell 0
+      (2L, Array(0.1f, 0.9f)),  // cell 1
+      (3L, Array(0.5f, 0.5f)),  // exact tie: highest cell wins -> 1
+      (4L, Array(-1.0f, 0.0f))  // anti-aligned with 0, orthogonal to 1 -> 1
+    ).toDF("vec_id", "embedding")
+    val out = Ann.cellAssignments(vecs, cents)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    // the assignment is one codegen'd projection: no join, no shuffle
+    val plan = Ann.cellAssignments(vecs, cents)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
+
   test("dropCommonSegments strips cross-doc boilerplate, reassembles in order") {
     import graft.operators.Dedup
     val chrome = "subscribe to our newsletter" // 4-token boilerplate
