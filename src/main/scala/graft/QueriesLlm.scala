@@ -1399,7 +1399,8 @@ object QueriesLlm {
   def segDedupQ(s: SparkSession, dir: String): DataFrame =
     Dedup.dropCommonSegments(
         t(s, dir, "documents").select("doc_id", "text"),
-        "doc_id", "text", segWords = 4, minDocs = 4)
+        "doc_id", "text", segWords = 4, minDocs = 4,
+        cache = Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       .orderBy("doc_id")
 
   /** Token-budget corpus selection (Sampling.budgetSelect): the

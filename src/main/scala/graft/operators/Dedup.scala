@@ -931,10 +931,12 @@ object Dedup {
     *         documents pass through with n_dropped = 0.
     */
   def dropCommonSegments(df: DataFrame, idCol: String, textCol: String,
-      segWords: Int = 4, minDocs: Int = 4): DataFrame = {
+      segWords: Int = 4, minDocs: Int = 4,
+      cache: Option[StorageLevel] = None): DataFrame = {
     require(segWords >= 1, s"segWords must be >= 1, got $segWords")
     require(minDocs >= 2,
       s"minDocs < 2 would drop every segment, got $minDocs")
+    def cached(d: DataFrame): DataFrame = cache.fold(d)(d.persist)
     val toks = T.tokens(col(textCol))
     // sequence(0, nseg-1) with nseg == 0 would step BACKWARD ([0, -1]);
     // guard token-less docs to an empty segment list instead.
@@ -944,7 +946,11 @@ object Dedup {
         sequence(lit(0),
           floor((size(toks) + (segWords - 1)) / segWords).cast("int") - 1),
         i => array_join(slice(toks, i * segWords + 1, lit(segWords)), " ")))
-    val seg = df.select(col(idCol), posexplode(segsOf).as(Seq("idx", "s")))
+    // the segment explode feeds BOTH the census and the tagging join;
+    // without the optional cache the normalize+tokenize+explode scan
+    // runs twice (the bench measured it as 2x the query's cost)
+    val seg = cached(
+      df.select(col(idCol), posexplode(segsOf).as(Seq("idx", "s"))))
     val common = seg.select("s", idCol).distinct()
       .groupBy("s").agg(count(lit(1)).as("__ndocs"))
       .where(col("__ndocs") >= minDocs)
