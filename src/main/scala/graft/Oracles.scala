@@ -1866,6 +1866,27 @@ object Oracles {
         |WHERE levenshtein(lk, rk) <= 1
         |ORDER BY 1, 2""".stripMargin,
 
+    // JW-ranked linkage: same blocking as q_fuzzy_join, scored by
+    // DuckDB's own jaro_winkler_similarity — the engine's native
+    // kernel must match it per row. VARCHAR->DECIMAL bridge replays
+    // Spark's repr-based round at the 6th place; the threshold
+    // compares the ROUNDED value on both sides.
+    "q_jw_linkage" ->
+      """WITH orig AS (SELECT c_custkey AS right_id, c_name AS rk
+        |  FROM customer WHERE c_custkey < 200),
+        |var AS (SELECT c_custkey + 100000 AS left_id,
+        |    substr(c_name, 1, 9) || substr(c_name, 11) AS lk
+        |  FROM customer WHERE c_custkey < 200),
+        |sc AS (SELECT left_id, right_id,
+        |    levenshtein(lk, rk)::BIGINT AS dist,
+        |    round(jaro_winkler_similarity(lk, rk)::VARCHAR
+        |      ::DECIMAL(38,18), 6)::DOUBLE AS jw
+        |  FROM var CROSS JOIN orig
+        |  WHERE levenshtein(lk, rk) <= 1)
+        |SELECT left_id, right_id, dist, jw
+        |FROM sc WHERE jw >= 0.9
+        |ORDER BY 1, 2""".stripMargin,
+
     // Duplicate passages: full replication of the winnowing selection
     // (value-set variant) — 4-gram shingles via list slicing (slices
     // past the end truncate, covering the fewer-than-n fallback),

@@ -1440,11 +1440,32 @@ object QueriesLlm {
       .orderBy("cell", "rank")
   }
 
+  /** Jaro-Winkler-ranked record linkage (FuzzyJoin.jwLinkage): the
+    * q_fuzzy_join corruption fixture scored by the native jaro_winkler
+    * expression over ED-blocked candidates, threshold 0.9 on the
+    * rounded score. The oracle replays levenshtein blocking and
+    * DuckDB's own jaro_winkler_similarity through the VARCHAR->DECIMAL
+    * rounding bridge — a per-row cross-engine check of the whole
+    * codegen'd kernel.
+    */
+  def jwLinkageQ(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").where(col("c_custkey") < 200)
+    val catalog = cust.select(col("c_custkey").as("rid"),
+      col("c_name").as("rk"))
+    val corrupted = cust.select((col("c_custkey") + 100000).as("lid"),
+      concat(substring(col("c_name"), 1, 9),
+        expr("substring(c_name, 11)")).as("lk"))
+    graft.operators.FuzzyJoin.jwLinkage(corrupted, "lid", "lk",
+        catalog, "rid", "rk", maxDist = 1, minJw = 0.9)
+      .orderBy("left_id", "right_id")
+  }
+
   /** All LLM-family queries. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_seg_dedup" -> (segDedupQ _),
     "q_budget_select" -> (budgetSelectQ _),
     "q_cluster_sample" -> (clusterSampleQ _),
+    "q_jw_linkage" -> (jwLinkageQ _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_simhash" -> (dedupSimhash _),

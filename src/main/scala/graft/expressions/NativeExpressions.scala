@@ -124,6 +124,28 @@ object NativeExpressions {
     * [[graft.functions.VectorFunctions.toDouble]]) — AbstractDataType is
     * private[sql] in Spark 4, so no implicit-cast contract here.
     */
+  /** (string, string) -> double Jaro-Winkler similarity (the
+    * record-linkage score Spark lacks natively; DuckDB-exact
+    * semantics, see [[Kernels.jaroWinkler]]). One static call, stays
+    * inside WholeStageCodegen.
+    */
+  case class JaroWinkler(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "jaro_winkler"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.jaroWinkler(
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        (a, b) => s"${ev.value} = $kernels.jaroWinkler($a, $b);")
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression): JaroWinkler =
+      copy(left = newLeft, right = newRight)
+  }
+
   case class CosineSimilarity(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
@@ -210,6 +232,8 @@ object NativeExpressions {
     c(WinnowedFingerprints(e(tokens), n, w))
   def jaccard(a: Column, b: Column): Column =
     c(JaccardStrings(e(a), e(b)))
+  def jaroWinkler(a: Column, b: Column): Column =
+    c(JaroWinkler(e(a), e(b)))
   def cosine(a: Column, b: Column): Column =
     c(CosineSimilarity(e(a), e(b)))
   def signLshBandKeys(v: Column, planes: Seq[Seq[Double]], bands: Int)

@@ -16,6 +16,14 @@ object TextFunctions {
   def normalize(text: Column): Column =
     regexp_replace(trim(lower(text)), "\\s+", " ")
 
+  /** Jaro-Winkler similarity in [0, 1] — the record-linkage score
+    * Spark lacks natively, as a codegen'd native expression
+    * ([[graft.expressions.Kernels.jaroWinkler]]; DuckDB-exact
+    * semantics including the either-side-empty => 0.0 convention).
+    */
+  def jaroWinkler(a: Column, b: Column): Column =
+    graft.expressions.NativeExpressions.jaroWinkler(a, b)
+
   /** Document fingerprint: md5 of the normalized text. Identical content
     * modulo case/whitespace maps to one 128-bit key — the exact-dedup key.
     */

@@ -91,4 +91,38 @@ object FuzzyJoin {
 
     longPairs.unionByName(shortPairs).distinct()
   }
+
+  /** Jaro-Winkler-ranked record linkage over [[edJoin]]'s sound
+    * edit-distance blocking. JW similarity admits no q-gram prefix
+    * filter of its own (a high JW score does not bound gram overlap),
+    * so the honest scalable shape is the two-stage one every linkage
+    * system runs: candidates from a metric WITH a sound filter
+    * (levenshtein <= maxDist), then the ranking score the matcher
+    * actually wants (JW's prefix-weighted score orders name variants
+    * far better than raw edit distance). Key payloads re-enter
+    * late, fetched only for candidate ids — the [[edJoin]] pair set,
+    * already skew-guarded — never for the full inputs.
+    *
+    * `jw` is rounded at 6 places (repr-based, the cross-engine
+    * rounding convention) and `minJw` filters on the ROUNDED value so
+    * both engines agree at the threshold boundary.
+    *
+    * @return (left_id, right_id, dist, jw) with jw >= minJw
+    */
+  def jwLinkage(left: DataFrame, leftId: String, leftKey: String,
+      right: DataFrame, rightId: String, rightKey: String,
+      maxDist: Int, minJw: Double, q: Int = 2): DataFrame = {
+    val cands = edJoin(left, leftId, leftKey, right, rightId, rightKey,
+      maxDist, q)
+    val lk = left.select(col(leftId).as("left_id"),
+      col(leftKey).as("__lk"))
+    val rk = right.select(col(rightId).as("right_id"),
+      col(rightKey).as("__rk"))
+    cands.join(lk, "left_id").join(rk, "right_id")
+      .withColumn("jw",
+        round(graft.functions.TextFunctions.jaroWinkler(
+          col("__lk"), col("__rk")), 6))
+      .where(col("jw") >= minJw)
+      .select(col("left_id"), col("right_id"), col("dist"), col("jw"))
+  }
 }

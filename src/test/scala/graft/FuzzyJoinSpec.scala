@@ -63,4 +63,53 @@ class FuzzyJoinSpec extends SparkSpec {
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
     assert(out.toSeq == Seq((1L, 10L, 0L)))
   }
+
+  test("jaroWinkler matches the canonical values and edge conventions") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.{TextFunctions => T}
+    // expected values are DuckDB's jaro_winkler_similarity outputs
+    // (the oracle engine) for the classic literature pairs
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("JELLYFISH", "SMELLYFISH", 0.8962962962962964),
+      ("abc", "abc", 1.0),
+      ("abc", "xyz", 0.0),
+      ("", "x", 0.0),
+      ("", "", 0.0) // DuckDB convention: either side empty -> 0
+    )
+    val out = cases.toDF("a", "b", "want")
+      .select(T.jaroWinkler(col("a"), col("b")).as("got"), col("want"))
+      .as[(Double, Double)].collect()
+    for ((got, want) <- out)
+      assert(math.abs(got - want) < 1e-12, s"got $got want $want")
+    // null propagates, symmetric on a random stripe
+    val nulls = Seq((null.asInstanceOf[String], "x"))
+      .toDF("a", "b")
+      .select(T.jaroWinkler(col("a"), col("b"))).collect()
+    assert(nulls.head.isNullAt(0))
+    val rnd = new scala.util.Random(11)
+    val pairs = Seq.fill(200)((
+      rnd.alphanumeric.take(rnd.nextInt(10)).mkString,
+      rnd.alphanumeric.take(rnd.nextInt(10)).mkString))
+    val sym = pairs.toDF("a", "b").select(
+        T.jaroWinkler(col("a"), col("b")).as("ab"),
+        T.jaroWinkler(col("b"), col("a")).as("ba"))
+      .as[(Double, Double)].collect()
+    assert(sym.forall { case (ab, ba) => ab == ba })
+  }
+
+  test("jwLinkage keeps ED-blocked pairs at or above the rounded threshold") {
+    val catalog = Seq((1L, "martha stone"), (2L, "zzzz"))
+      .toDF("id", "k")
+    val dirty = Seq((10L, "marhta stone"), (11L, "totally other"))
+      .toDF("id", "k")
+    val out = FuzzyJoin.jwLinkage(dirty, "id", "k", catalog, "id", "k",
+        maxDist = 2, minJw = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((10L, 1L)))
+    // a sky-high threshold empties the result, never errors
+    assert(FuzzyJoin.jwLinkage(dirty, "id", "k", catalog, "id", "k",
+      maxDist = 2, minJw = 0.9999).count() == 0)
+  }
 }
