@@ -95,6 +95,21 @@ object StateTable {
           // claim loop instead of an error (round-15 review).
           case _: java.nio.file.DirectoryNotEmptyException |
                _: java.nio.file.FileAlreadyExistsException => false
+          // Linux's atomic rename(2) surfaces ENOTEMPTY as a BARE
+          // FileSystemException (UnixException.rethrowAsIOException
+          // only mints DirectoryNotEmptyException on non-atomic
+          // paths), which the narrow catch above rethrew — the
+          // concurrent-append spec caught it losing a delivery. The
+          // errno string is locale-dependent, so verify the lost-race
+          // invariant from the filesystem instead: the winner's dst
+          // exists AND our tmp is intact — then and only then is
+          // advancing to the next version safe. A vanished tmp or a
+          // read-only volume fails the check and still throws.
+          case _: java.nio.file.FileSystemException
+              if java.nio.file.Files.exists(
+                   java.nio.file.Paths.get(dst.toUri.getPath)) &&
+                 java.nio.file.Files.exists(
+                   java.nio.file.Paths.get(tmp.toUri.getPath)) => false
         }
       else
         try { fc.rename(tmp, dst); true }
