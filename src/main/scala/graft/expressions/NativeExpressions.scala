@@ -119,11 +119,6 @@ object NativeExpressions {
       copy(left = newLeft, right = newRight)
   }
 
-  /** (array<double>, array<double>) -> double cosine similarity.
-    * Inputs MUST already be array<double> (callers cast via
-    * [[graft.functions.VectorFunctions.toDouble]]) — AbstractDataType is
-    * private[sql] in Spark 4, so no implicit-cast contract here.
-    */
   /** (string, string) -> double Jaro-Winkler similarity (the
     * record-linkage score Spark lacks natively; DuckDB-exact
     * semantics, see [[Kernels.jaroWinkler]]). One static call, stays
@@ -146,6 +141,11 @@ object NativeExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** (array<double>, array<double>) -> double cosine similarity.
+    * Inputs MUST already be array<double> (callers cast via
+    * [[graft.functions.VectorFunctions.toDouble]]) — AbstractDataType is
+    * private[sql] in Spark 4, so no implicit-cast contract here.
+    */
   case class CosineSimilarity(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -22,6 +22,25 @@ import graft.functions.{VectorFunctions => V}
   * bucketing corpus-vs-itself.
   */
 object Ann {
+
+  /** (similarity, cell) struct array of `v` against every centroid —
+    * THE shared scoring block behind every cell argmax in this file
+    * (training assignment, IVF probe, semantic-dedup cells, the public
+    * [[cellAssignments]]). Centroids inline as literals: one codegen'd
+    * projection, no shuffle. Struct-max over it = highest cosine,
+    * ties to the HIGHEST cell id — change the convention HERE or
+    * nowhere, four operators and their oracles depend on it agreeing.
+    */
+  private def centroidScores(v: Column,
+      centroids: Seq[Seq[Double]]): Column =
+    array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(V.cosine(v, array(c.map(lit(_)): _*)).as("s"),
+        lit(i).as("c"))
+    }: _*)
+
+  private def bestCellOf(v: Column,
+      centroids: Seq[Seq[Double]]): Column =
+    array_max(centroidScores(v, centroids)).getField("c")
 
   /** Exact top-k by cosine. `queries` must be small (it is broadcast).
     * Output: (query_id, vec_id, cosine, rank), rank 1..k, ties broken by
@@ -126,12 +145,8 @@ object Ann {
     var centroids: Seq[Seq[Double]] = vecs.orderBy("vec_id").limit(nCells)
       .collect().toSeq.map(_.getSeq[Double](1).toSeq)
     for (_ <- 1 to iters) {
-      val scored = array(centroids.zipWithIndex.map { case (c, i) =>
-        struct(V.cosine(col("v"), array(c.map(lit(_)): _*)).as("s"),
-          lit(i).as("c"))
-      }: _*)
       val byCell = vecs
-        .withColumn("cell", array_max(scored).getField("c"))
+        .withColumn("cell", bestCellOf(col("v"), centroids))
         .select(col("cell"), posexplode(col("v")).as(Seq("d", "val")))
         .groupBy("cell", "d")
         .agg((sum(col("val").cast("decimal(30,15)")).cast("double")
@@ -165,26 +180,17 @@ object Ann {
       queryIdCol: String = "query_id", corpusIdCol: String = "vec_id",
       vecCol: String = "embedding",
       trainedCentroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
-    import org.apache.spark.sql.Column
     val centroids: Seq[Seq[Double]] = trainedCentroids.getOrElse(corpus
       .select(col(corpusIdCol), V.toDouble(col(vecCol)).as("v"))
       .orderBy(corpusIdCol).limit(nCells)
       .collect().toSeq.map(_.getSeq[Double](1).toSeq))
-    // (similarity, cell) pairs against every centroid — native cosine
-    // per centroid, all inside codegen.
-    def scored(v: Column): Column = array(centroids.zipWithIndex.map {
-      case (c, i) =>
-        struct(V.cosine(v, array(c.map(lit(_)): _*)).as("s"),
-          lit(i).as("c"))
-    }: _*)
-    def bestCell(v: Column): Column =
-      array_max(scored(v)).getField("c")
     def probeCells(v: Column, n: Int): Column =
-      transform(slice(reverse(array_sort(scored(v))), 1, n),
+      transform(
+        slice(reverse(array_sort(centroidScores(v, centroids))), 1, n),
         x => x.getField("c"))
     val c = corpus.select(col(corpusIdCol).as("vec_id"),
         V.toDouble(col(vecCol)).as("cv"))
-      .withColumn("cell", bestCell(col("cv")))
+      .withColumn("cell", bestCellOf(col("cv"), centroids))
     val q = queries.select(col(queryIdCol).as("query_id"),
         V.toDouble(col(vecCol)).as("qv"))
       .withColumn("cell", explode(probeCells(col("qv"), nProbe)))
@@ -208,15 +214,11 @@ object Ann {
     */
   def cellAssignments(corpus: DataFrame, centroids: Seq[Seq[Double]],
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(V.cosine(col("__v"), array(c.map(lit(_)): _*)).as("s"),
-        lit(i).as("c"))
-    }: _*)
+      vecCol: String = "embedding"): DataFrame =
     corpus.select(col(idCol), V.toDouble(col(vecCol)).as("__v"))
-      .withColumn("cell", array_max(scored).getField("c").cast("long"))
+      .withColumn("cell",
+        bestCellOf(col("__v"), centroids).cast("long"))
       .select(col(idCol), col("cell"))
-  }
 
   /** Element-wise mean of vectors per group — embedding pooling
     * (chunk->document, document->cluster rollups). Output:
@@ -356,22 +358,15 @@ object Ann {
   private def cellAssign(corpus: DataFrame, nCells: Int,
       corpusIdCol: String, vecCol: String,
       trainedCentroids: Option[Seq[Seq[Double]]]): Option[DataFrame] = {
-    import org.apache.spark.sql.Column
     val centroids: Seq[Seq[Double]] = trainedCentroids.getOrElse(corpus
       .select(col(corpusIdCol), V.toDouble(col(vecCol)).as("v"))
       .orderBy(corpusIdCol).limit(nCells)
       .collect().toSeq.map(_.getSeq[Double](1).toSeq))
     if (centroids.isEmpty) None
-    else {
-      def scored(v: Column): Column = array(centroids.zipWithIndex.map {
-        case (c, i) =>
-          struct(V.cosine(v, array(c.map(lit(_)): _*)).as("s"),
-            lit(i).as("c"))
-      }: _*)
+    else
       Some(corpus.select(col(corpusIdCol).as("vec_id"),
           V.toDouble(col(vecCol)).as("cv"))
-        .withColumn("cell", array_max(scored(col("cv"))).getField("c")))
-    }
+        .withColumn("cell", bestCellOf(col("cv"), centroids)))
   }
 
   /** Skew census for [[semanticDedup]] (VERDICT r10 item 3: no silent

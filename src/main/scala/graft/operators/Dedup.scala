@@ -924,6 +924,13 @@ object Dedup {
     * groups on the doc id. A mega-frequent segment is one count row,
     * never a hot reducer: the per-doc side stays O(doc segments).
     *
+    * @param cache storage level for the exploded segment frame, which
+    *   BOTH the census and the tagging join read (uncached, the
+    *   normalize+tokenize+explode scan runs twice). Same ownership
+    *   contract as [[minhashNearDups]]: the cached blocks belong to
+    *   this plan and age out LRU after the caller materializes the
+    *   result; long-lived sessions running it repeatedly should clear
+    *   the cache between invocations (Bench/Verify do).
     * @return one row PER INPUT DOCUMENT: (idCol, clean_text, n_dropped)
     *         — documents whose every segment was boilerplate survive
     *         with clean_text = "" (the caller decides whether emptied

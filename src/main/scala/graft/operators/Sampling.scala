@@ -230,8 +230,19 @@ object Sampling {
     require(budget > 0, "budget must be > 0")
     require(bucketWidth > 0, "bucketWidth must be > 0")
     import org.apache.spark.sql.expressions.Window
+    // NaN/Infinity route around the floor-cast (ANSI would throw) to
+    // the buckets matching Spark's sort order — NaN and +Inf are the
+    // LARGEST doubles under `desc`, -Inf the smallest non-null — so
+    // the bucketed prefix sum still equals the naive global window on
+    // any double input. Finite scores with |score/width| beyond Long
+    // range remain an ANSI error by design (they indicate a broken
+    // score, not a corpus).
+    val sc = col(scoreCol).cast("double")
     val bucketed = df.withColumn("__bkt",
-      floor(col(scoreCol).cast("double") / bucketWidth).cast("long"))
+      when(isnan(sc) || sc === lit(Double.PositiveInfinity),
+          lit(Long.MaxValue))
+        .when(sc === lit(Double.NegativeInfinity), lit(Long.MinValue))
+        .otherwise(floor(sc / bucketWidth).cast("long")))
     val offsets = bucketed.groupBy("__bkt")
       .agg(sum(col(costCol).cast("long")).as("__n"))
       .withColumn("__offset",

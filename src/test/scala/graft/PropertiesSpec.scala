@@ -365,11 +365,16 @@ class PropertiesSpec extends SparkSpec {
   test("budgetSelect equals the naive global running sum (3x, any bucket width)") {
     import org.apache.spark.sql.expressions.Window
     for (trial <- 1 to 3) {
-      // heavy score ties + a null-score stripe: the orders that break
-      // a sloppy total order or an equi-join on the bucket key
+      // heavy score ties + null/NaN/±Inf stripes: the orders that
+      // break a sloppy total order, an equi-join on the bucket key,
+      // or an ANSI floor-cast on a non-finite score
       val rows = (0L until 120L).map { i =>
-        val score: java.lang.Long =
-          if (i % 17 == 0) null else (rnd.nextInt(6) * 10).toLong
+        val score: java.lang.Double =
+          if (i % 17 == 0) null
+          else if (i % 23 == 0) Double.NaN
+          else if (i % 29 == 0) Double.PositiveInfinity
+          else if (i % 31 == 0) Double.NegativeInfinity
+          else (rnd.nextInt(6) * 10).toDouble
         (i, score, 1L + rnd.nextInt(9).toLong)
       }
       val df = rows.toDF("id", "score", "cost")
