@@ -942,6 +942,32 @@ object Oracles {
          |FROM pairs JOIN sh a ON a.doc_id = ia JOIN sh b ON b.doc_id = ib
          |ORDER BY 1""".stripMargin,
 
+    // Exact Jaccard-threshold join: candidates by the WEAKER
+    // share-any-shingle join (completeness-independent of the engine's
+    // prefix filter), exact set-Jaccard verify, same twin corpus and
+    // threshold as q_dedup_minhash.
+    "q_jaccard_join" ->
+      s"""WITH all_docs AS ($docsTwins60),
+         |tok AS (SELECT doc_id, ${toks("text")} AS t FROM all_docs),
+         |sh AS (SELECT doc_id,
+         |  list_distinct(CASE WHEN len(t) < 3
+         |    THEN [coalesce(array_to_string(t, ' '), '')]
+         |    ELSE list_transform(generate_series(1, len(t) - 2),
+         |           i -> array_to_string(t[i:i+2], ' ')) END) AS s
+         |  FROM tok),
+         |shx AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |cands AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+         |  FROM shx a JOIN shx b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |j AS (SELECT ida, idb,
+         |    round(len(list_intersect(a.s, b.s))::DOUBLE /
+         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+         |      6) AS jc
+         |  FROM cands JOIN sh a ON a.doc_id = ida
+         |              JOIN sh b ON b.doc_id = idb)
+         |SELECT ida AS "id_a", idb AS "id_b", jc AS "jaccard"
+         |FROM j WHERE jc >= 0.5
+         |ORDER BY 1, 2""".stripMargin,
+
     // PNG header parsing: construction fixes ground truth (every 10th
     // doc gets a non-PNG magic -> null dims).
     "q_image_dims" ->

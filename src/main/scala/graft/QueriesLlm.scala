@@ -1460,12 +1460,26 @@ object QueriesLlm {
       .orderBy("left_id", "right_id")
   }
 
+  /** EXACT Jaccard-threshold self-join (Dedup.jaccardJoin, AllPairs
+    * prefix filtering) over the same twin corpus and threshold as
+    * q_dedup_minhash — the recall-1.0 complement to MinHash. The
+    * oracle generates candidates by the weaker share-ANY-shingle join
+    * and verifies exactly, so a prefix-filter completeness bug
+    * hash-mismatches the gate rather than silently losing pairs.
+    */
+  def jaccardJoinQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardJoin(docsWithTwins(s, dir, 60), "doc_id", "text",
+        threshold = 0.5,
+        cache = Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .orderBy("id_a", "id_b")
+
   /** All LLM-family queries. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_seg_dedup" -> (segDedupQ _),
     "q_budget_select" -> (budgetSelectQ _),
     "q_cluster_sample" -> (clusterSampleQ _),
     "q_jw_linkage" -> (jwLinkageQ _),
+    "q_jaccard_join" -> (jaccardJoinQ _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_simhash" -> (dedupSimhash _),

@@ -978,6 +978,72 @@ object Dedup {
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
   }
 
+  /** EXACT Jaccard-threshold self-join (AllPairs/SSJoin prefix
+    * filtering — Bayardo et al. WWW'07, Chaudhuri et al. ICDE'06): all
+    * pairs with shingle-set Jaccard >= `threshold`, with recall 1.0 —
+    * the exact complement to [[minhashNearDups]] when a miss is not
+    * acceptable (dedup before eval-set construction, contamination
+    * audits). MinHash trades recall for candidate volume; this
+    * operator keeps exactness and still never goes all-pairs:
+    * a pair with J >= t must share >= ceil(t*|x|) shingles, so (by
+    * pigeonhole) it must share one of the first |x| - ceil(t*|x|) + 1
+    * shingles under ONE global total order — candidates join only on
+    * those PREFIX shingles. Ordering the prefix by ascending global
+    * frequency (the [[graft.operators.FuzzyJoin]] signature trick)
+    * makes prefixes the RAREST shingles, so hot shingles (stopword
+    * runs, template chrome) never become join keys; a size filter
+    * (t*|x| <= |y| <= |x|/t) prunes survivors before the exact
+    * verification, which reuses the late-payload-fetch shape — shingle
+    * arrays re-enter only for candidate ids.
+    *
+    * Completeness is gated, not assumed: the registered query's oracle
+    * generates candidates by the weaker share-ANY-shingle join, so a
+    * prefix-filter bug that loses a pair hash-mismatches the gate.
+    *
+    * Adversarial note: N byte-identical documents produce N^2/2 true
+    * pairs — that is the answer, not a skew artifact. Run [[exact]]
+    * dedup first so identical content enters as one representative.
+    *
+    * @return (id_a, id_b, jaccard) with jaccard rounded at 6 and
+    *         >= threshold, id_a < id_b
+    */
+  def jaccardJoin(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleWidth: Int = 3,
+      cache: Option[StorageLevel] = None): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    import org.apache.spark.sql.expressions.Window
+    def cached(d: DataFrame): DataFrame = cache.fold(d)(d.persist)
+    val sh = docs.select(col(idCol).as("id"),
+        array_distinct(H.wordShingles(T.tokens(col(textCol)),
+          shingleWidth)).as("g"))
+      .where(size(col("g")) > 0)
+    val ex = cached(sh.select(col("id"), size(col("g")).as("n"),
+      explode(col("g")).as("gram")))
+    val freq = ex.groupBy("gram").agg(count(lit(1)).as("f"))
+    // rarest-first prefix: first n - ceil(t*n) + 1 shingles under the
+    // (frequency, gram) total order
+    // cached: the self-join below otherwise recomputes the
+    // freq-join + rarest-first window once PER SIDE
+    val prefix = cached(ex.join(freq, "gram")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("f"), col("gram"))))
+      .where(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select(col("gram"), col("id"), col("n")))
+    val cands = prefix.alias("a")
+      .join(prefix.alias("b"),
+        col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+      // size filter: t*|x| <= |y| <= |x|/t or J < t regardless of overlap
+      .where(col("b.n") >= ceil(col("a.n") * threshold) &&
+        col("a.n") >= ceil(col("b.n") * threshold))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    pairJaccard(docs, cands, idCol,
+        d => H.wordShingles(T.tokens(col(textCol)), shingleWidth))
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .where(col("jaccard") >= threshold)
+  }
+
   private def pairJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
       shingler: DataFrame => org.apache.spark.sql.Column): DataFrame = {
     // Late payload fetch (r13): shingle ONLY the documents that appear

@@ -849,6 +849,44 @@ class DedupAnnSpec extends SparkSpec {
     assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
   }
 
+  test("jaccardJoin equals brute force exactly: complete AND precise (3x)") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("spark", "scan", "join", "agg", "sort", "key",
+      "row", "batch", "merge", "filter")
+    for (trial <- 1 to 3) {
+      val docs = (0L until 40L).map { i =>
+        val base = Seq.fill(6 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+        (i, base.mkString(" "))
+      }
+      // plant exact-threshold and near-threshold twins
+      val twins = docs.take(8).map { case (i, t) =>
+        (i + 1000L, t.split(" ").dropRight(rnd.nextInt(3)).mkString(" "))
+      }
+      val all = (docs ++ twins).toDF("doc_id", "text")
+      def shingles(t: String): Set[String] = {
+        val toks = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        if (toks.length < 3) Set(toks.mkString(" "))
+        else toks.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val rows = (docs ++ twins)
+      val brute = (for {
+        (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+        sa = shingles(ta); sb = shingles(tb)
+        inter = (sa & sb).size
+        j = inter.toDouble / (sa.size + sb.size - inter)
+        jr = BigDecimal(j).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble if jr >= 0.5
+      } yield (ia, ib)).toSet
+      val out = Dedup.jaccardJoin(all, "doc_id", "text", threshold = 0.5)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(out == brute,
+        s"trial $trial missing=${(brute -- out).take(5)} " +
+          s"spurious=${(out -- brute).take(5)}")
+      assert(brute.nonEmpty, s"trial $trial degenerate fixture")
+    }
+  }
+
   test("dropCommonSegments strips cross-doc boilerplate, reassembles in order") {
     import graft.operators.Dedup
     val chrome = "subscribe to our newsletter" // 4-token boilerplate

@@ -21,7 +21,7 @@ class PlanRegressionSpec extends SparkSpec {
   for (q <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_embed_neardup",
       "q_ann_lsh", "q_ann_ivf", "q_ngram_jaccard", "q_char_jaccard",
       "q_neardup_against", "q_neardup_indexed", "q_hard_negatives_ann",
-      "q_dedup_groups_star"))
+      "q_dedup_groups_star", "q_jaccard_join"))
     test(s"$q: candidate generation is equi-join only") {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"cartesian in $q")
