@@ -959,13 +959,14 @@ object Oracles {
          |cands AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
          |  FROM shx a JOIN shx b ON a.g = b.g AND a.doc_id < b.doc_id),
          |j AS (SELECT ida, idb,
-         |    round(len(list_intersect(a.s, b.s))::DOUBLE /
-         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
-         |      6) AS jc
+         |    len(list_intersect(a.s, b.s))::DOUBLE /
+         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+         |      AS jr
          |  FROM cands JOIN sh a ON a.doc_id = ida
          |              JOIN sh b ON b.doc_id = idb)
-         |SELECT ida AS "id_a", idb AS "id_b", jc AS "jaccard"
-         |FROM j WHERE jc >= 0.5
+         |SELECT ida AS "id_a", idb AS "id_b",
+         |  round(jr, 6) AS "jaccard"
+         |FROM j WHERE jr >= 0.5
          |ORDER BY 1, 2""".stripMargin,
 
     // PNG header parsing: construction fixes ground truth (every 10th

@@ -1023,25 +1023,39 @@ object Dedup {
     val freq = ex.groupBy("gram").agg(count(lit(1)).as("f"))
     // rarest-first prefix: first n - ceil(t*n) + 1 shingles under the
     // (frequency, gram) total order
+    // Minimum-overlap bound ceil(t*n), computed EPSILON-SAFE: the raw
+    // double product overshoots for binary-inexact thresholds (25 *
+    // 0.56 = 14.000000000000002, ceil -> 15) and a too-large bound
+    // DROPS TRUE PAIRS — the one error an exact join may never make.
+    // Subtracting 1e-6 before ceil can only shrink the bound (longer
+    // prefixes, weaker size filter = extra candidates the exact verify
+    // discards), so completeness survives any threshold; the slack
+    // absorbs product error up to n ~ 4e9 shingles per doc.
+    def minOverlap(n: org.apache.spark.sql.Column) =
+      ceil(n * threshold - 1e-6)
     // cached: the self-join below otherwise recomputes the
     // freq-join + rarest-first window once PER SIDE
     val prefix = cached(ex.join(freq, "gram")
       .withColumn("rn", row_number().over(
         Window.partitionBy("id").orderBy(col("f"), col("gram"))))
-      .where(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
+      .where(col("rn") <= col("n") - minOverlap(col("n")) + 1)
       .select(col("gram"), col("id"), col("n")))
     val cands = prefix.alias("a")
       .join(prefix.alias("b"),
         col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
       // size filter: t*|x| <= |y| <= |x|/t or J < t regardless of overlap
-      .where(col("b.n") >= ceil(col("a.n") * threshold) &&
-        col("a.n") >= ceil(col("b.n") * threshold))
+      .where(col("b.n") >= minOverlap(col("a.n")) &&
+        col("a.n") >= minOverlap(col("b.n")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    // threshold on the UNROUNDED score — candidate generation is
+    // complete for true J >= t, so filtering on a rounded-up value
+    // would admit pairs the filter never promised to find; the output
+    // column rounds for presentation/oracle comparison only
     pairJaccard(docs, cands, idCol,
         d => H.wordShingles(T.tokens(col(textCol)), shingleWidth))
-      .withColumn("jaccard", round(col("jaccard"), 6))
       .where(col("jaccard") >= threshold)
+      .withColumn("jaccard", round(col("jaccard"), 6))
   }
 
   private def pairJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,

@@ -874,9 +874,7 @@ class DedupAnnSpec extends SparkSpec {
         (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
         sa = shingles(ta); sb = shingles(tb)
         inter = (sa & sb).size
-        j = inter.toDouble / (sa.size + sb.size - inter)
-        jr = BigDecimal(j).setScale(6,
-          BigDecimal.RoundingMode.HALF_UP).toDouble if jr >= 0.5
+        j = inter.toDouble / (sa.size + sb.size - inter) if j >= 0.5
       } yield (ia, ib)).toSet
       val out = Dedup.jaccardJoin(all, "doc_id", "text", threshold = 0.5)
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
@@ -885,6 +883,26 @@ class DedupAnnSpec extends SparkSpec {
           s"spurious=${(out -- brute).take(5)}")
       assert(brute.nonEmpty, s"trial $trial degenerate fixture")
     }
+  }
+
+  test("jaccardJoin keeps exact-boundary pairs at a binary-inexact threshold") {
+    import graft.operators.Dedup
+    // 27 unique tokens -> 25 distinct shingles; the 16-token prefix
+    // -> 14 shingles, all shared: J = 14/25 = 0.56 exactly. The raw
+    // double product 25 * 0.56 = 14.000000000000002 made the old
+    // ceil-based size filter demand overlap 15 and silently DROP this
+    // true pair — the epsilon-safe bound must keep it.
+    val a = (0 until 27).map(i => s"w$i").mkString(" ")
+    val b = (0 until 16).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val out = Dedup.jaccardJoin(docs, "doc_id", "text", threshold = 0.56)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 0.56)),
+      s"boundary pair lost or mis-scored: $out")
+    // just past the boundary the pair must NOT appear
+    assert(Dedup.jaccardJoin(docs, "doc_id", "text",
+      threshold = 0.5601).count() == 0)
   }
 
   test("dropCommonSegments strips cross-doc boilerplate, reassembles in order") {
