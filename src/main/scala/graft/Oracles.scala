@@ -182,7 +182,37 @@ object Oracles {
     // a red row on exactly one of the pair.
     "q_sessionize_bucketed" -> base("q_sessionize"),
     "q_session_prefixes_bucketed" -> base("q_session_prefixes"),
-    "q_asof_join_bucketed" -> base("q_asof_join"))
+    "q_asof_join_bucketed" -> base("q_asof_join"),
+    // The auto routes probe the key distribution and pick a shape;
+    // either route is output-identical, so the plain oracles serve.
+    "q_sessionize_auto" -> base("q_sessionize"),
+    "q_session_prefixes_auto" -> base("q_session_prefixes"),
+    "q_asof_auto" -> base("q_asof_join"),
+
+    // Shape-probe verdicts (ShapeSelect.decide): replay the routing
+    // predicate — top-key share >= 0.05 OR top-key rows >= 4e6 —
+    // over the same two key projections of the events scan. GROUP BY
+    // retains a NULL key as one group in both engines, matching how
+    // the window shapes partition NULL keys.
+    "q_shape_decision" ->
+      """WITH cu AS (SELECT user_id AS k, count(*) AS n
+        |            FROM events GROUP BY 1),
+        |ct AS (SELECT event_type AS k, count(*) AS n
+        |       FROM events GROUP BY 1),
+        |du AS (SELECT 'by_user' AS label, sum(n)::BIGINT AS n_rows,
+        |         count(*)::BIGINT AS n_keys, max(n)::BIGINT AS top_rows,
+        |         round(max(n)::DOUBLE / sum(n), 6) AS top_share,
+        |         (max(n)::DOUBLE / sum(n) >= 0.05
+        |          OR max(n) >= 4000000) AS bucketed
+        |       FROM cu),
+        |dt AS (SELECT 'by_type' AS label, sum(n)::BIGINT AS n_rows,
+        |         count(*)::BIGINT AS n_keys, max(n)::BIGINT AS top_rows,
+        |         round(max(n)::DOUBLE / sum(n), 6) AS top_share,
+        |         (max(n)::DOUBLE / sum(n) >= 0.05
+        |          OR max(n) >= 4000000) AS bucketed
+        |       FROM ct)
+        |SELECT * FROM du UNION ALL SELECT * FROM dt
+        |ORDER BY label""".stripMargin)
 
   private val base: Map[String, String] = Map(
 

@@ -808,6 +808,94 @@ object Queries {
       .orderBy("user_id", "ts_us")
   }
 
+  /** [[sessionize]] routed through the AUTO shape
+    * (Events.sessionizeAuto): a per-user volume probe picks the plain
+    * single-window or the bucketed two-phase shape from the data —
+    * the VERDICT r15 #1 ask, since neither static default is right at
+    * 100 TB. Same oracle as q_sessionize: the route never changes the
+    * output, only the plan. On the gate's near-uniform events table
+    * the probe picks plain; ShapeSpec pins that the skewed fixture
+    * flips it.
+    */
+  def sessionizeAutoQ(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    val ev = raw.select(
+        col("user_id"), col("event_id"),
+        graft.operators.Events.tsMicros(raw).as("ts_us"))
+      .withColumn("ts_s", expr("ts_us div 1000000"))
+    val sessions = graft.operators.Events.sessionizeAuto(ev,
+      "user_id", "ts_s", gapMinutes = 30,
+      orderCols = Seq("ts_us", "event_id"), bucketSeconds = 86400L)
+    graft.operators.Events.sessionStats(sessions, "user_id", "ts_s")
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** [[sessionPrefixesQ]] through the auto route (one probe covers
+    * the embedded sessionize and the prefix window) — same oracle as
+    * q_session_prefixes.
+    */
+  def sessionPrefixesAutoQ(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    val ev = raw.select(
+        col("user_id"), col("event_id"),
+        graft.operators.Events.tsMicros(raw).as("ts_us"))
+      .withColumn("ts_s", expr("ts_us div 1000000"))
+    graft.operators.Events.sessionPrefixesAuto(ev, "user_id", "ts_s",
+        "event_id", gapMinutes = 30,
+        orderCols = Seq("ts_us", "event_id"), maxPrefix = 10,
+        bucketSeconds = 86400L)
+      .select(col("user_id"), col("session_seq"),
+        array_join(col("prefix"), ",").as("prefix"), col("label"))
+      .orderBy("user_id", "session_seq", "label")
+  }
+
+  /** [[asofJoin]] through the auto route (probe over the union of
+    * both sides' key volumes, span derived from the probed time range
+    * when bucketed) — same DuckDB ASOF oracle as q_asof_join.
+    */
+  def asofJoinAutoQ(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    val ev = raw.select(col("user_id"), col("event_id"),
+      graft.operators.Events.tsMicros(raw).as("ts_us"), col("event_type"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"),
+        col("event_id").as("purchase_id"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"),
+        col("event_id").as("view_id"), col("ts_us").as("view_ts_us"))
+    graft.operators.AsofJoin.asofBackwardAuto(purchases, views,
+        Seq("user_id"), "ts_us")
+      .orderBy("user_id", "ts_us")
+  }
+
+  /** The shape probe's verdicts, oracle-gated (ShapeSelect.decide):
+    * the same events scan probed on its near-uniform user_id key
+    * (expected route: plain) and on its 5-value event_type key
+    * (top share ~0.2 — route: bucketed). The DuckDB oracle replays
+    * the decision rule — share >= 0.05 OR top rows >= 4e6 — so the
+    * gate checks the routing PREDICATE itself, at any SF, not just
+    * the routed outputs.
+    */
+  def shapeDecisionQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = t(s, dir, "events")
+    def probe(label: String, key: String) = {
+      val d = graft.operators.ShapeSelect.decide(
+        raw.select(col(key),
+          graft.operators.Events.tsMicros(raw).as("ts_us")),
+        Seq(key), "ts_us")
+      // HALF_UP to 6 places matches DuckDB's round() on the oracle
+      // side (same convention as the keySkew share)
+      val share = new java.math.BigDecimal(d.topShare)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      (label, d.nRows, d.nKeys, d.topRows, share, d.bucketed)
+    }
+    Seq(probe("by_type", "event_type"), probe("by_user", "user_id"))
+      .toDF("label", "n_rows", "n_keys", "top_rows", "top_share",
+        "bucketed")
+      .orderBy("label")
+  }
+
   /** Skew-safe salted equi-join (Ops.saltedJoin): lineitem facts
     * scattered over 8 salted sub-partitions, orders dim replicated per
     * salt. Row-identical to the plain join, so the oracle is the plain
@@ -1411,6 +1499,10 @@ object Queries {
     "q_sessionize_bucketed" -> (sessionizeBucketedQ _),
     "q_session_prefixes" -> (sessionPrefixesQ _),
     "q_session_prefixes_bucketed" -> (sessionPrefixesBucketedQ _),
+    "q_sessionize_auto" -> (sessionizeAutoQ _),
+    "q_session_prefixes_auto" -> (sessionPrefixesAutoQ _),
+    "q_asof_auto" -> (asofJoinAutoQ _),
+    "q_shape_decision" -> (shapeDecisionQ _),
     "q_event_dedup" -> (eventDedup _),
     "q_attribution" -> (attribution _),
     "q_streaming_dedup_equiv" -> (streamingDedupEquiv _),

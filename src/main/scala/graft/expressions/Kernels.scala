@@ -346,10 +346,14 @@ object Kernels {
     * replicate DuckDB's `jaro_winkler_similarity` EXACTLY (verified
     * over 20k randomized pairs, zero double-precision mismatches),
     * including its empty-string convention: either side empty — even
-    * both — scores 0.0, not 1.0. Operates on UTF-16 code units, which
-    * coincides with DuckDB's byte-wise view on ASCII; supplementary-
-    * plane text may diverge between the two engines (both are then
-    * making up a number anyway — JW is defined on characters).
+    * both — scores 0.0, not 1.0. Operates on UTF-16 code units, while
+    * DuckDB compares raw UTF-8 BYTES — the two views coincide ONLY on
+    * ASCII. Any non-ASCII text diverges, BMP included: an accented
+    * Latin or CJK character is one code unit here but 2-3 bytes to
+    * DuckDB, shifting its match window and counts (ADVICE r15; the
+    * old note blamed only supplementary-plane text). Cross-engine JW
+    * gates must therefore keep their keys ASCII, or normalize to
+    * ASCII first — the current oracle gates use ASCII c_name keys.
     */
   def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
     val s1 = a.toString; val s2 = b.toString

@@ -95,6 +95,15 @@ object StateTable {
           // claim loop instead of an error (round-15 review).
           case _: java.nio.file.DirectoryNotEmptyException |
                _: java.nio.file.FileAlreadyExistsException => false
+          // Known NON-race subclasses must not take the lost-race
+          // path below even when another writer coincidentally holds
+          // dst (ADVICE r15): an EXDEV atomic-move refusal, a
+          // permissions failure, or a vanished path is a persistent
+          // error — retrying it against v=N+1 would just re-fail one
+          // version later and report against the wrong path.
+          case e @ (_: java.nio.file.AtomicMoveNotSupportedException |
+               _: java.nio.file.AccessDeniedException |
+               _: java.nio.file.NoSuchFileException) => throw e
           // Linux's atomic rename(2) surfaces ENOTEMPTY as a BARE
           // FileSystemException (UnixException.rethrowAsIOException
           // only mints DirectoryNotEmptyException on non-atomic

@@ -69,6 +69,41 @@ object AsofJoin {
         payloadCols.map(f => col(s"__asof.$f").as(f)): _*)
   }
 
+  /** [[asofBackward]] with data-driven shape selection: probe the
+    * per-key volume of the UNION of both sides (both feed the carry
+    * window's sort, so the hot-key cost is their combined timeline;
+    * [[graft.operators.ShapeSelect.decide]]) and route plain on
+    * uniform keys, [[asofBackwardBucketed]] when a hot entity is
+    * present. Output identical either way (same DuckDB ASOF oracle).
+    *
+    * `bucketSpan = 0` derives the span from the probed time range:
+    * range / `targetBuckets` (min 1), i.e. a hot key's timeline
+    * spreads over up to `targetBuckets` reducers — the probe already
+    * carries the bounds, so no extra scan. Pass an explicit span to
+    * pin bucket boundaries (e.g. daily) instead.
+    */
+  def asofBackwardAuto(left: DataFrame, right: DataFrame,
+      keys: Seq[String], timeCol: String, tieCol: Option[String] = None,
+      bucketSpan: Long = 0L, targetBuckets: Int = 256,
+      shareThreshold: Double = ShapeSelect.DefaultShareThreshold,
+      maxKeyRows: Long = ShapeSelect.DefaultMaxKeyRows,
+      probeFraction: Double = 1.0, seed: Long = 42L): DataFrame = {
+    require(targetBuckets > 0,
+      s"targetBuckets must be > 0, got $targetBuckets")
+    def proj(df: DataFrame): DataFrame =
+      df.select(keys.map(col) :+ col(timeCol).cast("long")
+        .as(timeCol): _*)
+    val d = ShapeSelect.decide(proj(left).unionByName(proj(right)),
+      keys, timeCol, shareThreshold, maxKeyRows, probeFraction, seed)
+    if (!d.bucketed) asofBackward(left, right, keys, timeCol, tieCol)
+    else {
+      val span =
+        if (bucketSpan > 0) bucketSpan
+        else math.max(1L, (d.maxTime - d.minTime) / targetBuckets + 1)
+      asofBackwardBucketed(left, right, keys, timeCol, tieCol, span)
+    }
+  }
+
   /** Hot-key-safe [[asofBackward]]: identical output, but the carry
     * window is salted with a time bucket so no reducer ever sorts one
     * key's whole timeline (the x100 skew probe priced that sort at

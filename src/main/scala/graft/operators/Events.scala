@@ -180,6 +180,29 @@ object Events {
         Seq(col("session_seq"), col("__pos")): _*)
   }
 
+  /** [[sessionize]] with data-driven shape selection: probe the
+    * per-user volume ([[ShapeSelect.decide]]) and route to the plain
+    * single-window shape on uniform keys or the two-phase
+    * [[sessionizeBucketed]] when a hot entity is present. Output is
+    * identical either way (the shapes are differential-pinned and
+    * share one oracle), so the probe only ever trades the 1.4-2.1x
+    * bucketed tax against the unbounded plain hot-key cliff — the
+    * reason no static default is right at 100 TB.
+    */
+  def sessionizeAuto(events: DataFrame, userCol: String, tsCol: String,
+      gapMinutes: Int, orderCols: Seq[String],
+      bucketSeconds: Long = 0L,
+      shareThreshold: Double = ShapeSelect.DefaultShareThreshold,
+      maxKeyRows: Long = ShapeSelect.DefaultMaxKeyRows,
+      probeFraction: Double = 1.0, seed: Long = 42L): DataFrame = {
+    val d = ShapeSelect.decide(events, Seq(userCol), tsCol,
+      shareThreshold, maxKeyRows, probeFraction, seed)
+    if (d.bucketed)
+      sessionizeBucketed(events, userCol, tsCol, gapMinutes, orderCols,
+        bucketSeconds)
+    else sessionize(events, userCol, tsCol, gapMinutes, orderCols)
+  }
+
   /** Next-event training sequences from sessionized logs: for every
     * event beyond the first of its session, the ordered ids of up to
     * `maxPrefix` PRIOR session events as the model input and the event
@@ -257,6 +280,30 @@ object Events {
           .select(col(userCol), col("session_seq"), col("prefix"),
             col(idCol).as("label"))
     }
+  }
+
+  /** [[sessionPrefixes]] with data-driven shape selection: one
+    * [[ShapeSelect.decide]] probe routes BOTH the embedded sessionize
+    * and the prefix window — the two serialize on the same hot user,
+    * so one verdict covers them (the x100 probe showed the prefix
+    * window re-serializing even after a bucketed sessionize). Output
+    * is identical on either route.
+    */
+  def sessionPrefixesAuto(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, gapMinutes: Int,
+      orderCols: Seq[String], maxPrefix: Int = 50,
+      bucketSeconds: Long = 0L, prefixChunkRows: Long = 65536L,
+      shareThreshold: Double = ShapeSelect.DefaultShareThreshold,
+      maxKeyRows: Long = ShapeSelect.DefaultMaxKeyRows,
+      probeFraction: Double = 1.0, seed: Long = 42L): DataFrame = {
+    val d = ShapeSelect.decide(events, Seq(userCol), tsCol,
+      shareThreshold, maxKeyRows, probeFraction, seed)
+    sessionPrefixes(events, userCol, tsCol, idCol, gapMinutes,
+      orderCols, maxPrefix,
+      // Some(0) = bucketed route with the operator's own 4x-gap
+      // default span
+      bucketSeconds = if (d.bucketed) Some(bucketSeconds) else None,
+      prefixChunkRows = prefixChunkRows)
   }
 
   /** Time-windowed per-key dedup: drop an event arriving within

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{concat, lit}
+
+import graft.operators.{AsofJoin, Events, ShapeSelect}
+
+/** Auto shape selection (VERDICT r15 #1): [[ShapeSelect.decide]] must
+  * route the plain per-key window on uniform keys and the bucketed
+  * two-phase shape on a hot entity, the auto entry points must follow
+  * that verdict (pinned from the PLAN — the bucketed shapes carry a
+  * join operator the plain window shapes lack), and all three routes
+  * must be output-identical on BOTH fixtures.
+  */
+class ShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 800 events; `hotShare` of them on user 0, the rest uniform over
+    * 40 users, plus a NULL-user stripe (~2.7%) — the window shapes
+    * keep null keys as one partition, so the probe must count them
+    * as one key too.
+    */
+  private def mkEvents(hotShare: Double, seed: Int = 5): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    (1 to 800).map { i =>
+      val u = if (rnd.nextDouble() < hotShare) 0L
+              else 1L + rnd.nextInt(40).toLong
+      (if (i % 37 == 0) None else Some(u), i.toLong,
+       rnd.nextInt(30).toLong * 1800L + rnd.nextInt(40))
+    }.toDF("user_id", "event_id", "ts_s")
+  }
+  private lazy val uniform = mkEvents(0.0)
+  private lazy val hot = mkEvents(0.6)
+
+  private def hasJoin(df: DataFrame): Boolean = {
+    val p = df.queryExecution.executedPlan.toString
+    Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+      "BroadcastNestedLoopJoin").exists(p.contains)
+  }
+
+  test("decide: share arm — plain on uniform keys, bucketed on a hot key") {
+    val du = ShapeSelect.decide(uniform, Seq("user_id"), "ts_s")
+    assert(!du.bucketed,
+      s"uniform fixture routed bucketed (top share ${du.topShare})")
+    assert(du.nRows == 800 && du.topShare < 0.05)
+    val dh = ShapeSelect.decide(hot, Seq("user_id"), "ts_s")
+    assert(dh.bucketed,
+      s"hot fixture routed plain (top share ${dh.topShare})")
+    assert(dh.topShare > 0.5)
+  }
+
+  test("decide: absolute-rows arm and sampled probe") {
+    // a key can dominate absolutely without dominating by share:
+    // tiny maxKeyRows stands in for the 4M default
+    val abs = ShapeSelect.decide(uniform, Seq("user_id"), "ts_s",
+      maxKeyRows = 10L)
+    assert(abs.bucketed && abs.topShare < 0.05)
+    // estTopRows scales the sampled count back up by probeFraction
+    val half = ShapeSelect.decide(uniform, Seq("user_id"), "ts_s",
+      maxKeyRows = 10L, probeFraction = 0.5, seed = 3L)
+    assert(half.estTopRows > half.topRows && half.bucketed)
+    // a 60% hot key survives any reasonable sample
+    assert(ShapeSelect.decide(hot, Seq("user_id"), "ts_s",
+      probeFraction = 0.25, seed = 9L).bucketed)
+  }
+
+  test("decide: empty input probes as unskewed") {
+    val empty = Seq.empty[(Option[Long], Long, Long)]
+      .toDF("user_id", "event_id", "ts_s")
+    val d = ShapeSelect.decide(empty, Seq("user_id"), "ts_s")
+    assert(!d.bucketed && d.nRows == 0 && d.nKeys == 0 &&
+      d.topRows == 0 && d.topShare == 0.0)
+  }
+
+  test("sessionizeAuto: route pinned from the plan, outputs identical") {
+    def norm(df: DataFrame) = df
+      .select("user_id", "event_id", "session_seq").collect()
+      .map(r => (if (r.isNullAt(0)) Long.MinValue else r.getLong(0),
+        r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    for ((ev, wantBucketed) <- Seq((uniform, false), (hot, true))) {
+      val auto = Events.sessionizeAuto(ev, "user_id", "ts_s",
+        gapMinutes = 30, orderCols = Seq("ts_s", "event_id"),
+        bucketSeconds = 1800L)
+      // the bucketed shape joins phase-1 rows to the offset summary;
+      // the plain shape is windows only — the join's presence IS the
+      // route
+      assert(hasJoin(auto) == wantBucketed,
+        s"wrong route for wantBucketed=$wantBucketed")
+      val plain = Events.sessionize(ev, "user_id", "ts_s", 30,
+        Seq("ts_s", "event_id"))
+      val bucketed = Events.sessionizeBucketed(ev, "user_id", "ts_s",
+        30, Seq("ts_s", "event_id"), 1800L)
+      assert(norm(auto) == norm(plain) && norm(auto) == norm(bucketed))
+    }
+  }
+
+  test("sessionPrefixesAuto: one probe routes both windows, outputs identical") {
+    def norm(df: DataFrame) = df.collect()
+      .map(r => (if (r.isNullAt(0)) Long.MinValue else r.getLong(0),
+        r.getLong(1), r.getSeq[Long](2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2, t._4)).toSeq
+    for ((ev, wantBucketed) <- Seq((uniform, false), (hot, true))) {
+      val auto = Events.sessionPrefixesAuto(ev, "user_id", "ts_s",
+        "event_id", gapMinutes = 30, orderCols = Seq("ts_s", "event_id"),
+        maxPrefix = 5, bucketSeconds = 1800L, prefixChunkRows = 64L)
+      assert(hasJoin(auto) == wantBucketed,
+        s"wrong route for wantBucketed=$wantBucketed")
+      val plain = Events.sessionPrefixes(ev, "user_id", "ts_s",
+        "event_id", 30, Seq("ts_s", "event_id"), maxPrefix = 5)
+      val chunked = Events.sessionPrefixes(ev, "user_id", "ts_s",
+        "event_id", 30, Seq("ts_s", "event_id"), maxPrefix = 5,
+        bucketSeconds = Some(1800L), prefixChunkRows = 64L)
+      assert(norm(auto) == norm(plain) && norm(auto) == norm(chunked))
+    }
+  }
+
+  test("asofBackwardAuto: union-volume probe, derived span, outputs identical") {
+    def split(ev: DataFrame): (DataFrame, DataFrame) = (
+      ev.where($"event_id" % 2 === 0)
+        .select($"user_id".as("k"), $"ts_s".as("t"),
+          $"event_id".as("lid")),
+      ev.where($"event_id" % 2 === 1)
+        .select($"user_id".as("k"), $"ts_s".as("t"),
+          $"event_id".as("rid"), concat(lit("p"), $"event_id").as("pv")))
+    def norm(df: DataFrame) = df
+      .select("k", "t", "lid", "rid", "pv").collect()
+      .map(r => (if (r.isNullAt(0)) Long.MinValue else r.getLong(0),
+        r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) "NULL" else r.getString(4)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    for ((ev, wantBucketed) <- Seq((uniform, false), (hot, true))) {
+      val (lf, rf) = split(ev)
+      // bucketSpan = 0: span derives from the probed time range
+      val auto = AsofJoin.asofBackwardAuto(lf, rf, Seq("k"), "t",
+        Some("rid"), targetBuckets = 16)
+      // plain asof is the union+window shape with NO join operator
+      // at all (PlanRegressionSpec pins that); the bucketed carry
+      // introduces joins — again the plan reveals the route
+      assert(hasJoin(auto) == wantBucketed,
+        s"wrong route for wantBucketed=$wantBucketed")
+      val plain = AsofJoin.asofBackward(lf, rf, Seq("k"), "t",
+        Some("rid"))
+      val bucketed = AsofJoin.asofBackwardBucketed(lf, rf, Seq("k"),
+        "t", Some("rid"), bucketSpan = 1800L)
+      assert(norm(auto) == norm(plain) && norm(auto) == norm(bucketed))
+    }
+  }
+}
