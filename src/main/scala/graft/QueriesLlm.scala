@@ -1011,6 +1011,23 @@ object QueriesLlm {
     Dedup.dedupGroupsStar(pairs).orderBy("id")
   }
 
+  /** Connected components through the AUTO route
+    * (Dedup.dedupGroupsAuto, VERDICT r15 #7) on a 40-hop chain per
+    * document with a 4-round propagation budget: the budget overrun —
+    * propagation's own non-convergence, the exact diameter probe — is
+    * hit at the gate, so this query exercises the fallback-to-star
+    * path END TO END against a closed-form oracle. (The shallow route
+    * is pinned differentially in PropertiesSpec.)
+    */
+  def dedupGroupsAutoQ(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "documents").where(col("doc_id") < 60)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), lit(39L))).as("k"))
+      .select((col("doc_id") + col("k") * 100000L).as("id_a"),
+        (col("doc_id") + (col("k") + 1L) * 100000L).as("id_b"))
+    Dedup.dedupGroupsAuto(pairs, propagationBudget = 4).orderBy("id")
+  }
+
   /** Benchmark decontamination (Dedup.benchmarkContamination): corpus =
     * documents, benchmark = the 60%-prefix of docs < 40 (so each bench
     * item overlaps its source doc heavily — the truncation's trailing
@@ -1487,6 +1504,7 @@ object QueriesLlm {
     "q_contamination" -> (contamination _),
     "q_dedup_groups" -> (dedupGroupsQ _),
     "q_dedup_groups_star" -> (dedupGroupsStarQ _),
+    "q_dedup_groups_auto" -> (dedupGroupsAutoQ _),
     "q_bm25" -> (bm25Q _),
     "q_heavy_hitters" -> (heavyHittersQ _),
     "q_group_split" -> (groupSplit _),

@@ -191,6 +191,45 @@ class PropertiesSpec extends SparkSpec {
     assert(graft.operators.Dedup.dedupGroupsStar(noPairs).count() == 0)
   }
 
+  test("dedupGroupsAuto: budget overrun flips to star, outputs identical") {
+    // shallow random graph: propagation converges inside the default
+    // budget, so auto returns the propagation labels
+    val n = 40
+    val edges = List.fill(35)((rnd.nextInt(n).toLong,
+      rnd.nextInt(n).toLong)).distinct
+    val plain = graft.operators.Dedup.dedupGroups(
+        edges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    val auto = graft.operators.Dedup.dedupGroupsAuto(
+        edges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(auto == plain)
+    // a 60-hop chain past an 8-round budget: plain propagation at the
+    // same cap REFUSES — that non-convergence is exactly the diameter
+    // probe that flips auto's route — while auto falls back to the
+    // star alternation and still labels every node with the chain min
+    val chain = (0L until 60L).map(i => (i, i + 1))
+    intercept[IllegalStateException] {
+      graft.operators.Dedup.dedupGroups(
+        chain.toDF("id_a", "id_b"), maxIter = 8).collect()
+    }
+    val deep = graft.operators.Dedup.dedupGroupsAuto(
+        chain.toDF("id_a", "id_b"), propagationBudget = 8)
+      .as[(Long, Long)].collect()
+    assert(deep.length == 61 && deep.forall(_._2 == 0L))
+    // keepBest's autoRoute ships the same trigger: keeper-identical
+    // to the star route on the deep chain
+    val docs = (0L until 61L).map(i => (i, i % 7)).toDF("id", "score")
+    val viaAuto = graft.operators.Dedup.keepBest(docs,
+        chain.toDF("id_a", "id_b"), "id", "score",
+        autoRoute = true, propagationBudget = 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val viaStar = graft.operators.Dedup.keepBest(docs,
+        chain.toDF("id_a", "id_b"), "id", "score", logRounds = true)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaAuto == viaStar && viaAuto.size == 1)
+  }
+
   test("keepBest equals union-find + argmax on random graphs (3x)") {
     for (_ <- 1 to 3) {
       val n = 40
