@@ -1179,12 +1179,12 @@ object Oracles {
         |CROSS JOIN (SELECT unnest(range(0, 301)) AS k)
         |ORDER BY 1""".stripMargin,
 
-    // 40-hop chain per doc, auto route (budget overrun -> star):
-    // same closed-form chain enumeration, k 0..40
+    // 5-hop chain per doc, auto route (in-budget -> propagation):
+    // same closed-form chain enumeration, k 0..5
     "q_dedup_groups_auto" ->
       """SELECT doc_id + 100000 * k AS "id", doc_id AS "comp"
         |FROM (SELECT doc_id FROM documents WHERE doc_id < 60)
-        |CROSS JOIN (SELECT unnest(range(0, 41)) AS k)
+        |CROSS JOIN (SELECT unnest(range(0, 6)) AS k)
         |ORDER BY 1""".stripMargin,
 
     // Decontamination: per-(doc, bench) containment brute-forced over

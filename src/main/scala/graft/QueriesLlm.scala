@@ -1012,20 +1012,23 @@ object QueriesLlm {
   }
 
   /** Connected components through the AUTO route
-    * (Dedup.dedupGroupsAuto, VERDICT r15 #7) on a 40-hop chain per
-    * document with a 4-round propagation budget: the budget overrun —
-    * propagation's own non-convergence, the exact diameter probe — is
-    * hit at the gate, so this query exercises the fallback-to-star
-    * path END TO END against a closed-form oracle. (The shallow route
-    * is pinned differentially in PropertiesSpec.)
+    * (Dedup.dedupGroupsAuto, VERDICT r15 #7) on a 5-hop chain per
+    * document — within the default 12-round budget, so the gate
+    * exercises auto's COMMON case (propagation converges, no star
+    * fallback) at propagation cost (~1.3 s, vs ~7 s for any
+    * past-budget fixture: CC rounds are latency-bound, and the suite
+    * already pays that once in q_dedup_groups_star). The deep-chain
+    * budget overrun that flips the route to star — and its
+    * output-identity — is pinned in PropertiesSpec, where the flip
+    * costs test-JVM rounds, not bench wall time.
     */
   def dedupGroupsAutoQ(s: SparkSession, dir: String): DataFrame = {
     val pairs = t(s, dir, "documents").where(col("doc_id") < 60)
       .select(col("doc_id"),
-        explode(sequence(lit(0L), lit(39L))).as("k"))
+        explode(sequence(lit(0L), lit(4L))).as("k"))
       .select((col("doc_id") + col("k") * 100000L).as("id_a"),
         (col("doc_id") + (col("k") + 1L) * 100000L).as("id_b"))
-    Dedup.dedupGroupsAuto(pairs, propagationBudget = 4).orderBy("id")
+    Dedup.dedupGroupsAuto(pairs).orderBy("id")
   }
 
   /** Benchmark decontamination (Dedup.benchmarkContamination): corpus =
