@@ -1044,9 +1044,13 @@ object Dedup {
     * frequency (the [[graft.operators.FuzzyJoin]] signature trick)
     * makes prefixes the RAREST shingles, so hot shingles (stopword
     * runs, template chrome) never become join keys; a size filter
-    * (t*|x| <= |y| <= |x|/t) prunes survivors before the exact
-    * verification, which reuses the late-payload-fetch shape — shingle
-    * arrays re-enter only for candidate ids.
+    * (t*|x| <= |y| <= |x|/t) prunes survivors before verification,
+    * which reuses the late-payload-fetch shape — shingle arrays
+    * re-enter only for candidate ids, and in TWO stages: a hashed
+    * 8-byte-per-shingle prefilter over all candidates, then the exact
+    * string-shingle score over the near-threshold survivors only (see
+    * the staging comment in the body for the collision-margin
+    * analysis and the x100 measurement that motivated it).
     *
     * Completeness is gated, not assumed: the registered query's oracle
     * generates candidates by the weaker share-ANY-shingle join, so a
@@ -1061,6 +1065,92 @@ object Dedup {
     */
   def jaccardJoin(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleWidth: Int = 3,
+      cache: Option[StorageLevel] = None): DataFrame = {
+    // the candidate frame feeds THREE subtrees (the id-set semi-join,
+    // the stage-1 pair stream, and — through survivors — stage 2);
+    // unpinned, each consumer re-runs the prefix self-join + distinct,
+    // the join's single biggest shuffle. 16 B/row, so pinning is cheap
+    // even at x100's ~31M pairs.
+    val cands0 = jaccardCandidates(docs, idCol, textCol, threshold,
+      shingleWidth, cache)
+    val cands = cache.fold(cands0)(cands0.persist)
+    val shingler = (d: DataFrame) =>
+      H.wordShingles(T.tokens(col(textCol)), shingleWidth)
+
+    // Two-stage verification (x100 probe, r16: the one-stage exact
+    // verify shipped a full STRING shingle array per candidate side —
+    // at x100 that is a 62 GB array-carrying stream the second
+    // payload join must re-shuffle, and it measured superlinear,
+    // 113x wall at 100x data, while the candidate COUNT stayed
+    // exactly linear at 62/doc. The payload, not the pair volume, was
+    // the cliff.)
+    //
+    // Stage 1 scores every candidate on xxhash64-COMPRESSED shingle
+    // sets (8 B/shingle, ~4x smaller than the string arrays) and keeps
+    // pairs with approx J >= t - 0.05. Hashing is deterministic, so a
+    // truly-shared shingle always lands in the hashed intersection;
+    // only a 64-bit COLLISION can move the approx score, and one
+    // collision event (two distinct grams of one pair colliding)
+    // shifts J by at most ~2/|union| — inside the 0.05 margin whenever
+    // the pair's shingle union holds >= 40 elements (docs of >= ~42
+    // tokens at w=3). For such pairs a recall miss needs >= 2
+    // independent collisions in ONE pair (P < (u^2/2^64)^2 ~ 1e-31);
+    // for smaller pairs it needs just one, but with u < 40 that is
+    // P < u^2/2^64 < 1e-16 per pair. Corpus-wide at 100 TB (~1e13
+    // candidate pairs) both terms stay << 1e-3 misses in expectation —
+    // and the registered query's share-any-shingle oracle would catch
+    // one if it ever happened.
+    //
+    // Stage 2 re-scores ONLY the margin survivors (a ~threshold-tail
+    // sliver of candidates) on the TRUE string shingles, so every
+    // emitted (pair, jaccard) row is exactly scored — false positives
+    // are impossible unconditionally; the margin is a recall
+    // guarantee, not a precision one. The final threshold applies to
+    // the UNROUNDED exact score (candidate generation is complete for
+    // true J >= t; rounding first would admit pairs the filter never
+    // promised to find) — the output column rounds for presentation
+    // only.
+    val ids = cands.select(col("id_a").as(idCol))
+      .union(cands.select(col("id_b").as(idCol))).distinct()
+    val sh = docs.join(ids, Seq(idCol), "left_semi")
+    // SHUFFLE_HASH: the hashed-payload side is one row per distinct
+    // candidate document; sort-merge would instead SORT the
+    // O(candidates) pair stream twice (see pairJaccard's note)
+    // persisted under the caller's cache option: the frame feeds BOTH
+    // payload joins, and without a pin each join re-runs the
+    // semi-join + shingle + hash lineage over the corpus
+    val hashed0 = sh.select(col(idCol).as("__id"),
+        array_distinct(transform(array_distinct(shingler(sh)),
+          g => xxhash64(g))).as("__h"))
+    val hashed = cache.fold(hashed0)(hashed0.persist)
+      .hint("shuffle_hash")
+    val survivors0 = cands
+      .join(hashed.withColumnRenamed("__id", "id_a")
+        .withColumnRenamed("__h", "h_a"), "id_a")
+      .join(hashed.withColumnRenamed("__id", "id_b")
+        .withColumnRenamed("__h", "h_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("h_a"), col("h_b"))).as("__i"),
+        (size(col("h_a")) + size(col("h_b"))).as("__s"))
+      .where(col("__i").cast("double") / (col("__s") - col("__i")) >=
+        threshold - 0.05)
+      .select("id_a", "id_b")
+    // survivors feed pairJaccard's id-set AND both payload joins —
+    // pin, or each consumer replays the stage-1 hashed joins
+    val survivors = cache.fold(survivors0)(survivors0.persist)
+    pairJaccard(docs, survivors, idCol, shingler)
+      .where(col("jaccard") >= threshold)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+  }
+
+  /** [[jaccardJoin]]'s candidate stage, exposed for the scale probe
+    * (VERDICT r15 #2): the candidate-pair count is the quantity that
+    * could go superlinear with corpus growth if the prefix filter
+    * degraded, so [[graft.JaccardProbe]] counts this frame alongside
+    * the join's wall time. Returns distinct (id_a, id_b), id_a < id_b.
+    */
+  private[graft] def jaccardCandidates(docs: DataFrame, idCol: String,
+      textCol: String, threshold: Double, shingleWidth: Int = 3,
       cache: Option[StorageLevel] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
@@ -1092,7 +1182,7 @@ object Dedup {
         Window.partitionBy("id").orderBy(col("f"), col("gram"))))
       .where(col("rn") <= col("n") - minOverlap(col("n")) + 1)
       .select(col("gram"), col("id"), col("n")))
-    val cands = prefix.alias("a")
+    prefix.alias("a")
       .join(prefix.alias("b"),
         col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
       // size filter: t*|x| <= |y| <= |x|/t or J < t regardless of overlap
@@ -1100,14 +1190,6 @@ object Dedup {
         col("a.n") >= minOverlap(col("b.n")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // threshold on the UNROUNDED score — candidate generation is
-    // complete for true J >= t, so filtering on a rounded-up value
-    // would admit pairs the filter never promised to find; the output
-    // column rounds for presentation/oracle comparison only
-    pairJaccard(docs, cands, idCol,
-        d => H.wordShingles(T.tokens(col(textCol)), shingleWidth))
-      .where(col("jaccard") >= threshold)
-      .withColumn("jaccard", round(col("jaccard"), 6))
   }
 
   private def pairJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
@@ -1123,8 +1205,17 @@ object Dedup {
     val ids = pairs.select(col("id_a").as(idCol))
       .union(pairs.select(col("id_b").as(idCol))).distinct()
     val sh = docs.join(ids, Seq(idCol), "left_semi")
+    // SHUFFLE_HASH on the payload side: a sort-merge join would SORT
+    // the pair side — O(candidates) rows each carrying a full shingle
+    // array — twice (once per payload join), and at x100 scale that
+    // sort is pure spill (the x100 probe measured the verify stage
+    // superlinear at 113x before this hint). The payload side is one
+    // row per DISTINCT candidate document (<= 2 x pairs, typically far
+    // fewer), so hashing it per partition and STREAMING the pair side
+    // un-sorted removes the only superlinear term; output order is
+    // irrelevant (callers sort or aggregate downstream).
     val shingled = sh.select(col(idCol).as("__id"),
-      array_distinct(shingler(sh)).as("__sh"))
+      array_distinct(shingler(sh)).as("__sh")).hint("shuffle_hash")
     pairs
       .join(shingled.withColumnRenamed("__id", "id_a")
         .withColumnRenamed("__sh", "sh_a"), "id_a")

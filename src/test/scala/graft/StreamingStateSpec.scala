@@ -156,4 +156,20 @@ class StreamingStateSpec extends SparkSpec {
       "sf1 stress fixture not staged (runMain graft.StressScale)")
     checkSessionizerState("/tmp/graft-sf1")
   }
+
+  /** VERDICT r15 item 6: the O(users) pin at the x100-events scale the
+    * batch skew probes use (10M events), on the SKEW fixture — a 14%
+    * single-user hot spot. Per-user state is the one place a hot key
+    * CANNOT inflate anything: the hot user is still one state row, so
+    * peak must equal distinct users exactly, same as uniform keys. The
+    * recorded info line (state rows + peak state memory) is the
+    * evidence PLANS.md cites.
+    */
+  test("sessionizer state stays O(users) at x100 events, 14% hot user (if staged)") {
+    assume(
+      new java.io.File("/tmp/graft-sf10-events/events.parquet").exists(),
+      "x100 skew fixture not staged (runMain graft.StressScale " +
+        "/root/testdata/sf0.1 /tmp/graft-sf10-events 100 skew events)")
+    checkSessionizerState("/tmp/graft-sf10-events")
+  }
 }
