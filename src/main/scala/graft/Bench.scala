@@ -47,9 +47,16 @@ import scala.jdk.CollectionConverters._
   * Ambient-load guard (VERDICT r15 #3): the r15 driver bench ran at
   * box load 20.6/32 cpus and recorded meaningless broad "regressions".
   * The JSON now GATES on that evidence instead of just carrying it:
-  * `ambient_contaminated` is true when the 1-min loadavg at start OR
-  * the max sampled between queries exceeds cpus/4 — readers must
-  * discard contaminated totals rather than read them as regressions.
+  * `ambient_contaminated` is true when CO-TENANT cpu — total busy
+  * jiffies from /proc/stat minus this JVM's own from /proc/self/stat,
+  * sampled per inter-query interval — exceeds cpus/4 cores in any
+  * interval. Raw 1-min loadavg CANNOT be the gate: the bench's own
+  * local[32] stages push loadavg past any useful threshold on a
+  * perfectly quiet box (the first r16 full run self-flagged at
+  * loadMax 10.9 with zero co-tenants), so loadavg rides along as
+  * context ("load") while the verdict comes from the self-subtracted
+  * measure ("ambient"). Readers must discard contaminated totals
+  * rather than read them as regressions.
   * Per-query sample hygiene: after the timed reps, any sample whose
   * wall time exceeds 3x the query's own sample median earns the query
   * ONE extra rep (the spike is measured-around, and the `runs` array
@@ -61,6 +68,30 @@ object Bench {
       val src = scala.io.Source.fromFile("/proc/loadavg")
       try src.mkString.split("\\s+")(0).toDouble finally src.close()
     } catch { case _: Throwable => -1.0 }
+
+  /** (total busy jiffies across all cpus, this process's jiffies).
+    * Busy = /proc/stat cpu line minus idle+iowait; self = utime+stime
+    * from /proc/self/stat (proc(5) fields 14-15 — they aggregate ALL
+    * threads of the process, which under `run / fork := true` is
+    * exactly this bench plus its in-JVM local[n] executors). The
+    * difference per wall interval is CO-TENANT cpu, the thing the
+    * contamination gate actually cares about. Returns (-1, -1) when
+    * /proc is unreadable (non-Linux), which disables the gate.
+    */
+  private def cpuTicks(): (Long, Long) =
+    try {
+      val stat = scala.io.Source.fromFile("/proc/stat")
+      val cpu = try stat.getLines().next() finally stat.close()
+      val f = cpu.trim.split("\\s+").drop(1).map(_.toLong)
+      val busy = f.zipWithIndex.collect {
+        case (v, i) if i != 3 && i != 4 => v }.sum // skip idle, iowait
+      val self = scala.io.Source.fromFile("/proc/self/stat")
+      val s = try self.mkString finally self.close()
+      // comm (field 2) may contain spaces — parse past the closing ')'
+      val rest = s.substring(s.lastIndexOf(')') + 2).split("\\s+")
+      // rest(0) is field 3 (state); utime/stime are fields 14/15
+      (busy, rest(11).toLong + rest(12).toLong)
+    } catch { case _: Throwable => (-1L, -1L) }
 
   private def gcTotals(): (Long, Long) = {
     val beans = ManagementFactory.getGarbageCollectorMXBeans.asScala
@@ -87,6 +118,26 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val loadStart = loadAvg1m()
     var loadMax = loadStart
+    // Co-tenant cpu per inter-query interval (see the class doc): the
+    // gate's input. USER_HZ is 100 on every mainstream Linux; sub-0.5 s
+    // intervals fold into the next sample rather than divide jiffy
+    // granularity by a near-zero wall.
+    val clkTck = 100.0
+    var ambBase = (System.nanoTime(), cpuTicks())
+    var ambMaxCores = 0.0
+    def sampleAmbient(): Unit = {
+      val now = System.nanoTime()
+      val dtSec = (now - ambBase._1) / 1e9
+      if (dtSec >= 0.5) {
+        val (b0, s0) = ambBase._2
+        val (b1, s1) = cpuTicks()
+        if (b0 >= 0L && b1 >= 0L) {
+          val ambient = math.max(0L, (b1 - b0) - (s1 - s0))
+          ambMaxCores = math.max(ambMaxCores, ambient / clkTck / dtSec)
+        }
+        ambBase = (now, (b1, s1))
+      }
+    }
     // One timed run: wall seconds plus the GC milliseconds that elapsed
     // inside it, so a slow sample carries its own explanation.
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
@@ -119,6 +170,7 @@ object Bench {
       selected.toSeq.sortBy(_._1).map {
         case (name, fn) =>
           loadMax = math.max(loadMax, loadAvg1m())
+          sampleAmbient()
           // Queries that cache intermediates would otherwise accumulate
           // heap across the whole 135-query run (one r13 sample carried
           // a 22 s GC pause under that coupling) — each query starts
@@ -164,21 +216,24 @@ object Bench {
     val es = errs.map { case (k, m) => jq(k) + ":" + jq(m) }
       .mkString("{", ",", "}")
     val total = ok.map(_._2.map(_._1).min).sum
+    sampleAmbient() // close the last inter-query interval
     val loadEnd = loadAvg1m()
     val (gcCount, gcMs) = gcTotals()
     val heapMb = ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
     val load = s"""{"start":$loadStart,"end":$loadEnd,"max":$loadMax}"""
     val gc = s"""{"count":$gcCount,"time_ms":$gcMs,"heap_used_mb":${heapMb.getUsed / 1048576},"heap_max_mb":${heapMb.getMax / 1048576}}"""
     // the official number must not be poisonable by box co-tenants:
-    // a run that STARTED loaded, or got loaded mid-run, is marked
-    // contaminated so readers discard it instead of reading phantom
-    // regressions (r15's driver artifact: load 20.6, 206 s vs the
-    // quiet box's 129 s on identical code)
+    // a run with co-tenant cpu past cpus/4 cores in any inter-query
+    // interval is marked contaminated so readers discard it instead of
+    // reading phantom regressions (r15's driver artifact: load 20.6,
+    // 206 s vs the quiet box's 129 s on identical code). The verdict
+    // comes from the SELF-SUBTRACTED jiffy measure, not loadavg — the
+    // bench's own local[n] stages legitimately saturate loadavg.
     val loadThreshold = cpus.toDouble / 4
-    val contaminated =
-      loadStart > loadThreshold || loadMax > loadThreshold
+    val contaminated = ambMaxCores > loadThreshold
+    val amb = s"""{"max_cores":${math.rint(ambMaxCores * 100) / 100},"threshold_cores":$loadThreshold}"""
     val rt = retried.map(jq).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"gc_ms":$gs,"errors":$es,"n_ok":${ok.size},"n_err":${errs.size},"reps":$reps,"retried":$rt,"load":$load,"load_threshold":$loadThreshold,"ambient_contaminated":$contaminated,"gc":$gc,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"gc_ms":$gs,"errors":$es,"n_ok":${ok.size},"n_err":${errs.size},"reps":$reps,"retried":$rt,"load":$load,"ambient":$amb,"ambient_contaminated":$contaminated,"gc":$gc,"sf":"$sfDir"}"""
     println(line)
     val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse {
       val ts = java.time.format.DateTimeFormatter
