@@ -28,6 +28,19 @@ class PlanRegressionSpec extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in $q")
     }
 
+  test("q_jaccard_join: hashed prefilter present, payload joins never sort the pair stream") {
+    val p = plan("q_jaccard_join")
+    // stage-1 scores candidates on xxhash64-compressed shingle sets —
+    // losing it restores the x100 payload cliff (full string arrays
+    // through every verify join; see Dedup.jaccardJoin's staging note)
+    assert(p.contains("xxhash64"), "hashed-shingle prefilter missing")
+    // the payload sides are hinted SHUFFLE_HASH: a sort-merge payload
+    // join sorts the O(candidates) array-carrying stream — measured as
+    // pure spill (disk-full) at x100 before the hint
+    assert(p.contains("ShuffledHashJoin"),
+      "payload joins lost the shuffle_hash hint")
+  }
+
   test("q_ann_brute: corpus side streams, only the query set broadcasts") {
     val p = plan("q_ann_brute")
     // brute force IS a deliberate all-pairs scan — but the corpus must

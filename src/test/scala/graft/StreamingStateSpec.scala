@@ -172,4 +172,17 @@ class StreamingStateSpec extends SparkSpec {
         "/root/testdata/sf0.1 /tmp/graft-sf10-events 100 skew events)")
     checkSessionizerState("/tmp/graft-sf10-events")
   }
+
+  /** Same x100 rung for the drift monitor: occupied (window, bin)
+    * groups — the expected count is recomputed from the fixture by
+    * batch SQL, so the pin holds whatever time range the scaled
+    * replicas span.
+    */
+  test("drift monitor state is O(windows x bins) at x100 events (if staged)") {
+    assume(
+      new java.io.File("/tmp/graft-sf10-events/events.parquet").exists(),
+      "x100 skew fixture not staged (runMain graft.StressScale " +
+        "/root/testdata/sf0.1 /tmp/graft-sf10-events 100 skew events)")
+    checkDriftState("/tmp/graft-sf10-events")
+  }
 }
