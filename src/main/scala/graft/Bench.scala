@@ -83,8 +83,15 @@ object Bench {
       val stat = scala.io.Source.fromFile("/proc/stat")
       val cpu = try stat.getLines().next() finally stat.close()
       val f = cpu.trim.split("\\s+").drop(1).map(_.toLong)
+      // busy = user nice system irq softirq steal (indices 0-2, 5-7).
+      // Skip idle (3) and iowait (4); ALSO skip guest/guest_nice (8-9)
+      // — proc(5): the kernel already folds guest time into user/nice,
+      // so summing them would double-count VM load and overstate the
+      // co-tenant measure ~2x (round-16 review). steal stays in: cpu
+      // a hypervisor co-tenant takes from us is exactly what the gate
+      // is for.
       val busy = f.zipWithIndex.collect {
-        case (v, i) if i != 3 && i != 4 => v }.sum // skip idle, iowait
+        case (v, i) if i <= 2 || (i >= 5 && i <= 7) => v }.sum
       val self = scala.io.Source.fromFile("/proc/self/stat")
       val s = try self.mkString finally self.close()
       // comm (field 2) may contain spaces — parse past the closing ')'
@@ -108,14 +115,7 @@ object Bench {
     // one-partition-per-core default.
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shufflePartitions)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = SparkBoot.session(cpus, Some(shufflePartitions))
     val loadStart = loadAvg1m()
     var loadMax = loadStart
     // Co-tenant cpu per inter-query interval (see the class doc): the
@@ -192,7 +192,15 @@ object Bench {
                 // query's own sample median: a transient co-tenant or
                 // GC spike gets measured around, not reported
                 val walls = oks.map(_._1).sorted
-                val median = walls(walls.size / 2)
+                // TRUE median (round-16 review): walls(size/2) is the
+                // upper-middle for even sizes — with 2 samples that
+                // makes the trigger "max > 3*max", unsatisfiable, and
+                // for size 4 it suppresses retries a slow top half
+                // should have triggered
+                val median =
+                  if (walls.size % 2 == 1) walls(walls.size / 2)
+                  else (walls(walls.size / 2 - 1) +
+                    walls(walls.size / 2)) / 2
                 if (walls.last > 3 * median)
                   Right((oks ++ once(fn).toSeq, true))
                 else Right((oks, false))

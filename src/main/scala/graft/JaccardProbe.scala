@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -23,15 +22,7 @@ object JaccardProbe {
     val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val threshold = args.lift(1).map(_.toDouble).getOrElse(0.5)
     val width = args.lift(2).map(_.toInt).getOrElse(3)
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = SparkBoot.session(SparkBoot.cpus())
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text")
     val nDocs = docs.count()

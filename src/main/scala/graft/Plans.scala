@@ -1,12 +1,7 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Plans {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = SparkBoot.session("8", logLevel = "ERROR")
     val dir = "/root/testdata/sf0.001"
     for (name <- Seq("q_ri_pipeline", "q_delta_keyed", "q_ann_brute",
         "q_dedup_minhash", "q_events_window")) {

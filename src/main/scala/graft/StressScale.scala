@@ -153,14 +153,7 @@ object StressScale {
       s"StressScale: unknown mode `$mode` (uniform|skew)")
     val wanted: Option[Set[String]] =
       args.lift(4).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = SparkBoot.session(SparkBoot.cpus(), Some("32"))
     def t(n: String) = spark.read.parquet(s"$src/$n.parquet")
     // strides: a round power of ten above the source's max key keeps
     // replica key ranges disjoint and human-readable

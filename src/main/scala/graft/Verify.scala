@@ -7,17 +7,7 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS), unreadable by Spark's
-      // parquet reader unless surfaced as a nano-count long.
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = SparkBoot.session(SparkBoot.cpus(default = 4))
     new java.io.File(outDir).mkdirs()
     // Dev-only: SPARK_GRAFT_ONLY=q_a,q_b restricts the dump; the driver
     // never sets it, so its runs always cover every query.

@@ -133,11 +133,17 @@ object StateTable {
     * check-then-write). The writer first claims the slot by creating
     * the zero-byte marker `.claim-v=N` with create-IF-NOT-EXISTS
     * semantics — on S3 that is `PutObject` with `If-None-Match: *`
-    * (public API since 2024), on GCS `x-goog-if-generation-match: 0`;
-    * here the same primitive via nio `createFile` (O_EXCL) /
-    * `FileSystem.createNewFile`. Exactly one racer's conditional put
-    * succeeds; only the winner then moves its data into `v=N`, which
-    * can no longer race. The dot-prefixed marker is invisible to
+    * (public API since 2024), on GCS `x-goog-if-generation-match: 0`.
+    * This impl carries the primitive where the filesystem truly has
+    * one — nio `createFile` (O_EXCL) locally, `createNewFile` under
+    * the HDFS NameNode lock — and REFUSES other schemes outright
+    * (round-16 review): Hadoop's generic `createNewFile` is
+    * exists-then-create on object-store connectors, which would
+    * silently void the exactly-one-winner contract; a real S3/GCS
+    * deployment plugs a ClaimStore issuing the store's native
+    * conditional PUT. Exactly one racer's conditional put succeeds;
+    * only the winner then moves its data into `v=N`, which can no
+    * longer race. The dot-prefixed marker is invisible to
     * [[versions]] and to Spark's file index.
     *
     * Trade-off vs [[RenameClaim]]: the claim and the data publish are
@@ -167,10 +173,24 @@ object StateTable {
           } catch {
             case _: java.nio.file.FileAlreadyExistsException => false
           }
-        else
-          // HDFS createNewFile is atomic under the NameNode lock; an
-          // S3A impl would swap in the conditional PutObject here
+        else if (Set("hdfs", "viewfs").contains(f.getScheme))
+          // atomic under the NameNode lock
           f.createNewFile(m)
+        else
+          // REFUSE rather than degrade (round-16 review): Hadoop's
+          // generic createNewFile is exists()-then-create on object
+          // stores — check-then-write, NOT a conditional put — so
+          // both racers' markers would "succeed" and the
+          // exactly-one-winner contract would silently break on the
+          // very stores this impl is advertised for. A real S3/GCS
+          // deployment plugs a ClaimStore whose tryClaim issues the
+          // store's native conditional PutObject (If-None-Match /
+          // generation 0); nothing in this sandbox can exercise one.
+          throw new UnsupportedOperationException(
+            s"ConditionalPutClaim has no atomic create-if-not-exists " +
+              s"for scheme '${f.getScheme}'. Provide a ClaimStore " +
+              "backed by the store's conditional PUT (S3 If-None-Match" +
+              ", GCS ifGenerationMatch=0) instead.")
       if (won) {
         // the slot is exclusively ours: a plain rename cannot race.
         // dst existing anyway means a previous protocol violation
