@@ -2015,6 +2015,61 @@ object Oracles {
          |FROM documents d LEFT JOIN re USING (doc_id)
          |ORDER BY 1""".stripMargin,
 
+    // Domain-mixture water-filling: the oracle replays the closed
+    // form independently — r-sort, running sums, boundary lambda*
+    // (first row whose r >= lambda in sort order), alloc =
+    // min(cap, lambda* x target). Budget = 2x total chars, 3-epoch
+    // cap, targets (src_id % 5) + 1. Doubles through the
+    // VARCHAR::DECIMAL bridge so half-way 6th decimals round like
+    // Spark's HALF_UP.
+    "q_mixture_alloc" ->
+      s"""WITH per AS (SELECT source, SUM(n_chars)::DOUBLE AS avail
+         |    FROM documents GROUP BY source),
+         |b0 AS (SELECT 2.0*SUM(avail) AS B FROM per),
+         |tgt AS (SELECT source,
+         |    ((COALESCE(TRY_CAST(SUBSTR(source, 4, 10) AS INT), 0)
+         |      % 5) + 1)::DOUBLE AS tw FROM per),
+         |j AS (SELECT p.source, p.avail, g.tw, p.avail*3.0 AS cap
+         |    FROM per p JOIN tgt g
+         |      ON p.source IS NOT DISTINCT FROM g.source),
+         |tt AS (SELECT SUM(tw) AS T FROM j),
+         |s AS (SELECT j.*, tt.T, b0.B,
+         |    CASE WHEN tw > 0 THEN cap/tw END AS r,
+         |    ROW_NUMBER() OVER w2 AS rn,
+         |    COALESCE(SUM(cap) OVER w, 0) AS cumcap_b,
+         |    COALESCE(SUM(tw) OVER w, 0) AS cumtgt_b
+         |  FROM j, tt, b0
+         |  WINDOW w AS (ORDER BY cap/tw ASC NULLS LAST,
+         |        source NULLS FIRST
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    w2 AS (ORDER BY cap/tw ASC NULLS LAST, source NULLS FIRST)),
+         |s2 AS (SELECT *, CASE WHEN T - cumtgt_b > 0
+         |    THEN (B - cumcap_b)/(T - cumtgt_b) END AS lam FROM s),
+         |ls AS (SELECT lam AS lamstar FROM s2
+         |  WHERE tw > 0 AND r >= lam ORDER BY rn LIMIT 1),
+         |a AS (SELECT s2.source, avail, tw, T, cap, B,
+         |    CASE WHEN tw > 0 THEN LEAST(cap,
+         |        COALESCE((SELECT lamstar FROM ls), 1e308)*tw)
+         |      ELSE 0.0 END AS alloc
+         |  FROM s2),
+         |aa AS (SELECT SUM(alloc) AS A FROM a)
+         |SELECT a.source AS "source",
+         |  round(avail::VARCHAR::DECIMAL(38,18), 6)::DOUBLE
+         |    AS "avail_tokens",
+         |  round((tw/T)::VARCHAR::DECIMAL(38,18), 6)::DOUBLE
+         |    AS "target_share",
+         |  round(cap::VARCHAR::DECIMAL(38,18), 6)::DOUBLE
+         |    AS "cap_tokens",
+         |  round(alloc::VARCHAR::DECIMAL(38,18), 6)::DOUBLE
+         |    AS "alloc_tokens",
+         |  round((CASE WHEN avail > 0 THEN alloc/avail ELSE 0.0
+         |    END)::VARCHAR::DECIMAL(38,18), 6)::DOUBLE AS "epochs",
+         |  round((CASE WHEN A > 0 THEN alloc/A ELSE 0.0
+         |    END)::VARCHAR::DECIMAL(38,18), 6)::DOUBLE
+         |    AS "achieved_share",
+         |  (A >= B - 1e-6) AS "budget_met"
+         |FROM a, aa ORDER BY a.source NULLS FIRST""".stripMargin,
+
     // Token-budget selection: the oracle states the NAIVE global
     // running sum (one total order, inclusive frame); the engine's
     // bucketed two-phase prefix sum must reproduce it exactly.

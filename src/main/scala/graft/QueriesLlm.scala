@@ -1493,8 +1493,37 @@ object QueriesLlm {
         cache = Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       .orderBy("id_a", "id_b")
 
+  /** Domain-mixture allocation (Sampling.mixtureAllocation): the
+    * documents corpus mixed under a token budget of 2x its total
+    * char mass with a 3-epoch repetition cap, target weights derived
+    * deterministically from the source id ((id % 5) + 1 — five weight
+    * tiers over 20 sources). With near-uniform per-source avail the
+    * weight-5 tier demands ~3.33 epochs and CAPS at 3.0, its
+    * shortfall water-filling into the lower tiers — so the gate
+    * exercises the capped-prefix/redistribution math, not just the
+    * proportional fill. The DuckDB oracle replays the closed form
+    * (r-sort, running sums, boundary lambda*) independently.
+    */
+  def mixtureAllocQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // try_cast: the skewed synthetic seeds carry a non-numeric hot
+    // source ("srcA") — it folds to weight 1 instead of erroring,
+    // identically in DuckDB's TRY_CAST
+    val targets = docs.select(col("source")).distinct()
+      .withColumn("target_w",
+        (coalesce(expr("try_cast(substring(source, 4, 10) as int)"),
+          lit(0)) % 5 + 1).cast("double"))
+    val totalChars =
+      docs.agg(sum(col("n_chars"))).head().getLong(0).toDouble
+    graft.operators.Sampling.mixtureAllocation(
+        docs, "source", "n_chars", targets,
+        budget = 2.0 * totalChars, maxEpochs = 3.0)
+      .orderBy("source")
+  }
+
   /** All LLM-family queries. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mixture_alloc" -> (mixtureAllocQ _),
     "q_seg_dedup" -> (segDedupQ _),
     "q_budget_select" -> (budgetSelectQ _),
     "q_cluster_sample" -> (clusterSampleQ _),

@@ -541,4 +541,117 @@ object Sampling {
       .withColumn("split",
         assignSplit(coalesce(col("comp"), col(idCol)), weights))
       .drop("comp")
+
+  /** Domain-mixture allocation under a token budget — the data-MIXING
+    * step of assembling a training corpus from heterogeneous sources
+    * (web / books / code / ...): given each source's available token
+    * mass, a target mixing weight, a total token `budget`, and a
+    * per-source repetition cap of `maxEpochs` passes over its data,
+    * allocate the budget so achieved shares track the targets as
+    * closely as the caps allow. Sources too small to carry their
+    * target share cap at `maxEpochs x avail` and their shortfall
+    * redistributes over the uncapped sources IN PROPORTION TO THEIR
+    * TARGETS — classic water-filling, solved here in CLOSED FORM
+    * (no iteration): with fill rate lambda (allocated tokens per unit
+    * target weight), alloc_i = min(cap_i, lambda * t_i); sorting
+    * sources by r_i = cap_i / t_i ascending makes the capped set a
+    * prefix, and lambda* falls out of running sums.
+    *
+    * Proof shape the implementation leans on: scanning in r-order
+    * with lambda_k = (B - cum cap before k) / (T - cum target before
+    * k), lambda is nonincreasing across an uncapped row and r is
+    * nondecreasing, so once r_k >= lambda_k holds it holds for every
+    * later row — the uncapped set is exactly the suffix from the
+    * first such k, and that row's lambda_k IS lambda*. A row before
+    * the boundary satisfies r_k < lambda_k and caps.
+    *
+    * Scale shape: one map-side-combinable groupBy collapses the corpus
+    * to ONE ROW PER SOURCE; everything after — the sort window, the
+    * running sums, the lambda* pick — runs on O(sources) rows
+    * (hundreds, not billions), so the single-partition window is a
+    * few KB on one reducer by construction, not an event-volume
+    * window (cf. PlanRegressionSpec's per-key window rule). The
+    * lambda* scalar rejoins via broadcast.
+    *
+    * @param docs      corpus; one row per document
+    * @param sourceCol domain/source column
+    * @param weightCol per-document token mass (token count, chars, ...)
+    * @param targets   (sourceCol, `target_w`) mixing weights, any
+    *                  positive scale (normalized internally); sources
+    *                  absent here get weight 0 (allocated nothing),
+    *                  sources absent in `docs` get avail 0
+    * @param budget    total token budget to allocate
+    * @param maxEpochs repetition cap: alloc_i <= maxEpochs * avail_i.
+    *                  If budget > sum of caps, every source caps and
+    *                  the budget is reported unmet (budget_met=false).
+    * @return one row per source: avail_tokens, target_share,
+    *         cap_tokens, alloc_tokens, epochs, achieved_share,
+    *         budget_met — doubles rounded to 6 places
+    */
+  def mixtureAllocation(docs: org.apache.spark.sql.DataFrame,
+      sourceCol: String, weightCol: String,
+      targets: org.apache.spark.sql.DataFrame,
+      budget: Double, maxEpochs: Double)
+      : org.apache.spark.sql.DataFrame = {
+    require(budget > 0, s"budget must be > 0, got $budget")
+    require(maxEpochs > 0, s"maxEpochs must be > 0, got $maxEpochs")
+    import org.apache.spark.sql.expressions.Window
+    val per = docs.groupBy(col(sourceCol))
+      .agg(sum(col(weightCol)).cast("double").as("avail"))
+    // NULL-SAFE join: a null source is a legitimate "unknown" domain
+    // bucket — a plain equi-join would split it into two half-rows
+    // (one with the avail, one with the target), double-counting its
+    // target weight and stranding its tokens (bit on the skewed
+    // synthetic seeds, which carry null-source documents)
+    val j = per.as("p").join(targets.as("g"),
+        col(s"p.$sourceCol") <=> col(s"g.$sourceCol"), "full_outer")
+      .select(
+        coalesce(col(s"p.$sourceCol"), col(s"g.$sourceCol"))
+          .as(sourceCol),
+        coalesce(col("avail"), lit(0.0)).as("avail"),
+        coalesce(col("target_w").cast("double"), lit(0.0)).as("tw"))
+      .withColumn("cap", col("avail") * maxEpochs)
+    // O(sources) rows from here on — the single-partition window is
+    // deliberate and safe (see scaladoc)
+    // ANSI: the division must be when-guarded (double / 0.0 THROWS in
+    // Spark 4, it does not yield Infinity); null r = zero-target rows
+    // sort last, where they cannot perturb the boundary scan
+    val rExpr = when(col("tw") > 0, col("cap") / col("tw"))
+    val wOrd = Window.orderBy(rExpr.asc_nulls_last,
+      col(sourceCol).asc_nulls_first)
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val tot = j.agg(sum("tw").as("T")).select(col("T"))
+    val s = j.crossJoin(broadcast(tot))
+      .withColumn("r", rExpr)
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("cumcap_b", coalesce(sum("cap").over(wCum), lit(0.0)))
+      .withColumn("cumtgt_b", coalesce(sum("tw").over(wCum), lit(0.0)))
+      .withColumn("lam", when(col("T") - col("cumtgt_b") > 0,
+        (lit(budget) - col("cumcap_b")) / (col("T") - col("cumtgt_b"))))
+      .withColumn("flg",
+        col("tw") > 0 && col("r") >= col("lam"))
+    // lambda* = the boundary row's lambda (first flagged in r-order);
+    // null when every positive-target source caps (budget infeasible)
+    val lamStar = s.where(col("flg"))
+      .agg(min(struct(col("rn"), col("lam"))).as("m"))
+      .select(col("m").getField("lam").as("lamstar"))
+    val a = s.crossJoin(broadcast(lamStar))
+      .withColumn("alloc", when(col("tw") > 0,
+          least(col("cap"),
+            coalesce(col("lamstar"), lit(Double.MaxValue)) * col("tw")))
+        .otherwise(lit(0.0)))
+    val totals = a.agg(sum("alloc").as("A")).select(col("A"))
+    a.crossJoin(broadcast(totals))
+      .select(col(sourceCol),
+        round(col("avail"), 6).as("avail_tokens"),
+        round(when(col("T") > 0, col("tw") / col("T"))
+          .otherwise(lit(0.0)), 6).as("target_share"),
+        round(col("cap"), 6).as("cap_tokens"),
+        round(col("alloc"), 6).as("alloc_tokens"),
+        round(when(col("avail") > 0, col("alloc") / col("avail"))
+          .otherwise(lit(0.0)), 6).as("epochs"),
+        round(when(col("A") > 0, col("alloc") / col("A"))
+          .otherwise(lit(0.0)), 6).as("achieved_share"),
+        (col("A") >= lit(budget) - lit(1e-6)).as("budget_met"))
+  }
 }

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+/** Domain-mixture water-filling (Sampling.mixtureAllocation): the
+  * closed-form (r-sort + running sums + boundary lambda*) against an
+  * INDEPENDENT brute-force reference — the textbook iterative
+  * water-filler (fill proportionally, fix violators at cap, repeat) —
+  * over randomized instances, plus the structural edges the closed
+  * form must survive (infeasible budget, zero targets, sources with
+  * no data, targets with no data, empty input).
+  */
+class MixtureSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Iterative reference: converges in <= n rounds. */
+  private def bruteWaterfill(avail: Map[String, Double],
+      tw: Map[String, Double], budget: Double,
+      maxEpochs: Double): Map[String, Double] = {
+    val sources = (avail.keySet ++ tw.keySet).toSeq
+    val cap = sources.map(s =>
+      s -> avail.getOrElse(s, 0.0) * maxEpochs).toMap
+    var fixed = Map.empty[String, Double]
+    var pool = sources.filter(s => tw.getOrElse(s, 0.0) > 0).toSet
+    sources.filterNot(pool).foreach(s => fixed += s -> 0.0)
+    var changed = true
+    while (changed && pool.nonEmpty) {
+      changed = false
+      val remB = budget - fixed.values.sum
+      val remT = pool.toSeq.map(tw).sum
+      val lam = remB / remT
+      val violators = pool.filter(s => lam * tw(s) > cap(s))
+      if (violators.nonEmpty) {
+        violators.foreach(s => fixed += s -> cap(s))
+        pool --= violators
+        changed = true
+      } else {
+        pool.foreach(s => fixed += s -> lam * tw(s))
+        pool = Set.empty
+      }
+    }
+    fixed
+  }
+
+  private def run(avail: Map[String, Double], tw: Map[String, Double],
+      budget: Double, maxEpochs: Double): Map[String, Double] = {
+    // one doc per (source, unit): docs carry weights summing to avail
+    val docs = avail.toSeq.toDF("src", "w")
+    val targets = tw.toSeq.toDF("src", "target_w")
+    Sampling.mixtureAllocation(docs, "src", "w", targets,
+        budget, maxEpochs)
+      .select("src", "alloc_tokens").as[(String, Double)]
+      .collect().toMap
+  }
+
+  test("matches the iterative water-filler on randomized instances") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 20) {
+      val n = 2 + rnd.nextInt(8)
+      val avail = (0 until n).map(i =>
+        s"s$i" -> (10.0 + rnd.nextInt(1000)).toDouble).toMap
+      val tw = (0 until n).map(i =>
+        s"s$i" -> (rnd.nextInt(5) + (if (rnd.nextBoolean()) 1 else 0))
+          .toDouble).toMap
+      val maxE = 1.0 + rnd.nextInt(3)
+      val capSum = avail.map { case (s, a) => a * maxE }.sum
+      val budget = math.max(1.0, capSum * (0.2 + 0.7 * rnd.nextDouble()))
+      if (tw.values.sum > 0) {
+        val expect = bruteWaterfill(avail, tw, budget, maxE)
+        val got = run(avail, tw, budget, maxE)
+        for (s <- expect.keys)
+          assert(math.abs(got(s) - expect(s)) < 1e-4,
+            s"trial $trial source $s: got ${got(s)} want ${expect(s)} " +
+              s"(avail=$avail tw=$tw budget=$budget maxE=$maxE)")
+        val total = got.values.sum
+        val feasible = math.min(budget, capSum * 0.0 +
+          avail.collect { case (s, a) if tw(s) > 0 => a * maxE }.sum)
+        assert(math.abs(total - feasible) < 1e-4 || total <= budget + 1e-4)
+      }
+    }
+  }
+
+  test("infeasible budget caps every source and reports budget_met=false") {
+    val docs = Seq(("a", 100.0), ("b", 50.0)).toDF("src", "w")
+    val tgts = Seq(("a", 1.0), ("b", 1.0)).toDF("src", "target_w")
+    val out = Sampling.mixtureAllocation(docs, "src", "w", tgts,
+      budget = 1000.0, maxEpochs = 2.0).orderBy("src").collect()
+    assert(out.map(_.getAs[Double]("alloc_tokens")).toSeq ==
+      Seq(200.0, 100.0))
+    assert(out.forall(!_.getAs[Boolean]("budget_met")))
+    assert(out.map(_.getAs[Double]("epochs")).forall(_ == 2.0))
+  }
+
+  test("zero-target and data-less sources allocate nothing; their mass redistributes") {
+    val docs = Seq(("a", 100.0), ("b", 100.0), ("c", 100.0))
+      .toDF("src", "w")
+    // c has no target row; d has a target but no data
+    val tgts = Seq(("a", 3.0), ("b", 1.0), ("d", 4.0))
+      .toDF("src", "target_w")
+    val out = Sampling.mixtureAllocation(docs, "src", "w", tgts,
+        budget = 100.0, maxEpochs = 5.0)
+      .orderBy("src").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("alloc_tokens")).toMap
+    assert(out("c") == 0.0, "no-target source got tokens")
+    assert(out("d") == 0.0, "data-less source got tokens")
+    // d's unfillable weight redistributes: a and b split 100 as 3:1
+    assert(math.abs(out("a") - 75.0) < 1e-6 &&
+      math.abs(out("b") - 25.0) < 1e-6,
+      s"redistribution wrong: $out")
+  }
+
+  test("empty corpus yields zero allocations, not an error") {
+    val docs = Seq.empty[(String, Double)].toDF("src", "w")
+    val tgts = Seq(("a", 1.0)).toDF("src", "target_w")
+    val out = Sampling.mixtureAllocation(docs, "src", "w", tgts,
+      budget = 10.0, maxEpochs = 2.0).collect()
+    assert(out.length == 1 &&
+      out.head.getAs[Double]("alloc_tokens") == 0.0)
+  }
+
+  test("uncapped allocations are exactly proportional to targets") {
+    val docs = Seq(("a", 1000.0), ("b", 1000.0), ("c", 1000.0))
+      .toDF("src", "w")
+    val tgts = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0))
+      .toDF("src", "target_w")
+    val out = Sampling.mixtureAllocation(docs, "src", "w", tgts,
+        budget = 600.0, maxEpochs = 10.0)
+      .orderBy("src").collect()
+      .map(_.getAs[Double]("alloc_tokens")).toSeq
+    assert(out == Seq(100.0, 200.0, 300.0), s"got $out")
+  }
+}
