@@ -60,6 +60,46 @@ object Oracles {
   private def md5_60(c: String) =
     s"('0x' || substr(md5($c), 1, 15))::BIGINT"
 
+  /** Shared CTE chain of the domain-mixture water-filling oracle,
+    * through the per-source allocation table `a` — the closed form
+    * [[graft.operators.Sampling.mixtureAllocation]] implements
+    * (r-sort, running sums, boundary lambda*). Interpolated into both
+    * q_mixture_alloc (reporting) and q_mixture_sample (expansion)
+    * before stripMargin, so every internal line carries the margin
+    * pipe.
+    */
+  private def mixtureCoreSql: String =
+    """per AS (SELECT source, SUM(n_chars)::DOUBLE AS avail
+      |    FROM documents GROUP BY source),
+      |b0 AS (SELECT 2.0*SUM(avail) AS B FROM per),
+      |tgt AS (SELECT source,
+      |    ((COALESCE(TRY_CAST(SUBSTR(source, 4, 10) AS INT), 0)
+      |      % 5) + 1)::DOUBLE AS tw FROM per),
+      |j AS (SELECT p.source, p.avail, g.tw, p.avail*3.0 AS cap
+      |    FROM per p JOIN tgt g
+      |      ON p.source IS NOT DISTINCT FROM g.source),
+      |tt AS (SELECT SUM(tw) AS T FROM j),
+      |s AS (SELECT j.*, tt.T, b0.B,
+      |    CASE WHEN tw > 0 THEN cap/tw END AS r,
+      |    ROW_NUMBER() OVER w2 AS rn,
+      |    COALESCE(SUM(cap) OVER w, 0) AS cumcap_b,
+      |    COALESCE(SUM(tw) OVER w, 0) AS cumtgt_b
+      |  FROM j, tt, b0
+      |  WINDOW w AS (ORDER BY cap/tw ASC NULLS LAST,
+      |        source NULLS FIRST
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |    w2 AS (ORDER BY cap/tw ASC NULLS LAST, source NULLS FIRST)),
+      |s2 AS (SELECT *, CASE WHEN T - cumtgt_b > 0
+      |    THEN (B - cumcap_b)/(T - cumtgt_b) END AS lam FROM s),
+      |ls AS (SELECT lam AS lamstar FROM s2
+      |  WHERE tw > 0 AND r >= lam ORDER BY rn LIMIT 1),
+      |a AS (SELECT s2.source, avail, tw, T, cap, B,
+      |    CASE WHEN tw > 0 THEN LEAST(cap,
+      |        COALESCE((SELECT lamstar FROM ls), 1e308)*tw)
+      |      ELSE 0.0 END AS alloc
+      |  FROM s2)""".stripMargin
+      .replace("\n", "\n         |")
+
   /** The low 31 bits of `c` spread onto even bit positions — mirror of
     * [[graft.io.ZOrder]]'s five shift-or-mask steps (masks in decimal:
     * 0x0000FFFF0000FFFF, 0x00FF00FF00FF00FF, 0x0F0F0F0F0F0F0F0F,
@@ -2021,37 +2061,10 @@ object Oracles {
     // min(cap, lambda* x target). Budget = 2x total chars, 3-epoch
     // cap, targets (src_id % 5) + 1. Doubles through the
     // VARCHAR::DECIMAL bridge so half-way 6th decimals round like
-    // Spark's HALF_UP.
+    // Spark's HALF_UP. The CTE chain through `a` is shared with
+    // q_mixture_sample (mixtureCoreSql below the map).
     "q_mixture_alloc" ->
-      s"""WITH per AS (SELECT source, SUM(n_chars)::DOUBLE AS avail
-         |    FROM documents GROUP BY source),
-         |b0 AS (SELECT 2.0*SUM(avail) AS B FROM per),
-         |tgt AS (SELECT source,
-         |    ((COALESCE(TRY_CAST(SUBSTR(source, 4, 10) AS INT), 0)
-         |      % 5) + 1)::DOUBLE AS tw FROM per),
-         |j AS (SELECT p.source, p.avail, g.tw, p.avail*3.0 AS cap
-         |    FROM per p JOIN tgt g
-         |      ON p.source IS NOT DISTINCT FROM g.source),
-         |tt AS (SELECT SUM(tw) AS T FROM j),
-         |s AS (SELECT j.*, tt.T, b0.B,
-         |    CASE WHEN tw > 0 THEN cap/tw END AS r,
-         |    ROW_NUMBER() OVER w2 AS rn,
-         |    COALESCE(SUM(cap) OVER w, 0) AS cumcap_b,
-         |    COALESCE(SUM(tw) OVER w, 0) AS cumtgt_b
-         |  FROM j, tt, b0
-         |  WINDOW w AS (ORDER BY cap/tw ASC NULLS LAST,
-         |        source NULLS FIRST
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-         |    w2 AS (ORDER BY cap/tw ASC NULLS LAST, source NULLS FIRST)),
-         |s2 AS (SELECT *, CASE WHEN T - cumtgt_b > 0
-         |    THEN (B - cumcap_b)/(T - cumtgt_b) END AS lam FROM s),
-         |ls AS (SELECT lam AS lamstar FROM s2
-         |  WHERE tw > 0 AND r >= lam ORDER BY rn LIMIT 1),
-         |a AS (SELECT s2.source, avail, tw, T, cap, B,
-         |    CASE WHEN tw > 0 THEN LEAST(cap,
-         |        COALESCE((SELECT lamstar FROM ls), 1e308)*tw)
-         |      ELSE 0.0 END AS alloc
-         |  FROM s2),
+      s"""WITH $mixtureCoreSql,
          |aa AS (SELECT SUM(alloc) AS A FROM a)
          |SELECT a.source AS "source",
          |  round(avail::VARCHAR::DECIMAL(38,18), 6)::DOUBLE
@@ -2069,6 +2082,28 @@ object Oracles {
          |    AS "achieved_share",
          |  (A >= B - 1e-6) AS "budget_met"
          |FROM a, aa ORDER BY a.source NULLS FIRST""".stripMargin,
+
+    // The mixture materialized: floor(epochs) full passes per doc +
+    // one more for docs whose :mix-salted md5 bucket clears the
+    // fractional-epoch ppm — rates pinned to the ROUNDED epochs of
+    // q_mixture_alloc, hash identical to the engine's saltedBucket.
+    "q_mixture_sample" ->
+      s"""WITH $mixtureCoreSql,
+         |ep AS (SELECT source,
+         |    round((alloc/avail)::VARCHAR::DECIMAL(38,18), 6)::DOUBLE
+         |      AS epochs
+         |  FROM a WHERE avail > 0),
+         |x AS (SELECT d.source, d.doc_id,
+         |    (floor(e.epochs)::BIGINT + CASE WHEN
+         |        ${md5_60("d.doc_id::VARCHAR || ':mix'")} % 1000000
+         |        < round((e.epochs - floor(e.epochs)) * 1000000)::BIGINT
+         |      THEN 1 ELSE 0 END) AS n
+         |  FROM documents d JOIN ep e
+         |    ON d.source IS NOT DISTINCT FROM e.source)
+         |SELECT source AS "source", doc_id AS "doc_id",
+         |  UNNEST(generate_series(1, n)) AS "epoch"
+         |FROM x WHERE n > 0
+         |ORDER BY source NULLS FIRST, doc_id, "epoch"""".stripMargin,
 
     // Token-budget selection: the oracle states the NAIVE global
     // running sum (one total order, inclusive frame); the engine's

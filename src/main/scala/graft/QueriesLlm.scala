@@ -1521,9 +1521,33 @@ object QueriesLlm {
       .orderBy("source")
   }
 
+  /** The mixture MATERIALIZED (Sampling.mixtureSample): every
+    * document once per full epoch its source earned plus the
+    * hash-sampled fractional pass — same targets/budget/cap as
+    * q_mixture_alloc, so the capped tier emits exactly 3 copies of
+    * everything and the uncapped tiers mix full passes with a
+    * deterministic md5-fraction. The oracle recomputes the rates from
+    * the shared water-filling CTE and replays the expansion with the
+    * identical salted bucket.
+    */
+  def mixtureSampleQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val targets = docs.select(col("source")).distinct()
+      .withColumn("target_w",
+        (coalesce(expr("try_cast(substring(source, 4, 10) as int)"),
+          lit(0)) % 5 + 1).cast("double"))
+    val totalChars =
+      docs.agg(sum(col("n_chars"))).head().getLong(0).toDouble
+    graft.operators.Sampling.mixtureSample(
+        docs, "source", "n_chars", "doc_id", targets,
+        budget = 2.0 * totalChars, maxEpochs = 3.0)
+      .orderBy("source", "doc_id", "epoch")
+  }
+
   /** All LLM-family queries. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mixture_alloc" -> (mixtureAllocQ _),
+    "q_mixture_sample" -> (mixtureSampleQ _),
     "q_seg_dedup" -> (segDedupQ _),
     "q_budget_select" -> (budgetSelectQ _),
     "q_cluster_sample" -> (clusterSampleQ _),

@@ -28,6 +28,7 @@ object Sampling {
   final val SplitSalt = ":split"
   final val PackSalt = ":pack"
   final val ShuffleSalt = ":shuffle"
+  final val MixSalt = ":mix"
 
   /** Uniform bucket in [0, 1000000) from the md5 of the key's string
     * form. Same derivation as [[graft.expressions.Kernels.md5_60]]
@@ -653,5 +654,48 @@ object Sampling {
         round(when(col("A") > 0, col("alloc") / col("A"))
           .otherwise(lit(0.0)), 6).as("achieved_share"),
         (col("A") >= lit(budget) - lit(1e-6)).as("budget_met"))
+  }
+
+  /** Materialize a [[mixtureAllocation]]: emit each document once per
+    * full epoch its source earned, plus one more copy for a
+    * deterministic hash-sampled fraction of documents matching the
+    * fractional epoch — so each source's expected emitted token mass
+    * equals its allocation, reproducibly (the [[MixSalt]]-salted
+    * bucket, independent of any upstream sample/split on the same
+    * key). Fan-out per row is bounded by ceil(maxEpochs) — the
+    * repetition cap is also the scale cap, so the explode cannot
+    * amplify a 100 TB corpus by more than the configured epochs. The
+    * per-source epochs rate joins back by BROADCAST (O(sources)
+    * rows); no shuffle of the corpus at all — expansion is a pure
+    * projection + bounded explode.
+    *
+    * Semantics pin: rates are the ROUNDED (6 dp) `epochs` from
+    * [[mixtureAllocation]]'s output, so any engine reproducing that
+    * table reproduces this expansion bit-for-bit.
+    *
+    * @return one row per emitted copy: (sourceCol, idCol, epoch
+    *         1..n_copies)
+    */
+  def mixtureSample(docs: org.apache.spark.sql.DataFrame,
+      sourceCol: String, weightCol: String, idCol: String,
+      targets: org.apache.spark.sql.DataFrame,
+      budget: Double, maxEpochs: Double)
+      : org.apache.spark.sql.DataFrame = {
+    val alloc = mixtureAllocation(docs, sourceCol, weightCol, targets,
+        budget, maxEpochs)
+      .select(col(sourceCol).as("__src"), col("epochs"))
+    val joined = docs.join(broadcast(alloc),
+      col(sourceCol) <=> col("__src"), "inner")
+    val kCol = floor(col("epochs")).cast("long")
+    // fractional epoch as exact ppm of the 6-dp rate
+    val fppm = round((col("epochs") - floor(col("epochs"))) * Buckets, 0)
+      .cast("long")
+    val copies = kCol +
+      when(saltedBucket(col(idCol), MixSalt) < fppm, 1L).otherwise(0L)
+    joined
+      .withColumn("__n", copies)
+      .where(col("__n") > 0)
+      .select(col(sourceCol), col(idCol),
+        explode(sequence(lit(1L), col("__n"))).as("epoch"))
   }
 }

@@ -120,6 +120,47 @@ class MixtureSpec extends SparkSpec {
       out.head.getAs[Double]("alloc_tokens") == 0.0)
   }
 
+  test("mixtureSample emits per-epoch copies whose mass tracks the allocation") {
+    val rnd = new scala.util.Random(11)
+    val docs = (1 to 300).map(i =>
+      (i.toLong, s"s${i % 3}", (20 + rnd.nextInt(100)).toDouble))
+      .toDF("id", "src", "w")
+    val tgts = Seq(("s0", 1.0), ("s1", 2.0), ("s2", 3.0))
+      .toDF("src", "target_w")
+    val budget = 30000.0
+    val alloc = Sampling.mixtureAllocation(docs, "src", "w", tgts,
+        budget, maxEpochs = 2.5)
+      .select("src", "alloc_tokens", "epochs")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("alloc_tokens"), r.getAs[Double]("epochs")))
+      .toMap
+    val out = Sampling.mixtureSample(docs, "src", "w", "id", tgts,
+      budget, maxEpochs = 2.5)
+    // epoch values are dense 1..n per doc
+    val perDoc = out.groupBy("src", "id")
+      .agg(count(lit(1)).as("n"), max("epoch").as("mx"))
+    assert(perDoc.where(col("n") =!= col("mx")).isEmpty,
+      "epoch values not dense 1..n")
+    // every doc of one source gets floor(epochs) or floor(epochs)+1
+    val k = alloc.map { case (s, (_, e)) => s -> math.floor(e).toLong }
+    for ((s, kk) <- k) {
+      val ns = perDoc.where(col("src") === s)
+        .select("n").as[Long].collect().toSet
+      assert(ns.subsetOf(Set(kk, kk + 1)),
+        s"source $s copy counts $ns != {$kk, ${kk + 1}}")
+    }
+    // emitted token mass per source ~ allocation (hash-fraction is
+    // approximate: tolerance = the mass one marginal doc can carry)
+    val mass = out.join(docs, Seq("src", "id"))
+      .groupBy("src").agg(sum("w").as("m"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("m")).toMap
+    for ((s, (a, _)) <- alloc if a > 0) {
+      val tol = 0.15 * a + 150.0
+      assert(math.abs(mass(s) - a) < tol,
+        s"source $s emitted ${mass(s)} vs alloc $a")
+    }
+  }
+
   test("uncapped allocations are exactly proportional to targets") {
     val docs = Seq(("a", 1000.0), ("b", 1000.0), ("c", 1000.0))
       .toDF("src", "w")
