@@ -41,6 +41,17 @@ class PlanRegressionSpec extends SparkSpec {
       "payload joins lost the shuffle_hash hint")
   }
 
+  test("q_mixture_sample: corpus expansion joins by broadcast, never shuffles the corpus") {
+    val p = plan("q_mixture_sample")
+    // the per-source epochs rate (O(sources) rows) must broadcast to
+    // the corpus — a shuffled corpus-side join here is a 100 TB
+    // regression. The water-filling subtree's SortMergeJoin FullOuter
+    // over per-source aggregates is deliberate and tiny.
+    assert(p.contains("BroadcastHashJoin"),
+      "expansion join lost the broadcast")
+    assert(!p.contains("CartesianProduct"), "cartesian in mixture")
+  }
+
   test("q_ann_brute: corpus side streams, only the query set broadcasts") {
     val p = plan("q_ann_brute")
     // brute force IS a deliberate all-pairs scan — but the corpus must
