@@ -2080,7 +2080,7 @@ object Oracles {
          |  round((CASE WHEN A > 0 THEN alloc/A ELSE 0.0
          |    END)::VARCHAR::DECIMAL(38,18), 6)::DOUBLE
          |    AS "achieved_share",
-         |  (A >= B - 1e-6) AS "budget_met"
+         |  (A >= B - GREATEST(1e-6, B * 1e-9)) AS "budget_met"
          |FROM a, aa ORDER BY a.source NULLS FIRST""".stripMargin,
 
     // The mixture materialized: floor(epochs) full passes per doc +

@@ -1504,20 +1504,28 @@ object QueriesLlm {
     * proportional fill. The DuckDB oracle replays the closed form
     * (r-sort, running sums, boundary lambda*) independently.
     */
-  def mixtureAllocQ(s: SparkSession, dir: String): DataFrame = {
+  /** The mixture pair's shared inputs — ONE definition of the target
+    * weights, mirrored by the oracle's shared CTE (round-16 review:
+    * two copies of this derivation would let the pair silently
+    * desynchronize). try_cast: the skewed synthetic seeds carry a
+    * non-numeric hot source ("srcA") — it folds to weight 1 instead
+    * of erroring, identically in DuckDB's TRY_CAST.
+    */
+  private def mixtureInputs(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val docs = t(s, dir, "documents")
-    // try_cast: the skewed synthetic seeds carry a non-numeric hot
-    // source ("srcA") — it folds to weight 1 instead of erroring,
-    // identically in DuckDB's TRY_CAST
     val targets = docs.select(col("source")).distinct()
       .withColumn("target_w",
         (coalesce(expr("try_cast(substring(source, 4, 10) as int)"),
           lit(0)) % 5 + 1).cast("double"))
-    val totalChars =
-      docs.agg(sum(col("n_chars"))).head().getLong(0).toDouble
-    graft.operators.Sampling.mixtureAllocation(
+    (docs, targets)
+  }
+
+  def mixtureAllocQ(s: SparkSession, dir: String): DataFrame = {
+    val (docs, targets) = mixtureInputs(s, dir)
+    graft.operators.Sampling.mixtureAllocationEpochs(
         docs, "source", "n_chars", targets,
-        budget = 2.0 * totalChars, maxEpochs = 3.0)
+        budgetEpochs = 2.0, maxEpochs = 3.0)
       .orderBy("source")
   }
 
@@ -1531,16 +1539,10 @@ object QueriesLlm {
     * identical salted bucket.
     */
   def mixtureSampleQ(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val targets = docs.select(col("source")).distinct()
-      .withColumn("target_w",
-        (coalesce(expr("try_cast(substring(source, 4, 10) as int)"),
-          lit(0)) % 5 + 1).cast("double"))
-    val totalChars =
-      docs.agg(sum(col("n_chars"))).head().getLong(0).toDouble
-    graft.operators.Sampling.mixtureSample(
+    val (docs, targets) = mixtureInputs(s, dir)
+    graft.operators.Sampling.mixtureSampleEpochs(
         docs, "source", "n_chars", "doc_id", targets,
-        budget = 2.0 * totalChars, maxEpochs = 3.0)
+        budgetEpochs = 2.0, maxEpochs = 3.0)
       .orderBy("source", "doc_id", "epoch")
   }
 

@@ -578,9 +578,11 @@ object Sampling {
     * @param sourceCol domain/source column
     * @param weightCol per-document token mass (token count, chars, ...)
     * @param targets   (sourceCol, `target_w`) mixing weights, any
-    *                  positive scale (normalized internally); sources
-    *                  absent here get weight 0 (allocated nothing),
-    *                  sources absent in `docs` get avail 0
+    *                  positive scale (normalized internally);
+    *                  duplicate source rows SUM, negative weights
+    *                  error at runtime; sources absent here get
+    *                  weight 0 (allocated nothing), sources absent in
+    *                  `docs` get avail 0
     * @param budget    total token budget to allocate
     * @param maxEpochs repetition cap: alloc_i <= maxEpochs * avail_i.
     *                  If budget > sum of caps, every source caps and
@@ -595,22 +597,66 @@ object Sampling {
       budget: Double, maxEpochs: Double)
       : org.apache.spark.sql.DataFrame = {
     require(budget > 0, s"budget must be > 0, got $budget")
+    allocCore(docs, sourceCol, weightCol, targets,
+      _ => lit(budget), maxEpochs)
+  }
+
+  /** [[mixtureAllocation]] with the budget stated as a MULTIPLE of
+    * the corpus's total token mass ("mix me 2 epochs' worth") —
+    * derived INSIDE the plan from the same per-source aggregate the
+    * allocation already computes, so no caller-side pre-scan of the
+    * corpus is needed (round-16 review: the absolute-budget form
+    * forced query builders into an eager full-corpus `agg().head()`
+    * just to state "2x total").
+    */
+  def mixtureAllocationEpochs(docs: org.apache.spark.sql.DataFrame,
+      sourceCol: String, weightCol: String,
+      targets: org.apache.spark.sql.DataFrame,
+      budgetEpochs: Double, maxEpochs: Double)
+      : org.apache.spark.sql.DataFrame = {
+    require(budgetEpochs > 0,
+      s"budgetEpochs must be > 0, got $budgetEpochs")
+    allocCore(docs, sourceCol, weightCol, targets,
+      totalAvail => totalAvail * budgetEpochs, maxEpochs)
+  }
+
+  /** The closed-form water-filling (see [[mixtureAllocation]]'s
+    * scaladoc for the algorithm and proof shape). `budgetOf` builds
+    * the budget column from the total-available-tokens column, so the
+    * budget can be a constant or a corpus-derived multiple without an
+    * extra pass.
+    */
+  private def allocCore(docs: org.apache.spark.sql.DataFrame,
+      sourceCol: String, weightCol: String,
+      targets: org.apache.spark.sql.DataFrame,
+      budgetOf: Column => Column, maxEpochs: Double)
+      : org.apache.spark.sql.DataFrame = {
     require(maxEpochs > 0, s"maxEpochs must be > 0, got $maxEpochs")
     import org.apache.spark.sql.expressions.Window
     val per = docs.groupBy(col(sourceCol))
       .agg(sum(col(weightCol)).cast("double").as("avail"))
+    // duplicate target rows SUM (one row per source afterwards — a
+    // stray duplicate would otherwise double the source's cap through
+    // the join); negative weights are a caller bug that would poison
+    // T and every share, so they error at runtime (round-16 review)
+    val tgt = targets.groupBy(col(sourceCol))
+      .agg(sum(col("target_w").cast("double")).as("target_w"))
+      .withColumn("target_w", when(col("target_w") < 0,
+          raise_error(concat(lit("mixtureAllocation: negative " +
+            "target_w for source "), col(sourceCol).cast("string"))))
+        .otherwise(col("target_w")))
     // NULL-SAFE join: a null source is a legitimate "unknown" domain
     // bucket — a plain equi-join would split it into two half-rows
     // (one with the avail, one with the target), double-counting its
     // target weight and stranding its tokens (bit on the skewed
     // synthetic seeds, which carry null-source documents)
-    val j = per.as("p").join(targets.as("g"),
+    val j = per.as("p").join(tgt.as("g"),
         col(s"p.$sourceCol") <=> col(s"g.$sourceCol"), "full_outer")
       .select(
         coalesce(col(s"p.$sourceCol"), col(s"g.$sourceCol"))
           .as(sourceCol),
         coalesce(col("avail"), lit(0.0)).as("avail"),
-        coalesce(col("target_w").cast("double"), lit(0.0)).as("tw"))
+        coalesce(col("target_w"), lit(0.0)).as("tw"))
       .withColumn("cap", col("avail") * maxEpochs)
     // O(sources) rows from here on — the single-partition window is
     // deliberate and safe (see scaladoc)
@@ -621,14 +667,16 @@ object Sampling {
     val wOrd = Window.orderBy(rExpr.asc_nulls_last,
       col(sourceCol).asc_nulls_first)
     val wCum = wOrd.rowsBetween(Window.unboundedPreceding, -1)
-    val tot = j.agg(sum("tw").as("T")).select(col("T"))
+    val tot = j.agg(sum("tw").as("T"),
+        coalesce(sum("avail"), lit(0.0)).as("__av"))
+      .select(col("T"), budgetOf(col("__av")).as("B"))
     val s = j.crossJoin(broadcast(tot))
       .withColumn("r", rExpr)
       .withColumn("rn", row_number().over(wOrd))
       .withColumn("cumcap_b", coalesce(sum("cap").over(wCum), lit(0.0)))
       .withColumn("cumtgt_b", coalesce(sum("tw").over(wCum), lit(0.0)))
       .withColumn("lam", when(col("T") - col("cumtgt_b") > 0,
-        (lit(budget) - col("cumcap_b")) / (col("T") - col("cumtgt_b"))))
+        (col("B") - col("cumcap_b")) / (col("T") - col("cumtgt_b"))))
       .withColumn("flg",
         col("tw") > 0 && col("r") >= col("lam"))
     // lambda* = the boundary row's lambda (first flagged in r-order);
@@ -653,7 +701,12 @@ object Sampling {
           .otherwise(lit(0.0)), 6).as("epochs"),
         round(when(col("A") > 0, col("alloc") / col("A"))
           .otherwise(lit(0.0)), 6).as("achieved_share"),
-        (col("A") >= lit(budget) - lit(1e-6)).as("budget_met"))
+        // RELATIVE tolerance (round-16 review): at token scales past
+        // ~1e10 the ulp of B exceeds any absolute epsilon, and the
+        // sum order of A differs between engines and runs — an
+        // absolute 1e-6 made budget_met flip nondeterministically
+        (col("A") >= col("B") -
+          greatest(lit(1e-6), col("B") * lit(1e-9))).as("budget_met"))
   }
 
   /** Materialize a [[mixtureAllocation]]: emit each document once per
@@ -680,15 +733,38 @@ object Sampling {
       sourceCol: String, weightCol: String, idCol: String,
       targets: org.apache.spark.sql.DataFrame,
       budget: Double, maxEpochs: Double)
+      : org.apache.spark.sql.DataFrame =
+    expandMixture(docs, sourceCol, idCol,
+      mixtureAllocation(docs, sourceCol, weightCol, targets,
+        budget, maxEpochs))
+
+  /** [[mixtureSample]] with the budget as an epochs-multiple of the
+    * corpus total ([[mixtureAllocationEpochs]]) — no caller-side
+    * corpus pre-scan.
+    */
+  def mixtureSampleEpochs(docs: org.apache.spark.sql.DataFrame,
+      sourceCol: String, weightCol: String, idCol: String,
+      targets: org.apache.spark.sql.DataFrame,
+      budgetEpochs: Double, maxEpochs: Double)
+      : org.apache.spark.sql.DataFrame =
+    expandMixture(docs, sourceCol, idCol,
+      mixtureAllocationEpochs(docs, sourceCol, weightCol, targets,
+        budgetEpochs, maxEpochs))
+
+  private def expandMixture(docs: org.apache.spark.sql.DataFrame,
+      sourceCol: String, idCol: String,
+      alloc: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val alloc = mixtureAllocation(docs, sourceCol, weightCol, targets,
-        budget, maxEpochs)
-      .select(col(sourceCol).as("__src"), col("epochs"))
-    val joined = docs.join(broadcast(alloc),
+    // dunder-renamed rate column: a docs frame carrying its own
+    // `epochs` column must not collide (round-16 review)
+    val rates = alloc
+      .select(col(sourceCol).as("__src"), col("epochs").as("__epochs"))
+    val joined = docs.join(broadcast(rates),
       col(sourceCol) <=> col("__src"), "inner")
-    val kCol = floor(col("epochs")).cast("long")
+    val kCol = floor(col("__epochs")).cast("long")
     // fractional epoch as exact ppm of the 6-dp rate
-    val fppm = round((col("epochs") - floor(col("epochs"))) * Buckets, 0)
+    val fppm = round(
+      (col("__epochs") - floor(col("__epochs"))) * Buckets, 0)
       .cast("long")
     val copies = kCol +
       when(saltedBucket(col(idCol), MixSalt) < fppm, 1L).otherwise(0L)

@@ -74,10 +74,15 @@ class MixtureSpec extends SparkSpec {
           assert(math.abs(got(s) - expect(s)) < 1e-4,
             s"trial $trial source $s: got ${got(s)} want ${expect(s)} " +
               s"(avail=$avail tw=$tw budget=$budget maxE=$maxE)")
+        // the allocation must EXHAUST min(budget, reachable cap mass)
+        // — a too-small lambda* would under-allocate and slip past a
+        // mere total <= budget check (round-16 review)
         val total = got.values.sum
-        val feasible = math.min(budget, capSum * 0.0 +
+        val feasible = math.min(budget,
           avail.collect { case (s, a) if tw(s) > 0 => a * maxE }.sum)
-        assert(math.abs(total - feasible) < 1e-4 || total <= budget + 1e-4)
+        assert(math.abs(total - feasible) < 1e-4,
+          s"trial $trial under/over-allocated: $total vs $feasible")
+        assert(total <= budget + 1e-4)
       }
     }
   }
@@ -109,6 +114,37 @@ class MixtureSpec extends SparkSpec {
     assert(math.abs(out("a") - 75.0) < 1e-6 &&
       math.abs(out("b") - 25.0) < 1e-6,
       s"redistribution wrong: $out")
+  }
+
+  test("duplicate target rows sum; a negative weight errors at runtime") {
+    val docs = Seq(("a", 100.0), ("b", 100.0)).toDF("src", "w")
+    val dup = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0))
+      .toDF("src", "target_w")
+    val out = Sampling.mixtureAllocation(docs, "src", "w", dup,
+        budget = 100.0, maxEpochs = 5.0)
+      .orderBy("src").collect()
+    assert(out.length == 2, "duplicate target rows not collapsed")
+    // a:b summed to 2:2 -> equal split
+    assert(out.map(_.getAs[Double]("alloc_tokens")).toSeq ==
+      Seq(50.0, 50.0))
+    val neg = Seq(("a", -1.0), ("b", 2.0)).toDF("src", "target_w")
+    val e = intercept[Exception] {
+      Sampling.mixtureAllocation(docs, "src", "w", neg,
+        budget = 100.0, maxEpochs = 5.0).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("epochs-budget variant equals the absolute form at budget = e x total") {
+    val docs = Seq(("a", 300.0), ("b", 100.0), ("c", 200.0))
+      .toDF("src", "w")
+    val tgts = Seq(("a", 1.0), ("b", 5.0), ("c", 2.0))
+      .toDF("src", "target_w")
+    val abs = Sampling.mixtureAllocation(docs, "src", "w", tgts,
+      budget = 2.0 * 600.0, maxEpochs = 3.0).orderBy("src").collect()
+    val rel = Sampling.mixtureAllocationEpochs(docs, "src", "w", tgts,
+      budgetEpochs = 2.0, maxEpochs = 3.0).orderBy("src").collect()
+    assert(abs.map(_.toSeq).toSeq == rel.map(_.toSeq).toSeq)
   }
 
   test("empty corpus yields zero allocations, not an error") {
