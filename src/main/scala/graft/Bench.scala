@@ -61,6 +61,14 @@ import scala.jdk.CollectionConverters._
   * wall time exceeds 3x the query's own sample median earns the query
   * ONE extra rep (the spike is measured-around, and the `runs` array
   * keeps all samples so the retry is visible under `retried`).
+  *
+  * Rep-trend gate (ADVICE r17): interval-sampled ambient cpu missed
+  * the r17 contamination pattern — queries degrading monotonically
+  * ACROSS their own reps as box load ramped. The JSON now also
+  * carries `trend` (queries whose last original rep ran past 2x the
+  * first with > 1 s absolute growth) and flags `trend_contaminated`
+  * when >= 5 queries degrade that way in one run; readers discard a
+  * flagged run exactly as they do an ambient-contaminated one.
   */
 object Bench {
   private def loadAvg1m(): Double =
@@ -119,10 +127,22 @@ object Bench {
     val loadStart = loadAvg1m()
     var loadMax = loadStart
     // Co-tenant cpu per inter-query interval (see the class doc): the
-    // gate's input. USER_HZ is 100 on every mainstream Linux; sub-0.5 s
-    // intervals fold into the next sample rather than divide jiffy
-    // granularity by a near-zero wall.
-    val clkTck = 100.0
+    // gate's input. Jiffy scale comes from the kernel itself —
+    // `getconf CLK_TCK` (ADVICE r16: the old hardcoded 100 USER_HZ
+    // mis-scales the contamination gate on kernels built with a
+    // different tick); 100 stays as the fallback when the probe
+    // fails (non-Linux, no getconf). Sub-0.5 s intervals fold into
+    // the next sample rather than divide jiffy granularity by a
+    // near-zero wall.
+    val clkTck: Double =
+      try {
+        val p = new ProcessBuilder("getconf", "CLK_TCK").start()
+        val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
+        p.waitFor()
+        val v = out.toDouble
+        require(v > 0)
+        v
+      } catch { case _: Throwable => 100.0 }
     var ambBase = (System.nanoTime(), cpuTicks())
     var ambMaxCores = 0.0
     def sampleAmbient(): Unit = {
@@ -239,9 +259,31 @@ object Bench {
     // bench's own local[n] stages legitimately saturate loadavg.
     val loadThreshold = cpus.toDouble / 4
     val contaminated = ambMaxCores > loadThreshold
-    val amb = s"""{"max_cores":${math.rint(ambMaxCores * 100) / 100},"threshold_cores":$loadThreshold}"""
+    val amb = s"""{"max_cores":${math.rint(ambMaxCores * 100) / 100},"threshold_cores":$loadThreshold,"clk_tck":$clkTck}"""
     val rt = retried.map(jq).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"gc_ms":$gs,"errors":$es,"n_ok":${ok.size},"n_err":${errs.size},"reps":$reps,"retried":$rt,"load":$load,"ambient":$amb,"ambient_contaminated":$contaminated,"gc":$gc,"sf":"$sfDir"}"""
+    // Rep-trend gate (ADVICE r17): the r17 run degraded MONOTONICALLY
+    // within single queries (2.6s -> 35.3s -> 30.1s across reps, load
+    // climbing the whole run) while the ambient gate still passed —
+    // in-run co-tenant ramp or heap buildup that interval sampling
+    // under-detects. A query "degrades" when its LAST original rep
+    // (the one-shot outlier retry excluded — that sample measures
+    // around a spike, not the trend) runs past 2x its first AND grew
+    // by > 1 s absolute (sub-second jitter must not count). A handful
+    // is noise; >= 5 of them in one run is a systematic environment
+    // drift, so the run is flagged for readers to discard, same as
+    // ambient contamination.
+    val degrading = results.collect {
+      case (n, Right((ts, wasRetried))) =>
+        val base = if (wasRetried) ts.dropRight(1) else ts
+        (n, base.map(_._1))
+    }.collect {
+      case (n, walls)
+          if walls.size >= 2 && walls.last > 2 * walls.head &&
+            walls.last - walls.head > 1.0 => n
+    }
+    val trendContaminated = degrading.size >= 5
+    val trend = s"""{"n_degrading":${degrading.size},"queries":${degrading.take(10).map(jq).mkString("[", ",", "]")}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"gc_ms":$gs,"errors":$es,"n_ok":${ok.size},"n_err":${errs.size},"reps":$reps,"retried":$rt,"load":$load,"ambient":$amb,"ambient_contaminated":$contaminated,"trend":$trend,"trend_contaminated":$trendContaminated,"gc":$gc,"sf":"$sfDir"}"""
     println(line)
     val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse {
       val ts = java.time.format.DateTimeFormatter

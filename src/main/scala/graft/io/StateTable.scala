@@ -57,6 +57,15 @@ object StateTable {
     */
   trait ClaimStore {
     def tryClaim(spark: SparkSession, tmp: Path, dst: Path): Boolean
+
+    /** Attempt to free an ORPHANED claim on `dst` — one whose winner
+      * crashed between claiming the slot and publishing its data
+      * (ADVICE r16). Returns true when the slot was reclaimed and the
+      * caller may retry `tryClaim` at the SAME version instead of
+      * advancing past a hole. Default: no reclaim (the rename
+      * protocol's claim IS the publish, so it cannot orphan).
+      */
+    def reclaimOrphan(spark: SparkSession, dst: Path): Boolean = false
   }
 
   /** Claim by ATOMIC RENAME — the impl for filesystems that have one
@@ -153,13 +162,55 @@ object StateTable {
     * copy-per-object; full reader isolation there additionally wants
     * a commit record per version (the transaction-log extension this
     * seam was cut for). A crashed winner leaves an orphaned marker:
-    * its version number is skipped — numbering gaps are harmless to
-    * [[readLatest]] — and [[compact]] clears markers for the versions
-    * it folds.
+    * younger than [[DefaultOrphanTtlMs]] its version number is simply
+    * skipped — numbering gaps are harmless to [[readLatest]] — while
+    * past the TTL the next [[append]] retry lap reclaims the slot via
+    * [[reclaimOrphan]] (ADVICE r16), and [[compact]] still clears
+    * markers for the versions it folds.
     */
   object ConditionalPutClaim extends ClaimStore {
     def marker(dst: Path): Path =
       new Path(dst.getParent, s".claim-${dst.getName}")
+
+    /** Lease TTL before an unpublished marker counts as orphaned. The
+      * reclaim deletes the marker of a winner that crashed pre-publish,
+      * so the TTL must dominate the longest plausible claim->rename
+      * gap — the gap holds ONE metadata rename, not the data write
+      * (tmp is fully written before any claim), so minutes of slack is
+      * orders of magnitude past it on any store.
+      */
+    val DefaultOrphanTtlMs: Long = 15L * 60 * 1000
+
+    override def reclaimOrphan(spark: SparkSession, dst: Path): Boolean =
+      reclaimOrphan(spark, dst, DefaultOrphanTtlMs)
+
+    /** TTL-parameterized reclaim (specs plant a crashed winner and
+      * reclaim at ttl 0). Orphan = marker present, data dir absent,
+      * marker older than `ttlMs`. The delete is the janitor's own
+      * race window: two appenders may both observe the orphan and
+      * both call delete — exactly one filesystem delete wins, and
+      * BOTH outcomes re-enter `tryClaim`, whose conditional put still
+      * admits exactly one winner, so the exactly-one-winner contract
+      * is untouched. A marker younger than the TTL is an ACTIVE claim
+      * (its winner may be mid-rename) and is never touched — the TTL
+      * is the standard lease assumption, stated in
+      * [[DefaultOrphanTtlMs]].
+      */
+    def reclaimOrphan(spark: SparkSession, dst: Path,
+        ttlMs: Long): Boolean = {
+      val f = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (f.exists(dst)) false // published: the slot is genuinely taken
+      else try {
+        val age = System.currentTimeMillis -
+          f.getFileStatus(marker(dst)).getModificationTime
+        age >= ttlMs && f.delete(marker(dst), false)
+      } catch {
+        // marker vanished between list and stat: another janitor (or
+        // the winner's own publish) got there first — not reclaimed
+        // by US, so advance rather than retry a contended slot
+        case _: java.io.FileNotFoundException => false
+      }
+    }
     def tryClaim(spark: SparkSession, tmp: Path, dst: Path): Boolean = {
       val conf = spark.sparkContext.hadoopConfiguration
       val f = dst.getFileSystem(conf)
@@ -232,10 +283,14 @@ object StateTable {
     try {
       var v = versions(spark, dir).lastOption.getOrElse(-1) + 1
       while (!claim.tryClaim(spark, tmp, new Path(dir, s"v=$v"))) {
-        // lost the race for v (or a later writer already passed it):
-        // re-list and move past both
-        v = math.max(v + 1,
-          versions(spark, dir).lastOption.getOrElse(-1) + 1)
+        // lost the race for v — or the slot is a crashed winner's
+        // orphan (marker without data, ADVICE r16): let the store's
+        // janitor TTL-reclaim it, in which case the SAME v is retried
+        // (no claim survives on it, so this terminates); otherwise
+        // re-list and move past both the racer and any later writer
+        if (!claim.reclaimOrphan(spark, new Path(dir, s"v=$v")))
+          v = math.max(v + 1,
+            versions(spark, dir).lastOption.getOrElse(-1) + 1)
       }
       v
     } catch { case e: Throwable => f.delete(tmp, true); throw e }

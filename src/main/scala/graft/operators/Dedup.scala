@@ -1060,20 +1060,38 @@ object Dedup {
     * pairs — that is the answer, not a skew artifact. Run [[exact]]
     * dedup first so identical content enters as one representative.
     *
+    * Storage contract (ADVICE r16): the multi-consumer intermediates
+    * (candidates, hashed shingle sets, margin survivors) are ALWAYS
+    * pinned — at `cache`, or MEMORY_AND_DISK when None — because
+    * unpinned they re-run the prefix self-join, the join's single
+    * biggest shuffle, once per consumer (~3x at 100 TB). The result
+    * is materialized by one terminal action inside this call and the
+    * intermediates are unpersisted before returning, so repeated
+    * calls leave no storage residue beyond the RETURNED frame, which
+    * stays pinned (it is the materialized answer) — `unpersist()` it
+    * when done.
+    *
     * @return (id_a, id_b, jaccard) with jaccard rounded at 6 and
-    *         >= threshold, id_a < id_b
+    *         >= threshold, id_a < id_b; materialized and persisted
     */
   def jaccardJoin(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleWidth: Int = 3,
       cache: Option[StorageLevel] = None): DataFrame = {
+    val level = cache.getOrElse(StorageLevel.MEMORY_AND_DISK)
+    // every pin is collected so the terminal action below can free
+    // them all; jaccardCandidates' internal pins (the exploded gram
+    // frame, the rarest-first prefix) route through the same buffer
+    val pins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(d: DataFrame): DataFrame = {
+      val p = d.persist(level); pins += p; p
+    }
     // the candidate frame feeds THREE subtrees (the id-set semi-join,
     // the stage-1 pair stream, and — through survivors — stage 2);
     // unpinned, each consumer re-runs the prefix self-join + distinct,
     // the join's single biggest shuffle. 16 B/row, so pinning is cheap
     // even at x100's ~31M pairs.
-    val cands0 = jaccardCandidates(docs, idCol, textCol, threshold,
-      shingleWidth, cache)
-    val cands = cache.fold(cands0)(cands0.persist)
+    val cands = pin(jaccardCandidatesPinned(docs, idCol, textCol,
+      threshold, shingleWidth, pin))
     val shingler = (d: DataFrame) =>
       H.wordShingles(T.tokens(col(textCol)), shingleWidth)
 
@@ -1116,13 +1134,12 @@ object Dedup {
     // SHUFFLE_HASH: the hashed-payload side is one row per distinct
     // candidate document; sort-merge would instead SORT the
     // O(candidates) pair stream twice (see pairJaccard's note)
-    // persisted under the caller's cache option: the frame feeds BOTH
-    // payload joins, and without a pin each join re-runs the
-    // semi-join + shingle + hash lineage over the corpus
-    val hashed0 = sh.select(col(idCol).as("__id"),
+    // pinned: the frame feeds BOTH payload joins, and without a pin
+    // each join re-runs the semi-join + shingle + hash lineage over
+    // the corpus
+    val hashed = pin(sh.select(col(idCol).as("__id"),
         array_distinct(transform(array_distinct(shingler(sh)),
-          g => xxhash64(g))).as("__h"))
-    val hashed = cache.fold(hashed0)(hashed0.persist)
+          g => xxhash64(g))).as("__h")))
       .hint("shuffle_hash")
     val survivors0 = cands
       .join(hashed.withColumnRenamed("__id", "id_a")
@@ -1137,10 +1154,19 @@ object Dedup {
       .select("id_a", "id_b")
     // survivors feed pairJaccard's id-set AND both payload joins —
     // pin, or each consumer replays the stage-1 hashed joins
-    val survivors = cache.fold(survivors0)(survivors0.persist)
-    pairJaccard(docs, survivors, idCol, shingler)
+    val survivors = pin(survivors0)
+    val out = pairJaccard(docs, survivors, idCol, shingler)
       .where(col("jaccard") >= threshold)
       .withColumn("jaccard", round(col("jaccard"), 6))
+      .persist(level)
+    // ONE terminal action materializes every consumer path while the
+    // intermediates are still pinned; then free them (cascade=false —
+    // Dataset.unpersist never drops caches built on top, so out's
+    // materialized buffers survive). A later eviction of out's
+    // buffers recomputes from the full lineage — slower, still exact.
+    out.count()
+    pins.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** [[jaccardJoin]]'s candidate stage, exposed for the scale probe
@@ -1151,11 +1177,22 @@ object Dedup {
     */
   private[graft] def jaccardCandidates(docs: DataFrame, idCol: String,
       textCol: String, threshold: Double, shingleWidth: Int = 3,
-      cache: Option[StorageLevel] = None): DataFrame = {
+      cache: Option[StorageLevel] = None): DataFrame =
+    jaccardCandidatesPinned(docs, idCol, textCol, threshold,
+      shingleWidth, d => cache.fold(d)(d.persist))
+
+  /** [[jaccardCandidates]] with the pin policy injected: [[jaccardJoin]]
+    * routes the internal pins (gram explode, rarest-first prefix)
+    * through its own collector so they can be unpersisted after the
+    * terminal action instead of leaking (ADVICE r16).
+    */
+  private def jaccardCandidatesPinned(docs: DataFrame, idCol: String,
+      textCol: String, threshold: Double, shingleWidth: Int,
+      pin: DataFrame => DataFrame): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     import org.apache.spark.sql.expressions.Window
-    def cached(d: DataFrame): DataFrame = cache.fold(d)(d.persist)
+    def cached(d: DataFrame): DataFrame = pin(d)
     val sh = docs.select(col(idCol).as("id"),
         array_distinct(H.wordShingles(T.tokens(col(textCol)),
           shingleWidth)).as("g"))

@@ -25,10 +25,11 @@ import org.apache.spark.sql.functions._
   * the key (the shuffle carries one row per key), one single-row
   * rollup, one bounded driver collect. Against the window pass it
   * gates — a full sort of the same volume — the probe is a small
-  * fraction of the operator's own cost, and `probeFraction` cuts the
-  * scanned volume further when the input is a table scan (a 1% sample
-  * detects any share past the default threshold with overwhelming
-  * probability at 100 TB row counts).
+  * fraction of the operator's own cost, and `probeFraction` thins the
+  * per-key counting work (a 1% sample detects any share past the
+  * default threshold with overwhelming probability at 100 TB row
+  * counts) while the time bounds stay exact over every row, so
+  * derived bucket spans never drift (ADVICE r16).
   */
 object ShapeSelect {
 
@@ -53,8 +54,15 @@ object ShapeSelect {
   /** Probe verdict plus the evidence it was made from. `estTopRows`
     * scales the observed top count back up by `probeFraction`;
     * `minTime`/`maxTime` (long-cast `timeCol` bounds) let callers
-    * derive a bucket span without a second scan. Empty input probes
-    * as unskewed (zero counts, `bucketed = false`).
+    * derive a bucket span without a second scan — they are EXACT
+    * global bounds even under `probeFraction < 1` (ADVICE r16: bounds
+    * read off a sample under-cover, so a derived bucket span would
+    * spill past `targetBuckets` whenever the true extremes missed the
+    * sample; the probe therefore samples only the COUNTS and keeps
+    * min/max over every row — same single pass, since `sample` never
+    * pushes below the scan anyway). `nKeys` is likewise the exact
+    * distinct-key count (the grouping sees all rows). Empty input
+    * probes as unskewed (zero counts, `bucketed = false`).
     */
   final case class Decision(
       nRows: Long, nKeys: Long, topRows: Long, topShare: Double,
@@ -80,14 +88,21 @@ object ShapeSelect {
     require(maxKeyRows > 0, s"maxKeyRows must be > 0, got $maxKeyRows")
     require(probeFraction > 0 && probeFraction <= 1,
       s"probeFraction must be in (0, 1], got $probeFraction")
-    val sampled =
-      if (probeFraction < 1.0)
-        df.sample(withReplacement = false, probeFraction, seed)
-      else df
+    // Bernoulli row flag instead of df.sample: the flag samples the
+    // COUNT aggregate only, while min/max stay over EVERY row — the
+    // time bounds come out exact, so spans derived from them cannot
+    // drift past targetBuckets when an extreme misses the sample
+    // (ADVICE r16). Cost is identical: sample() scans everything too
+    // (no source pushdown), it only thins the aggregation input.
+    val inProbe =
+      if (probeFraction < 1.0) rand(seed) < probeFraction else lit(true)
     val tL = col(timeCol).cast("long")
-    val perKey = sampled.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("__n"), min(tL).as("__mn"),
-        max(tL).as("__mx"))
+    val perKey = df
+      .select(keyCols.map(col) :+ tL.as("__t") :+
+        inProbe.as("__in"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(when(col("__in"), 1L).otherwise(0L)).as("__n"),
+        min(col("__t")).as("__mn"), max(col("__t")).as("__mx"))
     val r = perKey.agg(
       coalesce(sum("__n"), lit(0L)).as("nr"),
       count(lit(1)).as("nk"),

@@ -885,6 +885,35 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("jaccardJoin pins its answer, frees every intermediate (ADVICE r16)") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.graft.CacheBridge
+    // the multi-consumer intermediates (candidates, hashed shingle
+    // sets, survivors, gram explode, prefix) must be persisted DURING
+    // the join — so the prefix self-join runs once with cache=None —
+    // and unpersisted before the call returns: repeated calls may
+    // leave only their own returned frame pinned, nothing else
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    spark.catalog.clearCache()
+    assert(CacheBridge.isEmpty(spark))
+    val out = Dedup.jaccardJoin(docs, "doc_id", "text", threshold = 0.5)
+    // already materialized by the internal terminal action; the pin
+    // means later consumers reuse one execution instead of replaying
+    // the prefix self-join per consumer
+    assert(out.storageLevel.useMemory || out.storageLevel.useDisk,
+      s"returned frame not pinned: ${out.storageLevel}")
+    assert(out.count() == 1L)
+    out.unpersist(blocking = true)
+    // with the answer released, the session cache is EMPTY — the five
+    // internal pins were all freed inside the call (no growth across
+    // repeated invocations)
+    assert(CacheBridge.isEmpty(spark),
+      "jaccardJoin left pinned intermediates behind")
+  }
+
   test("jaccardJoin keeps exact-boundary pairs at a binary-inexact threshold") {
     import graft.operators.Dedup
     // 27 unique tokens -> 25 distinct shingles; the 16-token prefix

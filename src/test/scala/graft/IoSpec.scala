@@ -178,6 +178,55 @@ class IoSpec extends SparkSpec {
         assert(state.select("k").distinct().count() == 16)
       } finally pool.shutdown()
     }
+    // crashed-winner plant (ADVICE r16): a marker with NO data dir is
+    // what a winner that died between claim and publish leaves. Past
+    // the TTL the janitor in append's retry path must reclaim the
+    // slot — the next append lands at the PLANTED version, not past a
+    // permanent hole; before the TTL the marker is an active lease
+    // and the version is skipped (the old, still-safe behavior).
+    locally {
+      import org.apache.hadoop.fs.Path
+      val dir = tmpDir("state-cas-orphan")
+      val v0 = StateTable.append(Seq((1L, "a")).toDF("k", "val"), dir,
+        StateTable.ConditionalPutClaim)
+      assert(v0 == 0)
+      // plant the orphan at the next slot
+      val orphan = new Path(s"$dir/v=1")
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(
+        StateTable.ConditionalPutClaim.marker(orphan).toUri.getPath))
+      // fresh marker = active lease: never reclaimed by the direct
+      // call, and an append with the default store skips past it
+      // (the old, still-safe hole behavior)
+      assert(!StateTable.ConditionalPutClaim.reclaimOrphan(
+        spark, orphan, ttlMs = 60000L))
+      // ttl-0 store (the "15 minutes later" view): the next append
+      // finds the orphan AT the frontier, reclaims it, and lands on
+      // the planted version — no permanent hole
+      val janitor = new StateTable.ClaimStore {
+        def tryClaim(s: org.apache.spark.sql.SparkSession, t: Path,
+            d: Path): Boolean =
+          StateTable.ConditionalPutClaim.tryClaim(s, t, d)
+        override def reclaimOrphan(s: org.apache.spark.sql.SparkSession,
+            d: Path): Boolean =
+          StateTable.ConditionalPutClaim.reclaimOrphan(s, d, ttlMs = 0L)
+      }
+      assert(StateTable.append(Seq((2L, "b")).toDF("k", "val"), dir,
+        janitor) == 1, "janitor did not reclaim the orphaned slot")
+      // a SECOND orphan, this time aged under the default TTL: the
+      // default store treats it as an active lease and advances past
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(
+        StateTable.ConditionalPutClaim.marker(new Path(s"$dir/v=2"))
+          .toUri.getPath))
+      assert(StateTable.append(Seq((3L, "c")).toDF("k", "val"), dir,
+        StateTable.ConditionalPutClaim) == 3)
+      assert(StateTable.versions(spark, dir) == Seq(0, 1, 3))
+      assert(StateTable.readLatest(spark, dir, Seq("k")).count() == 3)
+      // RenameClaim on the same dir: its default reclaim is a no-op
+      // (rename claims cannot orphan) and appends still serialize
+      assert(StateTable.append(Seq((4L, "d")).toDF("k", "val"), dir,
+        StateTable.RenameClaim) == 4)
+    }
+
     // the marker protocol refuses to merge into a slot that holds
     // data WITHOUT a marker (written outside the protocol — e.g. a
     // mixed-store race where a RenameClaim writer took the slot):

@@ -64,6 +64,27 @@ class ShapeSpec extends SparkSpec {
       probeFraction = 0.25, seed = 9L).bucketed)
   }
 
+  test("decide: time bounds are exact under sampling (ADVICE r16)") {
+    // one extreme row far outside the bulk: a 1% Bernoulli sample
+    // almost surely misses it, and a bucket span derived from sampled
+    // bounds would then under-cover — rows past the sampled max land
+    // past targetBuckets. The probe must keep min/max over EVERY row
+    // (only the counts are sampled), so the bounds equal the true
+    // extremes for ANY seed.
+    val bulk = (0L until 2000L).map(i => (i % 40, i, 1000L + i % 500))
+    val outlier = Seq((777L, 999999L, 1000000000L),
+      (778L, 999998L, -5L))
+    val df = (bulk ++ outlier).toDF("user_id", "event_id", "ts_s")
+    for (seed <- 1L to 5L) {
+      val d = ShapeSelect.decide(df, Seq("user_id"), "ts_s",
+        probeFraction = 0.01, seed = seed)
+      assert(d.minTime == -5L && d.maxTime == 1000000000L,
+        s"seed $seed: sampled bounds drifted (${d.minTime}, ${d.maxTime})")
+      // the distinct-key count is exact too: the grouping sees all rows
+      assert(d.nKeys == 42, s"seed $seed: nKeys ${d.nKeys}")
+    }
+  }
+
   test("decide: empty input probes as unskewed") {
     val empty = Seq.empty[(Option[Long], Long, Long)]
       .toDF("user_id", "event_id", "ts_s")
