@@ -149,11 +149,22 @@ object StressScale {
     val dst = args.lift(1).getOrElse("/tmp/graft-sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
     val mode = args.lift(3).getOrElse("uniform")
-    require(mode == "uniform" || mode == "skew",
-      s"StressScale: unknown mode `$mode` (uniform|skew)")
     val wanted: Option[Set[String]] =
       args.lift(4).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkBoot.session(SparkBoot.cpus(), Some("32"))
+    run(spark, src, dst, factor, mode, wanted)
+    spark.stop()
+  }
+
+  /** The scaler body on a CALLER-OWNED session — the streaming-state
+    * specs regenerate their /tmp fixtures through this (VERDICT r17
+    * what's-wrong #3: the x100 specs must not silently cancel on a
+    * fresh box), and main wraps it for the CLI.
+    */
+  def run(spark: SparkSession, src: String, dst: String, factor: Int,
+      mode: String, wanted: Option[Set[String]]): Unit = {
+    require(mode == "uniform" || mode == "skew",
+      s"StressScale: unknown mode `$mode` (uniform|skew)")
     def t(n: String) = spark.read.parquet(s"$src/$n.parquet")
     // strides: a round power of ten above the source's max key keeps
     // replica key ranges disjoint and human-readable
@@ -235,6 +246,5 @@ object StressScale {
       t(n).write.mode("overwrite").parquet(s"$dst/$n.parquet")
       println(s"[scale] $n (dim, unscaled) -> $dst/$n.parquet")
     }
-    spark.stop()
   }
 }
