@@ -837,6 +837,15 @@ object Oracles {
          |SELECT DISTINCT md5(${norm("text")}) AS "fp"
          |FROM all_docs ORDER BY 1""".stripMargin,
 
+    // Streaming MinHash near-dup: first-wins banding must flag every
+    // planted twin (each shares >= 1 band with its strictly-earlier
+    // original — the regime q_dedup_minhash's batch oracle proves for
+    // the same 32x16 sketch), so the expected flag set is exactly the
+    // planted twin ids.
+    "q_streaming_minhash" ->
+      """SELECT doc_id + 100000 AS "doc_id" FROM documents
+        |WHERE doc_id < 150 ORDER BY 1""".stripMargin,
+
     // Streaming drift: per-window bin counts are arrival-order
     // independent, so the closed-window PSI is epoch-aligned batch SQL
     // (2-day tumbling = us // 172800000000, the Spark epoch alignment).

@@ -1111,6 +1111,53 @@ object Queries {
     s.table(table).select(col("fp")).orderBy("fp")
   }
 
+  /** §2.11 streaming NEAR-dup ([[graft.streaming.StreamingDedup
+    * .nearDupByMinhash]]), driver-checkable: an AvailableNow run over
+    * documents at T0 and their 90%-truncation twins one hour later,
+    * flagged by first-wins MinHash banding with the q_dedup_minhash
+    * sketch params (32 hashes x 16 bands — the regime whose batch
+    * oracle proves banding catches every planted pair). The per-band
+    * verdicts reduce to per-doc flags in batch (all of a doc's
+    * verdicts share its micro-batch); output is the flagged planted
+    * twins, and the oracle states the complete twin list — a lost
+    * band collision, an expired lease, or a double-emitted verdict
+    * all break the gate.
+    */
+  def streamingMinhashQ(s: SparkSession, dir: String): DataFrame = {
+    val d = tmp("sminhash")
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val twins = QueriesLlm.docsWithTwins(s, dir, 90)
+      .where(col("doc_id") >= 100000)
+    docs.withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .write.mode("overwrite").json(s"$d/in/f1")
+    twins.withColumn("ts", lit("2024-01-01 01:00:00").cast("timestamp"))
+      .write.mode("overwrite").json(s"$d/in/f2")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("ts", TimestampType), StructField("text", StringType)))
+    val table =
+      "sminhash_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withShufflePartitions(s, 4) {
+      val src = s.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1").json(s"$d/in")
+        .withWatermark("ts", "4 hours")
+      val q = StreamingDedup.nearDupByMinhash(src, "doc_id", "text",
+          "ts", ttlMs = 4L * 3600 * 1000, shingleWidth = 3,
+          numHashes = 32, bands = 16)
+        .toDF()
+        .writeStream.format("memory").queryName(table)
+        .outputMode("append")
+        .option("checkpointLocation", s"$d/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(table).groupBy(col("docId").as("doc_id"))
+      .agg(max(col("dup")).as("dup"))
+      .where(col("dup") && col("doc_id") >= 100000)
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** Streaming drift monitor (streaming.DriftMonitor), driver-
     * checkable: an AvailableNow run bins events.value per 2-day
     * event-time window on the baseline's integer grid (watermark 0s;
@@ -1506,6 +1553,7 @@ object Queries {
     "q_event_dedup" -> (eventDedup _),
     "q_attribution" -> (attribution _),
     "q_streaming_dedup_equiv" -> (streamingDedupEquiv _),
+    "q_streaming_minhash" -> (streamingMinhashQ _),
     "q_stream_drift" -> (streamDrift _),
     "q_idempotent_relay" -> (idempotentRelay _),
     "q_incremental_job" -> (incrementalJob _),
