@@ -1540,6 +1540,82 @@ object Oracles {
     // Recall@5 of IVF vs the exact baseline — the ANN quality metric
     // as a first-class oracle-checked query (both sides are themselves
     // SQL-expressible, so their agreement is too).
+    // Graph-expansion ANN: the full deterministic construction
+    // replayed — 16 sample centroids, 2-cell graph assignment, per-src
+    // top-4 edge list, 1-cell entry probe, top-5 frontier, one hop of
+    // neighbor expansion, exact re-rank. Assignment ties to the
+    // HIGHEST cell (the engine's struct-max convention), every ranking
+    // ties to the lowest id.
+    "q_ann_graph" ->
+      """WITH vec AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |             FROM embeddings),
+        |cent AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cell,
+        |                v AS cv
+        |         FROM (SELECT vec_id, v FROM vec ORDER BY vec_id LIMIT 16)),
+        |sc AS (SELECT vec_id, cell,
+        |    CASE WHEN list_dot_product(v, v) = 0
+        |           OR list_dot_product(cv, cv) = 0 THEN 0.0
+        |         ELSE list_dot_product(v, cv) /
+        |              (sqrt(list_dot_product(v, v)) *
+        |               sqrt(list_dot_product(cv, cv))) END AS s
+        |  FROM vec CROSS JOIN cent),
+        |rnk AS (SELECT vec_id, cell, row_number() OVER (
+        |          PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+        |        FROM sc),
+        |asg1 AS (SELECT vec_id, cell FROM rnk WHERE rn = 1),
+        |asg2 AS (SELECT vec_id, cell FROM rnk WHERE rn <= 2),
+        |ep AS (SELECT DISTINCT a.vec_id AS esrc, b.vec_id AS edst
+        |       FROM asg2 a JOIN asg2 b
+        |         ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+        |es AS (SELECT esrc, edst,
+        |    round(CASE WHEN sqrt(list_dot_product(sv.v, sv.v)) = 0
+        |                 OR sqrt(list_dot_product(dv.v, dv.v)) = 0 THEN 0.0
+        |          ELSE list_dot_product(sv.v, dv.v) /
+        |               (sqrt(list_dot_product(sv.v, sv.v)) *
+        |                sqrt(list_dot_product(dv.v, dv.v))) END, 6) AS cos
+        |  FROM ep JOIN vec sv ON sv.vec_id = esrc
+        |          JOIN vec dv ON dv.vec_id = edst),
+        |edg AS (SELECT esrc, edst FROM (SELECT esrc, edst,
+        |          row_number() OVER (PARTITION BY esrc
+        |            ORDER BY cos DESC, edst ASC) AS rk FROM es)
+        |        WHERE rk <= 4),
+        |prb AS (SELECT vec_id AS qid, cell FROM rnk
+        |        WHERE vec_id < 10 AND rn <= 1),
+        |entry AS (SELECT p.qid, a.vec_id AS cid
+        |          FROM prb p JOIN asg1 a ON a.cell = p.cell),
+        |esc AS (SELECT qid, cid,
+        |    round(CASE WHEN sqrt(list_dot_product(qv.v, qv.v)) = 0
+        |                 OR sqrt(list_dot_product(cv.v, cv.v)) = 0 THEN 0.0
+        |          ELSE list_dot_product(qv.v, cv.v) /
+        |               (sqrt(list_dot_product(qv.v, qv.v)) *
+        |                sqrt(list_dot_product(cv.v, cv.v))) END, 6) AS cos
+        |  FROM entry JOIN vec qv ON qv.vec_id = qid
+        |             JOIN vec cv ON cv.vec_id = cid),
+        |fr AS (SELECT qid, cid FROM (SELECT qid, cid,
+        |         row_number() OVER (PARTITION BY qid
+        |           ORDER BY cos DESC, cid ASC) AS rk FROM esc)
+        |       WHERE rk <= 5),
+        |ex AS (SELECT DISTINCT f.qid, e.edst AS cid
+        |       FROM fr f JOIN edg e ON e.esrc = f.cid),
+        |xnew AS (SELECT ex.qid, ex.cid FROM ex
+        |         WHERE NOT EXISTS (SELECT 1 FROM entry t
+        |           WHERE t.qid = ex.qid AND t.cid = ex.cid)),
+        |xsc AS (SELECT qid, cid,
+        |    round(CASE WHEN sqrt(list_dot_product(qv.v, qv.v)) = 0
+        |                 OR sqrt(list_dot_product(cv.v, cv.v)) = 0 THEN 0.0
+        |          ELSE list_dot_product(qv.v, cv.v) /
+        |               (sqrt(list_dot_product(qv.v, qv.v)) *
+        |                sqrt(list_dot_product(cv.v, cv.v))) END, 6) AS cos
+        |  FROM xnew JOIN vec qv ON qv.vec_id = qid
+        |            JOIN vec cv ON cv.vec_id = cid),
+        |allc AS (SELECT * FROM esc UNION ALL SELECT * FROM xsc),
+        |r AS (SELECT qid, cid, cos, row_number() OVER (
+        |        PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rk
+        |      FROM allc)
+        |SELECT qid AS "query_id", cid AS "vec_id", cos AS "cosine",
+        |       rk::BIGINT AS "rank"
+        |FROM r WHERE rk <= 5 ORDER BY 1, 4""".stripMargin,
+
     "q_ann_recall" ->
       s"""WITH ivf AS (SELECT "query_id" AS q, vec_id AS v
          |             FROM ($annIvfSql)),

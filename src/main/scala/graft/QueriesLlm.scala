@@ -1180,6 +1180,25 @@ object QueriesLlm {
       .orderBy("query_id", "rank")
   }
 
+  /** Graph-expansion ANN (Ann.graphExpandTopK — the HNSW idea as
+    * bounded iterative joins): a 1-cell IVF entry probe widened by one
+    * hop over the 2-cell-assigned kNN graph, exact re-rank to top-5.
+    * Fully deterministic (sample centroids, id tie-breaks), so the
+    * DuckDB oracle replays the whole construction — assignment, edge
+    * list, probe, frontier, expansion, final rank — exactly.
+    */
+  def annGraph(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Ann.graphExpandTopK(
+        e.where(col("vec_id") < 10).select(col("vec_id").as("query_id"),
+          col("embedding")),
+        e.select(col("vec_id"), col("embedding")), k = 5, nCells = 16,
+        nProbe = 1, beam = 5, hops = 1, kG = 4)
+      .select(col("query_id"), col("vec_id"), col("cosine"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Recall@5 of IVF against the exact brute-force baseline, per query
     * — ANN quality measurement as a first-class oracle-checked query.
     */
@@ -1581,6 +1600,7 @@ object QueriesLlm {
     "q_ann_ivf" -> (annIvf _),
     "q_ann_ivf_kmeans" -> (annIvfKmeans _),
     "q_ann_recall" -> (annRecall _),
+    "q_ann_graph" -> (annGraph _),
     "q_text_stats" -> (textStats _),
     "q_term_df" -> (termDf _),
     "q_token_percentiles" -> (tokenPercentiles _),

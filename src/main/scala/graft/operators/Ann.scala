@@ -180,10 +180,8 @@ object Ann {
       queryIdCol: String = "query_id", corpusIdCol: String = "vec_id",
       vecCol: String = "embedding",
       trainedCentroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
-    val centroids: Seq[Seq[Double]] = trainedCentroids.getOrElse(corpus
-      .select(col(corpusIdCol), V.toDouble(col(vecCol)).as("v"))
-      .orderBy(corpusIdCol).limit(nCells)
-      .collect().toSeq.map(_.getSeq[Double](1).toSeq))
+    val centroids: Seq[Seq[Double]] = trainedCentroids.getOrElse(
+      sampleCentroids(corpus, nCells, corpusIdCol, vecCol))
     def probeCells(v: Column, n: Int): Column =
       transform(
         slice(reverse(array_sort(centroidScores(v, centroids))), 1, n),
@@ -202,6 +200,139 @@ object Ann {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
+
+  /** Within-neighborhood exact kNN graph — the navigable-neighbor
+    * layer under [[graphExpandTopK]] (HNSW-style search re-expressed
+    * as bounded joins). Every vector is assigned to its `nAssign`
+    * nearest centroids (not just the argmax: single-cell edges could
+    * never CROSS a Voronoi boundary, and a graph that only connects
+    * cell-mates adds nothing to a cell probe); candidate pairs are
+    * co-members of any shared cell, deduplicated, exact-cosine scored,
+    * and each source keeps its `kG` best out-neighbors.
+    *
+    * Scale shape: one explode to `nAssign` rows per vector, one
+    * equi-join on the cell key (never a cartesian — per-cell cost is
+    * (nAssign x |cell|)^2, tuned by `nCells` exactly like every other
+    * bucketed self-join in this engine), one window top-kG. The edge
+    * list is O(corpus x kG) rows of three scalars — at 100 TB build it
+    * once, persist it columnar, and amortize across query batches.
+    *
+    * @return (src, dst, cosine) — directed, kG rows per src, cosine
+    *         rounded at 6, ties to the lowest dst
+    */
+  def knnGraph(corpus: DataFrame, kG: Int, nCells: Int = 16,
+      nAssign: Int = 2, corpusIdCol: String = "vec_id",
+      vecCol: String = "embedding",
+      trainedCentroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    require(kG > 0 && nCells > 0 && nAssign > 0,
+      s"kG/nCells/nAssign must be > 0, got $kG/$nCells/$nAssign")
+    val centroids = trainedCentroids.getOrElse(
+      sampleCentroids(corpus, nCells, corpusIdCol, vecCol))
+    def nearestCells(v: Column, n: Int): Column =
+      transform(
+        slice(reverse(array_sort(centroidScores(v, centroids))), 1, n),
+        x => x.getField("c"))
+    val c = corpus.select(col(corpusIdCol).as("vec_id"),
+        V.toDouble(col(vecCol)).as("cv"))
+      .withColumn("cell", explode(nearestCells(col("cv"), nAssign)))
+    val pairs = c.select(col("cell"), col("vec_id").as("src"),
+        col("cv").as("sv"))
+      .join(c.select(col("cell"), col("vec_id").as("dst"),
+        col("cv").as("dv")), "cell")
+      .where(col("src") =!= col("dst"))
+      // a pair sharing two cells arrives twice with identical payloads
+      .dropDuplicates("src", "dst")
+    val w = Window.partitionBy("src")
+      .orderBy(col("cosine").desc, col("dst").asc)
+    pairs
+      .select(col("src"), col("dst"),
+        round(V.cosine(col("sv"), col("dv")), 6).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= kG)
+      .select("src", "dst", "cosine")
+  }
+
+  /** Graph-expansion ANN (the HNSW idea — greedy neighborhood descent
+    * over a proximity graph — re-expressed Spark-first as BOUNDED
+    * ITERATIVE JOINS): entry candidates come from an `nProbe`-cell IVF
+    * probe, then each of `hops` rounds takes the per-query top-`beam`
+    * scored candidates as the frontier, joins it to the [[knnGraph]]
+    * edge list, scores the not-yet-seen out-neighbors, and folds them
+    * into the candidate pool; the final exact re-rank emits top-k.
+    * Because the graph's edges cross Voronoi boundaries (see
+    * [[knnGraph]]), a hop recovers true neighbors the probed cells
+    * missed — cell-probe recall at a fraction of a wider probe's
+    * candidate volume.
+    *
+    * Scale shape: no stage ever touches more than O(queries x beam x
+    * kG) candidate rows per hop — each hop is one broadcast-sized
+    * frontier join against the cell-bucketed edge list plus one
+    * late-payload scoring join; `hops` is a compile-time-bounded loop
+    * of declarative plans (Catalyst sees a static DAG, nothing
+    * driver-iterative at row scale). Deterministic end to end: every
+    * ranking breaks ties by id.
+    */
+  def graphExpandTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 1, beam: Int = 8, hops: Int = 1,
+      kG: Int = 4, queryIdCol: String = "query_id",
+      corpusIdCol: String = "vec_id", vecCol: String = "embedding",
+      trainedCentroids: Option[Seq[Seq[Double]]] = None,
+      graph: Option[DataFrame] = None): DataFrame = {
+    require(k > 0 && beam > 0 && hops >= 0,
+      s"k/beam must be > 0 and hops >= 0, got $k/$beam/$hops")
+    val centroids = trainedCentroids.getOrElse(
+      sampleCentroids(corpus, nCells, corpusIdCol, vecCol))
+    def probeCells(v: Column, n: Int): Column =
+      transform(
+        slice(reverse(array_sort(centroidScores(v, centroids))), 1, n),
+        x => x.getField("c"))
+    val c = corpus.select(col(corpusIdCol).as("vec_id"),
+      V.toDouble(col(vecCol)).as("cv"))
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      V.toDouble(col(vecCol)).as("qv"))
+    val g = graph.getOrElse(knnGraph(corpus, kG, nCells,
+        nAssign = 2, corpusIdCol, vecCol, Some(centroids)))
+      .select(col("src"), col("dst"))
+    // entry: the probed cells' members, exact-scored (the same cells
+    // ivfTopK would search — the graph hops widen exactly this set)
+    val cCell = c.withColumn("cell", bestCellOf(col("cv"), centroids))
+    val qProbe = q.withColumn("cell",
+      explode(probeCells(col("qv"), nProbe)))
+    var cand = cCell.join(qProbe, "cell")
+      .select(col("query_id"), col("vec_id"),
+        round(V.cosine(col("qv"), col("cv")), 6).as("cosine"))
+    for (_ <- 1 to hops) {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+      val frontier = cand.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= beam).select("query_id", "vec_id")
+      val fresh = frontier.join(g, frontier("vec_id") === g("src"))
+        .select(col("query_id"), col("dst").as("vec_id")).distinct()
+        // seen candidates carry identical deterministic scores, so
+        // anti-join + union equals a distinct union — but skips
+        // re-scoring what the pool already holds
+        .join(cand.select("query_id", "vec_id"),
+          Seq("query_id", "vec_id"), "left_anti")
+      val scored = fresh.join(c, "vec_id").join(broadcast(q), "query_id")
+        .select(col("query_id"), col("vec_id"),
+          round(V.cosine(col("qv"), col("cv")), 6).as("cosine"))
+      cand = cand.unionByName(scored)
+    }
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Deterministic sample centroids — first `nCells` vectors by id,
+    * the init [[ivfTopK]], [[knnGraph]] and [[graphExpandTopK]] share
+    * (and [[trainIvfCentroids]] starts from).
+    */
+  private def sampleCentroids(corpus: DataFrame, nCells: Int,
+      corpusIdCol: String, vecCol: String): Seq[Seq[Double]] =
+    corpus.select(col(corpusIdCol), V.toDouble(col(vecCol)).as("v"))
+      .orderBy(corpusIdCol).limit(nCells)
+      .collect().toSeq.map(_.getSeq[Double](1).toSeq)
 
   /** Nearest-centroid cell assignment as a standalone frame —
     * (idCol, cell) for every corpus vector, the building block

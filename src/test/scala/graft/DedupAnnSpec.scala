@@ -831,6 +831,72 @@ class DedupAnnSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("graphExpandTopK: a hop recovers the cross-cell true neighbor") {
+    import graft.operators.Ann
+    // Hand-built 2-D geometry, 3 cells (centroids = ids 0/1/2): the
+    // query's best cell is 0, but its TRUE nearest neighbor (id 10)
+    // lives in cell 1 — invisible to a 1-cell probe. id 11 sits in
+    // cell 0 AND shares cell 1 under the graph's 2-cell assignment,
+    // so the edge 11 -> 10 bridges the Voronoi boundary and one hop
+    // must surface id 10 at rank 1.
+    val corpus = Seq(
+      (0L, Seq(1.0, 0.0)),   // centroid/cell 0
+      (1L, Seq(0.6, 0.8)),   // centroid/cell 1
+      (2L, Seq(0.0, 1.0)),   // centroid/cell 2
+      (10L, Seq(0.85, 0.527)), // true NN of the query, primary cell 1
+      (11L, Seq(0.95, 0.312))  // the bridge: cell 0, second cell 1
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((100L, Seq(0.9, 0.436)))
+      .toDF("query_id", "embedding")
+    val ivf = Ann.ivfTopK(queries, corpus, k = 2, nCells = 3,
+        nProbe = 1)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(ivf == Seq(11L, 0L), s"1-cell probe fixture drifted: $ivf")
+    val graph = Ann.graphExpandTopK(queries, corpus, k = 2, nCells = 3,
+        nProbe = 1, beam = 2, hops = 1, kG = 4)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(graph == Seq(10L, 11L),
+      s"hop did not recover the cross-cell neighbor: $graph")
+  }
+
+  test("graphExpandTopK: hops=0 equals ivfTopK; recall monotone in hops") {
+    import graft.operators.Ann
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = e.select(col("vec_id"), col("embedding"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    // hops=0 short-circuits to exactly the entry probe = ivfTopK over
+    // the same cells
+    val zero = ids(Ann.graphExpandTopK(queries, corpus, k = 5,
+      nCells = 16, nProbe = 1, beam = 5, hops = 0))
+    val ivf1 = ids(Ann.ivfTopK(queries, corpus, k = 5, nCells = 16,
+      nProbe = 1))
+    assert(zero == ivf1)
+    // a true top-k element present in ANY candidate set ranks <= k
+    // there (fewer than k vectors score above it globally), so
+    // candidate-set growth can only add true hits: per-query recall
+    // must be monotone from entry-only to one hop
+    val brute = Ann.bruteForceTopK(queries, corpus, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val one = ids(Ann.graphExpandTopK(queries, corpus, k = 5,
+      nCells = 16, nProbe = 1, beam = 5, hops = 1))
+    val qids = brute.map(_._1)
+    for (q <- qids) {
+      val r0 = (zero.filter(_._1 == q) & brute).size
+      val r1 = (one.filter(_._1 == q) & brute).size
+      assert(r1 >= r0, s"query $q: hop LOWERED recall $r0 -> $r1")
+    }
+    // determinism: an identical invocation returns the identical set
+    assert(one == ids(Ann.graphExpandTopK(queries, corpus, k = 5,
+      nCells = 16, nProbe = 1, beam = 5, hops = 1)))
+    // edge contract: at most kG out-edges per source
+    val maxOut = Ann.knnGraph(corpus, kG = 4, nCells = 16)
+      .groupBy("src").count().agg(max("count")).as[Long].collect()(0)
+    assert(maxOut <= 4)
+  }
+
   test("cellAssignments: nearest centroid by cosine, ties to the highest cell") {
     import graft.operators.Ann
     val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
