@@ -1616,6 +1616,43 @@ object Oracles {
         |       rk::BIGINT AS "rank"
         |FROM r WHERE rk <= 5 ORDER BY 1, 4""".stripMargin,
 
+    // The kNN edge list gated directly: same assignment/pair/score
+    // pipeline as q_ann_graph's edg CTE, output restricted to src < 50.
+    "q_knn_graph" ->
+      """WITH vec AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |             FROM embeddings),
+        |cent AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cell,
+        |                v AS cv
+        |         FROM (SELECT vec_id, v FROM vec ORDER BY vec_id LIMIT 16)),
+        |sc AS (SELECT vec_id, cell,
+        |    CASE WHEN list_dot_product(v, v) = 0
+        |           OR list_dot_product(cv, cv) = 0 THEN 0.0
+        |         ELSE list_dot_product(v, cv) /
+        |              (sqrt(list_dot_product(v, v)) *
+        |               sqrt(list_dot_product(cv, cv))) END AS s
+        |  FROM vec CROSS JOIN cent),
+        |asg2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |           row_number() OVER (PARTITION BY vec_id
+        |             ORDER BY s DESC, cell DESC) AS rn FROM sc)
+        |         WHERE rn <= 2),
+        |ep AS (SELECT DISTINCT a.vec_id AS esrc, b.vec_id AS edst
+        |       FROM asg2 a JOIN asg2 b
+        |         ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+        |es AS (SELECT esrc, edst,
+        |    round(CASE WHEN sqrt(list_dot_product(sv.v, sv.v)) = 0
+        |                 OR sqrt(list_dot_product(dv.v, dv.v)) = 0 THEN 0.0
+        |          ELSE list_dot_product(sv.v, dv.v) /
+        |               (sqrt(list_dot_product(sv.v, sv.v)) *
+        |                sqrt(list_dot_product(dv.v, dv.v))) END, 6) AS cos
+        |  FROM ep JOIN vec sv ON sv.vec_id = esrc
+        |          JOIN vec dv ON dv.vec_id = edst),
+        |edg AS (SELECT esrc, edst, cos FROM (SELECT esrc, edst, cos,
+        |          row_number() OVER (PARTITION BY esrc
+        |            ORDER BY cos DESC, edst ASC) AS rk FROM es)
+        |        WHERE rk <= 4)
+        |SELECT esrc AS "src", edst AS "dst", cos AS "cosine"
+        |FROM edg WHERE esrc < 50 ORDER BY 1, 2""".stripMargin,
+
     "q_ann_recall" ->
       s"""WITH ivf AS (SELECT "query_id" AS q, vec_id AS v
          |             FROM ($annIvfSql)),

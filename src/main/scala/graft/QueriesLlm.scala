@@ -1199,6 +1199,21 @@ object QueriesLlm {
       .orderBy("query_id", "rank")
   }
 
+  /** The navigable-neighbor layer itself (Ann.knnGraph), oracle-gated
+    * directly rather than only through the search that consumes it:
+    * per-src top-4 exact-cosine out-edges from 2-cell assignment,
+    * restricted to src < 50 for bounded output. The DuckDB oracle
+    * replays assignment, co-membership pairs, scoring and the per-src
+    * rank exactly.
+    */
+  def knnGraphQ(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Ann.knnGraph(e.select(col("vec_id"), col("embedding")), kG = 4,
+        nCells = 16)
+      .where(col("src") < 50)
+      .orderBy("src", "dst")
+  }
+
   /** Recall@5 of IVF against the exact brute-force baseline, per query
     * — ANN quality measurement as a first-class oracle-checked query.
     */
@@ -1601,6 +1616,7 @@ object QueriesLlm {
     "q_ann_ivf_kmeans" -> (annIvfKmeans _),
     "q_ann_recall" -> (annRecall _),
     "q_ann_graph" -> (annGraph _),
+    "q_knn_graph" -> (knnGraphQ _),
     "q_text_stats" -> (textStats _),
     "q_term_df" -> (termDf _),
     "q_token_percentiles" -> (tokenPercentiles _),
