@@ -235,18 +235,30 @@ object Ann {
     val c = corpus.select(col(corpusIdCol).as("vec_id"),
         V.toDouble(col(vecCol)).as("cv"))
       .withColumn("cell", explode(nearestCells(col("cv"), nAssign)))
-    val pairs = c.select(col("cell"), col("vec_id").as("src"),
+    // score each UNORDERED pair once and mirror: cosine is exactly
+    // symmetric (identical summation order either way), so the mirror
+    // is bit-equal to re-scoring — half the kernel work of the naive
+    // both-directions self-join. Score BEFORE deduplicating: the
+    // kernel is a codegen'd projection over the join stream (no
+    // shuffle), while dropDuplicates shuffles its input — deduping
+    // first moved every pair's TWO vector payloads through the
+    // exchange (~1 KB/row; the x10 probe measured the build 75x at
+    // 10x data on exactly that shuffle), deduping after moves 24-byte
+    // scored rows. A pair sharing two cells scores twice and both
+    // copies are identical, so the dedupe keeps an arbitrary one.
+    val half = c.select(col("cell"), col("vec_id").as("src"),
         col("cv").as("sv"))
       .join(c.select(col("cell"), col("vec_id").as("dst"),
         col("cv").as("dv")), "cell")
-      .where(col("src") =!= col("dst"))
-      // a pair sharing two cells arrives twice with identical payloads
-      .dropDuplicates("src", "dst")
-    val w = Window.partitionBy("src")
-      .orderBy(col("cosine").desc, col("dst").asc)
-    pairs
+      .where(col("src") < col("dst"))
       .select(col("src"), col("dst"),
         round(V.cosine(col("sv"), col("dv")), 6).as("cosine"))
+      .dropDuplicates("src", "dst")
+    val sym = half.unionByName(half.select(col("dst").as("src"),
+      col("src").as("dst"), col("cosine")))
+    val w = Window.partitionBy("src")
+      .orderBy(col("cosine").desc, col("dst").asc)
+    sym
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= kG)
       .select("src", "dst", "cosine")
