@@ -1537,6 +1537,70 @@ object Oracles {
     // structs), queries probe their 2 best cells, exact cosine re-rank.
     "q_ann_ivf" -> annIvfSql,
 
+    // Two-level coarse-quantized IVF (operators/Ann.ivf2TopK): 64
+    // sample fine centroids (first 64 by vec_id), the first 8 as
+    // coarse; fine->coarse by cosine argmax (ties -> higher coarse,
+    // the struct-max convention), corpus assigned coarse-then-fine
+    // within the matched coarse cell only, queries probe their 2 best
+    // coarse cells then the 4 best fine cells within them, exact
+    // cosine re-rank. The whole two-level construction replayed,
+    // hash-exact.
+    "q_ann_ivf2" ->
+      s"""WITH vec AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |             FROM embeddings),
+         |fine AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cell,
+         |                v AS cv
+         |         FROM (SELECT vec_id, v FROM vec ORDER BY vec_id
+         |               LIMIT 64)),
+         |coarse AS (SELECT cell AS ccell, cv AS ccv FROM fine
+         |           WHERE cell < 8),
+         |f2c AS (SELECT cell, ccell FROM (
+         |    SELECT f.cell, c.ccell, row_number() OVER (
+         |        PARTITION BY f.cell
+         |        ORDER BY ${cosSql("f.cv", "c.ccv")} DESC, c.ccell DESC)
+         |      AS rn
+         |    FROM fine f CROSS JOIN coarse c) WHERE rn = 1),
+         |casg AS (SELECT vec_id, ccell FROM (
+         |    SELECT v.vec_id, c.ccell, row_number() OVER (
+         |        PARTITION BY v.vec_id
+         |        ORDER BY ${cosSql("v.v", "c.ccv")} DESC, c.ccell DESC)
+         |      AS rn
+         |    FROM vec v CROSS JOIN coarse c) WHERE rn = 1),
+         |fasg AS (SELECT vec_id, cell FROM (
+         |    SELECT v.vec_id, f.cell, row_number() OVER (
+         |        PARTITION BY v.vec_id
+         |        ORDER BY ${cosSql("v.v", "f.cv")} DESC, f.cell DESC)
+         |      AS rn
+         |    FROM vec v JOIN casg a ON a.vec_id = v.vec_id
+         |         JOIN f2c m ON m.ccell = a.ccell
+         |         JOIN fine f ON f.cell = m.cell) WHERE rn = 1),
+         |qprb AS (SELECT vec_id AS qid, ccell FROM (
+         |    SELECT v.vec_id, c.ccell, row_number() OVER (
+         |        PARTITION BY v.vec_id
+         |        ORDER BY ${cosSql("v.v", "c.ccv")} DESC, c.ccell DESC)
+         |      AS rn
+         |    FROM vec v CROSS JOIN coarse c WHERE v.vec_id < 10)
+         |  WHERE rn <= 2),
+         |qfine AS (SELECT qid, cell FROM (
+         |    SELECT p.qid, f.cell, row_number() OVER (PARTITION BY p.qid
+         |        ORDER BY ${cosSql("qv.v", "f.cv")} DESC, f.cell DESC)
+         |      AS rn
+         |    FROM qprb p JOIN f2c m ON m.ccell = p.ccell
+         |         JOIN fine f ON f.cell = m.cell
+         |         JOIN vec qv ON qv.vec_id = p.qid) WHERE rn <= 4),
+         |cand AS (SELECT q.qid, a.vec_id AS cid
+         |         FROM qfine q JOIN fasg a ON a.cell = q.cell),
+         |cs AS (SELECT qid, cid, round(${cosSql("qv.v", "cv.v")}, 6) AS cos
+         |       FROM cand JOIN vec qv ON qv.vec_id = qid
+         |                 JOIN vec cv ON cv.vec_id = cid),
+         |r AS (SELECT qid, cid, cos,
+         |        row_number() OVER (PARTITION BY qid
+         |                           ORDER BY cos DESC, cid ASC) AS rk
+         |      FROM cs)
+         |SELECT qid AS "query_id", cid AS "vec_id", cos AS "cosine",
+         |       rk::BIGINT AS "rank"
+         |FROM r WHERE rk <= 5 ORDER BY 1, 4""".stripMargin,
+
     // Recall@5 of IVF vs the exact baseline — the ANN quality metric
     // as a first-class oracle-checked query (both sides are themselves
     // SQL-expressible, so their agreement is too).

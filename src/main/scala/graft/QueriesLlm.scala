@@ -1180,6 +1180,28 @@ object QueriesLlm {
       .orderBy("query_id", "rank")
   }
 
+  /** Two-level coarse-quantized IVF (Ann.ivf2TopK — the scale fix for
+    * flat IVF's O(N x nCells) literal assignment): 64 sample fine
+    * centroids, the first 8 as coarse, fine centroids broadcast as
+    * DATA (never in the expression tree); corpus assigned
+    * coarse-then-fine, queries probe 2 coarse cells then the 4 best
+    * fine cells within them, exact cosine re-rank to top-5. Fully
+    * deterministic — the DuckDB oracle replays the whole two-level
+    * construction (fine->coarse map, both assignments, both probe
+    * levels, final rank) exactly.
+    */
+  def annIvf2(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Ann.ivf2TopK(
+        e.where(col("vec_id") < 10).select(col("vec_id").as("query_id"),
+          col("embedding")),
+        e.select(col("vec_id"), col("embedding")), k = 5, nCells = 64,
+        nCoarse = 8, wProbe = 2, nProbe = 4)
+      .select(col("query_id"), col("vec_id"), col("cosine"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Graph-expansion ANN (Ann.graphExpandTopK — the HNSW idea as
     * bounded iterative joins): a 1-cell IVF entry probe widened by one
     * hop over the 2-cell-assigned kNN graph, exact re-rank to top-5.
@@ -1614,6 +1636,7 @@ object QueriesLlm {
     "q_ann_lsh" -> (annLsh _),
     "q_ann_ivf" -> (annIvf _),
     "q_ann_ivf_kmeans" -> (annIvfKmeans _),
+    "q_ann_ivf2" -> (annIvf2 _),
     "q_ann_recall" -> (annRecall _),
     "q_ann_graph" -> (annGraph _),
     "q_knn_graph" -> (knnGraphQ _),

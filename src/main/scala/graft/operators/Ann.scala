@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
 
 import graft.functions.{VectorFunctions => V}
 
@@ -195,6 +196,137 @@ object Ann {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
     c.join(q, "cell") // cells are disjoint per corpus row: no dup pairs
+      .select(col("query_id"), col("vec_id"),
+        round(V.cosine(col("qv"), col("cv")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Two-level (coarse-quantized) IVF — the designated fix for flat
+    * IVF's scale bend: [[ivfTopK]]'s nearest-centroid argmax inlines
+    * all `nCells` centroids as literals, so assignment is O(N x
+    * nCells) and the expression tree grows with the index — fine to
+    * ~10^3 cells, wrong past ~10^4 (the `AnnGraphProbe` cost law).
+    * Here the centroid set is SPLIT: `nCoarse` coarse centroids (the
+    * first `nCoarse` fine centroids, deterministic) stay literal —
+    * O(nCoarse) per row — and the fine centroids move into DATA: a
+    * tiny (`nCoarse`-row) frame mapping each coarse cell to the array
+    * of its member fine centroids, broadcast-hash-joined to the
+    * corpus (no shuffle) so the fine argmax only scans the matched
+    * coarse cell's members. Assignment cost drops from O(nCells) to
+    * O(nCoarse + nCells/nCoarse) per row — minimized at nCoarse =
+    * sqrt(nCells), the standard two-level coarse quantizer — and the
+    * expression tree stays O(nCoarse) no matter how many fine cells
+    * the index has.
+    *
+    * Search mirrors the assignment: a query probes its `wProbe` best
+    * coarse cells, takes the `nProbe` best fine cells within them,
+    * and exact cosine re-ranks those cells' corpus members. Note the
+    * semantics differ from flat IVF exactly where a true nearest fine
+    * centroid lives under an unprobed coarse cell — that is the
+    * approximation `wProbe` tunes, same recall/cost dial as every
+    * other ANN path here.
+    *
+    * Fully deterministic (sample centroids, struct-max ties to the
+    * higher cell at every level, id tie-breaks in the final rank), so
+    * a SQL oracle replays the entire construction. Scale shape: two
+    * broadcast joins and the final per-query top-k window are the
+    * only exchanges touching the corpus — the corpus itself shuffles
+    * once, on the fine-cell key of the candidate join.
+    */
+  def ivf2TopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 64, nCoarse: Int = 8, wProbe: Int = 2,
+      nProbe: Int = 4, queryIdCol: String = "query_id",
+      corpusIdCol: String = "vec_id", vecCol: String = "embedding",
+      trainedCentroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    require(nCoarse > 0 && nCoarse <= nCells,
+      s"need 0 < nCoarse <= nCells, got $nCoarse/$nCells")
+    require(wProbe > 0 && wProbe <= nCoarse && nProbe > 0 && k > 0,
+      s"need 0 < wProbe <= nCoarse and nProbe/k > 0, got $wProbe/$nProbe/$k")
+    val fine: Seq[Seq[Double]] = trainedCentroids.getOrElse(
+      sampleCentroids(corpus, nCells, corpusIdCol, vecCol))
+    val coarse = fine.take(nCoarse)
+    // Driver-side cosine over the centroid matrix only (nCells x dim,
+    // already collected): left-to-right summation, the same order as
+    // the engine kernel and SQL list_dot_product, so the fine->coarse
+    // map is bit-reproducible by the oracle.
+    def dotD(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def cosD(a: Seq[Double], b: Seq[Double]): Double = {
+      val na = dotD(a, a); val nb = dotD(b, b)
+      if (na == 0 || nb == 0) 0.0
+      else dotD(a, b) / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // fine cell -> its nearest coarse cell, ties to the HIGHER coarse
+    // id (the file-wide struct-max convention).
+    val f2c: Seq[Int] = fine.map { fc =>
+      var best = 0; var bs = Double.NegativeInfinity
+      var j = 0
+      while (j < coarse.length) {
+        val s = cosD(fc, coarse(j))
+        if (s >= bs) { bs = s; best = j }
+        j += 1
+      }
+      best
+    }
+    // The fine level as DATA, not expression: one row per coarse cell
+    // holding its member fine (cell, centroid) structs. nCoarse rows x
+    // ~(nCells/nCoarse) structs — broadcastable at any realistic index
+    // size, and the plan's expression tree never sees a fine centroid.
+    val spark = corpus.sparkSession
+    val fineStruct = StructType(Seq(
+      StructField("fc", IntegerType, nullable = false),
+      StructField("fv", ArrayType(DoubleType, containsNull = false),
+        nullable = false)))
+    val tblSchema = StructType(Seq(
+      StructField("ccell", IntegerType, nullable = false),
+      StructField("fines", ArrayType(fineStruct, containsNull = false),
+        nullable = false)))
+    val grpRows = f2c.zipWithIndex.groupBy(_._1).toSeq.map {
+      case (cc, members) =>
+        Row(cc, members.map(_._2).sorted.map(i => Row(i, fine(i))))
+    }
+    val fineTbl = spark.createDataFrame(
+      spark.sparkContext.parallelize(grpRows, 1), tblSchema)
+    def fineArgmax(v: Column): Column =
+      array_max(transform(col("fines"), f =>
+        struct(V.cosine(v, f.getField("fv")).as("s"),
+          f.getField("fc").as("c")))).getField("c")
+    def probeCoarse(v: Column, n: Int): Column =
+      transform(
+        slice(reverse(array_sort(centroidScores(v, coarse))), 1, n),
+        x => x.getField("c"))
+    // corpus: O(nCoarse) literal argmax -> broadcast join (no shuffle)
+    // -> fine argmax over the matched coarse cell's members only
+    val c = corpus.select(col(corpusIdCol).as("vec_id"),
+        V.toDouble(col(vecCol)).as("cv"))
+      .withColumn("ccell", bestCellOf(col("cv"), coarse))
+      .join(broadcast(fineTbl), "ccell")
+      .withColumn("cell", fineArgmax(col("cv")))
+      .select("vec_id", "cv", "cell")
+    // queries: wProbe coarse cells -> union of their fine lists ->
+    // global top-nProbe fine cells per query (ties -> higher cell)
+    val qf = queries.select(col(queryIdCol).as("query_id"),
+        V.toDouble(col(vecCol)).as("qv"))
+      .withColumn("ccell", explode(probeCoarse(col("qv"), wProbe)))
+      .join(broadcast(fineTbl), "ccell")
+      .select(col("query_id"), col("qv"), explode(col("fines")).as("f"))
+      .select(col("query_id"), col("qv"),
+        col("f").getField("fc").as("cell"),
+        V.cosine(col("qv"), col("f").getField("fv")).as("s"))
+    val wp = Window.partitionBy("query_id")
+      .orderBy(col("s").desc, col("cell").desc)
+    val q = qf.withColumn("rn", row_number().over(wp))
+      .where(col("rn") <= nProbe)
+      .select("query_id", "qv", "cell")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    // fine cells are disjoint per corpus row AND per query probe set
+    // (each fine cell maps to exactly one coarse cell): no dup pairs
+    c.join(q, "cell")
       .select(col("query_id"), col("vec_id"),
         round(V.cosine(col("qv"), col("cv")), 6).as("cosine"))
       .withColumn("rank", row_number().over(w))

@@ -173,6 +173,64 @@ class DedupAnnSpec extends SparkSpec {
     assert(out.length == 4 && out.forall(p => p._1 == p._2))
   }
 
+  test("ivf2TopK: self at rank 1 under a single-coarse probe") {
+    // wProbe=1 probes exactly the query's own coarse cell, whose best
+    // fine cell IS the corpus assignment of the query vector — so a
+    // corpus query must always find itself first.
+    val q = vecs.select(col("vec_id").as("query_id"), col("embedding"))
+    val out = Ann.ivf2TopK(q, vecs, k = 1, nCells = 4, nCoarse = 2,
+        wProbe = 1, nProbe = 1)
+      .select("query_id", "vec_id", "cosine").collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+      assert(r.getDouble(2) == 1.0)
+    }
+  }
+
+  test("ivf2TopK: full probe equals bruteForceTopK; deterministic") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = e.select(col("vec_id"), col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "cosine", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    // probing every coarse cell and every fine cell makes the
+    // candidate set the whole corpus -> exact brute-force equality
+    val full = rows(Ann.ivf2TopK(queries, corpus, k = 5, nCells = 64,
+      nCoarse = 8, wProbe = 8, nProbe = 64))
+    val brute = rows(Ann.bruteForceTopK(queries, corpus, k = 5))
+    assert(full == brute)
+    val d1 = rows(Ann.ivf2TopK(queries, corpus, k = 5))
+    val d2 = rows(Ann.ivf2TopK(queries, corpus, k = 5))
+    assert(d1 == d2)
+  }
+
+  test("ivf2TopK: default probe keeps useful recall; broadcast plan") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = e.select(col("vec_id"), col("embedding"))
+    val out = Ann.ivf2TopK(queries, corpus, k = 5)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect().toSeq
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val approx = ids(out)
+    val exact = ids(Ann.bruteForceTopK(queries, corpus, k = 5))
+    val recalls = exact.map { case (qid, ex) =>
+      approx.getOrElse(qid, Set.empty[Long]).intersect(ex).size.toDouble /
+        ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"two-level recall@5 collapsed to $mean")
+    // the fine level must enter as a broadcast join, never a cartesian
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "fine table not broadcast")
+    assert(!plan.contains("CartesianProduct"), "cartesian in ivf2 plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "BNLJ in ivf2 plan")
+  }
+
   test("cosineNearDupPairs at high threshold keeps only the parallel pair") {
     val out = Ann.cosineNearDupPairs(vecs, threshold = 0.99, dim = 4,
         numPlanes = 8, bands = 8)
