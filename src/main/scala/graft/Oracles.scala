@@ -1601,6 +1601,60 @@ object Oracles {
          |       rk::BIGINT AS "rank"
          |FROM r WHERE rk <= 5 ORDER BY 1, 4""".stripMargin,
 
+    // KMV distinct sketch (operators/Sketches.kmvDistinct): 64
+    // smallest distinct md5-60 hashes per event_type; estimate
+    // (k-1)/(h_k/2^60), exact count when fewer than k distinct. Full
+    // replay — hashing, min-selection, the estimate division.
+    "q_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT event_type AS grp,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |mins AS (SELECT grp, h, row_number() OVER (PARTITION BY grp
+        |    ORDER BY h ASC) AS rn FROM h),
+        |k AS (SELECT grp, count(*) AS n_mins, max(h) AS hk
+        |      FROM mins WHERE rn <= 64 GROUP BY grp)
+        |SELECT grp AS "group",
+        |  CASE WHEN n_mins < 64 THEN n_mins::DOUBLE
+        |       ELSE round(63::DOUBLE /
+        |              (hk::DOUBLE / 1152921504606846976::DOUBLE), 3)
+        |  END AS distinct_est
+        |FROM k ORDER BY 1""".stripMargin,
+
+    // HyperLogLog raw estimate (operators/Sketches.hllDistinct, p=5
+    // m=32 alpha=0.697): low 5 hash bits -> register, rank via
+    // bin/ltrim (no floating log), register sum as an ordered
+    // list_reduce fold (matches the engine's left-to-right aggregate
+    // over the register-id-sorted array bit-for-bit).
+    "q_hll_distinct" ->
+      """WITH h AS (SELECT event_type AS grp,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |rr AS (SELECT grp, (h & 31) AS j,
+        |    (56 - length(ltrim(bin(h >> 5), '0'))) AS r
+        |  FROM h),
+        |regs AS (SELECT grp, j, max(r) AS r FROM rr GROUP BY grp, j),
+        |z AS (SELECT grp, count(*) AS nz,
+        |    list_reduce(list(pow(2::DOUBLE, -r) ORDER BY j),
+        |                (a, b) -> a + b) AS zp
+        |  FROM regs GROUP BY grp)
+        |SELECT grp AS "group",
+        |  round((0.697::DOUBLE * 32 * 32) /
+        |        (zp + (32::DOUBLE - nz::DOUBLE)), 2) AS distinct_est
+        |FROM z ORDER BY 1""".stripMargin,
+
+    // Bloom-pruned star join (operators/RuntimeFilter.bloomPrunedJoin):
+    // the Bloom prefilter never drops a true match and the join
+    // discards its false positives, so the semantics — and this oracle
+    // — are exactly the plain selective join + rollup. Decimal(30,15)
+    // accumulation for the bit-stable total.
+    "q_bloom_join" ->
+      """SELECT c.c_nationkey, count(*) AS n_orders,
+        |  round((sum(o.o_totalprice::DECIMAL(30,15)))::DOUBLE, 2)
+        |    AS sum_total
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_nationkey < 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Recall@5 of IVF vs the exact baseline — the ANN quality metric
     // as a first-class oracle-checked query (both sides are themselves
     // SQL-expressible, so their agreement is too).

@@ -1602,8 +1602,53 @@ object QueriesLlm {
       .orderBy("source", "doc_id", "epoch")
   }
 
+  /** KMV distinct sketch (Sketches.kmvDistinct): per-event-type
+    * distinct-user estimate from the 64 smallest md5-60 hash values.
+    * Catalyst's WindowGroupLimit caps per-task state at k rows/group;
+    * the estimate arithmetic is a single deterministic division, so
+    * the oracle replays hashing, min-selection and estimate exactly.
+    */
+  def kmvDistinctQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.kmvDistinct(
+        t(s, dir, "events"), "event_type", "user_id", k = 64)
+      .orderBy("group")
+
+  /** HyperLogLog distinct sketch (Sketches.hllDistinct, raw
+    * estimator, p=5/m=32): register max-ranks via bin/ltrim (no
+    * floating log), register sum as an ordered fold — every double op
+    * ordered, so the DuckDB replay hash-matches the estimate itself.
+    */
+  def hllDistinctQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.hllDistinct(
+        t(s, dir, "events"), "event_type", "user_id", p = 5)
+      .orderBy("group")
+
+  /** Bloom-pruned star join (RuntimeFilter.bloomPrunedJoin): orders
+    * pruned by a Bloom filter over the selective customer slice
+    * (c_nationkey < 3) before the broadcast join. False positives are
+    * discarded by the join itself, so the result — and the oracle —
+    * is exactly the plain join + rollup; the filter only controls how
+    * many fact rows survive to the join. Sum accumulates in
+    * decimal(30,15) (exactly associative) for bit-stable totals.
+    */
+  def bloomJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val dims = t(s, dir, "customer").where(col("c_nationkey") < 3)
+    graft.operators.RuntimeFilter.bloomPrunedJoin(
+        orders, dims, "o_custkey", "c_custkey",
+        expectedItems = 10000L)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(30,15)"))
+          .cast("double"), 2).as("sum_total"))
+      .orderBy("c_nationkey")
+  }
+
   /** All LLM-family queries. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmv_distinct" -> (kmvDistinctQ _),
+    "q_hll_distinct" -> (hllDistinctQ _),
+    "q_bloom_join" -> (bloomJoinQ _),
     "q_mixture_alloc" -> (mixtureAllocQ _),
     "q_mixture_sample" -> (mixtureSampleQ _),
     "q_seg_dedup" -> (segDedupQ _),

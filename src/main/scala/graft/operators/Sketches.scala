@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distinct-count sketches — bounded-state cardinality estimation for
+  * profiling at 100 TB, where exact `count(distinct)` shuffles every
+  * distinct key. Both sketches hash with the engine-wide md5-derived
+  * 60-bit idiom (`('0x'||substr(md5(x),1,15))::BIGINT` in SQL), so the
+  * whole construction — hashing, register/min selection, the estimate
+  * arithmetic — is replayed exactly by an md5-equipped SQL oracle; no
+  * JVM PRNG, no engine-private hash.
+  *
+  * Determinism discipline for the floating-point tails: every double
+  * reduction is an ordered left-to-right fold over a sorted bounded
+  * array (`aggregate` / SQL `list_reduce`), `pow(2, -r)` is exact for
+  * integer r, and constants fold left-associatively in both engines —
+  * so the estimates hash-match bit-for-bit, not just approximately.
+  */
+object Sketches {
+
+  /** The 60-bit uniform hash as a column (same idiom as
+    * [[Sampling]]'s hash splits): reproducible by any md5-equipped
+    * engine, uniform enough for order statistics.
+    */
+  private def h60(v: Column): Column =
+    conv(substring(md5(v.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** KMV (k-minimum-values) distinct estimate per group: keep the k
+    * smallest distinct hash values; with the k-th smallest normalized
+    * to u = h_k / 2^60, the estimator is (k-1)/u. Groups with fewer
+    * than k distinct values report their EXACT count (every hash was
+    * kept, nothing was estimated).
+    *
+    * Scale shape: the `row_number <= k` filter is recognized by
+    * Catalyst's WindowGroupLimit rule, so each map task forwards at
+    * most k rows per group BEFORE the exchange — state is O(groups x
+    * k) end to end, never the distinct-key volume an exact
+    * count(distinct) shuffles.
+    *
+    * Output: (group, distinct_est) — estimate rounded at 3.
+    */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val hashed = df
+      .select(col(groupCol).as("group"), h60(col(valueCol)).as("h"))
+      .distinct()
+    val w = Window.partitionBy("group").orderBy(col("h").asc)
+    hashed.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .groupBy("group")
+      .agg(count(lit(1)).as("n_mins"), max(col("h")).as("hk"))
+      .select(col("group"),
+        when(col("n_mins") < k, col("n_mins").cast("double"))
+          .otherwise(round(
+            lit((k - 1).toDouble) /
+              (col("hk").cast("double") / lit(1152921504606846976.0)),
+            3))
+          .as("distinct_est"))
+  }
+
+  /** HyperLogLog distinct estimate per group, raw estimator: the low
+    * `p` hash bits pick one of m = 2^p registers, each register keeps
+    * the max rank (leading-zero count + 1) of the remaining 60-p
+    * bits, and the estimate is alpha_m * m^2 / sum_j 2^-M_j. Absent
+    * registers contribute 2^0 = 1 each, no driver-side state — the
+    * aggregation buffer is one small int per (group, register).
+    *
+    * Rank avoids floating log entirely: rank = (61-p) - length of the
+    * binary string of w with leading zeros trimmed — `bin`/`ltrim`/
+    * `length` behave identically in Spark and SQL oracles, including
+    * the w = 0 all-zeros case. The register sum is an ordered fold
+    * over the register-id-sorted array (bounded at m entries/group).
+    *
+    * RAW estimator only, by design: the standard small-range linear
+    * counting correction needs `ln`, whose last-ulp behavior differs
+    * across math libraries and would break bit-reproducibility. Below
+    * ~2.5m true distincts the raw estimate reads high — size p to the
+    * expected cardinality (or use [[kmvDistinct]], which is exact in
+    * exactly that small regime).
+    *
+    * Output: (group, distinct_est) — estimate rounded at 2.
+    */
+  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String,
+      p: Int = 5): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val alphaNum = alpha * m * m // left-assoc, same in the oracle
+    val regs = df
+      .select(col(groupCol).as("group"), h60(col(valueCol)).as("h"))
+      .select(col("group"),
+        col("h").bitwiseAND(lit((m - 1).toLong)).as("j"),
+        (lit(61 - p) -
+          length(ltrim(bin(shiftright(col("h"), p)), "0"))).as("r"))
+      .groupBy("group", "j")
+      .agg(max(col("r")).as("r"))
+    regs.groupBy("group")
+      .agg(count(lit(1)).as("nz"),
+        aggregate(
+          transform(sort_array(collect_list(struct(col("j"), col("r")))),
+            x => pow(lit(2.0), -x.getField("r"))),
+          lit(0.0), (acc, x) => acc + x).as("z_present"))
+      .select(col("group"),
+        round(lit(alphaNum) /
+          (col("z_present") +
+            (lit(m.toDouble) - col("nz").cast("double"))), 2)
+          .as("distinct_est"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{RuntimeFilter, Sketches}
+
+/** Distinct-count sketches + the Bloom runtime-filter join. */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events(sf: String) =
+    spark.read.parquet(s"/root/testdata/sf$sf/events.parquet")
+
+  test("kmvDistinct: below-k groups report the exact distinct count") {
+    // sf0.001 has exactly 15 distinct users per event_type; k=64 > 15
+    // means every hash was kept and the sketch degrades to exact.
+    val out = Sketches.kmvDistinct(events("0.001"), "event_type",
+        "user_id", k = 64)
+      .as[(String, Double)].collect().toMap
+    assert(out.size == 5)
+    out.foreach { case (g, est) => assert(est == 15.0, s"$g -> $est") }
+  }
+
+  test("kmvDistinct: estimates land near truth; WindowGroupLimit plan") {
+    // sf0.1: 1500 distinct users per type; k=64 -> ~13% std error.
+    val df = Sketches.kmvDistinct(events("0.1"), "event_type",
+      "user_id", k = 64)
+    val out = df.as[(String, Double)].collect().toMap
+    out.foreach { case (g, est) =>
+      assert(est > 750 && est < 3000, s"$g estimate $est vs truth 1500")
+    }
+    // the rn <= k filter must become a group limit so map tasks keep
+    // only k rows per group before the exchange — the scale contract
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), "rank pushdown missing")
+  }
+
+  test("hllDistinct: raw estimate tracks truth in the raw regime") {
+    // truth 150 (sf0.01) and 1500 (sf0.1) vs m=32 registers: both are
+    // above the 2.5m small-range cutoff, so the raw estimator applies;
+    // std error ~1.04/sqrt(32) = 18%.
+    for ((sf, truth) <- Seq(("0.01", 150.0), ("0.1", 1500.0))) {
+      val out = Sketches.hllDistinct(events(sf), "event_type",
+          "user_id", p = 5)
+        .as[(String, Double)].collect().toMap
+      assert(out.size == 5)
+      out.foreach { case (g, est) =>
+        assert(est > truth * 0.55 && est < truth * 1.8,
+          s"sf$sf $g estimate $est vs truth $truth")
+      }
+    }
+  }
+
+  test("hllDistinct: deterministic across runs and repartitionings") {
+    val a = Sketches.hllDistinct(events("0.01"), "event_type",
+      "user_id", p = 5).as[(String, Double)].collect().toMap
+    val b = Sketches.hllDistinct(events("0.01").repartition(17),
+      "event_type", "user_id", p = 5)
+      .as[(String, Double)].collect().toMap
+    assert(a == b) // ordered fold: partitioning cannot move the sum
+  }
+
+  test("bloomPrunedJoin: exact plain-join semantics, real pruning") {
+    val orders = spark.read
+      .parquet("/root/testdata/sf0.001/orders.parquet")
+    val dims = spark.read
+      .parquet("/root/testdata/sf0.001/customer.parquet")
+      .where(col("c_nationkey") < 3)
+    val out = RuntimeFilter.bloomPrunedJoin(orders, dims,
+      "o_custkey", "c_custkey", expectedItems = 1000L)
+    val plain = orders.join(dims,
+      orders("o_custkey") === dims("c_custkey"))
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("o_orderkey", "c_custkey").as[(Long, Long)]
+        .collect().toSet
+    assert(keys(out) == keys(plain)) // false positives die in the join
+    // the filter must actually prune: with ~12% of customers kept,
+    // far fewer orders than the full fact table may pass the Bloom
+    val bloom = dims.select(col("c_custkey").cast("string").as("k"))
+      .stat.bloomFilter("k", 1000L, 0.03)
+    val passed = orders.where(graft.functions.HashFunctions
+      .bloomMightContain(col("o_custkey").cast("string"), bloom)).count()
+    val total = orders.count()
+    assert(passed < total / 2,
+      s"bloom passed $passed of $total - not pruning")
+  }
+}
