@@ -1601,6 +1601,70 @@ object Oracles {
          |       rk::BIGINT AS "rank"
          |FROM r WHERE rk <= 5 ORDER BY 1, 4""".stripMargin,
 
+    // PageRank over the kNN similarity graph (operators/Graph.pageRank
+    // on operators/Ann.knnGraph edges): the q_knn_graph edge
+    // construction (unfiltered), then two unrolled synchronous
+    // iterations — contributions r/outdeg, per-destination DECIMAL
+    // sums (exactly associative, bit-stable under partitioning),
+    // damping 0.85 with the (1-d)/N floor for in-edge-less nodes.
+    "q_pagerank" ->
+      """WITH vec AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |             FROM embeddings),
+        |cent AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cell,
+        |                v AS cv
+        |         FROM (SELECT vec_id, v FROM vec ORDER BY vec_id LIMIT 16)),
+        |sc AS (SELECT vec_id, cell,
+        |    CASE WHEN list_dot_product(v, v) = 0
+        |           OR list_dot_product(cv, cv) = 0 THEN 0.0
+        |         ELSE list_dot_product(v, cv) /
+        |              (sqrt(list_dot_product(v, v)) *
+        |               sqrt(list_dot_product(cv, cv))) END AS s
+        |  FROM vec CROSS JOIN cent),
+        |asg2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |           row_number() OVER (PARTITION BY vec_id
+        |             ORDER BY s DESC, cell DESC) AS rn FROM sc)
+        |         WHERE rn <= 2),
+        |ep AS (SELECT DISTINCT a.vec_id AS esrc, b.vec_id AS edst
+        |       FROM asg2 a JOIN asg2 b
+        |         ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+        |es AS (SELECT esrc, edst,
+        |    round(CASE WHEN sqrt(list_dot_product(sv.v, sv.v)) = 0
+        |                 OR sqrt(list_dot_product(dv.v, dv.v)) = 0 THEN 0.0
+        |          ELSE list_dot_product(sv.v, dv.v) /
+        |               (sqrt(list_dot_product(sv.v, sv.v)) *
+        |                sqrt(list_dot_product(dv.v, dv.v))) END, 6) AS cos
+        |  FROM ep JOIN vec sv ON sv.vec_id = esrc
+        |          JOIN vec dv ON dv.vec_id = edst),
+        |edg AS (SELECT esrc, edst FROM (SELECT esrc, edst, cos,
+        |          row_number() OVER (PARTITION BY esrc
+        |            ORDER BY cos DESC, edst ASC) AS rk FROM es)
+        |        WHERE rk <= 4),
+        |nodes AS (SELECT esrc AS node FROM edg
+        |          UNION SELECT edst FROM edg),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |deg AS (SELECT esrc, count(*) AS od FROM edg GROUP BY esrc),
+        |r0 AS (SELECT node, (1::DOUBLE / (SELECT n FROM nn)) AS r
+        |       FROM nodes),
+        |s1 AS (SELECT e.edst AS dst,
+        |         (sum((r.r / d.od)::DECIMAL(30,15)))::DOUBLE AS s
+        |       FROM edg e JOIN r0 r ON r.node = e.esrc
+        |                  JOIN deg d ON d.esrc = e.esrc
+        |       GROUP BY e.edst),
+        |r1 AS (SELECT n1.node,
+        |         (((1::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)) +
+        |          0.85::DOUBLE * COALESCE(s1.s, 0::DOUBLE)) AS r
+        |       FROM nodes n1 LEFT JOIN s1 ON s1.dst = n1.node),
+        |s2 AS (SELECT e.edst AS dst,
+        |         (sum((r.r / d.od)::DECIMAL(30,15)))::DOUBLE AS s
+        |       FROM edg e JOIN r1 r ON r.node = e.esrc
+        |                  JOIN deg d ON d.esrc = e.esrc
+        |       GROUP BY e.edst),
+        |r2 AS (SELECT n1.node,
+        |         (((1::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)) +
+        |          0.85::DOUBLE * COALESCE(s2.s, 0::DOUBLE)) AS r
+        |       FROM nodes n1 LEFT JOIN s2 ON s2.dst = n1.node)
+        |SELECT node, round(r, 6) AS rank FROM r2 ORDER BY node""".stripMargin,
+
     // KMV distinct sketch (operators/Sketches.kmvDistinct): 64
     // smallest distinct md5-60 hashes per event_type; estimate
     // (k-1)/(h_k/2^60), exact count when fewer than k distinct. Full

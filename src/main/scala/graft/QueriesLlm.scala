@@ -1644,8 +1644,26 @@ object QueriesLlm {
       .orderBy("c_nationkey")
   }
 
+  /** PageRank centrality over the kNN similarity graph
+    * (Graph.pageRank over Ann.knnGraph, 2 unrolled iterations): a
+    * representativeness signal for curation — central vectors anchor
+    * similarity clusters. Same deterministic graph as q_knn_graph
+    * (16 sample cells, 2-cell assignment, top-4 edges); ranks sum
+    * per destination in decimal, so the oracle replays both
+    * iterations bit-for-bit including the floating tail.
+    */
+  def pageRankQ(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val edges = Ann.knnGraph(
+      e.select(col("vec_id"), col("embedding")), kG = 4, nCells = 16)
+    graft.operators.Graph.pageRank(edges, "src", "dst", iters = 2)
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+      .orderBy("node")
+  }
+
   /** All LLM-family queries. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank" -> (pageRankQ _),
     "q_kmv_distinct" -> (kmvDistinctQ _),
     "q_hll_distinct" -> (hllDistinctQ _),
     "q_bloom_join" -> (bloomJoinQ _),

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge lists — the companion to
+  * [[Dedup]]'s connected components. First use case: PageRank over
+  * the [[Ann.knnGraph]] similarity graph as a representativeness /
+  * centrality signal for corpus curation (central documents anchor
+  * clusters; peripheral ones are outliers or near-noise).
+  *
+  * Scale + determinism shape, per iteration: one equi-join of the
+  * edge list with the current rank vector on `src` (rank and
+  * out-degree frames are O(nodes) — broadcastable when nodes fit,
+  * shuffle-joined otherwise), one aggregation keyed by `dst` whose
+  * per-destination sum accumulates in `decimal(30,15)` — exactly
+  * associative and commutative, so the result is bit-identical under
+  * any partitioning (the [[Ann.meanPool]] technique) and map-side
+  * combinable. Iterations are a compile-time-bounded loop of
+  * declarative plans (same discipline as [[Ann.graphExpandTopK]]);
+  * the only driver materialization is the node COUNT (one scalar).
+  */
+object Graph {
+
+  /** PageRank with `iters` unrolled synchronous iterations at damping
+    * `d`: r'(v) = (1-d)/N + d * sum over in-edges (r(u) / outdeg(u)).
+    * Nodes = distinct src ∪ dst; a node with no in-edges decays to the
+    * (1-d)/N floor. Assumes every node has at least one OUT-edge (true
+    * for any mirrored/symmetric edge list, e.g. [[Ann.knnGraph]]'s) —
+    * with dangling nodes the lost mass is simply not redistributed,
+    * the standard simplification.
+    *
+    * Fully deterministic: the floor and damping constants fold in the
+    * same order as a SQL replay, contributions divide double-by-long
+    * identically, and the per-dst reduction is a decimal sum — so an
+    * oracle can replay every iteration bit-for-bit.
+    *
+    * Output: (node, rank), unrounded.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val n = nodes.count() // metadata-scale scalar, the only collect
+    val base = (1.0 - damping) / n
+    val deg = e.groupBy("src").agg(count(lit(1)).as("od"))
+    var r = nodes.withColumn("r", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      val sums = e.join(r, col("node") === col("src"))
+        .join(deg, "src")
+        .select(col("dst"), (col("r") / col("od")).as("c"))
+        .groupBy("dst")
+        .agg(sum(col("c").cast("decimal(30,15)")).cast("double").as("s"))
+      r = nodes.join(sums, col("node") === col("dst"), "left_outer")
+        .select(col("node"),
+          (lit(base) +
+            lit(damping) * coalesce(col("s"), lit(0.0))).as("r"))
+    }
+    r.select(col("node"), col("r").as("rank"))
+  }
+}

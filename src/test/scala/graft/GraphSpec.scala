@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Graph}
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(df: org.apache.spark.sql.DataFrame) =
+    df.as[(Long, Double)].collect().toMap
+
+  test("pageRank: symmetric 2-cycle is stationary at 1/N") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    for (iters <- Seq(1, 3)) {
+      val r = ranks(Graph.pageRank(edges, "src", "dst", iters))
+      assert(r(1L) == 0.5 && r(2L) == 0.5, s"iters=$iters: $r")
+    }
+  }
+
+  test("pageRank: hand-computed asymmetric triangle after one iteration") {
+    // c->a, a->b, b->a: every node has an out-edge, c has no in-edge.
+    val edges = Seq((3L, 1L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = ranks(Graph.pageRank(edges, "src", "dst", iters = 1))
+    val base = (1.0 - 0.85) / 3 // the operator's own fold order
+    assert(math.abs(r(1L) - (base + 0.85 * (2.0 / 3))) < 1e-12)
+    assert(math.abs(r(2L) - (base + 0.85 * (1.0 / 3))) < 1e-12)
+    assert(r(3L) == base) // no in-edges: exactly the floor
+    assert(math.abs(r.values.sum - 1.0) < 1e-12) // no dangling leakage
+  }
+
+  test("pageRank over knnGraph: mass conserved, deterministic") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val edges = Ann.knnGraph(e, kG = 4, nCells = 16)
+    val r = ranks(Graph.pageRank(edges, "src", "dst", iters = 2))
+    // mirrored edge list: every node keeps out-edges, so total mass
+    // stays 1 up to the decimal(30,15) contribution truncation
+    assert(math.abs(r.values.sum - 1.0) < 1e-6, s"sum=${r.values.sum}")
+    val r2 = ranks(Graph.pageRank(edges.repartition(13), "src", "dst",
+      iters = 2))
+    assert(r == r2) // decimal sums: partitioning cannot move a bit
+  }
+}
