@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Graph analytics over edge lists — the companion to
   * [[Dedup]]'s connected components. First use case: PageRank over
@@ -38,13 +39,24 @@ object Graph {
     * Output: (node, rank), unrounded.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, damping: Double = 0.85): DataFrame = {
+      iters: Int, damping: Double = 0.85,
+      cache: Option[StorageLevel] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
+    // The edge frame feeds 3 + iters subtrees (both node projections,
+    // the out-degree count, one join per iteration); unpinned, each
+    // consumer re-derives the caller's edge lineage — for an inline
+    // [[Ann.knnGraph]] build that means re-running the whole bucketed
+    // self-join per consumer. Pin it (two narrow columns), materialize
+    // through the one terminal action, release after (the
+    // [[Dedup.jaccardJoin]] cache-hygiene pattern: unpersisting a
+    // parent never drops caches built on top of it).
+    val level = cache.getOrElse(StorageLevel.MEMORY_AND_DISK)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist(level)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    val n = nodes.count() // metadata-scale scalar, the only collect
+    val n = nodes.count() // metadata-scale scalar; also fills e's pin
     val base = (1.0 - damping) / n
     val deg = e.groupBy("src").agg(count(lit(1)).as("od"))
     var r = nodes.withColumn("r", lit(1.0 / n))
@@ -59,6 +71,9 @@ object Graph {
           (lit(base) +
             lit(damping) * coalesce(col("s"), lit(0.0))).as("r"))
     }
-    r.select(col("node"), col("r").as("rank"))
+    val out = r.select(col("node"), col("r").as("rank")).persist(level)
+    out.count() // terminal action: materialize out, then free the pin
+    e.unpersist(blocking = false)
+    out
   }
 }
