@@ -2544,6 +2544,37 @@ object Oracles {
 
     // Windowed event dedup: lag over (user, type) ordered by (us, id);
     // keep first-of-key or gap > 60 floor-seconds.
+    // SCD2 change history (operators/Events.scd2): null-safe lag
+    // collapse of consecutive same-type events, lead-closed validity
+    // intervals, open last interval. Epoch-micros event time, ordering
+    // totalized by (us, event_id); (user_id, valid_from) is unique in
+    // this data (no same-user same-ts events), so the sort is total.
+    "q_scd2" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000 AS us FROM events),
+        |c AS (SELECT user_id, event_id, event_type, us,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY us, event_id) AS prev
+        |  FROM ev),
+        |ch AS (SELECT user_id, event_id, event_type, us FROM c
+        |       WHERE prev IS DISTINCT FROM event_type),
+        |iv AS (SELECT user_id, event_type, us AS valid_from,
+        |    lead(us) OVER (PARTITION BY user_id
+        |                   ORDER BY us, event_id) AS valid_to
+        |  FROM ch)
+        |SELECT user_id, event_type, valid_from, valid_to,
+        |       (valid_to IS NULL) AS is_current
+        |FROM iv ORDER BY user_id, valid_from""".stripMargin,
+
+    // Stream-static enrichment (streaming/Enrich.decorateStream): a
+    // stream-static broadcast join keeps no state, so the AvailableNow
+    // run equals this batch left join row for row.
+    "q_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, c.c_mktsegment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.event_type = 'purchase'
+        |ORDER BY e.event_id""".stripMargin,
+
     "q_event_dedup" ->
       """WITH ev AS (SELECT event_id, user_id, event_type,
         |  epoch_ns(ts) // 1000 AS us,

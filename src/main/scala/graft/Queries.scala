@@ -1259,6 +1259,56 @@ object Queries {
     * within-second ordering — the streaming result must equal the batch
     * window formulation, so it shares q_sessionize's oracle shape.
     */
+  /** SCD type-2 change history (Events.scd2): per-user validity
+    * intervals of event_type from the event log — consecutive
+    * same-type events collapse, each change opens an interval closed
+    * by the next change, the last stays open (is_current). Event time
+    * as epoch micros (the q_event_dedup idiom), ordering totalized by
+    * event_id; the oracle replays lag/IS DISTINCT FROM/lead exactly.
+    */
+  def scd2Q(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    val ev = raw.select(col("user_id"), col("event_id"),
+      col("event_type"),
+      graft.operators.Events.tsMicros(raw).as("ts_us"))
+    graft.operators.Events.scd2(ev, "user_id", "ts_us", "event_id",
+        "event_type")
+      .orderBy("user_id", "valid_from")
+  }
+
+  /** Stream-static enrichment (streaming/Enrich.decorateStream): the
+    * purchase stream decorated with the customer dimension via a
+    * per-micro-batch broadcast join — stateless (no watermark, no
+    * state store), so an AvailableNow run is row-for-row the batch
+    * left join the oracle states.
+    */
+  def streamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val d = tmp("senrich")
+    val raw = t(s, dir, "events")
+    raw.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        graft.operators.Events.tsMicros(raw).as("ts_us"))
+      .write.mode("overwrite").json(s"$d/in")
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType), StructField("ts_us", LongType)))
+    val src = s.readStream.schema(schema).json(s"$d/in")
+    val dim = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val table =
+      "senrich_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.Enrich.decorateStream(src, "user_id",
+        dim, "c_custkey", Seq("c_mktsegment"))
+      .writeStream.format("memory").queryName(table)
+      .outputMode("append")
+      .option("checkpointLocation", s"$d/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(table)
+      .select(col("event_id"), col("user_id"), col("c_mktsegment"))
+      .orderBy("event_id")
+  }
+
   def sessionizeStream(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.{SessionEvent, Sessionizer}
     import s.implicits._
@@ -1551,6 +1601,8 @@ object Queries {
     "q_asof_auto" -> (asofJoinAutoQ _),
     "q_shape_decision" -> (shapeDecisionQ _),
     "q_event_dedup" -> (eventDedup _),
+    "q_scd2" -> (scd2Q _),
+    "q_stream_enrich" -> (streamEnrich _),
     "q_attribution" -> (attribution _),
     "q_streaming_dedup_equiv" -> (streamingDedupEquiv _),
     "q_streaming_minhash" -> (streamingMinhashQ _),

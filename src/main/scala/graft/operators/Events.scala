@@ -335,4 +335,36 @@ object Events {
       .agg(count(lit(1)).as("n_events"),
         (max(col(tsCol)).cast("long") - min(col(tsCol)).cast("long"))
           .as("duration_s"))
+
+  /** SCD type-2 change history of one attribute from an event log:
+    * consecutive rows with the SAME attribute value collapse (null-safe
+    * lag compare), each surviving change opens a validity interval
+    * [valid_from, valid_to) closed by the NEXT change's timestamp;
+    * the last interval per key stays open (`valid_to` null,
+    * `is_current` true). `tieCol` totalizes the ordering when
+    * timestamps collide, so the history — including which of two
+    * same-instant events wins — is deterministic and SQL-replayable
+    * (lag/lead + IS DISTINCT FROM).
+    *
+    * Scale shape: two per-key window passes (the change filter, then
+    * the interval close) — the same per-key-window family as
+    * [[sessionize]]; for skewed keys apply the bucketed technique
+    * exactly as there. No driver state, no joins.
+    *
+    * Output: (keyCol, attrCol, valid_from, valid_to, is_current).
+    */
+  def scd2(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, attrCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    events
+      .select(col(keyCol), col(tsCol), col(tieCol), col(attrCol))
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .where(!col("__prev").eqNullSafe(col(attrCol)))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col(keyCol), col(attrCol), col("valid_from"),
+        col("valid_to"), col("is_current"))
+  }
 }

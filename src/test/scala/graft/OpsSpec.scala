@@ -726,4 +726,57 @@ class OpsSpec extends SparkSpec {
     assert(r.getSeq[String](1) == Seq("i1", "i2"))
     assert(r.getString(3) == "US")
   }
+
+  test("scd2: collapses runs, closes intervals, tie-breaks by tieCol") {
+    import graft.operators.Events
+    // user 1: A A B A (run of A collapses); user 2: one event (open
+    // interval from the start); ts=40 ties broken by event_id: the
+    // B(41) change wins the slot before A(42)
+    val ev = Seq(
+      (1L, 10L, 100L, "A"),
+      (1L, 20L, 101L, "A"),   // same as prev -> collapsed
+      (1L, 30L, 102L, "B"),
+      (1L, 40L, 103L, "B"),   // collapsed
+      (1L, 40L, 104L, "A"),   // same ts as 103: event_id orders it after
+      (2L, 5L, 200L, "X")
+    ).toDF("user_id", "ts_us", "event_id", "event_type")
+    val out = Events.scd2(ev, "user_id", "ts_us", "event_id",
+        "event_type")
+      .orderBy("user_id", "valid_from")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, "A", 10L, Some(30L), false),
+      (1L, "B", 30L, Some(40L), false),
+      (1L, "A", 40L, None, true),
+      (2L, "X", 5L, None, true)))
+  }
+
+  test("scd2: every interval chain covers the key's full event span") {
+    import graft.operators.Events
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = raw.select(col("user_id"), col("event_id"),
+      col("event_type"), Events.tsMicros(raw).as("ts_us"))
+    val out = Events.scd2(ev, "user_id", "ts_us", "event_id",
+      "event_type")
+    // exactly one open interval per user, starting at the user's first
+    // event; consecutive intervals chain with no gaps or overlaps
+    val perUser = out.orderBy("user_id", "valid_from")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSeq
+      .groupBy(_._1)
+    val firstTs = ev.groupBy("user_id").agg(min("ts_us"))
+      .as[(Long, Long)].collect().toMap
+    perUser.foreach { case (u, ivs) =>
+      assert(ivs.count(_._5) == 1 && ivs.last._5)
+      assert(ivs.head._3 == firstTs(u))
+      ivs.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4.contains(b._3), s"gap at $u")
+        case _         =>
+      }
+      // adjacent intervals always change the attribute value
+      ivs.sliding(2).foreach {
+        case Seq(a, b) => assert(a._2 != b._2, s"uncollapsed run at $u")
+        case _         =>
+      }
+    }
+  }
 }

@@ -379,4 +379,42 @@ class StreamingSpec extends SparkSpec {
       .select("partnerId").as[Long].collect().toSet
     assert(partners == Set(1L), s"wrong partner(s): $partners")
   }
+
+  test("decorateStream: stateless batch-equal enrich, null passthrough") {
+    import graft.streaming.Enrich
+    val dir = tmpDir("enrich")
+    // key 3 is MISSING from the dim: the left-outer contract must pass
+    // the event through with null metadata, in-stream like any other
+    Seq("""{"event_id":1,"user_id":1}""",
+      """{"event_id":2,"user_id":2}""")
+      .toDF("value").coalesce(1).write.text(s"$dir/in/f1")
+    Seq("""{"event_id":3,"user_id":3}""",
+      """{"event_id":4,"user_id":1}""")
+      .toDF("value").coalesce(1).write.text(s"$dir/in/f2")
+    val sch = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType)))
+    val dim = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("k", "seg")
+    val src = spark.readStream.schema(sch)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1") // force TWO micro-batches
+      .json(s"$dir/in")
+    val table =
+      "enrich_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = Enrich.decorateStream(src, "user_id", dim, "k", Seq("seg"))
+      .writeStream.format("memory").queryName(table)
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // no state store was ever created: a stream-static join is
+    // stateless, so nothing survives between the two micro-batches
+    assert(q.lastProgress.stateOperators.isEmpty)
+    val got = spark.table(table)
+      .select("event_id", "user_id", "seg")
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(got == Set(
+      (1L, 1L, Some("GOLD")), (2L, 2L, Some("SILVER")),
+      (3L, 3L, None), (4L, 1L, Some("GOLD"))))
+  }
 }
