@@ -2544,6 +2544,25 @@ object Oracles {
 
     // Windowed event dedup: lag over (user, type) ordered by (us, id);
     // keep first-of-key or gap > 60 floor-seconds.
+    // Merkle reconciliation (operators/Reconcile.merkleDiff): the
+    // oracle states the semantics — distinct keys of the two-way
+    // whole-row EXCEPT between orders and the tampered copy — not the
+    // digest/bucket mechanics, so any bucketing mistake shows up as a
+    // missing or extra key.
+    "q_merkle_diff" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 101 <> 0),
+        |onlya AS (SELECT DISTINCT 'a' AS side, o_orderkey FROM
+        |  (SELECT * FROM orders EXCEPT SELECT * FROM b)),
+        |onlyb AS (SELECT DISTINCT 'b' AS side, o_orderkey FROM
+        |  (SELECT * FROM b EXCEPT SELECT * FROM orders))
+        |SELECT side, o_orderkey FROM onlya
+        |UNION ALL SELECT side, o_orderkey FROM onlyb
+        |ORDER BY side, o_orderkey""".stripMargin,
+
     // SCD2 change history (operators/Events.scd2): null-safe lag
     // collapse of consecutive same-type events, lead-closed validity
     // intervals, open last interval. Epoch-micros event time, ordering

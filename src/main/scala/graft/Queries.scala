@@ -481,6 +481,25 @@ object Queries {
 
   // ---- delta / set-op queries ------------------------------------------
 
+  /** Merkle-style reconciliation (operators/Reconcile.merkleDiff):
+    * orders vs a tampered copy (prices bumped for o_orderkey % 97 = 0,
+    * rows deleted for % 101 = 0) — bucket digests localize the damage,
+    * the row-level set difference runs only inside dirty buckets. The
+    * oracle states the SEMANTICS (two-way EXCEPT key sets), not the
+    * bucketing, so a digest false-clean or a lost dirty bucket turns
+    * the row red.
+    */
+  def merkleDiffQ(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "orders")
+    val b = a.where(col("o_orderkey") % 101 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 97 === 0, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")))
+    graft.operators.Reconcile.merkleDiff(a, b, Seq("o_orderkey"),
+        nBuckets = 256)
+      .orderBy("side", "o_orderkey")
+  }
+
   /** A4+P8: whole-row EXCEPT DISTINCT against last-sync state. Output is
     * totally ordered (all four columns) — (l_orderkey, l_linenumber) is
     * not a unique key in this data.
@@ -1581,6 +1600,7 @@ object Queries {
     "q_assemble_groupby" -> (assembleGroupBy _),
     "q_assemble_window" -> (assembleWindow _),
     "q_delta_except" -> (deltaExcept _),
+    "q_merkle_diff" -> (merkleDiffQ _),
     "q_delta_keyed" -> (deltaKeyed _),
     "q_canonicalize" -> (canonicalize _),
     "q_counts" -> (counts _),
