@@ -825,6 +825,22 @@ object Oracles {
         |WHERE v.event_type = 'view' AND c.event_type = 'purchase'
         |ORDER BY 1, 2, 3""".stripMargin,
 
+    // Left-outer interval attribution: q_attribution's join with every
+    // view preserved; a (user, view) group is either all-matched or a
+    // single null row, so the three-column sort is unambiguous despite
+    // the engines' different null orderings.
+    "q_attribution_outer" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |                   event_type FROM events)
+        |SELECT v.user_id AS "user_id", v.event_id AS "view_id",
+        |       c.event_id AS "conv_id"
+        |FROM (SELECT * FROM ev WHERE event_type = 'view') v
+        |LEFT JOIN (SELECT * FROM ev WHERE event_type = 'purchase') c
+        |  ON v.user_id = c.user_id
+        | AND c.ts_us >= v.ts_us
+        | AND c.ts_us <= v.ts_us + 86400000000
+        |ORDER BY 1, 2, 3""".stripMargin,
+
     // §2.12 streaming dedup equivalence: the surviving-fingerprint set
     // is order-independent, so DISTINCT over the same corpus as
     // q_dedup_exact states it exactly.

@@ -1278,6 +1278,31 @@ object Queries {
     * within-second ordering — the streaming result must equal the batch
     * window formulation, so it shares q_sessionize's oracle shape.
     */
+  /** Left-outer interval attribution
+    * (streaming/Attribution.viewConversionJoin, joinType=left_outer):
+    * every view kept, unconverted views carry a null conv_id — the
+    * batch statement of the streaming outer join whose null rows are
+    * emitted by watermark-driven state eviction (the streaming
+    * differential, sentinel included, lives in StreamingSpec).
+    */
+  def attributionOuter(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    val ev = raw
+      .withColumn("tstamp",
+        timestamp_micros(graft.operators.Events.tsMicros(raw)))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("tstamp").as("view_ts"),
+        col("event_id").as("view_id"))
+    val convs = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("conv_user"), col("tstamp").as("conv_ts"),
+        col("event_id").as("conv_id"))
+    Attribution.viewConversionJoin(views, "user_id", "view_ts",
+        convs, "conv_user", "conv_ts", windowSpec = "1 DAY",
+        delay = "2 hours", joinType = "left_outer")
+      .select(col("user_id"), col("view_id"), col("conv_id"))
+      .orderBy("user_id", "view_id", "conv_id")
+  }
+
   /** SCD type-2 change history (Events.scd2): per-user validity
     * intervals of event_type from the event log — consecutive
     * same-type events collapse, each change opens an interval closed
@@ -1624,6 +1649,7 @@ object Queries {
     "q_scd2" -> (scd2Q _),
     "q_stream_enrich" -> (streamEnrich _),
     "q_attribution" -> (attribution _),
+    "q_attribution_outer" -> (attributionOuter _),
     "q_streaming_dedup_equiv" -> (streamingDedupEquiv _),
     "q_streaming_minhash" -> (streamingMinhashQ _),
     "q_stream_drift" -> (streamDrift _),

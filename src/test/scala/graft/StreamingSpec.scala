@@ -380,6 +380,58 @@ class StreamingSpec extends SparkSpec {
     assert(partners == Set(1L), s"wrong partner(s): $partners")
   }
 
+  test("left-outer interval join: eviction emits unconverted views") {
+    import graft.streaming.Attribution
+    val dir = tmpDir("outerj")
+    // user 1 converts inside the 1-day window; user 2 never converts;
+    // user 3 converts OUTSIDE the window. The null rows for 2 and 3
+    // can only be emitted when the watermark passes the end of their
+    // join windows — which the file-2 sentinels (both stream sides,
+    // 10 days later) force before the stream drains.
+    Seq(
+      """{"event_id":10,"user_id":1,"ts":"2024-01-01T00:00:00.000Z","event_type":"view"}""",
+      """{"event_id":11,"user_id":1,"ts":"2024-01-01T05:00:00.000Z","event_type":"purchase"}""",
+      """{"event_id":20,"user_id":2,"ts":"2024-01-01T00:00:00.000Z","event_type":"view"}""",
+      """{"event_id":30,"user_id":3,"ts":"2024-01-01T00:00:00.000Z","event_type":"view"}""",
+      """{"event_id":31,"user_id":3,"ts":"2024-01-03T00:00:00.000Z","event_type":"purchase"}""")
+      .toDF("value").coalesce(1).write.text(s"$dir/in/f1")
+    Seq(
+      """{"event_id":-1,"user_id":-1,"ts":"2024-01-11T00:00:00.000Z","event_type":"view"}""",
+      """{"event_id":-2,"user_id":-1,"ts":"2024-01-11T00:00:00.000Z","event_type":"purchase"}""")
+      .toDF("value").coalesce(1).write.text(s"$dir/in/f2")
+    val sch = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType)))
+    val src = spark.readStream.schema(sch)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1")
+      .json(s"$dir/in")
+    val views = src.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val convs = src.where(col("event_type") === "purchase")
+      .select(col("user_id").as("conv_user"), col("ts").as("conv_ts"),
+        col("event_id").as("conv_id"))
+    val table =
+      "outerj_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = Attribution.viewConversionJoin(views, "user_id", "view_ts",
+        convs, "conv_user", "conv_ts", windowSpec = "1 DAY",
+        delay = "1 hour", joinType = "left_outer")
+      .select(col("user_id"), col("view_id"), col("conv_id"))
+      .writeStream.format("memory").queryName(table)
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table(table).where(col("user_id") =!= -1L)
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(got == Set(
+      (1L, 10L, Some(11L)), // in-window conversion
+      (2L, 20L, None),      // never converted: emitted by eviction
+      (3L, 30L, None)))     // converted too late: still a null row
+  }
+
   test("decorateStream: stateless batch-equal enrich, null passthrough") {
     import graft.streaming.Enrich
     val dir = tmpDir("enrich")
