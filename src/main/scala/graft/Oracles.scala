@@ -825,6 +825,31 @@ object Oracles {
         |WHERE v.event_type = 'view' AND c.event_type = 'purchase'
         |ORDER BY 1, 2, 3""".stripMargin,
 
+    // Point-in-time join (operators/AsofJoin.pointInTime): each
+    // purchase LEFT-joined to the SCD2 interval (built from the
+    // non-purchase events) containing its timestamp; intervals are
+    // disjoint per user, so at most one version matches.
+    "q_pit_join" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000 AS us FROM events),
+        |b AS (SELECT * FROM ev WHERE event_type <> 'purchase'),
+        |c AS (SELECT user_id, event_id, event_type, us,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY us, event_id) AS prev
+        |  FROM b),
+        |ch AS (SELECT user_id, event_id, event_type, us FROM c
+        |       WHERE prev IS DISTINCT FROM event_type),
+        |iv AS (SELECT user_id, event_type AS state_type, us AS vf,
+        |    lead(us) OVER (PARTITION BY user_id
+        |                   ORDER BY us, event_id) AS vt
+        |  FROM ch),
+        |f AS (SELECT user_id, event_id, us FROM ev
+        |      WHERE event_type = 'purchase')
+        |SELECT f.user_id, f.event_id, iv.state_type
+        |FROM f LEFT JOIN iv ON iv.user_id = f.user_id
+        |  AND iv.vf <= f.us AND (iv.vt IS NULL OR f.us < iv.vt)
+        |ORDER BY 1, 2""".stripMargin,
+
     // Left-outer interval attribution: q_attribution's join with every
     // view preserved; a (user, view) group is either all-matched or a
     // single null row, so the three-column sort is unambiguous despite
@@ -1672,6 +1697,71 @@ object Oracles {
         |       FROM nodes n1 LEFT JOIN s1 ON s1.dst = n1.node),
         |s2 AS (SELECT e.edst AS dst,
         |         (sum((r.r / d.od)::DECIMAL(30,15)))::DOUBLE AS s
+        |       FROM edg e JOIN r1 r ON r.node = e.esrc
+        |                  JOIN deg d ON d.esrc = e.esrc
+        |       GROUP BY e.edst),
+        |r2 AS (SELECT n1.node,
+        |         (((1::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)) +
+        |          0.85::DOUBLE * COALESCE(s2.s, 0::DOUBLE)) AS r
+        |       FROM nodes n1 LEFT JOIN s2 ON s2.dst = n1.node)
+        |SELECT node, round(r, 6) AS rank FROM r2 ORDER BY node""".stripMargin,
+
+    // Weighted PageRank: the q_pagerank chain with cosine edge weights
+    // clamped at 0 and per-src DECIMAL weight-sum normalizers;
+    // contributions r * (w / sumW), same two unrolled iterations.
+    "q_pagerank_weighted" ->
+      """WITH vec AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |             FROM embeddings),
+        |cent AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cell,
+        |                v AS cv
+        |         FROM (SELECT vec_id, v FROM vec ORDER BY vec_id LIMIT 16)),
+        |sc AS (SELECT vec_id, cell,
+        |    CASE WHEN list_dot_product(v, v) = 0
+        |           OR list_dot_product(cv, cv) = 0 THEN 0.0
+        |         ELSE list_dot_product(v, cv) /
+        |              (sqrt(list_dot_product(v, v)) *
+        |               sqrt(list_dot_product(cv, cv))) END AS s
+        |  FROM vec CROSS JOIN cent),
+        |asg2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |           row_number() OVER (PARTITION BY vec_id
+        |             ORDER BY s DESC, cell DESC) AS rn FROM sc)
+        |         WHERE rn <= 2),
+        |ep AS (SELECT DISTINCT a.vec_id AS esrc, b.vec_id AS edst
+        |       FROM asg2 a JOIN asg2 b
+        |         ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+        |es AS (SELECT esrc, edst,
+        |    round(CASE WHEN sqrt(list_dot_product(sv.v, sv.v)) = 0
+        |                 OR sqrt(list_dot_product(dv.v, dv.v)) = 0 THEN 0.0
+        |          ELSE list_dot_product(sv.v, dv.v) /
+        |               (sqrt(list_dot_product(sv.v, sv.v)) *
+        |                sqrt(list_dot_product(dv.v, dv.v))) END, 6) AS cos
+        |  FROM ep JOIN vec sv ON sv.vec_id = esrc
+        |          JOIN vec dv ON dv.vec_id = edst),
+        |edg AS (SELECT esrc, edst,
+        |          greatest(cos, 0.0::DOUBLE) AS w
+        |        FROM (SELECT esrc, edst, cos,
+        |          row_number() OVER (PARTITION BY esrc
+        |            ORDER BY cos DESC, edst ASC) AS rk FROM es)
+        |        WHERE rk <= 4),
+        |nodes AS (SELECT esrc AS node FROM edg
+        |          UNION SELECT edst FROM edg),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |deg AS (SELECT * FROM (SELECT esrc,
+        |          (sum(w::DECIMAL(30,15)))::DOUBLE AS sw
+        |        FROM edg GROUP BY esrc) WHERE sw > 0),
+        |r0 AS (SELECT node, (1::DOUBLE / (SELECT n FROM nn)) AS r
+        |       FROM nodes),
+        |s1 AS (SELECT e.edst AS dst,
+        |         (sum((r.r * (e.w / d.sw))::DECIMAL(30,15)))::DOUBLE AS s
+        |       FROM edg e JOIN r0 r ON r.node = e.esrc
+        |                  JOIN deg d ON d.esrc = e.esrc
+        |       GROUP BY e.edst),
+        |r1 AS (SELECT n1.node,
+        |         (((1::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)) +
+        |          0.85::DOUBLE * COALESCE(s1.s, 0::DOUBLE)) AS r
+        |       FROM nodes n1 LEFT JOIN s1 ON s1.dst = n1.node),
+        |s2 AS (SELECT e.edst AS dst,
+        |         (sum((r.r * (e.w / d.sw))::DECIMAL(30,15)))::DOUBLE AS s
         |       FROM edg e JOIN r1 r ON r.node = e.esrc
         |                  JOIN deg d ON d.esrc = e.esrc
         |       GROUP BY e.edst),

@@ -1278,6 +1278,31 @@ object Queries {
     * within-second ordering — the streaming result must equal the batch
     * window formulation, so it shares q_sessionize's oracle shape.
     */
+  /** Point-in-time join (AsofJoin.pointInTime over Events.scd2):
+    * every purchase decorated with the browsing state the user was in
+    * at purchase time — the SCD2 history is built from the
+    * NON-purchase events, so the lookup is a real cross-attribute
+    * question; a purchase before any browsing event carries a null
+    * state (left-outer contract).
+    */
+  def pitJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    val ev = raw.select(col("user_id"), col("event_id"),
+      col("event_type"),
+      graft.operators.Events.tsMicros(raw).as("ts_us"))
+    val hist = graft.operators.Events.scd2(
+        ev.where(col("event_type") =!= "purchase"),
+        "user_id", "ts_us", "event_id", "event_type")
+      .withColumnRenamed("event_type", "state_type")
+      .drop("is_current")
+    val facts = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    graft.operators.AsofJoin.pointInTime(facts, hist, Seq("user_id"),
+        "ts_us")
+      .select(col("user_id"), col("event_id"), col("state_type"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Left-outer interval attribution
     * (streaming/Attribution.viewConversionJoin, joinType=left_outer):
     * every view kept, unconverted views carry a null conv_id — the
@@ -1647,6 +1672,7 @@ object Queries {
     "q_shape_decision" -> (shapeDecisionQ _),
     "q_event_dedup" -> (eventDedup _),
     "q_scd2" -> (scd2Q _),
+    "q_pit_join" -> (pitJoinQ _),
     "q_stream_enrich" -> (streamEnrich _),
     "q_attribution" -> (attribution _),
     "q_attribution_outer" -> (attributionOuter _),

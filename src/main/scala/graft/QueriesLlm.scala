@@ -1661,9 +1661,25 @@ object QueriesLlm {
       .orderBy("node")
   }
 
+  /** Weighted PageRank over the same kNN graph: each edge carries its
+    * cosine (clamped at 0) normalized by the src's decimal weight sum,
+    * so strongly-similar neighborhoods concentrate rank. Same
+    * bit-reproducibility discipline as q_pagerank.
+    */
+  def pageRankWeightedQ(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val edges = Ann.knnGraph(
+      e.select(col("vec_id"), col("embedding")), kG = 4, nCells = 16)
+    graft.operators.Graph.pageRank(edges, "src", "dst", iters = 2,
+        weightCol = Some("cosine"))
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+      .orderBy("node")
+  }
+
   /** All LLM-family queries. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (pageRankQ _),
+    "q_pagerank_weighted" -> (pageRankWeightedQ _),
     "q_kmv_distinct" -> (kmvDistinctQ _),
     "q_hll_distinct" -> (hllDistinctQ _),
     "q_bloom_join" -> (bloomJoinQ _),

@@ -190,4 +190,36 @@ object AsofJoin {
       .select(left.columns.toIndexedSeq.map(local(_)) ++
         payloadCols.map(f => col(s"__asof.$f").as(f)): _*)
   }
+
+  /** Point-in-time join: each fact decorated with the dimension
+    * VERSION whose validity interval contains the fact's time — the
+    * lookup side of [[graft.operators.Events.scd2]]'s output (or any
+    * (key, valid_from, valid_to-nullable) interval table with
+    * disjoint intervals per key). Composed, not reimplemented: an
+    * [[asofBackward]] on `valid_from` finds the last version opened
+    * at or before the fact (inclusive — a fact at the exact change
+    * instant sees the NEW version), then payloads are nulled where
+    * the version had already CLOSED before the fact (possible only
+    * with gapped intervals; SCD2 output is contiguous, so there the
+    * containment check is free). Facts before the key's first
+    * version, or on unknown keys, carry null payloads — left-outer
+    * semantics throughout. Inherits asof's scale shape; swap in
+    * [[asofBackwardBucketed]] upstream for hot keys the same way.
+    */
+  def pointInTime(facts: DataFrame, dims: DataFrame, keys: Seq[String],
+      factTimeCol: String, validFromCol: String = "valid_from",
+      validToCol: String = "valid_to"): DataFrame = {
+    require(dims.columns.contains(validFromCol) &&
+      dims.columns.contains(validToCol),
+      s"dims must carry $validFromCol/$validToCol: ${dims.columns.toSeq}")
+    val dimsT = dims.withColumnRenamed(validFromCol, factTimeCol)
+    val payload = dimsT.columns
+      .filterNot(c => keys.contains(c) || c == factTimeCol).toSeq
+    val joined = asofBackward(facts, dimsT, keys, factTimeCol)
+    val flagged = joined.withColumn("__pit_ok",
+      col(validToCol).isNull || col(factTimeCol) < col(validToCol))
+    payload.foldLeft(flagged)((df, c) =>
+      df.withColumn(c, when(col("__pit_ok"), col(c))))
+      .drop("__pit_ok")
+  }
 }

@@ -36,11 +36,19 @@ object Graph {
     * identically, and the per-dst reduction is a decimal sum — so an
     * oracle can replay every iteration bit-for-bit.
     *
+    * With `weightCol` (weighted PageRank) an edge carries
+    * `r(u) * (w / sumW(u))` instead of `r(u) / outdeg(u)`: weights
+    * clamp at 0 (a negative similarity is a non-edge, not negative
+    * mass) and the per-src normalizer is itself a decimal sum, so the
+    * weighted variant keeps the same bit-reproducibility; a src whose
+    * weights all clamp to 0 contributes nothing (treated dangling).
+    *
     * Output: (node, rank), unrounded.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, damping: Double = 0.85,
-      cache: Option[StorageLevel] = None): DataFrame = {
+      cache: Option[StorageLevel] = None,
+      weightCol: Option[String] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
     // The edge frame feeds 3 + iters subtrees (both node projections,
@@ -52,18 +60,31 @@ object Graph {
     // [[Dedup.jaccardJoin]] cache-hygiene pattern: unpersisting a
     // parent never drops caches built on top of it).
     val level = cache.getOrElse(StorageLevel.MEMORY_AND_DISK)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = edges.select(
+        (Seq(col(srcCol).as("src"), col(dstCol).as("dst")) ++
+          weightCol.map(w =>
+            greatest(col(w).cast("double"), lit(0.0)).as("w"))): _*)
       .persist(level)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val n = nodes.count() // metadata-scale scalar; also fills e's pin
     val base = (1.0 - damping) / n
-    val deg = e.groupBy("src").agg(count(lit(1)).as("od"))
+    // the per-src normalizer: out-degree, or the decimal weight sum
+    val deg = weightCol match {
+      case None => e.groupBy("src").agg(count(lit(1)).as("od"))
+      case Some(_) => e.groupBy("src")
+        .agg(sum(col("w").cast("decimal(30,15)")).cast("double").as("sw"))
+        .where(col("sw") > 0) // all-clamped srcs contribute nothing
+    }
+    def contrib = weightCol match {
+      case None    => col("r") / col("od")
+      case Some(_) => col("r") * (col("w") / col("sw"))
+    }
     var r = nodes.withColumn("r", lit(1.0 / n))
     for (_ <- 1 to iters) {
       val sums = e.join(r, col("node") === col("src"))
         .join(deg, "src")
-        .select(col("dst"), (col("r") / col("od")).as("c"))
+        .select(col("dst"), contrib.as("c"))
         .groupBy("dst")
         .agg(sum(col("c").cast("decimal(30,15)")).cast("double").as("s"))
       r = nodes.join(sums, col("node") === col("dst"), "left_outer")

@@ -29,6 +29,29 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(r.values.sum - 1.0) < 1e-12) // no dangling leakage
   }
 
+  test("pageRank weighted: equal weights match uniform; bias follows w") {
+    val edges = Seq((1L, 2L, 1.0), (2L, 1L, 1.0), (3L, 1L, 1.0),
+      (1L, 3L, 1.0)).toDF("src", "dst", "w")
+    val uni = ranks(Graph.pageRank(edges, "src", "dst", iters = 3))
+    val eq = ranks(Graph.pageRank(edges, "src", "dst", iters = 3,
+      weightCol = Some("w")))
+    uni.foreach { case (k, v) => assert(math.abs(eq(k) - v) < 1e-12) }
+    // tilt 1's out-mass toward 2: rank(2) must rise above rank(3)
+    val tilted = Seq((1L, 2L, 0.9), (1L, 3L, 0.1), (2L, 1L, 1.0),
+      (3L, 1L, 1.0)).toDF("src", "dst", "w")
+    val t = ranks(Graph.pageRank(tilted, "src", "dst", iters = 3,
+      weightCol = Some("w")))
+    assert(t(2L) > t(3L))
+    assert(math.abs(t.values.sum - 1.0) < 1e-9)
+    // negative weights clamp to non-edges: an all-negative src is
+    // dangling (contributes nothing) but still holds its floor rank
+    val neg = Seq((1L, 2L, 1.0), (2L, 1L, -0.5)).toDF("src", "dst", "w")
+    val rn = ranks(Graph.pageRank(neg, "src", "dst", iters = 1,
+      weightCol = Some("w")))
+    assert(rn(1L) == (1.0 - 0.85) / 2) // nothing flows back to 1
+    assert(rn(2L) == (1.0 - 0.85) / 2 + 0.85 * 0.5)
+  }
+
   test("pageRank over knnGraph: mass conserved, deterministic") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))

@@ -727,6 +727,28 @@ class OpsSpec extends SparkSpec {
     assert(r.getString(3) == "US")
   }
 
+  test("pointInTime: contained version, change-instant, gap, unknowns") {
+    import graft.operators.AsofJoin
+    val dims = Seq(
+      (1L, "v1", 10L, Some(20L)),
+      (1L, "v2", 20L, Some(30L)), // contiguous change at 20
+      (1L, "v3", 50L, None)       // GAP [30, 50): no version current
+    ).toDF("k", "ver", "valid_from", "valid_to")
+    val facts = Seq(
+      (1L, 100L, 15L), // inside v1
+      (1L, 101L, 20L), // exact change instant -> the NEW version
+      (1L, 102L, 35L), // in the gap -> null (asof finds v2 but closed)
+      (1L, 103L, 99L), // open tail -> v3
+      (1L, 104L, 5L),  // before first version -> null
+      (2L, 200L, 15L)  // unknown key -> null
+    ).toDF("k", "fid", "ts")
+    val out = AsofJoin.pointInTime(facts, dims, Seq("k"), "ts")
+      .select("fid", "ver").as[(Long, Option[String])]
+      .collect().toMap
+    assert(out == Map(100L -> Some("v1"), 101L -> Some("v2"),
+      102L -> None, 103L -> Some("v3"), 104L -> None, 200L -> None))
+  }
+
   test("scd2: collapses runs, closes intervals, tie-breaks by tieCol") {
     import graft.operators.Events
     // user 1: A A B A (run of A collapses); user 2: one event (open
