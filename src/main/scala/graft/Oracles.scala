@@ -850,6 +850,61 @@ object Oracles {
         |  AND iv.vf <= f.us AND (iv.vt IS NULL OR f.us < iv.vt)
         |ORDER BY 1, 2""".stripMargin,
 
+    // Changelog compaction (Events.applyChangelog): latest entry per
+    // user wins (ts_us, event_id ordering); users whose latest event
+    // is an error (the tombstone op) drop out of the snapshot.
+    "q_cdc_apply" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |    epoch_ns(ts) // 1000 AS ts_us, event_type, value
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts_us DESC, event_id DESC) AS rn FROM ev)
+        |SELECT user_id, event_id, ts_us, event_type, value
+        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+
+    // Interval-overlap join (Intervals.overlapJoin): session intervals
+    // (30-min gap over all events) x SCD2 state intervals (non-error
+    // events, half-open valid_to -> closed v_end = valid_to - 1, open
+    // tails clamped to the user's last event). The oracle states the
+    // plain overlap predicate; the engine's bucket replication +
+    // emit-once rule must reproduce it pair for pair.
+    "q_interval_join" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000 AS us FROM events),
+        |marked AS (SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us // 1000000) OVER w IS NULL
+        |              OR us // 1000000 - lag(us // 1000000) OVER w > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sess0 AS (SELECT user_id, us,
+        |    sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS session_seq
+        |  FROM marked),
+        |sess AS (SELECT user_id, session_seq::BIGINT AS session_seq,
+        |    min(us) AS s_start, max(us) AS s_end
+        |  FROM sess0 GROUP BY 1, 2),
+        |b AS (SELECT * FROM ev WHERE event_type <> 'error'),
+        |c AS (SELECT user_id, event_id, event_type, us,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY us, event_id) AS prev
+        |  FROM b),
+        |ch AS (SELECT user_id, event_id, event_type, us FROM c
+        |       WHERE prev IS DISTINCT FROM event_type),
+        |hz AS (SELECT user_id, max(us) AS h_end FROM ev GROUP BY 1),
+        |iv AS (SELECT user_id, event_type AS state_type, us AS v_start,
+        |    lead(us) OVER (PARTITION BY user_id
+        |                   ORDER BY us, event_id) AS vt
+        |  FROM ch),
+        |st AS (SELECT iv.user_id, state_type, v_start,
+        |    coalesce(vt - 1, hz.h_end) AS v_end
+        |  FROM iv JOIN hz ON hz.user_id = iv.user_id)
+        |SELECT s.user_id, s.session_seq, st.state_type, st.v_start
+        |FROM sess s JOIN st ON st.user_id = s.user_id
+        |  AND s.s_start <= st.v_end AND st.v_start <= s.s_end
+        |ORDER BY 1, 2, 4, 3""".stripMargin,
+
     // Left-outer interval attribution: q_attribution's join with every
     // view preserved; a (user, view) group is either all-matched or a
     // single null row, so the three-column sort is unambiguous despite
@@ -1770,6 +1825,84 @@ object Oracles {
         |          0.85::DOUBLE * COALESCE(s2.s, 0::DOUBLE)) AS r
         |       FROM nodes n1 LEFT JOIN s2 ON s2.dst = n1.node)
         |SELECT node, round(r, 6) AS rank FROM r2 ORDER BY node""".stripMargin,
+
+    // Label propagation (operators/Graph.labelPropagation) over the
+    // same kNN graph: symmetrize + de-self-loop, then two synchronous
+    // relabel rounds — mode of neighbor labels, ties to the minimum
+    // (replayed as row_number over cnt DESC, label ASC). Integer-only,
+    // so the replay is exact with no float discipline needed.
+    "q_label_prop" ->
+      """WITH vec AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |             FROM embeddings),
+        |cent AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cell,
+        |                v AS cv
+        |         FROM (SELECT vec_id, v FROM vec ORDER BY vec_id LIMIT 16)),
+        |sc AS (SELECT vec_id, cell,
+        |    CASE WHEN list_dot_product(v, v) = 0
+        |           OR list_dot_product(cv, cv) = 0 THEN 0.0
+        |         ELSE list_dot_product(v, cv) /
+        |              (sqrt(list_dot_product(v, v)) *
+        |               sqrt(list_dot_product(cv, cv))) END AS s
+        |  FROM vec CROSS JOIN cent),
+        |asg2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |           row_number() OVER (PARTITION BY vec_id
+        |             ORDER BY s DESC, cell DESC) AS rn FROM sc)
+        |         WHERE rn <= 2),
+        |ep AS (SELECT DISTINCT a.vec_id AS esrc, b.vec_id AS edst
+        |       FROM asg2 a JOIN asg2 b
+        |         ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+        |es AS (SELECT esrc, edst,
+        |    round(CASE WHEN sqrt(list_dot_product(sv.v, sv.v)) = 0
+        |                 OR sqrt(list_dot_product(dv.v, dv.v)) = 0 THEN 0.0
+        |          ELSE list_dot_product(sv.v, dv.v) /
+        |               (sqrt(list_dot_product(sv.v, sv.v)) *
+        |                sqrt(list_dot_product(dv.v, dv.v))) END, 6) AS cos
+        |  FROM ep JOIN vec sv ON sv.vec_id = esrc
+        |          JOIN vec dv ON dv.vec_id = edst),
+        |edg AS (SELECT esrc, edst FROM (SELECT esrc, edst, cos,
+        |          row_number() OVER (PARTITION BY esrc
+        |            ORDER BY cos DESC, edst ASC) AS rk FROM es)
+        |        WHERE rk <= 4),
+        |und AS (SELECT esrc AS s, edst AS d FROM edg WHERE esrc <> edst
+        |        UNION SELECT edst, esrc FROM edg WHERE esrc <> edst),
+        |l0 AS (SELECT DISTINCT s AS node, s AS label FROM und),
+        |c1 AS (SELECT u.s, l.label, count(*) AS cnt
+        |       FROM und u JOIN l0 l ON l.node = u.d GROUP BY 1, 2),
+        |l1 AS (SELECT s AS node, label FROM (
+        |         SELECT s, label, row_number() OVER (PARTITION BY s
+        |           ORDER BY cnt DESC, label ASC) AS rn FROM c1)
+        |       WHERE rn = 1),
+        |c2 AS (SELECT u.s, l.label, count(*) AS cnt
+        |       FROM und u JOIN l1 l ON l.node = u.d GROUP BY 1, 2),
+        |l2 AS (SELECT s AS node, label FROM (
+        |         SELECT s, label, row_number() OVER (PARTITION BY s
+        |           ORDER BY cnt DESC, label ASC) AS rn FROM c2)
+        |       WHERE rn = 1)
+        |SELECT node, label FROM l2 ORDER BY node""".stripMargin,
+
+    // Sketch rollup (Sketches.hllRegisters per (event_type, day) +
+    // hllMergeEstimate over event_type): register union is an
+    // element-wise max — associative and idempotent — so the merged
+    // estimate is BIT-identical to the direct per-event_type sketch.
+    // The oracle states the DIRECT form; the hash match proves the
+    // merge theorem on real data.
+    "q_hll_merge" ->
+      """WITH h AS (SELECT event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |rr AS (SELECT event_type, (h & 31) AS j,
+        |    (56 - length(ltrim(bin(h >> 5), '0'))) AS r
+        |  FROM h),
+        |regs AS (SELECT event_type, j, max(r) AS r FROM rr
+        |         GROUP BY event_type, j),
+        |z AS (SELECT event_type, count(*) AS nz,
+        |    list_reduce(list(pow(2::DOUBLE, -r) ORDER BY j),
+        |                (a, b) -> a + b) AS zp
+        |  FROM regs GROUP BY event_type)
+        |SELECT event_type,
+        |  round((0.697::DOUBLE * 32 * 32) /
+        |        (zp + (32::DOUBLE - nz::DOUBLE)), 2) AS distinct_est
+        |FROM z ORDER BY 1""".stripMargin,
 
     // KMV distinct sketch (operators/Sketches.kmvDistinct): 64
     // smallest distinct md5-60 hashes per event_type; estimate

@@ -1303,6 +1303,58 @@ object Queries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Changelog compaction (Events.applyChangelog): the event log read
+    * as a CDC stream — error events are tombstones, everything else an
+    * upsert — compacted to the current snapshot in one partial-
+    * aggregable max_by pass (no window sort of any key's history). A
+    * user whose LAST event is an error drops out of the snapshot.
+    */
+  def cdcApplyQ(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    val log = raw.select(col("user_id"), col("event_id"),
+        graft.operators.Events.tsMicros(raw).as("ts_us"),
+        col("event_type"), col("value"))
+      .withColumn("op",
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+    graft.operators.Events.applyChangelog(log, Seq("user_id"),
+        Seq("ts_us", "event_id"), "op", "D")
+      .orderBy("user_id")
+  }
+
+  /** Interval-overlap join (Intervals.overlapJoin): which browsing
+    * states (SCD2 intervals over the non-error events) were current
+    * during each session (gap-30min intervals over all events) — the
+    * range-join shape, answered by day-bucket replication + equi-join
+    * + the emit-once rule, never a per-key cross product. Open state
+    * intervals clamp to the user's last event; SCD2's half-open
+    * valid_to converts to the closed form by -1 microsecond.
+    */
+  def intervalJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    val ev = raw.select(col("user_id"), col("event_id"),
+        col("event_type"),
+        graft.operators.Events.tsMicros(raw).as("ts_us"))
+      .withColumn("ts_s", expr("ts_us div 1000000"))
+    val sess = graft.operators.Events.sessionize(ev, "user_id", "ts_s",
+        gapMinutes = 30, orderCols = Seq("ts_us", "event_id"))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts_us")).as("s_start"), max(col("ts_us")).as("s_end"))
+    val hist = graft.operators.Events.scd2(
+      ev.where(col("event_type") =!= "error"),
+      "user_id", "ts_us", "event_id", "event_type")
+    val horizon = ev.groupBy("user_id").agg(max(col("ts_us")).as("h_end"))
+    val states = hist.join(horizon, "user_id")
+      .select(col("user_id"), col("event_type").as("state_type"),
+        col("valid_from").as("v_start"),
+        coalesce(col("valid_to") - 1, col("h_end")).as("v_end"))
+    graft.operators.Intervals.overlapJoin(sess, states, Seq("user_id"),
+        "s_start", "s_end", "v_start", "v_end",
+        bucketSpan = 86400000000L)
+      .select(col("user_id"), col("session_seq"), col("state_type"),
+        col("v_start"))
+      .orderBy("user_id", "session_seq", "v_start", "state_type")
+  }
+
   /** Left-outer interval attribution
     * (streaming/Attribution.viewConversionJoin, joinType=left_outer):
     * every view kept, unconverted views carry a null conv_id — the
@@ -1673,6 +1725,8 @@ object Queries {
     "q_event_dedup" -> (eventDedup _),
     "q_scd2" -> (scd2Q _),
     "q_pit_join" -> (pitJoinQ _),
+    "q_cdc_apply" -> (cdcApplyQ _),
+    "q_interval_join" -> (intervalJoinQ _),
     "q_stream_enrich" -> (streamEnrich _),
     "q_attribution" -> (attribution _),
     "q_attribution_outer" -> (attributionOuter _),

@@ -1676,10 +1676,48 @@ object QueriesLlm {
       .orderBy("node")
   }
 
+  /** Label-propagation communities (Graph.labelPropagation) over the
+    * kNN similarity graph: cluster ids for corpus curation without a
+    * trained model. Two synchronous iterations, min tie-break — fully
+    * deterministic, integer-only output, so the oracle replays every
+    * vote bit-for-bit.
+    */
+  def labelPropQ(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val edges = Ann.knnGraph(
+      e.select(col("vec_id"), col("embedding")), kG = 4, nCells = 16)
+    graft.operators.Graph.labelPropagation(edges, "src", "dst", iters = 2)
+      .orderBy("node")
+  }
+
+  /** Sketch rollup (Sketches.hllRegisters + hllMergeEstimate): HLL
+    * registers built per (event_type, day) SHARD, then merged over the
+    * event_type alone — the sketch-per-partition/union-later shape
+    * that answers any coarser rollup at 100 TB without rescanning.
+    * Register union is an element-wise max, so the merged estimate is
+    * BIT-identical to computing directly per event_type: the oracle
+    * states the direct form, and the hash match proves the merge
+    * theorem on real data.
+    */
+  def hllMergeQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    // epoch-day shard, independent of the parquet ts encoding
+    val sharded = ev.withColumn("day",
+      (graft.operators.Events.tsMicros(ev) / lit(86400000000L))
+        .cast("long"))
+    graft.operators.Sketches.hllMergeEstimate(
+        graft.operators.Sketches.hllRegisters(sharded,
+          Seq("event_type", "day"), "user_id", p = 5).drop("day"),
+        Seq("event_type"), p = 5)
+      .orderBy("event_type")
+  }
+
   /** All LLM-family queries. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (pageRankQ _),
     "q_pagerank_weighted" -> (pageRankWeightedQ _),
+    "q_label_prop" -> (labelPropQ _),
+    "q_hll_merge" -> (hllMergeQ _),
     "q_kmv_distinct" -> (kmvDistinctQ _),
     "q_hll_distinct" -> (hllDistinctQ _),
     "q_bloom_join" -> (bloomJoinQ _),

@@ -367,4 +367,38 @@ object Events {
       .select(col(keyCol), col(attrCol), col("valid_from"),
         col("valid_to"), col("is_current"))
   }
+
+  /** Changelog compaction (CDC apply): materialize the current
+    * snapshot of a keyed upsert/delete log — the LATEST entry per key
+    * wins, and a key whose latest op equals `deleteOp` drops out of
+    * the snapshot entirely. `seqCols` must totally order a key's
+    * entries (e.g. (ts, event_id)); with ties the winner would be
+    * partition-dependent.
+    *
+    * Scale shape: ONE `max_by` aggregate — the whole row rides as the
+    * value, the seq tuple as the ordering key. max_by is
+    * partial-aggregable, so each map task forwards one candidate row
+    * per local key before the exchange; the shuffle carries O(distinct
+    * keys) rows regardless of log depth. No window, so no per-key
+    * timeline ever serializes on one reducer — this is the shape that
+    * compacts a 100 TB changelog in a single bounded shuffle, where
+    * the row_number()-over-key formulation sorts every key's full
+    * history.
+    *
+    * Output: the log's columns minus `opCol`, one row per surviving
+    * key.
+    */
+  def applyChangelog(log: DataFrame, keyCols: Seq[String],
+      seqCols: Seq[String], opCol: String, deleteOp: String): DataFrame = {
+    require(keyCols.nonEmpty && seqCols.nonEmpty, "keys and seq required")
+    val payload = log.columns.filterNot(keyCols.contains).toSeq
+    val latest = log
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*),
+        struct(seqCols.map(col): _*)).as("__last"))
+    payload.foldLeft(latest)((df, c) => df.withColumn(c, col(s"__last.$c")))
+      .drop("__last")
+      .where(col(opCol) =!= lit(deleteOp))
+      .drop(opCol)
+  }
 }

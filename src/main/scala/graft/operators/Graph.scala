@@ -97,4 +97,54 @@ object Graph {
     e.unpersist(blocking = false)
     out
   }
+
+  /** Synchronous label propagation (community detection): every node
+    * starts labeled with itself; each iteration relabels every node
+    * with the MODE of its neighbors' labels, ties broken by the
+    * smallest label. The edge list is symmetrized (and de-self-looped)
+    * first, so "neighbors" is undirected and every node has at least
+    * one. Synchronous updates + the min tie-break make the whole run
+    * deterministic — the classic async/random-order LPA is not, which
+    * is why this variant is the one an oracle can replay.
+    *
+    * Scale + determinism shape, per iteration: one equi-join of the
+    * symmetrized edges with the label vector (O(nodes) side), one
+    * count keyed by (node, label), then the argmax as a
+    * `min(struct(-cnt, label))` aggregate — partial-aggregable (map
+    * tasks forward one candidate per local (node) group), no window
+    * sort over a node's whole neighborhood, label type free. Bounded
+    * unrolled iterations, no driver state at all.
+    *
+    * Convergence note: synchronous LPA can 2-cycle on bipartite-ish
+    * regions (the known limitation); callers pick small fixed `iters`
+    * (2-3 suffices for the dense-cluster / sparse-bridge graphs this
+    * targets, e.g. [[Ann.knnGraph]]).
+    *
+    * Output: (node, label).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, cache: Option[StorageLevel] = None): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val level = cache.getOrElse(StorageLevel.MEMORY_AND_DISK)
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src") =!= col("dst"))
+    // symmetrize; distinct so a mutual edge counts once per direction
+    val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(level) // feeds one join per iteration (same pin pattern)
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      labels = und.join(labels, col("node") === col("dst"))
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("src"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("label"))).as("m"))
+        .select(col("src").as("node"), col("m.label").as("label"))
+    }
+    val out = labels.persist(level)
+    out.count() // terminal action: materialize, then free the edge pin
+    und.unpersist(blocking = false)
+    out
+  }
 }

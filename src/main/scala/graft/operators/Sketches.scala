@@ -84,6 +84,50 @@ object Sketches {
     * Output: (group, distinct_est) — estimate rounded at 2.
     */
   def hllDistinct(df: DataFrame, groupCol: String, valueCol: String,
+      p: Int = 5): DataFrame =
+    hllMergeEstimate(
+      hllRegisters(df.withColumn("group", col(groupCol)),
+        Seq("group"), valueCol, p),
+      Seq("group"), p)
+
+  /** The HLL register table itself — the MERGEABLE partial sketch.
+    * One row per (group..., register id j) holding the max rank seen:
+    * the canonical "sketch per shard, union later" artifact. Because
+    * HLL union is an element-wise register max and max is associative
+    * + idempotent, registers built per (group, shard) and later merged
+    * by [[hllMergeEstimate]] over the group alone are IDENTICAL to
+    * registers built directly per group — estimate and all. That is
+    * the 100 TB shape: sketch each day/partition once (bounded, m
+    * rows per group), persist the tiny register tables, and answer
+    * any coarser rollup from sketches without rescanning the data.
+    *
+    * Output: (groupCols..., j, r).
+    */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, p: Int = 5): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m = 1 << p
+    val g = groupCols.map(col)
+    df.select(g :+ h60(col(valueCol)).as("h"): _*)
+      .select(g :+ col("h").bitwiseAND(lit((m - 1).toLong)).as("j") :+
+        (lit(61 - p) -
+          length(ltrim(bin(shiftright(col("h"), p)), "0"))).as("r"): _*)
+      .groupBy(g :+ col("j"): _*)
+      .agg(max(col("r")).as("r"))
+  }
+
+  /** Union register tables down to `groupCols` (element-wise max per
+    * register — drop the finer shard columns from `groupCols` to roll
+    * up) and evaluate the raw HLL estimate. Input is any frame of
+    * (groupCols..., j, r) rows from [[hllRegisters]] — one shard's or
+    * many's, concatenated. Same determinism discipline as
+    * [[hllDistinct]]: the register sum is an ordered fold over the
+    * j-sorted bounded array, so merged estimates hash-match the
+    * direct computation bit-for-bit.
+    *
+    * Output: (groupCols..., distinct_est) — rounded at 2.
+    */
+  def hllMergeEstimate(regs: DataFrame, groupCols: Seq[String],
       p: Int = 5): DataFrame = {
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
     val m = 1 << p
@@ -94,24 +138,20 @@ object Sketches {
       case _  => 0.7213 / (1.0 + 1.079 / m)
     }
     val alphaNum = alpha * m * m // left-assoc, same in the oracle
-    val regs = df
-      .select(col(groupCol).as("group"), h60(col(valueCol)).as("h"))
-      .select(col("group"),
-        col("h").bitwiseAND(lit((m - 1).toLong)).as("j"),
-        (lit(61 - p) -
-          length(ltrim(bin(shiftright(col("h"), p)), "0"))).as("r"))
-      .groupBy("group", "j")
+    val g = groupCols.map(col)
+    regs
+      .groupBy(g :+ col("j"): _*)
       .agg(max(col("r")).as("r"))
-    regs.groupBy("group")
+      .groupBy(g: _*)
       .agg(count(lit(1)).as("nz"),
         aggregate(
           transform(sort_array(collect_list(struct(col("j"), col("r")))),
             x => pow(lit(2.0), -x.getField("r"))),
           lit(0.0), (acc, x) => acc + x).as("z_present"))
-      .select(col("group"),
+      .select(g :+
         round(lit(alphaNum) /
           (col("z_present") +
             (lit(m.toDouble) - col("nz").cast("double"))), 2)
-          .as("distinct_est"))
+          .as("distinct_est"): _*)
   }
 }

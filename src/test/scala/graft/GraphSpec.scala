@@ -52,6 +52,45 @@ class GraphSpec extends SparkSpec {
     assert(rn(2L) == (1.0 - 0.85) / 2 + 0.85 * 0.5)
   }
 
+  test("labelPropagation: disjoint triangles converge to their min ids") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("src", "dst")
+    val l = Graph.labelPropagation(edges, "src", "dst", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(l == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("labelPropagation: mode outvotes min; sync replay is exact") {
+    // Hand-replayed synchronous updates. iter1 labels are always
+    // min-of-neighbors (initial labels are distinct ids, every count
+    // is 1); the mode only becomes decisive from iter2 on.
+    val edges = Seq((60L, 8L), (60L, 9L), (60L, 2L),
+      (8L, 7L), (9L, 7L), (2L, 3L)).toDF("src", "dst")
+    val l1 = Graph.labelPropagation(edges, "src", "dst", iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(l1 == Map(60L -> 2L, 8L -> 7L, 9L -> 7L, 2L -> 3L,
+      7L -> 8L, 3L -> 2L))
+    val l2 = Graph.labelPropagation(edges, "src", "dst", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    // iter2 at node 60: neighbor labels {8->7, 9->7, 2->3} -- label 7
+    // counts 2 and OUTVOTES the smaller singleton label 3.
+    assert(l2(60L) == 7L)
+  }
+
+  test("labelPropagation: deterministic under repartitioning") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val edges = Ann.knnGraph(e, kG = 4, nCells = 16)
+    val a = Graph.labelPropagation(edges, "src", "dst", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.labelPropagation(edges.repartition(13), "src", "dst",
+      iters = 2).as[(Long, Long)].collect().toMap
+    assert(a == b)
+    // every node got a label, labels are node ids
+    assert(a.values.toSet.subsetOf(a.keySet))
+  }
+
   test("pageRank over knnGraph: mass conserved, deterministic") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))

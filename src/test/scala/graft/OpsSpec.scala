@@ -749,6 +749,28 @@ class OpsSpec extends SparkSpec {
       102L -> None, 103L -> Some("v3"), 104L -> None, 200L -> None))
   }
 
+  test("applyChangelog: latest wins, deletes drop keys, resurrection") {
+    import graft.operators.Events
+    val log = Seq(
+      (1L, 10L, "U", "a"), (1L, 20L, "U", "b"),   // upsert chain -> b
+      (2L, 10L, "U", "x"), (2L, 30L, "D", "-"),   // latest is delete
+      (3L, 10L, "D", "-"), (3L, 15L, "U", "y"),   // delete then upsert
+      (4L, 10L, "D", "-"),                        // only a delete
+      (5L, 10L, "U", "p"), (5L, 9L, "U", "q")     // out-of-order arrival
+    ).toDF("k", "seq", "op", "v")
+    val snap = Events.applyChangelog(log, Seq("k"), Seq("seq"), "op", "D")
+      .select("k", "seq", "v").as[(Long, Long, String)].collect().toSet
+    assert(snap == Set((1L, 20L, "b"), (3L, 15L, "y"), (5L, 10L, "p")))
+    // the op column is consumed; everything else survives
+    val cols = Events.applyChangelog(log, Seq("k"), Seq("seq"), "op", "D")
+      .columns.toSeq
+    assert(cols == Seq("k", "seq", "v"))
+    // partial-aggregation shape: no Window operator anywhere
+    val plan = Events.applyChangelog(log, Seq("k"), Seq("seq"), "op", "D")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("scd2: collapses runs, closes intervals, tie-breaks by tieCol") {
     import graft.operators.Events
     // user 1: A A B A (run of A collapses); user 2: one event (open

@@ -60,6 +60,37 @@ class SketchesSpec extends SparkSpec {
     assert(a == b) // ordered fold: partitioning cannot move the sum
   }
 
+  test("hllRegisters+hllMergeEstimate: sharded merge == direct, exactly") {
+    val ev = events("0.001")
+    // sketch per (event_type, day) shards, then roll up to event_type
+    val sharded = ev.withColumn("day", dayofmonth(col("ts")))
+    val merged = Sketches.hllMergeEstimate(
+        Sketches.hllRegisters(sharded, Seq("event_type", "day"),
+          "user_id", p = 5).drop("day"),
+        Seq("event_type"), p = 5)
+      .as[(String, Double)].collect().toMap
+    val direct = Sketches.hllDistinct(ev, "event_type", "user_id", p = 5)
+      .as[(String, Double)].collect().toMap
+    // register union is an element-wise max: merged estimates must be
+    // BIT-identical to the direct computation, not merely close
+    assert(merged == direct)
+  }
+
+  test("hllMergeEstimate: idempotent re-merge; registers stay bounded") {
+    val ev = events("0.001")
+    val regs = Sketches.hllRegisters(ev, Seq("event_type"), "user_id", 5)
+    // double-feeding the same registers must not move the estimate
+    val once = Sketches.hllMergeEstimate(regs, Seq("event_type"), 5)
+    val twice = Sketches.hllMergeEstimate(regs.union(regs),
+      Seq("event_type"), 5)
+    assert(once.orderBy("event_type").collect().toSeq ==
+      twice.orderBy("event_type").collect().toSeq)
+    // the partial sketch is bounded at m = 2^p rows per group
+    val perGroup = regs.groupBy("event_type").count()
+      .as[(String, Long)].collect()
+    perGroup.foreach { case (g, n) => assert(n <= 32, s"$g -> $n regs") }
+  }
+
   test("bloomPrunedJoin: exact plain-join semantics, real pruning") {
     val orders = spark.read
       .parquet("/root/testdata/sf0.001/orders.parquet")
