@@ -1904,6 +1904,28 @@ object Oracles {
         |        (zp + (32::DOUBLE - nz::DOUBLE)), 2) AS distinct_est
         |FROM z ORDER BY 1""".stripMargin,
 
+    // Streaming HLL (Queries.streamingHllQ): register union is
+    // order-insensitive, so the complete-mode streamed registers —
+    // however the micro-batches sliced the input — estimate
+    // bit-identically to the direct batch sketch below.
+    "q_streaming_hll" ->
+      """WITH h AS (SELECT event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |rr AS (SELECT event_type, (h & 31) AS j,
+        |    (56 - length(ltrim(bin(h >> 5), '0'))) AS r
+        |  FROM h),
+        |regs AS (SELECT event_type, j, max(r) AS r FROM rr
+        |         GROUP BY event_type, j),
+        |z AS (SELECT event_type, count(*) AS nz,
+        |    list_reduce(list(pow(2::DOUBLE, -r) ORDER BY j),
+        |                (a, b) -> a + b) AS zp
+        |  FROM regs GROUP BY event_type)
+        |SELECT event_type,
+        |  round((0.697::DOUBLE * 32 * 32) /
+        |        (zp + (32::DOUBLE - nz::DOUBLE)), 2) AS distinct_est
+        |FROM z ORDER BY 1""".stripMargin,
+
     // KMV distinct sketch (operators/Sketches.kmvDistinct): 64
     // smallest distinct md5-60 hashes per event_type; estimate
     // (k-1)/(h_k/2^60), exact count when fewer than k distinct. Full

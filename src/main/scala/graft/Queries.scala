@@ -1177,6 +1177,42 @@ object Queries {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** Streaming distinct-count sketch, driver-checkable: the MERGEABLE
+    * HLL register table ([[graft.operators.Sketches.hllRegisters]]) is
+    * streaming-ready by construction — its register groupBy is a
+    * bounded-state streaming aggregation (state = one max-rank row per
+    * (group, register), 2^p rows per group FOREVER, regardless of
+    * stream volume), run here in complete mode over multi-micro-batch
+    * JSONL arrival. The final registers feed the batch
+    * hllMergeEstimate; because register union is order-insensitive
+    * (element-wise max), the streamed estimate is BIT-identical to the
+    * batch sketch, and the oracle states the direct batch form.
+    */
+  def streamingHllQ(s: SparkSession, dir: String): DataFrame = {
+    val d = tmp("shll")
+    t(s, dir, "events").select(col("user_id"), col("event_type"))
+      .write.mode("overwrite").json(s"$d/in")
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    val table =
+      "shll_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withShufflePartitions(s, 4) {
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").json(s"$d/in")
+      val q = graft.operators.Sketches
+        .hllRegisters(src, Seq("event_type"), "user_id", p = 5)
+        .writeStream.format("memory").queryName(table)
+        .outputMode("complete")
+        .option("checkpointLocation", s"$d/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    graft.operators.Sketches.hllMergeEstimate(s.table(table),
+        Seq("event_type"), p = 5)
+      .orderBy("event_type")
+  }
+
   /** Streaming drift monitor (streaming.DriftMonitor), driver-
     * checkable: an AvailableNow run bins events.value per 2-day
     * event-time window on the baseline's integer grid (watermark 0s;
@@ -1732,6 +1768,7 @@ object Queries {
     "q_attribution_outer" -> (attributionOuter _),
     "q_streaming_dedup_equiv" -> (streamingDedupEquiv _),
     "q_streaming_minhash" -> (streamingMinhashQ _),
+    "q_streaming_hll" -> (streamingHllQ _),
     "q_stream_drift" -> (streamDrift _),
     "q_idempotent_relay" -> (idempotentRelay _),
     "q_incremental_job" -> (incrementalJob _),

@@ -432,6 +432,48 @@ class StreamingSpec extends SparkSpec {
       (3L, 30L, None)))     // converted too late: still a null row
   }
 
+  test("streaming HLL registers: bounded state, bit-equal to batch") {
+    import graft.operators.Sketches
+    val dir = tmpDir("shll")
+    // two micro-batches slicing the groups differently: register max
+    // is order-insensitive, so the final state must equal batch
+    Seq("""{"k":"a","v":1}""", """{"k":"a","v":2}""",
+      """{"k":"b","v":1}""")
+      .toDF("value").coalesce(1).write.text(s"$dir/in/f1")
+    Seq("""{"k":"a","v":3}""", """{"k":"b","v":9}""",
+      """{"k":"b","v":1}""") // v=1 again: idempotent re-observe
+      .toDF("value").coalesce(1).write.text(s"$dir/in/f2")
+    val sch = StructType(Seq(StructField("k", StringType),
+      StructField("v", LongType)))
+    val src = spark.readStream.schema(sch)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1")
+      .json(s"$dir/in")
+    val table =
+      "shll_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = Sketches.hllRegisters(src, Seq("k"), "v", p = 4)
+      .writeStream.format("memory").queryName(table)
+      .outputMode("complete")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table(table)
+    // state bound: at most 2^p = 16 register rows per group
+    assert(streamed.count() <= 32)
+    val batch = Sketches.hllRegisters(
+      Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 1L), ("b", 9L),
+        ("b", 1L)).toDF("k", "v"), Seq("k"), "v", p = 4)
+    assert(streamed.orderBy("k", "j").collect().toSeq ==
+      batch.orderBy("k", "j").collect().toSeq)
+    // and the merged estimates agree bit-for-bit
+    val se = Sketches.hllMergeEstimate(streamed, Seq("k"), p = 4)
+      .orderBy("k").collect().toSeq
+    val be = Sketches.hllMergeEstimate(batch, Seq("k"), p = 4)
+      .orderBy("k").collect().toSeq
+    assert(se == be)
+  }
+
   test("decorateStream: stateless batch-equal enrich, null passthrough") {
     import graft.streaming.Enrich
     val dir = tmpDir("enrich")
