@@ -905,6 +905,58 @@ object Oracles {
         |  AND s.s_start <= st.v_end AND st.v_start <= s.s_end
         |ORDER BY 1, 2, 4, 3""".stripMargin,
 
+    // Conversion funnel (Events.funnel): chained strictly-after
+    // conditional mins — t1 = first view, t2 = first click after t1,
+    // t3 = first purchase after t2; stalls carry nulls, no-view users
+    // are absent.
+    "q_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    epoch_ns(ts) // 1000 AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t1 FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(us) AS t2 FROM ev e
+        |       JOIN s1 ON s1.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND e.us > s1.t1
+        |       GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(us) AS t3 FROM ev e
+        |       JOIN s2 ON s2.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.us > s2.t2
+        |       GROUP BY 1)
+        |SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+        |FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+        |        LEFT JOIN s3 ON s3.user_id = s1.user_id
+        |ORDER BY 1""".stripMargin,
+
+    // Snapshot-delta changelog (Reconcile.snapshotDelta): full-outer
+    // key compare of customer vs its mutated successor; I/U rows carry
+    // the after-image, D rows the before-image, unchanged keys absent.
+    "q_snapshot_delta" ->
+      """WITH b AS (SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        |           FROM customer),
+        |a0 AS (SELECT c_custkey, c_name, c_acctbal,
+        |    CASE WHEN c_custkey % 13 = 0 THEN 'X' || c_mktsegment
+        |         ELSE c_mktsegment END AS c_mktsegment
+        |  FROM b WHERE c_custkey % 97 <> 0),
+        |ins AS (SELECT c_custkey + 1000000 AS c_custkey, c_name,
+        |    c_acctbal, c_mktsegment FROM b WHERE c_custkey % 101 = 0),
+        |a AS (SELECT * FROM a0 UNION ALL SELECT * FROM ins),
+        |j AS (SELECT coalesce(a.c_custkey, b.c_custkey) AS c_custkey,
+        |    CASE WHEN b.c_custkey IS NULL THEN 'I'
+        |         WHEN a.c_custkey IS NULL THEN 'D'
+        |         WHEN (a.c_name IS DISTINCT FROM b.c_name)
+        |           OR (a.c_acctbal IS DISTINCT FROM b.c_acctbal)
+        |           OR (a.c_mktsegment IS DISTINCT FROM b.c_mktsegment)
+        |         THEN 'U' END AS op,
+        |    CASE WHEN a.c_custkey IS NULL THEN b.c_name
+        |         ELSE a.c_name END AS c_name,
+        |    CASE WHEN a.c_custkey IS NULL THEN b.c_acctbal
+        |         ELSE a.c_acctbal END AS c_acctbal,
+        |    CASE WHEN a.c_custkey IS NULL THEN b.c_mktsegment
+        |         ELSE a.c_mktsegment END AS c_mktsegment
+        |  FROM a FULL JOIN b ON a.c_custkey = b.c_custkey)
+        |SELECT c_custkey, op, c_name, c_acctbal, c_mktsegment
+        |FROM j WHERE op IS NOT NULL ORDER BY c_custkey""".stripMargin,
+
     // Left-outer interval attribution: q_attribution's join with every
     // view preserved; a (user, view) group is either all-matched or a
     // single null row, so the three-column sort is unambiguous despite

@@ -1391,6 +1391,46 @@ object Queries {
       .orderBy("user_id", "session_seq", "v_start", "state_type")
   }
 
+  /** Conversion funnel (Events.funnel): earliest strictly-ordered
+    * view -> click -> purchase times per user; a user stalls with
+    * nulls where the chain breaks, users with no view are absent. No
+    * per-user timeline sort anywhere — conditional mins + shrinking
+    * per-stage joins.
+    */
+  def funnelQ(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    val ev = raw.select(col("user_id"), col("event_type"),
+      graft.operators.Events.tsMicros(raw).as("ts_us"))
+    graft.operators.Events.funnel(ev, "user_id", "ts_us", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+  }
+
+  /** Snapshot-delta changelog (Reconcile.snapshotDelta): the typed
+    * I/U/D diff between the customer table and a deterministically
+    * mutated successor (keys % 97 deleted, segments of keys % 13
+    * prefixed, keys % 101 re-inserted shifted by 1e6). Unchanged keys
+    * emit nothing; U rows carry the after-image, D rows the
+    * before-image.
+    */
+  def snapshotDeltaQ(s: SparkSession, dir: String): DataFrame = {
+    val before = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_mktsegment"))
+    val after = before
+      .where(col("c_custkey") % 97 =!= 0)
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") % 13 === 0,
+          concat(lit("X"), col("c_mktsegment")))
+          .otherwise(col("c_mktsegment")))
+      .unionByName(before.where(col("c_custkey") % 101 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          col("c_name"), col("c_acctbal"), col("c_mktsegment")))
+    graft.operators.Reconcile.snapshotDelta(before, after,
+        Seq("c_custkey"))
+      .orderBy("c_custkey")
+  }
+
   /** Left-outer interval attribution
     * (streaming/Attribution.viewConversionJoin, joinType=left_outer):
     * every view kept, unconverted views carry a null conv_id — the
@@ -1763,6 +1803,8 @@ object Queries {
     "q_pit_join" -> (pitJoinQ _),
     "q_cdc_apply" -> (cdcApplyQ _),
     "q_interval_join" -> (intervalJoinQ _),
+    "q_funnel" -> (funnelQ _),
+    "q_snapshot_delta" -> (snapshotDeltaQ _),
     "q_stream_enrich" -> (streamEnrich _),
     "q_attribution" -> (attribution _),
     "q_attribution_outer" -> (attributionOuter _),

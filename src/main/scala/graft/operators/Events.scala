@@ -388,6 +388,49 @@ object Events {
     * Output: the log's columns minus `opCol`, one row per surviving
     * key.
     */
+  /** Ordered funnel: per key, the earliest completion time of each
+    * stage, where stage i must STRICTLY follow that key's stage-(i-1)
+    * completion (same-instant events do not advance the funnel).
+    * Keys that never complete stage 1 are absent; a key that stalls
+    * at stage i carries nulls from t(i+1) on — the standard
+    * conversion-funnel table.
+    *
+    * Scale shape: NO per-key window or timeline sort. Stage 1 is a
+    * conditional min; each later stage joins the stage-i event slice
+    * to the accumulator (one row per surviving key, O(keys)) and
+    * takes another conditional min — `stages` key-partitioned
+    * shuffles of ever-shrinking slices, each map-side combinable.
+    * The projected event frame is pinned across the per-stage scans
+    * (the [[Graph.pageRank]] consumer pattern).
+    *
+    * Output: (keyCol, t1 .. tN).
+    */
+  def funnel(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String],
+      cache: Option[org.apache.spark.storage.StorageLevel] = None)
+      : DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val level = cache.getOrElse(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ev = events.select(col(keyCol).as("__k"),
+        col(tsCol).as("__ts"), col(typeCol).as("__tp"))
+      .where(col("__tp").isin(stages: _*)) // only funnel stages matter
+      .persist(level)
+    var acc = ev.where(col("__tp") === stages.head)
+      .groupBy(col("__k")).agg(min(col("__ts")).as("t1"))
+    for (i <- 2 to stages.length) {
+      val nxt = ev.where(col("__tp") === stages(i - 1))
+        .join(acc.select(col("__k"), col(s"t${i - 1}")), Seq("__k"))
+        .where(col("__ts") > col(s"t${i - 1}"))
+        .groupBy(col("__k")).agg(min(col("__ts")).as(s"t$i"))
+      acc = acc.join(nxt, Seq("__k"), "left_outer")
+    }
+    val out = acc.withColumnRenamed("__k", keyCol).persist(level)
+    out.count() // terminal action: materialize, then free the pin
+    ev.unpersist(blocking = false)
+    out
+  }
+
   def applyChangelog(log: DataFrame, keyCols: Seq[String],
       seqCols: Seq[String], opCol: String, deleteOp: String): DataFrame = {
     require(keyCols.nonEmpty && seqCols.nonEmpty, "keys and seq required")

@@ -85,4 +85,44 @@ object Reconcile {
     pb.unpersist(blocking = false)
     out
   }
+
+  /** Snapshot-to-snapshot changelog — the inverse of
+    * [[Events.applyChangelog]]: classify every key as I (in `after`
+    * only), D (in `before` only) or U (in both, any payload column
+    * differing null-safely); unchanged keys emit NOTHING. One
+    * co-partitioned full-outer equi-join on the key — no window, no
+    * row hashing. Reach for [[merkleDiff]] instead when the tables
+    * mostly agree and you only need the damaged keys without the full
+    * key shuffle; this operator is for when a downstream CDC consumer
+    * needs the complete TYPED delta with payloads.
+    *
+    * Both snapshots must share a column set and be keyed (at most one
+    * row per key — duplicate keys would multiply through the join).
+    *
+    * Output: keys..., op, then the payload columns — `after`'s values
+    * on I/U rows, `before`'s on D rows.
+    */
+  def snapshotDelta(before: DataFrame, after: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(before.columns.toSeq == after.columns.toSeq,
+      s"schemas differ: ${before.columns.toSeq} vs ${after.columns.toSeq}")
+    require(keys.nonEmpty && keys.forall(before.columns.contains),
+      s"keys $keys not all present in ${before.columns.toSeq}")
+    val payload = before.columns.filterNot(keys.contains).toSeq
+    def tagged(df: DataFrame, t: String): DataFrame =
+      payload.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"__${t}_$c"))
+        .withColumn(s"__${t}_present", lit(true))
+    val j = tagged(before, "b").join(tagged(after, "a"), keys, "full_outer")
+    val changed = payload
+      .map(c => !(col(s"__b_$c") <=> col(s"__a_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    j.withColumn("op",
+        when(col("__b_present").isNull, "I")
+          .when(col("__a_present").isNull, "D")
+          .when(changed, "U"))
+      .where(col("op").isNotNull)
+      .select(keys.map(col) ++ Seq(col("op")) ++ payload.map(c =>
+        when(col("op") === "D", col(s"__b_$c"))
+          .otherwise(col(s"__a_$c")).as(c)): _*)
+  }
 }

@@ -749,6 +749,28 @@ class OpsSpec extends SparkSpec {
       102L -> None, 103L -> Some("v3"), 104L -> None, 200L -> None))
   }
 
+  test("funnel: strict ordering, stalls, same-instant, absent keys") {
+    import graft.operators.Events
+    val ev = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "buy"),   // full
+      (2L, 10L, "view"), (2L, 10L, "click"),  // same instant: no advance
+      (2L, 15L, "click"), (2L, 12L, "buy"),   // buy BEFORE click: stall
+      (3L, 10L, "click"), (3L, 20L, "buy"),   // no view: absent entirely
+      (4L, 50L, "view"),                      // stage-1 only
+      (5L, 9L, "buy"), (5L, 10L, "view"), (5L, 20L, "click"),
+      (5L, 25L, "buy")                        // early buy ignored
+    ).toDF("k", "ts", "tp")
+    val out = Events.funnel(ev, "k", "ts", "tp",
+        Seq("view", "click", "buy"))
+      .as[(Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map { case (k, a, b, c) => k -> ((a, b, c)) }.toMap
+    assert(out == Map(
+      1L -> (Some(10L), Some(20L), Some(30L)),
+      2L -> (Some(10L), Some(15L), None),
+      4L -> (Some(50L), None, None),
+      5L -> (Some(10L), Some(20L), Some(25L))))
+  }
+
   test("applyChangelog: latest wins, deletes drop keys, resurrection") {
     import graft.operators.Events
     val log = Seq(

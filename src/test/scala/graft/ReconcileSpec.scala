@@ -51,4 +51,34 @@ class ReconcileSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "bucket gate not broadcast")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("snapshotDelta: typed I/U/D with the right image, silence else") {
+    val before = Seq((1L, "a", Some(10)), (2L, "b", Some(20)),
+      (3L, "c", None), (4L, "d", Some(40))).toDF("k", "name", "v")
+    val after = Seq((1L, "a", Some(10)),          // unchanged: silent
+      (2L, "b", Some(99)),                        // U: after-image 99
+      (3L, "c", Some(30)),                        // U: null -> 30
+      (5L, "e", Some(50))).toDF("k", "name", "v") // I; 4 deleted
+    val out = Reconcile.snapshotDelta(before, after, Seq("k"))
+      .as[(Long, String, String, Option[Int])].collect().toSet
+    assert(out == Set(
+      (2L, "U", "b", Some(99)),
+      (3L, "U", "c", Some(30)),
+      (4L, "D", "d", Some(40)), // D carries the before-image
+      (5L, "I", "e", Some(50))))
+    // U detection is null-safe BOTH ways: 30 -> null is a change too
+    val rev = Reconcile.snapshotDelta(after, before, Seq("k"))
+      .where(col("k") === 3L).as[(Long, String, String, Option[Int])]
+      .collect().toSeq
+    assert(rev == Seq((3L, "U", "c", None)))
+  }
+
+  test("snapshotDelta: no window, single full-outer join plan") {
+    val before = Seq((1L, "a")).toDF("k", "v")
+    val after = Seq((1L, "b")).toDF("k", "v")
+    val plan = Reconcile.snapshotDelta(before, after, Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
