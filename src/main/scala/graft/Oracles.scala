@@ -1978,6 +1978,26 @@ object Oracles {
         |        (zp + (32::DOUBLE - nz::DOUBLE)), 2) AS distinct_est
         |FROM z ORDER BY 1""".stripMargin,
 
+    // Count-min sketch (Sketches.cmsCells + cmsLookup): 4 x 256
+    // row-salted md5-60 cells over user ids, point estimate = min
+    // over rows of the probe's cell counts (absent cell = 0).
+    "q_cms_freq" ->
+      """WITH vals AS (SELECT user_id::VARCHAR AS v FROM events),
+        |cells AS (SELECT t.r,
+        |    ('0x' || substr(md5(t.r::VARCHAR || ':' || v), 1, 15))::BIGINT
+        |      % 256 AS c,
+        |    count(*) AS n
+        |  FROM vals CROSS JOIN range(4) t(r) GROUP BY 1, 2),
+        |probes AS (SELECT DISTINCT user_id FROM events
+        |           WHERE user_id < 20),
+        |pq AS (SELECT p.user_id, t.r,
+        |    ('0x' || substr(md5(t.r::VARCHAR || ':' ||
+        |       p.user_id::VARCHAR), 1, 15))::BIGINT % 256 AS c
+        |  FROM probes p CROSS JOIN range(4) t(r))
+        |SELECT pq.user_id, min(coalesce(cells.n, 0))::BIGINT AS freq_est
+        |FROM pq LEFT JOIN cells ON cells.r = pq.r AND cells.c = pq.c
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // KMV distinct sketch (operators/Sketches.kmvDistinct): 64
     // smallest distinct md5-60 hashes per event_type; estimate
     // (k-1)/(h_k/2^60), exact count when fewer than k distinct. Full

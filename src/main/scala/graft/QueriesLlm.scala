@@ -1712,8 +1712,25 @@ object QueriesLlm {
       .orderBy("event_type")
   }
 
+  /** Count-min frequency sketch (Sketches.cmsCells + cmsLookup): a
+    * 4 x 256 mergeable counter matrix over the event user ids, point-
+    * queried for users 0-19 — the bounded-state "how often did I see
+    * X" primitive (hot-token detection, spam keys) whose one-sided
+    * error the spec pins. Full-construction DuckDB replay.
+    */
+  def cmsFreqQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val cells = graft.operators.Sketches.cmsCells(ev, "user_id",
+      d = 4, w = 256)
+    val probes = ev.where(col("user_id") < 20).select(col("user_id"))
+    graft.operators.Sketches.cmsLookup(cells, probes, "user_id",
+        d = 4, w = 256)
+      .orderBy("user_id")
+  }
+
   /** All LLM-family queries. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cms_freq" -> (cmsFreqQ _),
     "q_pagerank" -> (pageRankQ _),
     "q_pagerank_weighted" -> (pageRankWeightedQ _),
     "q_label_prop" -> (labelPropQ _),

@@ -116,6 +116,58 @@ object Sketches {
       .agg(max(col("r")).as("r"))
   }
 
+  /** Count-min sketch cells — the MERGEABLE frequency sketch, the
+    * counting sibling of [[hllRegisters]]: a d x w counter matrix
+    * where each input value increments one cell per hash row
+    * (row-salted md5-60 mod w). Cells built per shard merge by
+    * CELL-WISE SUM (associative + commutative), so per-partition
+    * sketches roll up without rescanning — at 100 TB the sketch is
+    * d*w longs however large the stream, and the build is one
+    * map-side-combinable (r, c) count.
+    *
+    * Output: (r, c, n) — only touched cells; absent cells are zero.
+    */
+  def cmsCells(df: DataFrame, valueCol: String, d: Int, w: Int)
+      : DataFrame = {
+    require(d >= 1 && w >= 2, s"need d >= 1, w >= 2: got d=$d w=$w")
+    df.select(explode(array((0 until d).map(i => struct(
+        lit(i).as("r"),
+        pmod(h60(concat(lit(s"$i:"), col(valueCol).cast("string"))),
+          lit(w.toLong)).as("c"))): _*)).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Union shard sketches: cell-wise sum. Feeding the result back in
+    * is a no-op (one row per cell sums itself).
+    */
+  def cmsMerge(cells: DataFrame): DataFrame =
+    cells.groupBy(col("r"), col("c")).agg(sum(col("n")).as("n"))
+
+  /** Point-query the sketch: estimated frequency of each distinct
+    * probe value = min over the d rows of its cell counts (untouched
+    * cells read 0). The classic one-sided guarantee: est >= true
+    * count always, and overshoots only by colliding mass (~N/w per
+    * row, beaten by the min across d independent rows). The probe
+    * side explodes to d lookups and equi-joins the cells — no
+    * broadcast of the data, and the cells frame is d*w rows at most.
+    *
+    * Output: (valueCol, freq_est).
+    */
+  def cmsLookup(cells: DataFrame, probes: DataFrame, valueCol: String,
+      d: Int, w: Int): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d >= 1, w >= 2: got d=$d w=$w")
+    probes.select(col(valueCol)).distinct()
+      .select(col(valueCol), explode(array((0 until d).map(i => struct(
+        lit(i).as("r"),
+        pmod(h60(concat(lit(s"$i:"), col(valueCol).cast("string"))),
+          lit(w.toLong)).as("c"))): _*)).as("rc"))
+      .select(col(valueCol), col("rc.r").as("r"), col("rc.c").as("c"))
+      .join(cells, Seq("r", "c"), "left_outer")
+      .groupBy(col(valueCol))
+      .agg(min(coalesce(col("n"), lit(0L))).as("freq_est"))
+  }
+
   /** Union register tables down to `groupCols` (element-wise max per
     * register — drop the finer shard columns from `groupCols` to roll
     * up) and evaluate the raw HLL estimate. Input is any frame of

@@ -91,6 +91,35 @@ class SketchesSpec extends SparkSpec {
     perGroup.foreach { case (g, n) => assert(n <= 32, s"$g -> $n regs") }
   }
 
+  test("cms: one-sided error, exact in the wide regime, shard merge") {
+    val ev = events("0.001").select(col("user_id"))
+    val truth = ev.groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap
+    // wide sketch (w >> distinct): estimates should be EXACT here,
+    // and must never undershoot anywhere
+    val cells = Sketches.cmsCells(ev, "user_id", d = 4, w = 4096)
+    val est = Sketches.cmsLookup(cells, ev, "user_id", d = 4, w = 4096)
+      .as[(Long, Long)].collect().toMap
+    assert(est.keySet == truth.keySet)
+    est.foreach { case (k, e) =>
+      assert(e >= truth(k), s"undershoot at $k: $e < ${truth(k)}")
+    }
+    assert(est == truth, "w=4096 over ~75 keys should be collision-free")
+    // narrow sketch: still one-sided
+    val narrow = Sketches.cmsCells(ev, "user_id", d = 4, w = 16)
+    val estN = Sketches.cmsLookup(narrow, ev, "user_id", d = 4, w = 16)
+      .as[(Long, Long)].collect().toMap
+    estN.foreach { case (k, e) => assert(e >= truth(k)) }
+    // mergeability: per-shard cells summed == direct cells
+    val sharded = Seq(0, 1, 2).map(i =>
+      Sketches.cmsCells(ev.where(pmod(col("user_id"), lit(3)) === i),
+        "user_id", d = 4, w = 4096))
+    val merged = Sketches.cmsMerge(sharded.reduce(_ union _))
+      .as[(Int, Long, Long)].collect().toSet
+    val direct = cells.as[(Int, Long, Long)].collect().toSet
+    assert(merged == direct)
+  }
+
   test("bloomPrunedJoin: exact plain-join semantics, real pruning") {
     val orders = spark.read
       .parquet("/root/testdata/sf0.001/orders.parquet")
