@@ -1978,6 +1978,24 @@ object Oracles {
         |        (zp + (32::DOUBLE - nz::DOUBLE)), 2) AS distinct_est
         |FROM z ORDER BY 1""".stripMargin,
 
+    // Systematic PPS sampling (Sampling.systematicWeighted): integer
+    // prefix-sum marks — copies_i = floor(c_i*k/W) - floor(c_{i-1}*k/W)
+    // in HUGEINT, k=50 per language, weight = n_chars.
+    "q_pps_sample" ->
+      """WITH d AS (SELECT lang, doc_id, n_chars FROM documents
+        |           WHERE n_chars > 0),
+        |c AS (SELECT lang, doc_id, n_chars,
+        |    sum(n_chars::HUGEINT) OVER (PARTITION BY lang
+        |                                ORDER BY doc_id) AS cum,
+        |    sum(n_chars::HUGEINT) OVER (PARTITION BY lang) AS w
+        |  FROM d),
+        |x AS (SELECT lang, doc_id, n_chars,
+        |    ((cum * 50) // w - ((cum - n_chars) * 50) // w)::BIGINT
+        |      AS copies
+        |  FROM c)
+        |SELECT lang, doc_id, n_chars, copies FROM x WHERE copies >= 1
+        |ORDER BY lang, doc_id""".stripMargin,
+
     // Count-min sketch (Sketches.cmsCells + cmsLookup): 4 x 256
     // row-salted md5-60 cells over user ids, point estimate = min
     // over rows of the probe's cell counts (absent cell = 0).

@@ -625,6 +625,20 @@ object QueriesLlm {
     * eval-set draw, replayed by the oracle as a (bucket asc, key
     * desc) window head.
     */
+  /** Systematic PPS sampling (Sampling.systematicWeighted): 50 copies
+    * per language drawn proportional to document length — the
+    * deterministic integer-exact mixing primitive (no RNG, no float
+    * keys); every group emits exactly k copies and the whole
+    * construction replays in HUGEINT SQL.
+    */
+  def ppsSampleQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    Sampling.systematicWeighted(
+        t(s, dir, "documents").select("lang", "doc_id", "n_chars"),
+        "lang", "n_chars", k = 50, orderCols = Seq("doc_id"))
+      .orderBy("lang", "doc_id")
+  }
+
   def quotaSampleQ(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Sampling
     Sampling.quotaSample(
@@ -1798,6 +1812,7 @@ object QueriesLlm {
     "q_negative_sample" -> (negativeSampleQ _),
     "q_cooccurrence" -> (coOccurrenceQ _),
     "q_quota_sample" -> (quotaSampleQ _),
+    "q_pps_sample" -> (ppsSampleQ _),
     "q_rec_training" -> (recTrainingQ _),
     "q_hard_negatives" -> (hardNegativesQ _),
     "q_hard_negatives_ann" -> (hardNegativesAnnQ _),

@@ -332,6 +332,48 @@ object Sampling {
     * @return df's rows of the selected sample, plus `rank` (1..quota
     *   within stratum)
     */
+  /** Systematic probability-proportional-to-size sampling per group —
+    * deterministic and integer-exact, where the classic A-ES
+    * exponential-keys scheme would hang row selection on last-ulp
+    * float ordering. Lay the group's integer weights end to end on a
+    * line of length W (the group's weight sum) under the `orderCols`
+    * ordering, place k equally-spaced marks: row i receives
+    * `floor(c_i*k/W) - floor(c_{i-1}*k/W)` copies (c_i the inclusive
+    * prefix sum). Properties, all exact: every group emits EXACTLY k
+    * copies in total, expected copies are proportional to weight, and
+    * any row with w_i >= W/k is guaranteed >= 1 copy. All arithmetic
+    * is decimal(38,0) (caller keeps W*k < 1e38) — replayable by any
+    * HUGEINT/decimal SQL engine, bit-free of RNG and floats.
+    *
+    * Rows with non-positive weight are excluded. Scale shape: one
+    * per-group ordered window (prefix sum) — the [[graft.operators
+    * .Events.sessionize]] family; apply the time/range-bucketed
+    * two-phase technique for hot groups the same way.
+    *
+    * @return sampled rows (copies >= 1) with a `copies` multiplicity
+    */
+  def systematicWeighted(df: org.apache.spark.sql.DataFrame,
+      groupCol: String, weightCol: String, k: Int,
+      orderCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(orderCols.nonEmpty, "orderCols must totally order a group")
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(groupCol)
+      .orderBy(orderCols.map(col): _*)
+    val wAll = Window.partitionBy(groupCol)
+    def fdiv(x: Column, d: Column): Column =
+      ((x - pmod(x, d)) / d).cast("long")
+    val dec = col(weightCol).cast("decimal(38,0)")
+    df.where(col(weightCol) > 0)
+      .withColumn("__c", sum(dec).over(wOrd))
+      .withColumn("__W", sum(dec).over(wAll))
+      .withColumn("copies",
+        fdiv(col("__c") * k, col("__W")) -
+          fdiv((col("__c") - dec) * k, col("__W")))
+      .where(col("copies") >= 1)
+      .drop("__c", "__W")
+  }
+
   def quotaSample(df: org.apache.spark.sql.DataFrame, keyCol: String,
       stratumCol: String, quota: Int)
       : org.apache.spark.sql.DataFrame = {

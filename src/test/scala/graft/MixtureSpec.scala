@@ -208,4 +208,46 @@ class MixtureSpec extends SparkSpec {
       .map(_.getAs[Double]("alloc_tokens")).toSeq
     assert(out == Seq(100.0, 200.0, 300.0), s"got $out")
   }
+
+  test("systematicWeighted: hand-replay, exact-k, heavy-row guarantee") {
+    import spark.implicits._
+    // weights 1,1,8 at k=5 over W=10: copies floor(c*5/10) deltas ->
+    // (0, 1, 4); the light first row falls between marks
+    val g = Seq(("a", 1L, 1L), ("a", 2L, 1L), ("a", 3L, 8L),
+      ("b", 9L, 7L)).toDF("g", "id", "w")
+    val out = Sampling.systematicWeighted(g, "g", "w", k = 5,
+        orderCols = Seq("id"))
+      .select("g", "id", "copies").as[(String, Long, Long)]
+      .collect().toSet
+    assert(out == Set(("a", 2L, 1L), ("a", 3L, 4L), ("b", 9L, 5L)))
+  }
+
+  test("systematicWeighted: k copies per group, proportional, stable") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.systematicWeighted(d, "lang", "n_chars", k = 50,
+        orderCols = Seq("doc_id"))
+    val out = run(docs)
+    // exactly k copies per group, always
+    val totals = out.groupBy("lang").agg(sum("copies").as("s"))
+      .as[(String, Long)].collect()
+    totals.foreach { case (g, s) => assert(s == 50L, s"$g -> $s") }
+    // deterministic under repartitioning
+    assert(out.orderBy("lang", "doc_id").collect().toSeq ==
+      run(docs.repartition(7)).orderBy("lang", "doc_id")
+        .collect().toSeq)
+    // expected-copies proportionality: a row's copies are within 1 of
+    // w*k/W (systematic sampling's per-row bound)
+    val checked = out
+      .join(docs.groupBy("lang").agg(sum("n_chars").as("W")), "lang")
+      .select(col("copies"),
+        (col("n_chars") * 50.0 / col("W")).as("exp"))
+      .as[(Long, Double)].collect()
+    checked.foreach { case (c, e) =>
+      assert(math.abs(c - e) <= 1.0, s"copies $c vs expected $e")
+    }
+  }
 }
