@@ -1932,6 +1932,67 @@ object Oracles {
         |       WHERE rn = 1)
         |SELECT node, label FROM l2 ORDER BY node""".stripMargin,
 
+    // Per-node triangle counts (Graph.triangleCount): same kNN graph,
+    // symmetrized; degree-ordered orientation (small -> large under
+    // (degree, id)), one wedge join from the common smaller endpoint
+    // (a < b dedupes the unordered pair), closing edge checked in
+    // either orientation; each triangle credits its three nodes.
+    "q_triangles" ->
+      """WITH vec AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |             FROM embeddings),
+        |cent AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cell,
+        |                v AS cv
+        |         FROM (SELECT vec_id, v FROM vec ORDER BY vec_id LIMIT 16)),
+        |sc AS (SELECT vec_id, cell,
+        |    CASE WHEN list_dot_product(v, v) = 0
+        |           OR list_dot_product(cv, cv) = 0 THEN 0.0
+        |         ELSE list_dot_product(v, cv) /
+        |              (sqrt(list_dot_product(v, v)) *
+        |               sqrt(list_dot_product(cv, cv))) END AS s
+        |  FROM vec CROSS JOIN cent),
+        |asg2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |           row_number() OVER (PARTITION BY vec_id
+        |             ORDER BY s DESC, cell DESC) AS rn FROM sc)
+        |         WHERE rn <= 2),
+        |ep AS (SELECT DISTINCT a.vec_id AS esrc, b.vec_id AS edst
+        |       FROM asg2 a JOIN asg2 b
+        |         ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+        |es AS (SELECT esrc, edst,
+        |    round(CASE WHEN sqrt(list_dot_product(sv.v, sv.v)) = 0
+        |                 OR sqrt(list_dot_product(dv.v, dv.v)) = 0 THEN 0.0
+        |          ELSE list_dot_product(sv.v, dv.v) /
+        |               (sqrt(list_dot_product(sv.v, sv.v)) *
+        |                sqrt(list_dot_product(dv.v, dv.v))) END, 6) AS cos
+        |  FROM ep JOIN vec sv ON sv.vec_id = esrc
+        |          JOIN vec dv ON dv.vec_id = edst),
+        |edg AS (SELECT esrc, edst FROM (SELECT esrc, edst, cos,
+        |          row_number() OVER (PARTITION BY esrc
+        |            ORDER BY cos DESC, edst ASC) AS rk FROM es)
+        |        WHERE rk <= 4),
+        |und AS (SELECT esrc AS s, edst AS d FROM edg WHERE esrc <> edst
+        |        UNION SELECT edst, esrc FROM edg WHERE esrc <> edst),
+        |deg AS (SELECT s AS node, count(*) AS degree FROM und GROUP BY 1),
+        |o AS (SELECT u.s AS u, u.d AS v FROM und u
+        |      JOIN deg a ON a.node = u.s JOIN deg b ON b.node = u.d
+        |      WHERE a.degree < b.degree
+        |         OR (a.degree = b.degree AND u.s < u.d)),
+        |w AS (SELECT x.u, x.v AS a, y.v AS b FROM o x JOIN o y
+        |      ON x.u = y.u WHERE x.v < y.v),
+        |cl AS (SELECT w.u, w.a, w.b FROM w JOIN
+        |        (SELECT u AS a, v AS b FROM o
+        |         UNION ALL SELECT v, u FROM o) oc
+        |        ON oc.a = w.a AND oc.b = w.b),
+        |pn AS (SELECT node, count(*) AS n_tri FROM (
+        |        SELECT u AS node FROM cl UNION ALL SELECT a FROM cl
+        |        UNION ALL SELECT b FROM cl) GROUP BY 1)
+        |SELECT d.node, d.degree, coalesce(pn.n_tri, 0)::BIGINT AS n_tri,
+        |  CASE WHEN d.degree < 2 THEN 0.0
+        |       ELSE round(2.0 * coalesce(pn.n_tri, 0) /
+        |                  (d.degree * (d.degree - 1)), 6)
+        |  END AS clustering_coef
+        |FROM deg d LEFT JOIN pn ON pn.node = d.node
+        |ORDER BY d.node""".stripMargin,
+
     // Sketch rollup (Sketches.hllRegisters per (event_type, day) +
     // hllMergeEstimate over event_type): register union is an
     // element-wise max — associative and idempotent — so the merged

@@ -1742,9 +1742,24 @@ object QueriesLlm {
       .orderBy("user_id")
   }
 
+  /** Per-node triangle counts + local clustering coefficient
+    * (Graph.triangleCount) over the kNN similarity graph — the
+    * density signal separating tight duplicate clusters from
+    * star-shaped hubs. Degree-ordered orientation bounds the wedge
+    * join; integer counts, full DuckDB replay.
+    */
+  def trianglesQ(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val edges = Ann.knnGraph(
+      e.select(col("vec_id"), col("embedding")), kG = 4, nCells = 16)
+    graft.operators.Graph.triangleCount(edges, "src", "dst")
+      .orderBy("node")
+  }
+
   /** All LLM-family queries. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cms_freq" -> (cmsFreqQ _),
+    "q_triangles" -> (trianglesQ _),
     "q_pagerank" -> (pageRankQ _),
     "q_pagerank_weighted" -> (pageRankWeightedQ _),
     "q_label_prop" -> (labelPropQ _),

@@ -147,4 +147,71 @@ object Graph {
     und.unpersist(blocking = false)
     out
   }
+
+  /** Per-node triangle counts (and local clustering coefficient) over
+    * the symmetrized simple graph — the density signal that separates
+    * tight duplicate-ish clusters from star-shaped hubs in a
+    * similarity graph.
+    *
+    * Degree-ordered orientation, the classic join-bounding trick:
+    * each undirected edge is kept once, directed from the
+    * (degree, id)-smaller endpoint to the larger. Every triangle then
+    * has EXACTLY one wedge u->v, u->w with (v,w) also oriented, so
+    * one self-join on the oriented list (wedges from the common
+    * smaller endpoint) plus one membership join counts each triangle
+    * once — and the wedge join fans out per node by its ORIENTED
+    * out-degree, which the orientation caps near sqrt(|E|) on any
+    * graph (arboricity bound), so no hub ever explodes the join. All
+    * counts are integers; the coefficient is one rounded double
+    * division, same discipline as the cosine scores.
+    *
+    * Output: (node, degree, n_tri, clustering_coef) for every node of
+    * the symmetrized graph (zero-triangle nodes included, coef 0 for
+    * degree < 2).
+    */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String,
+      cache: Option[StorageLevel] = None): DataFrame = {
+    val level = cache.getOrElse(StorageLevel.MEMORY_AND_DISK)
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src") =!= col("dst"))
+    val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(level)
+    val deg = und.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("degree"))
+    // orient small -> large under (degree, id); join degrees once per
+    // endpoint, keep each undirected edge exactly once
+    val dU = deg.select(col("node").as("src"), col("degree").as("du"))
+    val dV = deg.select(col("node").as("dst"), col("degree").as("dv"))
+    val o = und.join(dU, "src").join(dV, "dst")
+      .where(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("src") < col("dst")))
+      .select(col("src").as("u"), col("dst").as("v"))
+      .persist(level)
+    o.count() // fills o's pin; und feeds deg + o only through here
+    val wedges = o.select(col("u"), col("v").as("a"))
+      .join(o.select(col("u"), col("v").as("b")), "u")
+      .where(col("a") < col("b"))
+    // closing edge is oriented (a, b) or (b, a); a < b by construction
+    // only fixes id order, not (degree, id) order - check both
+    val closed = wedges.join(
+      o.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(o.select(col("v").as("a"), col("u").as("b"))),
+      Seq("a", "b"))
+    val perNode = closed
+      .select(explode(array(col("u"), col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    val out = deg.join(perNode, Seq("node"), "left_outer")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("degree") < 2, lit(0.0)).otherwise(
+          round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+            (col("degree") * (col("degree") - 1)), 6))
+          .as("clustering_coef"))
+      .persist(level)
+    out.count() // terminal action, then free the working pins
+    und.unpersist(blocking = false)
+    o.unpersist(blocking = false)
+    out
+  }
 }

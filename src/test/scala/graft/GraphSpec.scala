@@ -91,6 +91,54 @@ class GraphSpec extends SparkSpec {
     assert(a.values.toSet.subsetOf(a.keySet))
   }
 
+  test("triangleCount: K3, K4, square, star — counts and coefficients") {
+    def tri(edges: org.apache.spark.sql.DataFrame) =
+      Graph.triangleCount(edges, "src", "dst")
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // triangle: every node in 1 triangle, coef 1
+    val k3 = tri(Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst"))
+    assert(k3 == Map(1L -> ((2L, 1L, 1.0)), 2L -> ((2L, 1L, 1.0)),
+      3L -> ((2L, 1L, 1.0))))
+    // K4: each node deg 3, in 3 triangles, coef 2*3/(3*2) = 1
+    val k4 = tri(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("src", "dst"))
+    k4.foreach { case (n, (d, t, c)) =>
+      assert(d == 3L && t == 3L && c == 1.0, s"$n -> ($d,$t,$c)")
+    }
+    // square: no triangles anywhere
+    val sq = tri(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst"))
+    sq.foreach { case (n, (d, t, c)) =>
+      assert(d == 2L && t == 0L && c == 0.0, s"$n -> ($d,$t,$c)")
+    }
+    // star: hub has degree 3 but zero closure; leaves deg 1 -> coef 0
+    val st = tri(Seq((9L, 1L), (9L, 2L), (9L, 3L)).toDF("src", "dst"))
+    assert(st(9L) == ((3L, 0L, 0.0)) && st(1L) == ((1L, 0L, 0.0)))
+  }
+
+  test("triangleCount over knnGraph: brute global count, determinism") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val edges = Ann.knnGraph(e, kG = 4, nCells = 16)
+    val out = Graph.triangleCount(edges, "src", "dst")
+    // brute: symmetrized adjacency cubed over node triples / 6
+    val e0 = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+    val und = e0.union(e0.select(col("dst").as("src"),
+      col("src").as("dst"))).distinct()
+    val brute = und.as("x")
+      .join(und.as("y"), col("x.dst") === col("y.src"))
+      .join(und.as("z"), col("y.dst") === col("z.src") &&
+        col("z.dst") === col("x.src"))
+      .count() / 6
+    val total = out.agg(sum("n_tri")).as[Long].head()
+    assert(total == 3 * brute, s"per-node sum $total vs brute $brute")
+    val again = Graph.triangleCount(edges.repartition(13), "src", "dst")
+    assert(out.orderBy("node").collect().toSeq ==
+      again.orderBy("node").collect().toSeq)
+  }
+
   test("pageRank over knnGraph: mass conserved, deterministic") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
