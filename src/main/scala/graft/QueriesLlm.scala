@@ -251,8 +251,15 @@ object QueriesLlm {
     * instead of shuffling the whole vocabulary.
     */
   def heavyHittersQ(s: SparkSession, dir: String): DataFrame = {
+    // Three consumers read the tokenize+explode lineage — the sizing
+    // count here, the Misra-Gries sketch pass, and the exact verify
+    // pass inside heavyHitters — and tokenization is the wide-text
+    // work. Pin once so the text scans exactly once; the count below
+    // doubles as the materializing action. (No unpersist: Bench/Verify
+    // clear the cache between queries, same contract as datasetCardQ.)
     val toks = t(s, dir, "documents")
       .select(explode(T.tokens(col("text"))).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = toks.count()
     graft.operators.Frequency.heavyHitters(toks, "term",
         minCount = 100, total = total)

@@ -212,6 +212,16 @@ object AsofJoin {
     require(dims.columns.contains(validFromCol) &&
       dims.columns.contains(validToCol),
       s"dims must carry $validFromCol/$validToCol: ${dims.columns.toSeq}")
+    // The asof ordering routes through a rename of validFromCol to the
+    // fact's time column; if dims ALREADY carries a column by that name
+    // (easy when both sides derive from the same event table) the rename
+    // would produce duplicate column names and silently ambiguous
+    // downstream references — refuse loudly instead.
+    require(validFromCol == factTimeCol ||
+      !dims.columns.contains(factTimeCol),
+      s"dims already has a column named '$factTimeCol'; rename or drop " +
+        s"it before pointInTime (asof ordering is carried by " +
+        s"'$validFromCol' renamed to '$factTimeCol')")
     val dimsT = dims.withColumnRenamed(validFromCol, factTimeCol)
     val payload = dimsT.columns
       .filterNot(c => keys.contains(c) || c == factTimeCol).toSeq

@@ -357,6 +357,23 @@ object Sampling {
       orderCols: Seq[String]): org.apache.spark.sql.DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(orderCols.nonEmpty, "orderCols must totally order a group")
+    // The integer-weight contract is enforced, not just documented:
+    // a fractional weight (e.g. 0.9) would pass the `> 0` filter and
+    // then truncate to 0 in the decimal(38,0) cast, silently dropping
+    // the row's copies AND its mass from the group total W. Refuse
+    // non-integral weight column types up front.
+    locally {
+      import org.apache.spark.sql.types._
+      val dt = df.schema(weightCol).dataType
+      val integral = dt match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case d: DecimalType => d.scale == 0
+        case _ => false
+      }
+      require(integral, s"systematicWeighted requires an integral " +
+        s"weight column; '$weightCol' is $dt — round or rescale " +
+        s"weights to integers (e.g. millis of mass) before sampling")
+    }
     import org.apache.spark.sql.expressions.Window
     val wOrd = Window.partitionBy(groupCol)
       .orderBy(orderCols.map(col): _*)

@@ -161,8 +161,14 @@ object StreamingDedup {
     }
     cur.foreach { s =>
       state.update(s)
-      // event-time timeout: fires once the watermark passes the lease
-      try state.setTimeoutTimestamp(s.maxTsUs / 1000 + ttlMs)
+      // event-time timeout: fires once the watermark passes the lease.
+      // Clamped to wm+1: a straggler older than ttl can leave
+      // maxTsUs/1000 + ttlMs at or below the current watermark, and
+      // setTimeoutTimestamp throws IllegalArgumentException for
+      // timestamps <= watermark — the clamp degrades that lease to
+      // "expire at the next watermark advance" instead of killing the
+      // whole streaming query on one late event.
+      try state.setTimeoutTimestamp(math.max(s.maxTsUs / 1000 + ttlMs, wm + 1))
       catch { case _: UnsupportedOperationException => () } // batch mode
     }
     out.iterator

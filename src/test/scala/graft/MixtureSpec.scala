@@ -222,6 +222,27 @@ class MixtureSpec extends SparkSpec {
     assert(out == Set(("a", 2L, 1L), ("a", 3L, 4L), ("b", 9L, 5L)))
   }
 
+  test("systematicWeighted: fractional weight column is refused") {
+    import spark.implicits._
+    // ADVICE r18: a double weight like 0.9 passes the `> 0` filter but
+    // truncates to 0 in the decimal(38,0) cast, silently dropping the
+    // row AND its mass from W — the integral contract must be enforced
+    val frac = Seq(("a", 1L, 0.9), ("a", 2L, 3.0)).toDF("g", "id", "w")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.systematicWeighted(frac, "g", "w", k = 2,
+        orderCols = Seq("id"))
+    }
+    assert(e.getMessage.contains("integral"))
+    // decimal scale 0 stays accepted (integer-valued by type)
+    val dec = Seq(("a", 1L, BigDecimal(2)), ("a", 2L, BigDecimal(3)))
+      .toDF("g", "id", "w")
+      .withColumn("w", col("w").cast("decimal(38,0)"))
+    val tot = Sampling.systematicWeighted(dec, "g", "w", k = 5,
+        orderCols = Seq("id"))
+      .agg(sum("copies")).as[Long].head()
+    assert(tot == 5L)
+  }
+
   test("systematicWeighted: k copies per group, proportional, stable") {
     import spark.implicits._
     val docs = spark.read

@@ -749,6 +749,29 @@ class OpsSpec extends SparkSpec {
       102L -> None, 103L -> Some("v3"), 104L -> None, 200L -> None))
   }
 
+  test("pointInTime: dims carrying the fact time column is refused") {
+    import graft.operators.AsofJoin
+    // ADVICE r18: renaming valid_from -> factTimeCol on a dims frame
+    // that ALREADY has a column of that name (both sides derived from
+    // one event table) would create duplicate column names and
+    // silently ambiguous downstream references
+    val dims = Seq((1L, "v1", 10L, 5L))
+      .toDF("k", "ver", "valid_from", "ts")
+    val facts = Seq((1L, 100L, 15L)).toDF("k", "fid", "ts")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.pointInTime(facts, dims.withColumn("valid_to",
+        lit(null).cast("long")), Seq("k"), "ts")
+    }
+    assert(e.getMessage.contains("already has a column named 'ts'"))
+    // the degenerate-but-valid case: ordering column IS the fact time
+    // column name already — no rename happens, no refusal
+    val ok = AsofJoin.pointInTime(facts,
+      Seq((1L, "v1", 10L, Option.empty[Long]))
+        .toDF("k", "ver", "ts", "valid_to"),
+      Seq("k"), "ts", validFromCol = "ts")
+    assert(ok.count() == 1L)
+  }
+
   test("funnel: strict ordering, stalls, same-instant, absent keys") {
     import graft.operators.Events
     val ev = Seq(

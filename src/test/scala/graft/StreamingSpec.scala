@@ -380,6 +380,45 @@ class StreamingSpec extends SparkSpec {
     assert(partners == Set(1L), s"wrong partner(s): $partners")
   }
 
+  test("streaming minhash: a straggler far behind the watermark " +
+      "degrades to fresh instead of crashing the query") {
+    import graft.streaming.StreamingDedup
+    val dir = tmpDir("sminhash_late")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    // ADVICE r18: flatMapGroupsWithState never drops late rows, so a
+    // straggler more than ttl older than the watermark computes a
+    // lease timeout BELOW the watermark — setTimeoutTimestamp throws
+    // IllegalArgumentException for that, which (uncaught) killed the
+    // whole query on ONE late event. The fix clamps the timeout to
+    // wm+1: the straggler processes, its band memory expires at the
+    // next watermark advance, the query lives.
+    // f1 @T0+10h drives the watermark to ~T0+9h; f2 is a straggler at
+    // T0 — 9 h behind, far past the 1 h ttl.
+    Seq(s"""{"doc_id":1,"ts":"2024-01-01T10:00:00.000Z","text":"completely different words about storage engines here"}""")
+      .toDF("value").coalesce(1).write.text(s"$dir/in/f1")
+    Seq(s"""{"doc_id":2,"ts":"2024-01-01T00:00:00.000Z","text":"the quick brown fox jumps over the lazy dog tonight"}""")
+      .toDF("value").coalesce(1).write.text(s"$dir/in/f2")
+    val src = spark.readStream.schema(docSchema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1").json(s"$dir/in")
+      .withWatermark("ts", "1 hour")
+    val q = StreamingDedup.nearDupByMinhash(src, "doc_id", "text", "ts",
+        ttlMs = 3600000L)
+      .toDF().writeStream.format("memory").queryName("sminhash_late")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination() // pre-fix: StreamingQueryException (IAE) here
+    val verdicts = spark.table("sminhash_late")
+      .groupBy("docId").agg(max("dup").as("dup"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(verdicts.keySet == Set(1L, 2L))
+    assert(!verdicts(2L), "a straggler with no prior band must be fresh")
+  }
+
   test("left-outer interval join: eviction emits unconverted views") {
     import graft.streaming.Attribution
     val dir = tmpDir("outerj")
