@@ -2057,6 +2057,51 @@ object Oracles {
         |SELECT lang, doc_id, n_chars, copies FROM x WHERE copies >= 1
         |ORDER BY lang, doc_id""".stripMargin,
 
+    // Streaming count-min (Queries.streamingCmsQ): cell merge is a
+    // sum, order-insensitive, so the complete-mode streamed cells —
+    // however the micro-batches sliced the input — equal the direct
+    // batch sketch below exactly (same SQL as q_cms_freq's direct
+    // form).
+    "q_streaming_cms" ->
+      """WITH vals AS (SELECT user_id::VARCHAR AS v FROM events),
+        |cells AS (SELECT t.r,
+        |    ('0x' || substr(md5(t.r::VARCHAR || ':' || v), 1, 15))::BIGINT
+        |      % 256 AS c,
+        |    count(*) AS n
+        |  FROM vals CROSS JOIN range(4) t(r) GROUP BY 1, 2),
+        |probes AS (SELECT DISTINCT user_id FROM events
+        |           WHERE user_id < 20),
+        |pq AS (SELECT p.user_id, t.r,
+        |    ('0x' || substr(md5(t.r::VARCHAR || ':' ||
+        |       p.user_id::VARCHAR), 1, 15))::BIGINT % 256 AS c
+        |  FROM probes p CROSS JOIN range(4) t(r))
+        |SELECT pq.user_id, min(coalesce(cells.n, 0))::BIGINT AS freq_est
+        |FROM pq LEFT JOIN cells ON cells.r = pq.r AND cells.c = pq.c
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Mergeable quantile sketch (Quantiles.sketchQuantiles): the k=256
+    // smallest md5-priority rows per event_type are the sample; the
+    // nearest-rank index is pure integer arithmetic ((m*pm+999)//1000),
+    // and the estimate is a SELECTED input double — bit-identical.
+    "q_quantile_sketch" ->
+      """WITH pri AS (SELECT event_type, value, event_id,
+        |    ('0x' || substr(md5(event_id::VARCHAR || ':qs'), 1, 15))::BIGINT
+        |      AS pri
+        |  FROM events),
+        |sk AS (SELECT event_type, value FROM (
+        |    SELECT event_type, value,
+        |      row_number() OVER (PARTITION BY event_type
+        |                         ORDER BY pri, event_id) AS rn
+        |    FROM pri) WHERE rn <= 256),
+        |g AS (SELECT event_type, list(value ORDER BY value) AS vals,
+        |    count(*) AS m
+        |  FROM sk GROUP BY event_type)
+        |SELECT event_type, pm,
+        |  vals[((m * pm + 999) // 1000)::BIGINT] AS q_est
+        |FROM g CROSS JOIN (VALUES (100), (250), (500), (750), (900),
+        |                   (990)) p(pm)
+        |ORDER BY event_type, pm""".stripMargin,
+
     // Count-min sketch (Sketches.cmsCells + cmsLookup): 4 x 256
     // row-salted md5-60 cells over user ids, point estimate = min
     // over rows of the probe's cell counts (absent cell = 0).

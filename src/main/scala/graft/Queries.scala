@@ -1213,6 +1213,43 @@ object Queries {
       .orderBy("event_type")
   }
 
+  /** Streaming heavy-hitter frequencies, driver-checkable: the
+    * count-min cells ([[graft.operators.Sketches.cmsCells]]) are
+    * streaming-ready the same way the HLL registers are — the cell
+    * groupBy is a bounded-state streaming aggregation (state = one
+    * count per TOUCHED cell, at most d x w rows FOREVER, regardless
+    * of stream volume), run in complete mode over multi-micro-batch
+    * JSONL arrival. The final cells feed the batch [[Sketches
+    * .cmsLookup]] point query; because cell merge is a SUM
+    * (commutative + associative), the streamed cells — however the
+    * micro-batches sliced the input — equal the direct batch sketch
+    * exactly, and the oracle states the direct batch form.
+    */
+  def streamingCmsQ(s: SparkSession, dir: String): DataFrame = {
+    val d = tmp("scms")
+    val ev = t(s, dir, "events")
+    ev.select(col("user_id")).write.mode("overwrite").json(s"$d/in")
+    val schema = StructType(Seq(StructField("user_id", LongType)))
+    val table =
+      "scms_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withShufflePartitions(s, 4) {
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").json(s"$d/in")
+      val q = graft.operators.Sketches.cmsCells(src, "user_id",
+          d = 4, w = 256)
+        .writeStream.format("memory").queryName(table)
+        .outputMode("complete")
+        .option("checkpointLocation", s"$d/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val probes = ev.where(col("user_id") < 20).select(col("user_id"))
+    graft.operators.Sketches.cmsLookup(s.table(table), probes,
+        "user_id", d = 4, w = 256)
+      .orderBy("user_id")
+  }
+
   /** Streaming drift monitor (streaming.DriftMonitor), driver-
     * checkable: an AvailableNow run bins events.value per 2-day
     * event-time window on the baseline's integer grid (watermark 0s;
@@ -1811,6 +1848,7 @@ object Queries {
     "q_streaming_dedup_equiv" -> (streamingDedupEquiv _),
     "q_streaming_minhash" -> (streamingMinhashQ _),
     "q_streaming_hll" -> (streamingHllQ _),
+    "q_streaming_cms" -> (streamingCmsQ _),
     "q_stream_drift" -> (streamDrift _),
     "q_idempotent_relay" -> (idempotentRelay _),
     "q_incremental_job" -> (incrementalJob _),

@@ -1634,6 +1634,23 @@ object QueriesLlm {
         t(s, dir, "events"), "event_type", "user_id", k = 64)
       .orderBy("group")
 
+  /** Mergeable quantile sketch (Quantiles.sketchQuantiles, k=256):
+    * nearest-rank quantiles of the CONTINUOUS events.value column per
+    * event_type, read from the md5-priority bottom-k sample — the
+    * bounded-state replacement for exact `percentile`, whose
+    * aggregation buffer is per-distinct-value (unbounded on doubles).
+    * Selection, ordering, and the integer ceil-index arithmetic all
+    * replay exactly in the oracle; the emitted estimate is a SELECTED
+    * input double, so the hash match is bit-for-bit. Rank error vs
+    * the true quantile is DKW-bounded (see Quantiles scaladoc);
+    * SketchesSpec proves shard-merge == direct-build and the bound.
+    */
+  def quantileSketchQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantiles.sketchQuantiles(
+        t(s, dir, "events"), Seq("event_type"), "value", "event_id",
+        k = 256, permilles = Seq(100, 250, 500, 750, 900, 990))
+      .orderBy("event_type", "pm")
+
   /** HyperLogLog distinct sketch (Sketches.hllDistinct, raw
     * estimator, p=5/m=32): register max-ranks via bin/ltrim (no
     * floating log), register sum as an ordered fold — every double op
@@ -1772,6 +1789,7 @@ object QueriesLlm {
     "q_label_prop" -> (labelPropQ _),
     "q_hll_merge" -> (hllMergeQ _),
     "q_kmv_distinct" -> (kmvDistinctQ _),
+    "q_quantile_sketch" -> (quantileSketchQ _),
     "q_hll_distinct" -> (hllDistinctQ _),
     "q_bloom_join" -> (bloomJoinQ _),
     "q_mixture_alloc" -> (mixtureAllocQ _),

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mergeable bounded-state quantile sketch for CONTINUOUS columns —
+  * the profiling gap exact `percentile` leaves at 100 TB: Spark's
+  * exact percentile aggregate buffers a per-distinct-value counts map,
+  * fine for the low-cardinality integer columns the panels document,
+  * unbounded for continuous doubles (quality scores, cosine margins,
+  * event values). This sketch holds at most `k` rows per group, ever.
+  *
+  * Design note (why not a literal KLL/GK compactor): KLL's compaction
+  * and GK's band merging are MERGE-ORDER-DEPENDENT — Spark's partial
+  * aggregation merges shard buffers in arrival order, which varies run
+  * to run, so a compactor sketch cannot be bit-reproducible under the
+  * engine's nondeterministic merge tree, and an external SQL oracle
+  * could never replay it. The order-free equivalent is a bottom-k
+  * PRIORITY SAMPLE: priorities are the engine-wide md5-derived 60-bit
+  * hash of the row's unique id (`('0x'||substr(md5(id||':qs'),1,15))
+  * ::BIGINT` in SQL — no JVM PRNG), and "keep the k smallest
+  * priorities" is associative, commutative, and idempotent exactly
+  * like the HLL register max in [[Sketches]]: bottom-k of a union of
+  * shard bottom-k's equals bottom-k of the union (any row a shard
+  * dropped ranks above that shard's k survivors, hence above the
+  * global k). So shard sketches merge to the BIT-IDENTICAL sketch a
+  * direct build produces, regardless of sharding or partitioning, and
+  * the whole construction replays in any md5-equipped SQL engine.
+  *
+  * Rank-error bound (documented, probabilistic over the hash): the
+  * kept rows are the sample induced by the k smallest of n distinct
+  * uniform priorities — a simple random sample of size min(k, n)
+  * drawn independently of the values. By Dvoretzky–Kiefer–Wolfowitz,
+  * sup_x |F_sample(x) - F(x)| <= sqrt(ln(2/delta) / (2k)) with
+  * probability 1-delta — at k = 8192 the uniform rank error is
+  * <= 1.8% with 99% confidence; at k = 1024 it is <= 5.1%. Every
+  * nearest-rank quantile read from the sample therefore sits within
+  * that rank band of the true quantile, SIMULTANEOUSLY at all p (DKW
+  * is uniform over x). When a group has n <= k rows nothing is
+  * dropped and the sketch quantiles are EXACT.
+  *
+  * Scale shape: the `row_number <= k` filter is Catalyst's
+  * WindowGroupLimit pattern (the [[Sketches.kmvDistinct]] plan pin),
+  * so each map task forwards at most k rows per group BEFORE the
+  * exchange — the shuffle carries O(groups x k) rows however large
+  * the input; quantile evaluation then folds each group's <= k
+  * values into one sorted bounded array.
+  */
+object Quantiles {
+
+  /** The 60-bit md5 hash idiom (same as [[Sketches]]/[[Sampling]]). */
+  private def h60(v: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    conv(substring(md5(v.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Build (or merge) the sketch: the k smallest-priority rows per
+    * group. `idCol` must be unique per row (priority ties break on
+    * (pri, id), so a duplicated id could make the cut nondeterministic
+    * between engines); values ride along untouched.
+    *
+    * Feeding a UNION of shard sketches back through this function
+    * with the same k returns the direct-build sketch bit-for-bit —
+    * the mergeable-summary contract ([[SketchesSpec]] proves it).
+    *
+    * Output: (groupCols..., __pri, id, value) — keep `__pri` to stay
+    * mergeable; [[quantiles]] drops it.
+    */
+  def sampleSketch(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val g = groupCols.map(col)
+    // a frame that already carries __pri is a (union of) sketch(es)
+    // being re-merged: reuse the priorities so merge == direct
+    val withPri =
+      if (df.columns.contains("__pri")) df
+      else df.withColumn("__pri",
+        h60(concat(col(idCol).cast("string"), lit(":qs"))))
+    val pri = withPri.select(
+      g :+ col("__pri") :+ col(idCol) :+ col(valueCol): _*)
+    val w = Window.partitionBy(g: _*)
+      .orderBy(col("__pri").asc, col(idCol).asc)
+    pri.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Nearest-rank quantiles from a sketch (or any frame of <= k rows
+    * per group): for each permille point pm, the ceil(m*pm/1000)-th
+    * smallest sample value (1-indexed; m = group sample size). The
+    * index arithmetic is INTEGER ((m*pm + 999) div 1000), so engines
+    * agree exactly — no float p*m whose rounding could differ — and
+    * the emitted estimate is a SELECTED input value, bit-identical
+    * everywhere.
+    *
+    * Output: (groupCols..., pm, q_est), one row per group x permille.
+    */
+  def quantiles(sketch: DataFrame, groupCols: Seq[String],
+      valueCol: String, permilles: Seq[Int]): DataFrame = {
+    require(permilles.nonEmpty &&
+      permilles.forall(p => p >= 1 && p <= 1000),
+      s"permilles must be in [1,1000]: $permilles")
+    val g = groupCols.map(col)
+    sketch
+      .groupBy(g: _*)
+      .agg(sort_array(collect_list(col(valueCol))).as("__vals"))
+      .select(g :+ col("__vals") :+
+        explode(array(permilles.map(lit): _*)).as("pm"): _*)
+      .select(g :+ col("pm") :+
+        element_at(col("__vals"),
+          ((size(col("__vals")).cast("long") * col("pm") + 999L) /
+            1000L).cast("int")).as("q_est"): _*)
+  }
+
+  /** One-call form: sketch then evaluate. */
+  def sketchQuantiles(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, idCol: String, k: Int,
+      permilles: Seq[Int]): DataFrame =
+    quantiles(sampleSketch(df, groupCols, valueCol, idCol, k),
+      groupCols, valueCol, permilles)
+}

@@ -144,4 +144,76 @@ class SketchesSpec extends SparkSpec {
     assert(passed < total / 2,
       s"bloom passed $passed of $total - not pruning")
   }
+
+  test("quantile sketch: shard-merge == direct-build, bit-for-bit") {
+    import graft.operators.Quantiles
+    val ev = events("0.01")
+    val direct = Quantiles.sampleSketch(ev, Seq("event_type"), "value",
+      "event_id", k = 128)
+    // three shards sketched independently, unioned, re-bottom-k'd:
+    // the mergeable-summary contract says the result IS the direct
+    // sketch — bottom-k of a union of shard bottom-k's equals
+    // bottom-k of the union
+    val shards = (0 until 3).map(i =>
+      Quantiles.sampleSketch(ev.where(pmod(col("event_id"), lit(3)) === i),
+        Seq("event_type"), "value", "event_id", k = 128))
+    val merged = Quantiles.sampleSketch(
+      shards.reduce(_ unionByName _), Seq("event_type"), "value",
+      "event_id", k = 128)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_type", "__pri", "event_id", "value")
+        .as[(String, Long, Long, Double)].collect().toSet
+    assert(rows(merged) == rows(direct))
+    // and therefore identical quantiles, under any partitioning
+    val pms = Seq(100, 500, 900)
+    val qd = Quantiles.quantiles(direct, Seq("event_type"), "value", pms)
+      .orderBy("event_type", "pm").collect().toSeq
+    val qm = Quantiles.quantiles(merged.repartition(7), Seq("event_type"),
+        "value", pms)
+      .orderBy("event_type", "pm").collect().toSeq
+    assert(qd == qm)
+  }
+
+  test("quantile sketch: DKW rank-error bound holds; exact below k") {
+    import graft.operators.Quantiles
+    val ev = events("0.01") // ~2000 rows per event_type
+    val k = 1024
+    val pms = Seq(100, 250, 500, 750, 900, 990)
+    val est = Quantiles.sketchQuantiles(ev, Seq("event_type"), "value",
+        "event_id", k, pms)
+      .as[(String, Int, Double)].collect()
+    // documented bound: sup-norm rank error <= sqrt(ln(2/d)/(2k)) w.p.
+    // 1-d (DKW); at k=1024, d=0.01 that is 5.1%, plus 1/k nearest-rank
+    // discreteness. The seed is fixed, so this is deterministic — a
+    // failure means the bound (or the sampler's uniformity) broke.
+    val eps = math.sqrt(math.log(2.0 / 0.01) / (2.0 * k)) + 1.0 / k
+    val n = ev.groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    est.foreach { case (g, pm, q) =>
+      val rank = ev.where(col("event_type") === g &&
+        col("value") <= q).count().toDouble / n(g)
+      assert(math.abs(rank - pm / 1000.0) <= eps,
+        s"$g pm=$pm: empirical rank $rank vs ${pm / 1000.0} (eps=$eps)")
+    }
+    // n <= k: nothing dropped, sketch quantiles are EXACT nearest-rank
+    val small = ev.where(col("event_id") < 100)
+    val exact = small.select("value").orderBy("value")
+      .as[Double].collect()
+    val m = exact.length
+    assert(m <= k && m > 10)
+    Quantiles.sketchQuantiles(small.withColumn("g", lit(1)), Seq("g"),
+        "value", "event_id", k, pms)
+      .as[(Int, Int, Double)].collect().foreach { case (_, pm, q) =>
+        assert(q == exact((m * pm + 999) / 1000 - 1),
+          s"pm=$pm: $q != exact nearest-rank")
+      }
+  }
+
+  test("quantile sketch: WindowGroupLimit pushes k before the shuffle") {
+    import graft.operators.Quantiles
+    val df = Quantiles.sampleSketch(events("0.01"), Seq("event_type"),
+      "value", "event_id", k = 64)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), "rank pushdown missing")
+  }
 }

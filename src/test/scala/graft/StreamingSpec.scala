@@ -513,6 +513,45 @@ class StreamingSpec extends SparkSpec {
     assert(se == be)
   }
 
+  test("streaming CMS cells: bounded state, sum-equal to batch") {
+    import graft.operators.Sketches
+    val dir = tmpDir("scms")
+    // two micro-batches slicing values arbitrarily: cell merge is a
+    // SUM (commutative + associative), so the complete-mode streamed
+    // cells must equal the direct batch sketch exactly
+    Seq("""{"v":1}""", """{"v":1}""", """{"v":2}""")
+      .toDF("value").coalesce(1).write.text(s"$dir/in/f1")
+    Seq("""{"v":2}""", """{"v":3}""", """{"v":1}""")
+      .toDF("value").coalesce(1).write.text(s"$dir/in/f2")
+    val sch = StructType(Seq(StructField("v", LongType)))
+    val src = spark.readStream.schema(sch)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1")
+      .json(s"$dir/in")
+    val table =
+      "scms_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = Sketches.cmsCells(src, "v", d = 2, w = 16)
+      .writeStream.format("memory").queryName(table)
+      .outputMode("complete")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table(table)
+    // state bound: at most d x w touched cells, forever
+    assert(streamed.count() <= 32)
+    val batch = Sketches.cmsCells(
+      Seq(1L, 1L, 2L, 2L, 3L, 1L).toDF("v"), "v", d = 2, w = 16)
+    assert(streamed.orderBy("r", "c").collect().toSeq ==
+      batch.orderBy("r", "c").collect().toSeq)
+    // and point lookups off the streamed cells read the true counts
+    // (wide regime: w=16 >> 3 distinct values, min kills collisions)
+    val probes = Seq(1L, 2L, 3L).toDF("v")
+    val freqs = Sketches.cmsLookup(streamed, probes, "v", d = 2, w = 16)
+      .as[(Long, Long)].collect().toMap
+    assert(freqs == Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
+  }
+
   test("decorateStream: stateless batch-equal enrich, null passthrough") {
     import graft.streaming.Enrich
     val dir = tmpDir("enrich")
