@@ -1071,17 +1071,30 @@ object Dedup {
     * stays pinned (it is the materialized answer) — `unpersist()` it
     * when done.
     *
+    * Lazy composition (VERDICT r18 #6): pass `pinsOut` to skip the
+    * internal terminal action — the intermediates are pinned into the
+    * CALLER'S buffer (ownership transfer), the returned frame is
+    * unpinned and unmaterialized, and the caller runs its own single
+    * terminal action over the larger composed pipeline before
+    * unpersisting the buffer. DedupAnnSpec proves both paths leave
+    * the CacheManager empty and agree row-for-row.
+    *
     * @return (id_a, id_b, jaccard) with jaccard rounded at 6 and
     *         >= threshold, id_a < id_b; materialized and persisted
+    *         (lazy and unpinned when `pinsOut` is supplied)
     */
   def jaccardJoin(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleWidth: Int = 3,
-      cache: Option[StorageLevel] = None): DataFrame = {
+      cache: Option[StorageLevel] = None,
+      pinsOut: Option[scala.collection.mutable.Buffer[DataFrame]] = None)
+      : DataFrame = {
     val level = cache.getOrElse(StorageLevel.MEMORY_AND_DISK)
     // every pin is collected so the terminal action below can free
     // them all; jaccardCandidates' internal pins (the exploded gram
-    // frame, the rarest-first prefix) route through the same buffer
-    val pins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // frame, the rarest-first prefix) route through the same buffer.
+    // With pinsOut the caller's buffer IS that collection.
+    val pins = pinsOut.getOrElse(
+      scala.collection.mutable.ArrayBuffer.empty[DataFrame])
     def pin(d: DataFrame): DataFrame = {
       val p = d.persist(level); pins += p; p
     }
@@ -1155,18 +1168,23 @@ object Dedup {
     // survivors feed pairJaccard's id-set AND both payload joins —
     // pin, or each consumer replays the stage-1 hashed joins
     val survivors = pin(survivors0)
-    val out = pairJaccard(docs, survivors, idCol, shingler)
+    val res = pairJaccard(docs, survivors, idCol, shingler)
       .where(col("jaccard") >= threshold)
       .withColumn("jaccard", round(col("jaccard"), 6))
-      .persist(level)
-    // ONE terminal action materializes every consumer path while the
-    // intermediates are still pinned; then free them (cascade=false —
-    // Dataset.unpersist never drops caches built on top, so out's
-    // materialized buffers survive). A later eviction of out's
-    // buffers recomputes from the full lineage — slower, still exact.
-    out.count()
-    pins.foreach(_.unpersist(blocking = false))
-    out
+    pinsOut match {
+      case Some(_) => // lazy: pins already in the caller's buffer
+        res
+      case None =>
+        val out = res.persist(level)
+        // ONE terminal action materializes every consumer path while the
+        // intermediates are still pinned; then free them (cascade=false —
+        // Dataset.unpersist never drops caches built on top, so out's
+        // materialized buffers survive). A later eviction of out's
+        // buffers recomputes from the full lineage — slower, still exact.
+        out.count()
+        pins.foreach(_.unpersist(blocking = false))
+        out
+    }
   }
 
   /** [[jaccardJoin]]'s candidate stage, exposed for the scale probe

@@ -48,7 +48,9 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, damping: Double = 0.85,
       cache: Option[StorageLevel] = None,
-      weightCol: Option[String] = None): DataFrame = {
+      weightCol: Option[String] = None,
+      pinsOut: Option[scala.collection.mutable.Buffer[DataFrame]] = None)
+      : DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
     // The edge frame feeds 3 + iters subtrees (both node projections,
@@ -92,10 +94,23 @@ object Graph {
           (lit(base) +
             lit(damping) * coalesce(col("s"), lit(0.0))).as("r"))
     }
-    val out = r.select(col("node"), col("r").as("rank")).persist(level)
-    out.count() // terminal action: materialize out, then free the pin
-    e.unpersist(blocking = false)
-    out
+    pinsOut match {
+      // Lazy composition (VERDICT r18 #6): ownership of the internal
+      // pin transfers to the caller's buffer; the returned frame is
+      // UNPINNED and UNMATERIALIZED, so a caller composing several
+      // operators pays exactly one terminal action at the end, then
+      // unpersists the buffer. (The node-count scalar above still ran
+      // — it is needed to CONSTRUCT the plan — and it filled e's pin,
+      // so the composition never re-derives the edge lineage.)
+      case Some(buf) =>
+        buf += e
+        r.select(col("node"), col("r").as("rank"))
+      case None =>
+        val out = r.select(col("node"), col("r").as("rank")).persist(level)
+        out.count() // terminal action: materialize out, then free the pin
+        e.unpersist(blocking = false)
+        out
+    }
   }
 
   /** Synchronous label propagation (community detection): every node
@@ -123,7 +138,9 @@ object Graph {
     * Output: (node, label).
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, cache: Option[StorageLevel] = None): DataFrame = {
+      iters: Int, cache: Option[StorageLevel] = None,
+      pinsOut: Option[scala.collection.mutable.Buffer[DataFrame]] = None)
+      : DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val level = cache.getOrElse(StorageLevel.MEMORY_AND_DISK)
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -142,10 +159,16 @@ object Graph {
         .agg(min(struct((-col("cnt")).as("nc"), col("label"))).as("m"))
         .select(col("src").as("node"), col("m.label").as("label"))
     }
-    val out = labels.persist(level)
-    out.count() // terminal action: materialize, then free the edge pin
-    und.unpersist(blocking = false)
-    out
+    pinsOut match {
+      case Some(buf) => // lazy composition: see [[pageRank]]
+        buf += und
+        labels
+      case None =>
+        val out = labels.persist(level)
+        out.count() // terminal action: materialize, then free the edge pin
+        und.unpersist(blocking = false)
+        out
+    }
   }
 
   /** Per-node triangle counts (and local clustering coefficient) over
@@ -170,7 +193,9 @@ object Graph {
     * degree < 2).
     */
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String,
-      cache: Option[StorageLevel] = None): DataFrame = {
+      cache: Option[StorageLevel] = None,
+      pinsOut: Option[scala.collection.mutable.Buffer[DataFrame]] = None)
+      : DataFrame = {
     val level = cache.getOrElse(StorageLevel.MEMORY_AND_DISK)
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src") =!= col("dst"))
@@ -188,7 +213,11 @@ object Graph {
         (col("du") === col("dv") && col("src") < col("dst")))
       .select(col("src").as("u"), col("dst").as("v"))
       .persist(level)
-    o.count() // fills o's pin; und feeds deg + o only through here
+    // eager mode only: fill o's pin up front (und feeds deg + o only
+    // through here). In lazy mode the caller's one terminal action
+    // fills both pins — persisted frames cache on first computation
+    // within the job, so the 4 consumers of o still read one compute.
+    if (pinsOut.isEmpty) o.count()
     val wedges = o.select(col("u"), col("v").as("a"))
       .join(o.select(col("u"), col("v").as("b")), "u")
       .where(col("a") < col("b"))
@@ -201,17 +230,24 @@ object Graph {
     val perNode = closed
       .select(explode(array(col("u"), col("a"), col("b"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
-    val out = deg.join(perNode, Seq("node"), "left_outer")
+    val res = deg.join(perNode, Seq("node"), "left_outer")
       .select(col("node"), col("degree"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"),
         when(col("degree") < 2, lit(0.0)).otherwise(
           round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
             (col("degree") * (col("degree") - 1)), 6))
           .as("clustering_coef"))
-      .persist(level)
-    out.count() // terminal action, then free the working pins
-    und.unpersist(blocking = false)
-    o.unpersist(blocking = false)
-    out
+    pinsOut match {
+      case Some(buf) => // lazy composition: see [[pageRank]]
+        buf += und
+        buf += o
+        res
+      case None =>
+        val out = res.persist(level)
+        out.count() // terminal action, then free the working pins
+        und.unpersist(blocking = false)
+        o.unpersist(blocking = false)
+        out
+    }
   }
 }

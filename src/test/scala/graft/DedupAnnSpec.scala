@@ -1038,6 +1038,48 @@ class DedupAnnSpec extends SparkSpec {
       "jaccardJoin left pinned intermediates behind")
   }
 
+  test("lazy composition: pinsOut transfers ownership, equal results, " +
+      "no residue (VERDICT r18 #6)") {
+    import graft.operators.{Dedup, Graph}
+    import org.apache.spark.sql.graft.CacheBridge
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    spark.catalog.clearCache()
+    assert(CacheBridge.isEmpty(spark))
+    // compose: jaccard pairs -> pageRank over the pair graph — in lazy
+    // mode the caller pays ONE terminal action for the whole pipeline
+    // instead of one per operator
+    val pins = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.DataFrame]
+    val pairs = Dedup.jaccardJoin(docs, "doc_id", "text",
+      threshold = 0.5, pinsOut = Some(pins))
+    // lazy contract: the returned frame itself is NOT pinned
+    assert(!pairs.storageLevel.useMemory && !pairs.storageLevel.useDisk)
+    val sym = pairs.select(col("id_a").as("s"), col("id_b").as("d"))
+      .unionByName(pairs.select(col("id_b").as("s"), col("id_a").as("d")))
+    val ranks = Graph.pageRank(sym, "s", "d", iters = 2,
+      pinsOut = Some(pins))
+    val got = ranks.orderBy("node").collect().toSeq // the ONE action
+    assert(pins.nonEmpty) // ownership actually transferred
+    pins.foreach(_.unpersist(blocking = true))
+    assert(CacheBridge.isEmpty(spark),
+      "lazy path left pins the caller's buffer did not own")
+    // and the composition equals the eager path row-for-row
+    spark.catalog.clearCache()
+    val eagerPairs = Dedup.jaccardJoin(docs, "doc_id", "text",
+      threshold = 0.5)
+    val eagerSym = eagerPairs
+      .select(col("id_a").as("s"), col("id_b").as("d"))
+      .unionByName(
+        eagerPairs.select(col("id_b").as("s"), col("id_a").as("d")))
+    val want = Graph.pageRank(eagerSym, "s", "d", iters = 2)
+      .orderBy("node").collect().toSeq
+    assert(got == want)
+    spark.catalog.clearCache()
+  }
+
   test("jaccardJoin keeps exact-boundary pairs at a binary-inexact threshold") {
     import graft.operators.Dedup
     // 27 unique tokens -> 25 distinct shingles; the 16-token prefix
