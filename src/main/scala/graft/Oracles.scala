@@ -2168,6 +2168,62 @@ object Oracles {
     // discards its false positives, so the semantics — and this oracle
     // — are exactly the plain selective join + rollup. Decimal(30,15)
     // accumulation for the bit-stable total.
+    // Join-cardinality advisor (JoinAdvisor.advise): exact side
+    // counts + raw-HLL key-distinct replays (md5-60 register idiom),
+    // the containment estimate n_l*n_r/max(d_l,d_r), and the CASE
+    // strategy over exact counts — the whole verdict derives from the
+    // data, so sf0.01 says broadcast_right and sf0.1 says
+    // shuffle_hash_right from the SAME SQL.
+    "q_join_advisor" ->
+      """WITH lh AS (SELECT ('0x' || substr(md5(o_custkey::VARCHAR),
+        |      1, 15))::BIGINT AS h
+        |    FROM orders WHERE o_custkey IS NOT NULL),
+        |lr AS (SELECT (h & 31) AS j,
+        |    (56 - length(ltrim(bin(h >> 5), '0'))) AS r FROM lh),
+        |lregs AS (SELECT j, max(r) AS r, count(*) AS c FROM lr
+        |          GROUP BY j),
+        |lz AS (SELECT sum(c)::BIGINT AS n, count(*) AS nz,
+        |    list_reduce(list(pow(2::DOUBLE, -r) ORDER BY j),
+        |                (a, b) -> a + b) AS zp
+        |  FROM lregs),
+        |ld AS (SELECT n, round((0.697::DOUBLE * 32 * 32) /
+        |         (zp + (32::DOUBLE - nz::DOUBLE)), 2) AS d FROM lz),
+        |rh AS (SELECT ('0x' || substr(md5(c_custkey::VARCHAR),
+        |      1, 15))::BIGINT AS h
+        |    FROM customer WHERE c_custkey IS NOT NULL),
+        |rr AS (SELECT (h & 31) AS j,
+        |    (56 - length(ltrim(bin(h >> 5), '0'))) AS r FROM rh),
+        |rregs AS (SELECT j, max(r) AS r, count(*) AS c FROM rr
+        |          GROUP BY j),
+        |rz AS (SELECT sum(c)::BIGINT AS n, count(*) AS nz,
+        |    list_reduce(list(pow(2::DOUBLE, -r) ORDER BY j),
+        |                (a, b) -> a + b) AS zp
+        |  FROM rregs),
+        |rd AS (SELECT n, round((0.697::DOUBLE * 32 * 32) /
+        |         (zp + (32::DOUBLE - nz::DOUBLE)), 2) AS d FROM rz),
+        |e AS (SELECT ld.n AS n_left, rd.n AS n_right,
+        |    ld.d AS d_left, rd.d AS d_right,
+        |    round(ld.n::DOUBLE * rd.n::DOUBLE /
+        |          greatest(ld.d, rd.d, 1.0::DOUBLE), 2) AS est_rows
+        |  FROM ld, rd)
+        |SELECT n_left, n_right, d_left, d_right, est_rows,
+        |  CASE WHEN n_right <= 2000 THEN 'broadcast_right'
+        |       WHEN n_left <= 2000 THEN 'broadcast_left'
+        |       WHEN n_right * 4 <= n_left THEN 'shuffle_hash_right'
+        |       WHEN n_left * 4 <= n_right THEN 'shuffle_hash_left'
+        |       ELSE 'sort_merge' END AS strategy,
+        |  (est_rows > 4.0 * (n_left + n_right)) AS explosive
+        |FROM e""".stripMargin,
+
+    // Advisor-routed join (JoinAdvisor.autoJoin): every strategy is
+    // output-identical, so the oracle is the plain join + rollup.
+    "q_auto_join" ->
+      """SELECT c.c_nationkey, count(*) AS n_orders,
+        |  round((sum(o.o_totalprice::DECIMAL(30,15)))::DOUBLE, 2)
+        |    AS sum_total
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_bloom_join" ->
       """SELECT c.c_nationkey, count(*) AS n_orders,
         |  round((sum(o.o_totalprice::DECIMAL(30,15)))::DOUBLE, 2)

@@ -915,6 +915,44 @@ object Queries {
       .orderBy("label")
   }
 
+  /** Join-cardinality advisor (JoinAdvisor.advise, p=5,
+    * broadcastRows=2000): exact per-side row counts + raw-HLL distinct
+    * estimates of the join keys, the containment output estimate, and
+    * the routed strategy — all bit-replayable (the [[graft.operators
+    * .Sketches]] md5-60 register idiom; strategy is a CASE over exact
+    * counts). At sf0.01 the 1500-row customer side routes
+    * broadcast_right; at sf0.1 it crosses the threshold and the 4x
+    * size ratio routes shuffle_hash_right — the oracle derives the
+    * same from the data.
+    */
+  def joinAdvisorQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = graft.operators.JoinAdvisor.advise(
+      t(s, dir, "orders"), t(s, dir, "customer"),
+      "o_custkey", "c_custkey", p = 5, broadcastRows = 2000L)
+    Seq((a.nLeft, a.nRight, a.dLeft, a.dRight, a.estRows, a.strategy,
+        a.explosive))
+      .toDF("n_left", "n_right", "d_left", "d_right", "est_rows",
+        "strategy", "explosive")
+  }
+
+  /** Advisor-routed equi-join (JoinAdvisor.autoJoin): the decided
+    * strategy enters the plan as a hint; every strategy is
+    * output-identical, so the oracle is the plain join + rollup
+    * (the [[bloomJoinQ]] convention — decimal accumulation for
+    * bit-stable totals).
+    */
+  def autoJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val (joined, _) = graft.operators.JoinAdvisor.autoJoin(
+      t(s, dir, "orders"), t(s, dir, "customer"),
+      "o_custkey", "c_custkey", broadcastRows = 2000L)
+    joined.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(30,15)"))
+          .cast("double"), 2).as("sum_total"))
+      .orderBy("c_nationkey")
+  }
+
   /** Skew-safe salted equi-join (Ops.saltedJoin): lineitem facts
     * scattered over 8 salted sub-partitions, orders dim replicated per
     * salt. Row-identical to the plain join, so the oracle is the plain
@@ -1835,6 +1873,8 @@ object Queries {
     "q_session_prefixes_auto" -> (sessionPrefixesAutoQ _),
     "q_asof_auto" -> (asofJoinAutoQ _),
     "q_shape_decision" -> (shapeDecisionQ _),
+    "q_join_advisor" -> (joinAdvisorQ _),
+    "q_auto_join" -> (autoJoinQ _),
     "q_event_dedup" -> (eventDedup _),
     "q_scd2" -> (scd2Q _),
     "q_pit_join" -> (pitJoinQ _),

@@ -24,7 +24,7 @@ object Sketches {
     * [[Sampling]]'s hash splits): reproducible by any md5-equipped
     * engine, uniform enough for order statistics.
     */
-  private def h60(v: Column): Column =
+  private[operators] def h60(v: Column): Column =
     conv(substring(md5(v.cast("string")), 1, 15), 16, 10).cast("long")
 
   /** KMV (k-minimum-values) distinct estimate per group: keep the k

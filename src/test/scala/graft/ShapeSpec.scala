@@ -168,4 +168,66 @@ class ShapeSpec extends SparkSpec {
       assert(norm(auto) == norm(plain) && norm(auto) == norm(bucketed))
     }
   }
+
+  test("JoinAdvisor: exact counts, HLL estimate near truth, nulls out") {
+    import graft.operators.JoinAdvisor
+    val left = spark.read
+      .parquet("/root/testdata/sf0.01/orders.parquet")
+    val right = spark.read
+      .parquet("/root/testdata/sf0.01/customer.parquet")
+    val a = JoinAdvisor.advise(left, right, "o_custkey", "c_custkey",
+      broadcastRows = 2000L)
+    assert(a.nLeft == 15000L && a.nRight == 1500L)
+    // raw HLL at p=5 (~18% std err): both sides' true key-distinct is
+    // 1500 — accept a generous band, determinism is the real contract
+    assert(a.dLeft > 800 && a.dLeft < 2800, s"dLeft=${a.dLeft}")
+    assert(a.dRight > 800 && a.dRight < 2800, s"dRight=${a.dRight}")
+    // containment estimate: true |join| = 15000 (every order matches)
+    assert(a.estRows > 7500 && a.estRows < 30000, s"est=${a.estRows}")
+    assert(a.strategy == "broadcast_right" && !a.explosive)
+    // determinism under repartitioning (register merge is a max)
+    val b = JoinAdvisor.advise(left.repartition(13), right.repartition(7),
+      "o_custkey", "c_custkey", broadcastRows = 2000L)
+    assert(a == b)
+    // null keys never equi-join, so they must not count
+    val withNulls = left.unionByName(
+      left.limit(50).withColumn("o_custkey",
+        lit(null).cast("long")))
+    val c = JoinAdvisor.advise(withNulls, right, "o_custkey",
+      "c_custkey", broadcastRows = 2000L)
+    assert(c.nLeft == 15000L && c.dLeft == a.dLeft)
+  }
+
+  test("JoinAdvisor: strategy routing and plan pins") {
+    import graft.operators.JoinAdvisor
+    val big = (1L to 4000L).map(i => (i, i % 97)).toDF("k", "pay")
+    val small = (1L to 400L).map(i => (i, s"d$i")).toDF("j", "name")
+    // right fits the broadcast bound -> BroadcastHashJoin in the plan
+    val (bj, ba) = JoinAdvisor.autoJoin(big, small, "k", "j",
+      broadcastRows = 1000L)
+    assert(ba.strategy == "broadcast_right")
+    assert(bj.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    // neither side fits, right 4x+ smaller -> shuffle-hash, right build
+    val (hj, ha) = JoinAdvisor.autoJoin(big, small, "k", "j",
+      broadcastRows = 100L)
+    assert(ha.strategy == "shuffle_hash_right")
+    assert(hj.queryExecution.executedPlan.toString
+      .contains("ShuffledHashJoin"))
+    // comparable sizes -> sort-merge
+    val (mj, ma) = JoinAdvisor.autoJoin(big, big.withColumnRenamed("k", "j"),
+      "k", "j", broadcastRows = 100L)
+    assert(ma.strategy == "sort_merge")
+    assert(mj.queryExecution.executedPlan.toString
+      .contains("SortMergeJoin"))
+    // all routes output-identical
+    def keys(df: DataFrame) =
+      df.select("k", "j").as[(Long, Long)].collect().toSet
+    assert(keys(bj) == keys(hj))
+    // explosive flag: a many-to-many key blow-up is called out
+    val mm = (1L to 2000L).map(i => (i % 2, i)).toDF("k", "pay")
+    val ex = JoinAdvisor.advise(mm, mm.withColumnRenamed("k", "j"),
+      "k", "j")
+    assert(ex.explosive, s"2000x2000-over-2-keys not flagged: $ex")
+  }
 }
