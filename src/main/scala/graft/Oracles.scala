@@ -2102,6 +2102,30 @@ object Oracles {
         |                   (990)) p(pm)
         |ORDER BY event_type, pm""".stripMargin,
 
+    // Continuous MAD gate (Quantiles.madOutliersSketch): median and
+    // MAD are nearest-rank statistics of the 512 smallest-md5-priority
+    // rows; the gate is |v - med| <= 3 * mad with every step a single
+    // exactly-rounded IEEE op — the keep set matches bit-for-bit.
+    "q_mad_sketch" ->
+      """WITH pri AS (SELECT event_id, value,
+        |    ('0x' || substr(md5(event_id::VARCHAR || ':qs'), 1, 15))::BIGINT
+        |      AS pri
+        |  FROM events WHERE value IS NOT NULL),
+        |sk AS (SELECT value FROM pri ORDER BY pri, event_id LIMIT 512),
+        |g AS (SELECT list(value ORDER BY value) AS vals, count(*) AS m
+        |      FROM sk),
+        |md AS (SELECT vals, m,
+        |    vals[((m * 500 + 999) // 1000)::BIGINT] AS med FROM g),
+        |thr AS (SELECT med,
+        |    list_sort(list_transform(vals, v -> abs(v - med)))
+        |      [((m * 500 + 999) // 1000)::BIGINT] AS mad
+        |  FROM md)
+        |SELECT e.event_id, e.value
+        |FROM events e, thr
+        |WHERE e.value IS NOT NULL
+        |  AND abs(e.value - thr.med) <= 3.0 * thr.mad
+        |ORDER BY e.event_id""".stripMargin,
+
     // Count-min sketch (Sketches.cmsCells + cmsLookup): 4 x 256
     // row-salted md5-60 cells over user ids, point estimate = min
     // over rows of the probe's cell counts (absent cell = 0).

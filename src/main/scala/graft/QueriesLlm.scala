@@ -1651,6 +1651,20 @@ object QueriesLlm {
         k = 256, permilles = Seq(100, 250, 500, 750, 900, 990))
       .orderBy("event_type", "pm")
 
+  /** Continuous-column MAD outlier gate (Quantiles.madOutliersSketch,
+    * sketchK=512, k=3): median and MAD read from the bounded global
+    * priority sample instead of exact percentile's unbounded
+    * per-distinct-value buffer — the 100 TB-safe robust filter for
+    * doubles. The sample, both order statistics, and the gate
+    * predicate (single exactly-rounded IEEE ops) replay in the oracle
+    * bit-for-bit.
+    */
+  def madSketchQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantiles.madOutliersSketch(
+        t(s, dir, "events").select("event_id", "value"),
+        "value", "event_id", k = 3.0, sketchK = 512)
+      .orderBy("event_id")
+
   /** HyperLogLog distinct sketch (Sketches.hllDistinct, raw
     * estimator, p=5/m=32): register max-ranks via bin/ltrim (no
     * floating log), register sum as an ordered fold — every double op
@@ -1790,6 +1804,7 @@ object QueriesLlm {
     "q_hll_merge" -> (hllMergeQ _),
     "q_kmv_distinct" -> (kmvDistinctQ _),
     "q_quantile_sketch" -> (quantileSketchQ _),
+    "q_mad_sketch" -> (madSketchQ _),
     "q_hll_distinct" -> (hllDistinctQ _),
     "q_bloom_join" -> (bloomJoinQ _),
     "q_mixture_alloc" -> (mixtureAllocQ _),

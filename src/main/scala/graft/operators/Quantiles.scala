@@ -85,6 +85,25 @@ object Quantiles {
       .drop("__rn")
   }
 
+  /** Global (ungrouped) sketch: the k smallest-priority rows of the
+    * whole frame. Routed through `orderBy(...).limit(k)` rather than a
+    * single-partition window — Spark plans that as TakeOrderedAndProject
+    * (each map task forwards its local k, the driver merges k rows),
+    * so there is no one-reducer bottleneck at any scale. Same
+    * mergeable algebra as [[sampleSketch]].
+    */
+  def sampleSketchGlobal(df: DataFrame, valueCol: String,
+      idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val withPri =
+      if (df.columns.contains("__pri")) df
+      else df.withColumn("__pri",
+        h60(concat(col(idCol).cast("string"), lit(":qs"))))
+    withPri.select(col("__pri"), col(idCol), col(valueCol))
+      .orderBy(col("__pri").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Nearest-rank quantiles from a sketch (or any frame of <= k rows
     * per group): for each permille point pm, the ceil(m*pm/1000)-th
     * smallest sample value (1-indexed; m = group sample size). The
@@ -118,4 +137,41 @@ object Quantiles {
       permilles: Seq[Int]): DataFrame =
     quantiles(sampleSketch(df, groupCols, valueCol, idCol, k),
       groupCols, valueCol, permilles)
+
+  /** MAD outlier gate for CONTINUOUS columns — the bounded-state
+    * companion to [[Curation.madOutliers]], which is exact but buffers
+    * per-distinct-value counts (fine for its documented integer
+    * columns, unbounded on continuous doubles). Median and MAD are
+    * nearest-rank statistics of the [[sampleSketchGlobal]] sample:
+    * one bounded TakeOrdered job collects <= sketchK (priority, value)
+    * rows, the two order statistics evaluate on the driver with the
+    * same integer ceil-index arithmetic as [[quantiles]], and the gate
+    * itself is a codegen'd scan-side predicate — no shuffle at all.
+    * Both statistics sit within the DKW rank band of their true
+    * values (see the object scaladoc); every arithmetic step
+    * (subtraction, abs, one multiply, the compare) is a single
+    * exactly-rounded IEEE op, so an external SQL engine reproduces
+    * the identical keep set bit-for-bit.
+    *
+    * NULL values are excluded (they are outliers to any gate). A zero
+    * sample MAD degenerates to keeping only values equal to the
+    * sample median, matching the exact operator's strictness.
+    *
+    * @return df's rows with |value - med~| <= k * mad~
+    */
+  def madOutliersSketch(df: DataFrame, valueCol: String, idCol: String,
+      k: Double, sketchK: Int = 8192): DataFrame = {
+    require(k >= 0, "k must be >= 0")
+    val sample = sampleSketchGlobal(df.where(col(valueCol).isNotNull),
+        valueCol, idCol, sketchK)
+      .select(col(valueCol).cast("double"))
+      .collect().map(_.getDouble(0)) // <= sketchK, bounded
+    if (sample.isEmpty) return df.where(lit(false))
+    val m = sample.length
+    val idx = (m * 500 + 999) / 1000 - 1 // 0-based nearest-rank median
+    val med = sample.sorted.apply(idx)
+    val mad = sample.map(v => math.abs(v - med)).sorted.apply(idx)
+    df.where(col(valueCol).isNotNull &&
+      abs(col(valueCol) - med) <= lit(k) * mad)
+  }
 }

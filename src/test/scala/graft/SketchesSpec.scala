@@ -216,4 +216,50 @@ class SketchesSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), "rank pushdown missing")
   }
+
+  test("madOutliersSketch: gate tracks the exact MAD gate; edge cases") {
+    import graft.operators.{Curation, Quantiles}
+    val ev = events("0.01").select("event_id", "value")
+    val approx = Quantiles.madOutliersSketch(ev, "value", "event_id",
+      k = 3.0, sketchK = 1024)
+    val exact = Curation.madOutliers(ev, "value", k = 3.0)
+    val a = approx.count().toDouble
+    val e = exact.count().toDouble
+    val n = ev.count().toDouble
+    // the sketch med/mad sit within the DKW rank band of the exact
+    // ones, so the two keep sets may differ only near the threshold —
+    // bound the symmetric difference as a share of the corpus
+    val both = approx.select("event_id").intersect(
+      exact.select("event_id")).count().toDouble
+    val symDiff = (a - both) + (e - both)
+    assert(symDiff / n < 0.15,
+      s"approx keep $a vs exact $e, symdiff ${symDiff / n}")
+    // deterministic under repartitioning (priorities are content-keyed)
+    val again = Quantiles.madOutliersSketch(ev.repartition(13), "value",
+      "event_id", k = 3.0, sketchK = 1024)
+    assert(again.count().toDouble == a)
+    // empty input -> empty output, no crash
+    assert(Quantiles.madOutliersSketch(ev.where(lit(false)), "value",
+      "event_id", k = 3.0).count() == 0L)
+    // n <= sketchK: sample IS the data, gate equals the exact one
+    // computed by the same nearest-rank convention
+    val small = ev.where(col("event_id") < 200)
+    val smallKeep = Quantiles.madOutliersSketch(small, "value",
+        "event_id", k = 1.0, sketchK = 4096)
+      .select("event_id").as[Long].collect().toSet
+    val vals = small.select("value").as[Double].collect().sorted
+    val m = vals.length
+    val med = vals((m * 500 + 999) / 1000 - 1)
+    val mad = vals.map(v => math.abs(v - med)).sorted
+      .apply((m * 500 + 999) / 1000 - 1)
+    val want = small.where(abs(col("value") - med) <= lit(1.0) * mad)
+      .select("event_id").as[Long].collect().toSet
+    assert(smallKeep == want)
+    // scale shape: the global sketch is a TakeOrdered, never a
+    // single-partition window
+    val plan = Quantiles.sampleSketchGlobal(ev, "value", "event_id",
+      k = 64).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global bottom-k not a TakeOrdered:\n$plan")
+  }
 }
