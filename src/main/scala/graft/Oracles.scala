@@ -2126,6 +2126,29 @@ object Oracles {
         |  AND abs(e.value - thr.med) <= 3.0 * thr.mad
         |ORDER BY e.event_id""".stripMargin,
 
+    // Streaming quantile sketch (Queries.streamingQuantileQ): the
+    // per-bucket priority-min reduction is order-insensitive, so the
+    // complete-mode streamed sample — however the micro-batches
+    // sliced the input — equals the direct batch construction below
+    // exactly, nearest-rank reads included.
+    "q_streaming_quantile" ->
+      """WITH pri AS (SELECT event_type, value, event_id,
+        |    ('0x' || substr(md5(event_id::VARCHAR || ':qs'), 1, 15))::BIGINT
+        |      AS pri
+        |  FROM events),
+        |b AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type, pri % 64
+        |                       ORDER BY pri, event_id) AS rn
+        |  FROM pri),
+        |sk AS (SELECT event_type, value FROM b WHERE rn = 1),
+        |g AS (SELECT event_type, list(value ORDER BY value) AS vals,
+        |    count(*) AS m
+        |  FROM sk GROUP BY event_type)
+        |SELECT event_type, pm,
+        |  vals[((m * pm + 999) // 1000)::BIGINT] AS q_est
+        |FROM g CROSS JOIN (VALUES (250), (500), (750)) p(pm)
+        |ORDER BY event_type, pm""".stripMargin,
+
     // Count-min sketch (Sketches.cmsCells + cmsLookup): 4 x 256
     // row-salted md5-60 cells over user ids, point estimate = min
     // over rows of the probe's cell counts (absent cell = 0).

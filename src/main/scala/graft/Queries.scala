@@ -1288,6 +1288,43 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** Streaming quantile sketch, driver-checkable: the per-bucket
+    * priority-min sample ([[graft.operators.Quantiles
+    * .bucketMinSample]]) is streaming-ready because its reduction is
+    * a MIN — associative, commutative, idempotent — so the
+    * complete-mode streamed state (<= buckets rows per group,
+    * forever) equals the direct batch build exactly, and the final
+    * [[graft.operators.Quantiles.quantiles]] read matches the batch
+    * oracle bit-for-bit. Completes the streaming sketch trio:
+    * distinct (HLL), frequency (CMS), quantiles (this).
+    */
+  def streamingQuantileQ(s: SparkSession, dir: String): DataFrame = {
+    val d = tmp("squant")
+    val ev = t(s, dir, "events")
+    ev.select(col("event_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").json(s"$d/in")
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val table =
+      "squant_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withShufflePartitions(s, 4) {
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").json(s"$d/in")
+      val q = graft.operators.Quantiles.bucketMinSample(src,
+          Seq("event_type"), "value", "event_id", buckets = 64)
+        .writeStream.format("memory").queryName(table)
+        .outputMode("complete")
+        .option("checkpointLocation", s"$d/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    graft.operators.Quantiles.quantiles(s.table(table),
+        Seq("event_type"), "value", Seq(250, 500, 750))
+      .orderBy("event_type", "pm")
+  }
+
   /** Streaming drift monitor (streaming.DriftMonitor), driver-
     * checkable: an AvailableNow run bins events.value per 2-day
     * event-time window on the baseline's integer grid (watermark 0s;
@@ -1889,6 +1926,7 @@ object Queries {
     "q_streaming_minhash" -> (streamingMinhashQ _),
     "q_streaming_hll" -> (streamingHllQ _),
     "q_streaming_cms" -> (streamingCmsQ _),
+    "q_streaming_quantile" -> (streamingQuantileQ _),
     "q_stream_drift" -> (streamDrift _),
     "q_idempotent_relay" -> (idempotentRelay _),
     "q_incremental_job" -> (incrementalJob _),

@@ -131,6 +131,42 @@ object Quantiles {
             1000L).cast("int")).as("q_est"): _*)
   }
 
+  /** STREAMING-ready sketch variant: one row per (group, priority
+    * bucket) holding the min-(pri, id, value) struct of that bucket —
+    * a bounded aggregation (state <= `buckets` rows per group,
+    * FOREVER) whose reduction is a MIN: associative, commutative,
+    * idempotent, so it runs as a complete-mode streaming aggregation
+    * and the streamed state equals the direct batch build exactly,
+    * however the micro-batches sliced the input (the [[Sketches
+    * .hllRegisters]] register-max discipline, applied to sampling).
+    *
+    * The emitted rows are the per-residue-class priority minima: row
+    * priorities are value-independent md5 hashes, so by exchangeability
+    * the minima form a uniform-without-replacement sample of ~buckets
+    * rows per group — read quantiles off it with [[quantiles]] under
+    * the same DKW-style rank band (k = buckets). Unlike
+    * [[sampleSketch]]'s exact bottom-k (which needs a rank and
+    * therefore cannot be a streaming aggregate), this trades a
+    * slightly looser sample for a pure bounded fold.
+    *
+    * Output: (groupCols..., j, __pri, id, value).
+    */
+  def bucketMinSample(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, idCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val g = groupCols.map(col)
+    val withPri = df.withColumn("__pri",
+      h60(concat(col(idCol).cast("string"), lit(":qs"))))
+    withPri
+      .select(g :+ pmod(col("__pri"), lit(buckets.toLong)).as("j") :+
+        struct(col("__pri"), col(idCol).as("id"),
+          col(valueCol).as("v")).as("s"): _*)
+      .groupBy(g :+ col("j"): _*)
+      .agg(min(col("s")).as("s")) // lexicographic; (pri, id) is unique
+      .select(g :+ col("j") :+ col("s.__pri").as("__pri") :+
+        col("s.id").as(idCol) :+ col("s.v").as(valueCol): _*)
+  }
+
   /** One-call form: sketch then evaluate. */
   def sketchQuantiles(df: DataFrame, groupCols: Seq[String],
       valueCol: String, idCol: String, k: Int,

@@ -217,6 +217,34 @@ class SketchesSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), "rank pushdown missing")
   }
 
+  test("bucketMinSample: uniform-ish quantiles, dedup vs repartition") {
+    import graft.operators.Quantiles
+    val ev = events("0.01")
+    val sk = Quantiles.bucketMinSample(ev, Seq("event_type"), "value",
+      "event_id", buckets = 256)
+    // at most `buckets` sample rows per group
+    val sizes = sk.groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    sizes.foreach { case (g, c) => assert(c <= 256, s"$g -> $c") }
+    // the sample median tracks the exact median within a loose rank
+    // band (exchangeable minima ~ uniform sample of ~256 rows)
+    val med = Quantiles.quantiles(sk, Seq("event_type"), "value",
+        Seq(500))
+      .as[(String, Int, Double)].collect()
+    val n = ev.groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    med.foreach { case (g, _, q) =>
+      val rank = ev.where(col("event_type") === g &&
+        col("value") <= q).count().toDouble / n(g)
+      assert(math.abs(rank - 0.5) < 0.12, s"$g median rank $rank")
+    }
+    // deterministic under repartitioning (min is order-free)
+    val again = Quantiles.bucketMinSample(ev.repartition(11),
+      Seq("event_type"), "value", "event_id", buckets = 256)
+    assert(sk.orderBy("event_type", "j").collect().toSeq ==
+      again.orderBy("event_type", "j").collect().toSeq)
+  }
+
   test("madOutliersSketch: gate tracks the exact MAD gate; edge cases") {
     import graft.operators.{Curation, Quantiles}
     val ev = events("0.01").select("event_id", "value")

@@ -552,6 +552,51 @@ class StreamingSpec extends SparkSpec {
     assert(freqs == Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
   }
 
+  test("streaming quantile sample: bounded state, min-equal to batch") {
+    import graft.operators.Quantiles
+    val dir = tmpDir("squant")
+    // two micro-batches: the per-bucket struct-min is order-insensitive
+    // and idempotent (v=5 re-observed), so streamed state == batch
+    Seq("""{"id":1,"v":10.5}""", """{"id":2,"v":3.25}""",
+      """{"id":5,"v":7.0}""")
+      .toDF("value").coalesce(1).write.text(s"$dir/in/f1")
+    Seq("""{"id":3,"v":8.75}""", """{"id":4,"v":1.5}""",
+      """{"id":5,"v":7.0}""")
+      .toDF("value").coalesce(1).write.text(s"$dir/in/f2")
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("v", DoubleType)))
+    val src = spark.readStream.schema(sch)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1")
+      .json(s"$dir/in")
+      .withColumn("g", lit("all"))
+    val table =
+      "squant_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = Quantiles.bucketMinSample(src, Seq("g"), "v", "id",
+        buckets = 8)
+      .writeStream.format("memory").queryName(table)
+      .outputMode("complete")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table(table)
+    // state bound: at most `buckets` rows per group, forever
+    assert(streamed.count() <= 8)
+    val batch = Quantiles.bucketMinSample(
+      Seq((1L, 10.5), (2L, 3.25), (5L, 7.0), (3L, 8.75), (4L, 1.5),
+        (5L, 7.0)).toDF("id", "v").withColumn("g", lit("all")),
+      Seq("g"), "v", "id", buckets = 8)
+    assert(streamed.orderBy("j").collect().toSeq ==
+      batch.orderBy("j").collect().toSeq)
+    // and the nearest-rank reads agree bit-for-bit
+    val sq = Quantiles.quantiles(streamed, Seq("g"), "v", Seq(500))
+      .collect().toSeq
+    val bq = Quantiles.quantiles(batch, Seq("g"), "v", Seq(500))
+      .collect().toSeq
+    assert(sq == bq)
+  }
+
   test("decorateStream: stateless batch-equal enrich, null passthrough") {
     import graft.streaming.Enrich
     val dir = tmpDir("enrich")
