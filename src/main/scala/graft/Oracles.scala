@@ -2149,6 +2149,56 @@ object Oracles {
         |FROM g CROSS JOIN (VALUES (250), (500), (750)) p(pm)
         |ORDER BY event_type, pm""".stripMargin,
 
+    // KMV set-overlap (Sketches.kmvOverlap): bottom-64 hash sketches
+    // per side, union KMV = bottom-64 of the merged sketches, the
+    // (k-1)/u_k estimator, jaccard = common-in-union-sample / |u|,
+    // intersection = jaccard x union (one fixed-order double chain).
+    "q_kmv_overlap" ->
+      """WITH sa AS (SELECT h FROM (
+        |    SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR),
+        |      1, 15))::BIGINT AS h
+        |    FROM events WHERE event_type = 'view'
+        |      AND user_id IS NOT NULL)
+        |  ORDER BY h LIMIT 64),
+        |sb AS (SELECT h FROM (
+        |    SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR),
+        |      1, 15))::BIGINT AS h
+        |    FROM events WHERE event_type = 'purchase'
+        |      AND user_id IS NOT NULL)
+        |  ORDER BY h LIMIT 64),
+        |u AS (SELECT h FROM (
+        |    SELECT h FROM sa UNION SELECT h FROM sb)
+        |  ORDER BY h LIMIT 64),
+        |st AS (SELECT
+        |    (SELECT count(*) FROM sa) AS na,
+        |    (SELECT max(h) FROM sa) AS ha,
+        |    (SELECT count(*) FROM sb) AS nb,
+        |    (SELECT max(h) FROM sb) AS hb,
+        |    (SELECT count(*) FROM u) AS nu,
+        |    (SELECT max(h) FROM u) AS hu,
+        |    (SELECT count(*) FROM u
+        |     WHERE h IN (SELECT h FROM sa)
+        |       AND h IN (SELECT h FROM sb)) AS common)
+        |SELECT
+        |  CASE WHEN na < 64 THEN na::DOUBLE
+        |    ELSE round(63::DOUBLE /
+        |      (ha::DOUBLE / 1152921504606846976.0), 3) END AS d_a_est,
+        |  CASE WHEN nb < 64 THEN nb::DOUBLE
+        |    ELSE round(63::DOUBLE /
+        |      (hb::DOUBLE / 1152921504606846976.0), 3) END AS d_b_est,
+        |  CASE WHEN nu < 64 THEN nu::DOUBLE
+        |    ELSE round(63::DOUBLE /
+        |      (hu::DOUBLE / 1152921504606846976.0), 3) END AS union_est,
+        |  CASE WHEN nu = 0 THEN 0.0
+        |    ELSE round(common::DOUBLE / nu, 6) END AS jaccard_est,
+        |  CASE WHEN nu = 0 THEN 0.0
+        |    ELSE round(common::DOUBLE / nu *
+        |      (CASE WHEN nu < 64 THEN nu::DOUBLE
+        |        ELSE 63::DOUBLE /
+        |          (hu::DOUBLE / 1152921504606846976.0) END), 3)
+        |    END AS inter_est
+        |FROM st""".stripMargin,
+
     // Count-min sketch (Sketches.cmsCells + cmsLookup): 4 x 256
     // row-salted md5-60 cells over user ids, point estimate = min
     // over rows of the probe's cell counts (absent cell = 0).

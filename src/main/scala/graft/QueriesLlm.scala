@@ -1634,6 +1634,21 @@ object QueriesLlm {
         t(s, dir, "events"), "event_type", "user_id", k = 64)
       .orderBy("group")
 
+  /** KMV set-overlap (Sketches.kmvOverlap, k=64): distinct-user
+    * union / intersection / Jaccard between the view and purchase
+    * event streams from two bottom-k hash sketches — the
+    * cross-dataset overlap panel, every number replayed exactly by
+    * the oracle (order statistics + one fixed-order double division
+    * chain), exact whenever true distincts sit below k.
+    */
+  def kmvOverlapQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    graft.operators.Sketches.kmvOverlap(
+      ev.where(col("event_type") === "view"),
+      ev.where(col("event_type") === "purchase"),
+      "user_id", "user_id", k = 64)
+  }
+
   /** Mergeable quantile sketch (Quantiles.sketchQuantiles, k=256):
     * nearest-rank quantiles of the CONTINUOUS events.value column per
     * event_type, read from the md5-priority bottom-k sample — the
@@ -1805,6 +1820,7 @@ object QueriesLlm {
     "q_kmv_distinct" -> (kmvDistinctQ _),
     "q_quantile_sketch" -> (quantileSketchQ _),
     "q_mad_sketch" -> (madSketchQ _),
+    "q_kmv_overlap" -> (kmvOverlapQ _),
     "q_hll_distinct" -> (hllDistinctQ _),
     "q_bloom_join" -> (bloomJoinQ _),
     "q_mixture_alloc" -> (mixtureAllocQ _),

@@ -116,6 +116,69 @@ object Sketches {
       .agg(max(col("r")).as("r"))
   }
 
+  /** KMV set-overlap estimator (Beyer et al.): distinct-union,
+    * distinct-intersection, and Jaccard between two corpora from two
+    * bottom-k hash sketches — the cross-dataset overlap question
+    * ("how many users/documents do A and B share?") that an exact
+    * answer would pay a full distinct-join for, answered from two
+    * narrow scans and k-row driver math.
+    *
+    * Construction: each side's sketch is its k smallest distinct
+    * md5-60 hashes (a TakeOrdered per side — per-partition k, driver
+    * merge, no single-reducer stage); the union's KMV is the k
+    * smallest of the merged sketches (bottom-k of bottom-k's ==
+    * bottom-k of the union, the mergeable-summary algebra), estimated
+    * with the same (k-1)/u_k estimator as [[kmvDistinct]]; the
+    * Jaccard is the fraction of the union sample present in BOTH
+    * sides, and intersection = jaccard x union. Every number is
+    * EXACT when the true distinct counts sit below k (nothing was
+    * estimated), and the whole construction — hashing, order
+    * statistics, the division order — replays in an md5-equipped SQL
+    * oracle bit-for-bit.
+    *
+    * Output: one row (d_a_est, d_b_est, union_est, jaccard_est,
+    * inter_est) — counts rounded at 3, jaccard at 6.
+    */
+  def kmvOverlap(a: DataFrame, b: DataFrame, colA: String, colB: String,
+      k: Int): DataFrame = {
+    require(k >= 2 && k <= 1000000, s"k must be in [2, 1e6], got $k")
+    val spark = a.sparkSession
+    def sketch(df: DataFrame, c: String): Array[Long] = df
+      .where(col(c).isNotNull)
+      .select(h60(col(c)).as("h")).distinct()
+      .orderBy("h").limit(k) // TakeOrdered: k per partition, k total
+      .collect().map(_.getLong(0)) // <= k rows, bounded by construction
+    val sa = sketch(a, colA)
+    val sb = sketch(b, colB)
+    val setA = sa.toSet
+    val setB = sb.toSet
+    val u = (setA ++ setB).toArray.sorted.take(k)
+    val nU = u.length
+    val two60 = 1152921504606846976.0 // 2^60, the [[kmvDistinct]] unit
+    def est(s: Array[Long]): Double =
+      if (s.length < k) s.length.toDouble
+      else round3((k - 1).toDouble / (s.last.toDouble / two60))
+    def round3(x: Double): Double = BigDecimal(x)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def round6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dA = est(sa)
+    val dB = est(sb)
+    val uRaw =
+      if (nU < k) nU.toDouble
+      else (k - 1).toDouble / (u.last.toDouble / two60)
+    val uEst = if (nU < k) nU.toDouble else round3(uRaw)
+    val common = u.count(h => setA.contains(h) && setB.contains(h))
+    val jac = if (nU == 0) 0.0 else round6(common.toDouble / nU)
+    val inter =
+      if (nU == 0) 0.0
+      else round3(common.toDouble / nU * uRaw)
+    import spark.implicits._
+    Seq((dA, dB, uEst, jac, inter))
+      .toDF("d_a_est", "d_b_est", "union_est", "jaccard_est",
+        "inter_est")
+  }
+
   /** Count-min sketch cells — the MERGEABLE frequency sketch, the
     * counting sibling of [[hllRegisters]]: a d x w counter matrix
     * where each input value increments one cell per hash row

@@ -217,6 +217,43 @@ class SketchesSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), "rank pushdown missing")
   }
 
+  test("kmvOverlap: exact below k, estimates near truth, deterministic") {
+    import graft.operators.Sketches
+    // hand-sized sets: A = 1..30, B = 21..50 -> union 50, inter 10,
+    // jaccard 0.2; k=64 > all, so every output is EXACT
+    val a = (1L to 30L).toDF("v")
+    val b = (21L to 50L).toDF("v")
+    val ex = Sketches.kmvOverlap(a, b, "v", "v", k = 64)
+      .as[(Double, Double, Double, Double, Double)].head()
+    assert(ex == ((30.0, 30.0, 50.0, 0.2, 10.0)), s"got $ex")
+    // duplicates and nulls do not count
+    val a2 = a.unionByName(a).unionByName(
+      Seq(Option.empty[Long]).toDF("v"))
+    val ex2 = Sketches.kmvOverlap(a2, b, "v", "v", k = 64)
+      .as[(Double, Double, Double, Double, Double)].head()
+    assert(ex2 == ex)
+    // estimate regime on real data: view/purchase users at sf0.1 are
+    // 1500 distinct each with (near-)total overlap; k=256 keeps the
+    // KMV std error ~1/sqrt(k-2) ~ 6% per count
+    val ev = events("0.1")
+    val est = Sketches.kmvOverlap(
+        ev.where(col("event_type") === "view"),
+        ev.where(col("event_type") === "purchase"),
+        "user_id", "user_id", k = 256)
+      .as[(Double, Double, Double, Double, Double)].head()
+    assert(est._1 > 1000 && est._1 < 2200, s"d_a ${est._1}")
+    assert(est._3 > 1000 && est._3 < 2300, s"union ${est._3}")
+    assert(est._4 > 0.7, s"jaccard ${est._4} (expect near-total overlap)")
+    assert(est._5 > 700 && est._5 < 2300, s"inter ${est._5}")
+    // determinism under repartitioning (order statistics of a hash)
+    val again = Sketches.kmvOverlap(
+        ev.where(col("event_type") === "view").repartition(13),
+        ev.where(col("event_type") === "purchase").repartition(7),
+        "user_id", "user_id", k = 256)
+      .as[(Double, Double, Double, Double, Double)].head()
+    assert(again == est)
+  }
+
   test("bucketMinSample: uniform-ish quantiles, dedup vs repartition") {
     import graft.operators.Quantiles
     val ev = events("0.01")
