@@ -2312,6 +2312,48 @@ object Oracles {
         |  (est_rows > 4.0 * (n_left + n_right)) AS explosive
         |FROM e""".stripMargin,
 
+    // Data-quality rule engine (Checks.run): each metric is an exact
+    // count over orders turned into one rounded ratio; uniqueness
+    // passes on the EXACT equality (not the rounded metric);
+    // referential integrity is the orphan share of the left-anti
+    // probe. Row order = ORDER BY rule, as the query states.
+    "q_quality_checks" ->
+      """WITH base AS (SELECT count(*) AS n,
+        |    count(o_custkey) AS nn,
+        |    count(DISTINCT o_orderkey) AS du,
+        |    sum(CASE WHEN o_totalprice IS NOT NULL
+        |          AND o_totalprice BETWEEN 0 AND 250000
+        |        THEN 1 ELSE 0 END) AS ir,
+        |    sum(CASE WHEN o_orderstatus IN ('O', 'F')
+        |        THEN 1 ELSE 0 END) AS iset
+        |  FROM orders),
+        |ri AS (SELECT count(*) AS orphans FROM orders o
+        |       WHERE o.o_custkey IS NOT NULL
+        |         AND o.o_custkey NOT IN
+        |             (SELECT c_custkey FROM customer
+        |              WHERE c_custkey IS NOT NULL))
+        |SELECT * FROM (
+        |  SELECT 'not_null' AS rule, 'o_custkey' AS "column",
+        |    round(nn::DOUBLE / n, 6) AS metric, 1.0 AS threshold,
+        |    round(nn::DOUBLE / n, 6) >= 1.0 AS pass FROM base
+        |  UNION ALL
+        |  SELECT 'unique', 'o_orderkey', round(du::DOUBLE / n, 6),
+        |    1.0, du = n FROM base
+        |  UNION ALL
+        |  SELECT 'in_range', 'o_totalprice',
+        |    round(ir::DOUBLE / n, 6), 0.4,
+        |    round(ir::DOUBLE / n, 6) >= 0.4 FROM base
+        |  UNION ALL
+        |  SELECT 'in_set', 'o_orderstatus',
+        |    round(iset::DOUBLE / n, 6), 0.5,
+        |    round(iset::DOUBLE / n, 6) >= 0.5 FROM base
+        |  UNION ALL
+        |  SELECT 'ref_integrity', 'o_custkey',
+        |    round(orphans::DOUBLE / (SELECT n FROM base), 6), 0.0,
+        |    round(orphans::DOUBLE / (SELECT n FROM base), 6) = 0.0
+        |  FROM ri)
+        |ORDER BY rule""".stripMargin,
+
     // Advisor-routed join (JoinAdvisor.autoJoin): every strategy is
     // output-identical, so the oracle is the plain join + rollup.
     "q_auto_join" ->

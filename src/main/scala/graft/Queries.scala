@@ -953,6 +953,26 @@ object Queries {
       .orderBy("c_nationkey")
   }
 
+  /** Data-quality rule engine (Checks.run): completeness, exact
+    * uniqueness, range/set membership — all in ONE aggregation pass —
+    * plus a left-anti referential-integrity probe against the
+    * customer dim. Metrics are exact counts turned into one
+    * HALF_UP-rounded ratio, so the oracle replays every verdict
+    * bit-for-bit (in_range/in_set thresholds chosen so metrics are
+    * non-trivial fractions, not 1.0).
+    */
+  def qualityChecksQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Checks
+    Checks.run(t(s, dir, "orders"), Seq(
+        Checks.NotNull("o_custkey"),
+        Checks.Unique("o_orderkey"),
+        Checks.InRange("o_totalprice", 0.0, 250000.0, minRatio = 0.4),
+        Checks.InSet("o_orderstatus", Seq("O", "F"), minRatio = 0.5),
+        Checks.RefIntegrity("o_custkey", t(s, dir, "customer"),
+          "c_custkey")))
+      .orderBy("rule")
+  }
+
   /** Skew-safe salted equi-join (Ops.saltedJoin): lineitem facts
     * scattered over 8 salted sub-partitions, orders dim replicated per
     * salt. Row-identical to the plain join, so the oracle is the plain
@@ -1912,6 +1932,7 @@ object Queries {
     "q_shape_decision" -> (shapeDecisionQ _),
     "q_join_advisor" -> (joinAdvisorQ _),
     "q_auto_join" -> (autoJoinQ _),
+    "q_quality_checks" -> (qualityChecksQ _),
     "q_event_dedup" -> (eventDedup _),
     "q_scd2" -> (scd2Q _),
     "q_pit_join" -> (pitJoinQ _),

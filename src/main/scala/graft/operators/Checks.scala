@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality verification — the contract gate a
+  * training-data pipeline runs before promoting a snapshot (the
+  * Deequ-shaped need, engine-native): completeness, uniqueness,
+  * range/set membership, and referential integrity as a typed rule
+  * list evaluated in as few passes as the rules allow, emitting one
+  * (rule, column, metric, threshold, pass) row per rule.
+  *
+  * Pass structure, stated not implied: every ROW-LEVEL rule
+  * (not-null, in-range, in-set) compiles to one conditional-count
+  * expression and ALL of them run in a single map-side-combinable
+  * aggregation — one scan however many rules. Each [[Checks.Unique]]
+  * adds an exact `count_distinct` to that same aggregate; Spark plans
+  * multiple distinct aggregates with an Expand (one scan, one
+  * duplicated row stream per distinct column) — fine for a handful of
+  * uniqueness rules; audit wide-column uniqueness with
+  * [[Profile.profile]]'s melt shape instead. Each
+  * [[Checks.RefIntegrity]] is its own broadcast-friendly left-anti
+  * probe (orphan count), the only rule that touches a second table.
+  *
+  * Determinism: metrics are exact counts turned into one
+  * HALF_UP-rounded ratio (6 places) — bit-replayable by a SQL oracle;
+  * thresholds compare on the ROUNDED metric so engines agree on
+  * `pass` exactly.
+  */
+object Checks {
+
+  sealed trait Rule { def name: String; def column: String }
+  /** share of non-null values must reach `minRatio`. */
+  final case class NotNull(column: String, minRatio: Double = 1.0)
+      extends Rule { val name = "not_null" }
+  /** column values must be globally unique (exact distinct == count,
+    * nulls counted as values — a null id is caught by NotNull).
+    */
+  final case class Unique(column: String) extends Rule {
+    val name = "unique"
+  }
+  /** share of non-null values inside [lo, hi] must reach `minRatio`. */
+  final case class InRange(column: String, lo: Double, hi: Double,
+      minRatio: Double = 1.0) extends Rule { val name = "in_range" }
+  /** share of non-null values in the accepted set must reach
+    * `minRatio`.
+    */
+  final case class InSet(column: String, values: Seq[String],
+      minRatio: Double = 1.0) extends Rule { val name = "in_set" }
+  /** every non-null FK value must exist in `dim.pkCol` (metric =
+    * orphan share, passes when it is 0 after rounding).
+    */
+  final case class RefIntegrity(column: String, dim: DataFrame,
+      pkCol: String) extends Rule { val name = "ref_integrity" }
+
+  private def round6(c: Column): Column = round(c, 6)
+
+  /** Evaluate the rules; see the object scaladoc for the pass
+    * structure. Empty input: ratio rules report metric 1.0 (nothing
+    * violated nothing), uniqueness and RI likewise pass.
+    *
+    * @return (rule, column, metric, threshold, pass), one row per
+    *   rule, in the order given
+    */
+  def run(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "no rules given")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rowRules = rules.filter(!_.isInstanceOf[RefIntegrity])
+    // one aggregation for every row-level + uniqueness rule: the
+    // single driver row below is metadata-scale by construction
+    val aggs: Seq[Column] = count(lit(1)).as("__n") +: rowRules
+      .zipWithIndex.map {
+        case (NotNull(c, _), i) =>
+          count(col(c)).as(s"__m$i")
+        case (Unique(c), i) =>
+          count_distinct(col(c)).as(s"__m$i")
+        case (InRange(c, lo, hi, _), i) =>
+          sum(when(col(c).isNotNull &&
+            col(c).cast("double").between(lo, hi), 1L)
+            .otherwise(0L)).as(s"__m$i")
+        case (InSet(c, vs, _), i) =>
+          sum(when(col(c).isNotNull &&
+            col(c).cast("string").isin(vs: _*), 1L)
+            .otherwise(0L)).as(s"__m$i")
+        case (r, _) => throw new IllegalArgumentException(r.toString)
+      }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val n = row.getLong(0)
+    def ratio(num: Long): Double =
+      if (n == 0) 1.0
+      else BigDecimal(num.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rowResults = rowRules.zipWithIndex.map { case (r, i) =>
+      val m = row.getLong(i + 1)
+      r match {
+        case NotNull(c, t) => (r.name, c, ratio(m), t, ratio(m) >= t)
+        case Unique(c) => (r.name, c, ratio(m), 1.0, m == n)
+        case InRange(c, _, _, t) =>
+          (r.name, c, ratio(m), t, ratio(m) >= t)
+        case InSet(c, _, t) => (r.name, c, ratio(m), t, ratio(m) >= t)
+        case x => throw new IllegalStateException(x.toString)
+      }
+    }
+    val riResults = rules.collect { case RefIntegrity(c, dim, pk) =>
+      // orphan share: FK values (non-null) with no dim partner
+      val orphans = df.where(col(c).isNotNull)
+        .join(dim.select(col(pk).as("__pk")).distinct(),
+          col(c) === col("__pk"), "left_anti")
+        .count()
+      val share =
+        if (n == 0) 0.0
+        else BigDecimal(orphans.toDouble / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      ("ref_integrity", c, share, 0.0, share == 0.0)
+    }
+    // emit in the caller's rule order
+    val byKey = (rowResults ++ riResults)
+      .groupBy(t => (t._1, t._2)).map { case (k, v) => k -> v.head }
+    rules.map(r => byKey((r.name, r.column)))
+      .toDF("rule", "column", "metric", "threshold", "pass")
+  }
+}

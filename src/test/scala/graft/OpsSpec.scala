@@ -772,6 +772,45 @@ class OpsSpec extends SparkSpec {
     assert(ok.count() == 1L)
   }
 
+  test("Checks.run: metrics exact on a planted-violation fixture") {
+    import graft.operators.Checks
+    // 10 rows: 2 null ids (completeness 0.8), one duplicated key
+    // (9 distinct / 10), 3 out-of-range values (0.7 in-range),
+    // 4 status outside {A,B} (0.6 in-set), 2 orphan FKs (share 0.2)
+    val df = Seq(
+      (Some(1L), 10L, 5.0, "A", Some(100L)),
+      (Some(2L), 11L, 5.0, "A", Some(100L)),
+      (None, 12L, 5.0, "B", Some(101L)),
+      (None, 13L, 5.0, "B", Some(101L)),
+      (Some(5L), 14L, 99.0, "B", Some(101L)),
+      (Some(6L), 15L, 99.0, "B", Some(999L)),   // orphan
+      (Some(7L), 16L, 99.0, "C", Some(998L)),   // orphan
+      (Some(8L), 17L, 5.0, "C", None),          // null FK: not orphan
+      (Some(9L), 18L, 5.0, "C", Some(100L)),
+      (Some(9L), 18L, 5.0, "C", Some(100L))     // dup key
+    ).toDF("id", "k", "v", "status", "fk")
+    val dim = Seq(100L, 101L).toDF("pk")
+    val out = Checks.run(df, Seq(
+        Checks.NotNull("id", minRatio = 0.9),
+        Checks.Unique("k"),
+        Checks.InRange("v", 0.0, 50.0, minRatio = 0.7),
+        Checks.InSet("status", Seq("A", "B"), minRatio = 0.7),
+        Checks.RefIntegrity("fk", dim, "pk")))
+      .as[(String, String, Double, Double, Boolean)].collect().toList
+    assert(out == List(
+      ("not_null", "id", 0.8, 0.9, false),
+      ("unique", "k", 0.9, 1.0, false),
+      ("in_range", "v", 0.7, 0.7, true),
+      ("in_set", "status", 0.6, 0.7, false),
+      ("ref_integrity", "fk", 0.2, 0.0, false)), s"got $out")
+    // empty input: ratio rules vacuously pass, RI has no orphans
+    val empty = Checks.run(df.where(lit(false)), Seq(
+        Checks.NotNull("id"), Checks.Unique("k"),
+        Checks.RefIntegrity("fk", dim, "pk")))
+      .as[(String, String, Double, Double, Boolean)].collect().toList
+    assert(empty.forall(_._5), s"empty input must pass: $empty")
+  }
+
   test("funnel: strict ordering, stalls, same-instant, absent keys") {
     import graft.operators.Events
     val ev = Seq(
