@@ -860,7 +860,8 @@ object Oracles {
         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
         |        ORDER BY ts_us DESC, event_id DESC) AS rn FROM ev)
         |SELECT user_id, event_id, ts_us, event_type, value
-        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |FROM r WHERE rn = 1
+        |  AND (event_type <> 'error' OR event_type IS NULL)
         |ORDER BY user_id""".stripMargin,
 
     // Interval-overlap join (Intervals.overlapJoin): session intervals
@@ -2015,7 +2016,7 @@ object Oracles {
         |SELECT event_type,
         |  round((0.697::DOUBLE * 32 * 32) /
         |        (zp + (32::DOUBLE - nz::DOUBLE)), 2) AS distinct_est
-        |FROM z ORDER BY 1""".stripMargin,
+        |FROM z ORDER BY 1 NULLS FIRST""".stripMargin,
 
     // Streaming HLL (Queries.streamingHllQ): register union is
     // order-insensitive, so the complete-mode streamed registers —
@@ -2037,7 +2038,7 @@ object Oracles {
         |SELECT event_type,
         |  round((0.697::DOUBLE * 32 * 32) /
         |        (zp + (32::DOUBLE - nz::DOUBLE)), 2) AS distinct_est
-        |FROM z ORDER BY 1""".stripMargin,
+        |FROM z ORDER BY 1 NULLS FIRST""".stripMargin,
 
     // Systematic PPS sampling (Sampling.systematicWeighted): integer
     // prefix-sum marks — copies_i = floor(c_i*k/W) - floor(c_{i-1}*k/W)
@@ -2055,7 +2056,7 @@ object Oracles {
         |      AS copies
         |  FROM c)
         |SELECT lang, doc_id, n_chars, copies FROM x WHERE copies >= 1
-        |ORDER BY lang, doc_id""".stripMargin,
+        |ORDER BY lang NULLS FIRST, doc_id""".stripMargin,
 
     // Streaming count-min (Queries.streamingCmsQ): cell merge is a
     // sum, order-insensitive, so the complete-mode streamed cells —
@@ -2100,7 +2101,7 @@ object Oracles {
         |  vals[((m * pm + 999) // 1000)::BIGINT] AS q_est
         |FROM g CROSS JOIN (VALUES (100), (250), (500), (750), (900),
         |                   (990)) p(pm)
-        |ORDER BY event_type, pm""".stripMargin,
+        |ORDER BY event_type NULLS FIRST, pm""".stripMargin,
 
     // Continuous MAD gate (Quantiles.madOutliersSketch): median and
     // MAD are nearest-rank statistics of the 512 smallest-md5-priority
@@ -2147,7 +2148,7 @@ object Oracles {
         |SELECT event_type, pm,
         |  vals[((m * pm + 999) // 1000)::BIGINT] AS q_est
         |FROM g CROSS JOIN (VALUES (250), (500), (750)) p(pm)
-        |ORDER BY event_type, pm""".stripMargin,
+        |ORDER BY event_type NULLS FIRST, pm""".stripMargin,
 
     // KMV set-overlap (Sketches.kmvOverlap): bottom-64 hash sketches
     // per side, union KMV = bottom-64 of the merged sketches, the
@@ -2236,7 +2237,7 @@ object Oracles {
         |       ELSE round(63::DOUBLE /
         |              (hk::DOUBLE / 1152921504606846976::DOUBLE), 3)
         |  END AS distinct_est
-        |FROM k ORDER BY 1""".stripMargin,
+        |FROM k ORDER BY 1 NULLS FIRST""".stripMargin,
 
     // HyperLogLog raw estimate (operators/Sketches.hllDistinct, p=5
     // m=32 alpha=0.697): low 5 hash bits -> register, rank via
@@ -2258,7 +2259,7 @@ object Oracles {
         |SELECT grp AS "group",
         |  round((0.697::DOUBLE * 32 * 32) /
         |        (zp + (32::DOUBLE - nz::DOUBLE)), 2) AS distinct_est
-        |FROM z ORDER BY 1""".stripMargin,
+        |FROM z ORDER BY 1 NULLS FIRST""".stripMargin,
 
     // Bloom-pruned star join (operators/RuntimeFilter.bloomPrunedJoin):
     // the Bloom prefilter never drops a true match and the join

@@ -1482,6 +1482,9 @@ object Queries {
     val log = raw.select(col("user_id"), col("event_id"),
         graft.operators.Events.tsMicros(raw).as("ts_us"),
         col("event_type"), col("value"))
+      // NULL event_type deliberately maps to 'U' (when's null predicate
+      // falls to otherwise): an unknown op is an upsert, not a delete —
+      // the oracle states the same with `<> 'error' OR IS NULL`
       .withColumn("op",
         when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
     graft.operators.Events.applyChangelog(log, Seq("user_id"),
