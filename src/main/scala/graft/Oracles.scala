@@ -853,6 +853,30 @@ object Oracles {
     // Changelog compaction (Events.applyChangelog): latest entry per
     // user wins (ts_us, event_id ordering); users whose latest event
     // is an error (the tombstone op) drop out of the snapshot.
+    // Field-level survivorship (Events.survivorship): each column's
+    // survivor is the arg-max over (value IS NOT NULL, ts_us,
+    // event_id) — one window per column here, the engine's max_by
+    // struct without any window. `value` is planted null on error
+    // events, so the two columns' winners genuinely diverge.
+    "q_survivorship" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |    epoch_ns(ts) // 1000 AS ts_us, event_type,
+        |    CASE WHEN event_type = 'error' THEN NULL
+        |         ELSE value END AS value
+        |  FROM events),
+        |t AS (SELECT user_id, event_type, row_number() OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY (event_type IS NOT NULL) DESC, ts_us DESC,
+        |      event_id DESC) AS rn FROM ev),
+        |v AS (SELECT user_id, value, row_number() OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY (value IS NOT NULL) DESC, ts_us DESC,
+        |      event_id DESC) AS rn FROM ev)
+        |SELECT t.user_id, t.event_type, v.value
+        |FROM t JOIN v ON t.user_id IS NOT DISTINCT FROM v.user_id
+        |WHERE t.rn = 1 AND v.rn = 1
+        |ORDER BY t.user_id NULLS FIRST""".stripMargin,
+
     "q_cdc_apply" ->
       """WITH ev AS (SELECT user_id, event_id,
         |    epoch_ns(ts) // 1000 AS ts_us, event_type, value

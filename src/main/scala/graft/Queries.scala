@@ -1492,6 +1492,26 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** Field-level survivorship merge (Events.survivorship): per user,
+    * each column independently takes its latest NON-NULL value —
+    * `value` is planted null on error events, so a user whose final
+    * event is an error keeps the error's event_type (never null) but
+    * the value from the latest NON-error event, which whole-row
+    * latest (q_cdc_apply's shape) cannot express. One max_by struct
+    * aggregate per column, no window.
+    */
+  def survivorshipQ(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    val log = raw.select(col("user_id"), col("event_id"),
+      graft.operators.Events.tsMicros(raw).as("ts_us"),
+      col("event_type"),
+      when(col("event_type") === "error", lit(null).cast("double"))
+        .otherwise(col("value")).as("value"))
+    graft.operators.Events.survivorship(log, Seq("user_id"),
+        Seq("ts_us", "event_id"), Seq("event_type", "value"))
+      .orderBy("user_id")
+  }
+
   /** Interval-overlap join (Intervals.overlapJoin): which browsing
     * states (SCD2 intervals over the non-error events) were current
     * during each session (gap-30min intervals over all events) — the
@@ -1940,6 +1960,7 @@ object Queries {
     "q_scd2" -> (scd2Q _),
     "q_pit_join" -> (pitJoinQ _),
     "q_cdc_apply" -> (cdcApplyQ _),
+    "q_survivorship" -> (survivorshipQ _),
     "q_interval_join" -> (intervalJoinQ _),
     "q_funnel" -> (funnelQ _),
     "q_snapshot_delta" -> (snapshotDeltaQ _),

@@ -431,6 +431,36 @@ object Events {
     out
   }
 
+  /** Field-level survivorship merge — the MDM/golden-record rule
+    * [[applyChangelog]]'s whole-row latest cannot express: for each
+    * key, EVERY value column independently takes its latest NON-NULL
+    * value (falling back to null only when the column is null across
+    * the whole group). A record stream where different events carry
+    * different subsets of fields collapses to one complete row per
+    * key instead of the latest row's holes.
+    *
+    * Scale shape: ONE map-side-combinable aggregation — each column
+    * is a `max_by(value, struct(value IS NOT NULL, seqCols...))`,
+    * so the not-null flag (false < true) makes any filled value beat
+    * every null one, and the sequence breaks ties among filled ones.
+    * No window, no per-key sort; a million-row key costs its reducer
+    * one running maximum per column. `seqCols` must totally order
+    * rows within a key (include a unique id) or the winner among
+    * equal-sequence filled values is undefined.
+    *
+    * @return one row per key: keyCols ++ valueCols (survivor values)
+    */
+  def survivorship(df: DataFrame, keyCols: Seq[String],
+      seqCols: Seq[String], valueCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && seqCols.nonEmpty && valueCols.nonEmpty,
+      "keys, seq, and value columns all required")
+    val aggs = valueCols.map(c =>
+      max_by(col(c),
+        struct((col(c).isNotNull.as("__p") +:
+          seqCols.map(col)): _*)).as(c))
+    df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   def applyChangelog(log: DataFrame, keyCols: Seq[String],
       seqCols: Seq[String], opCol: String, deleteOp: String): DataFrame = {
     require(keyCols.nonEmpty && seqCols.nonEmpty, "keys and seq required")

@@ -772,6 +772,40 @@ class OpsSpec extends SparkSpec {
     assert(ok.count() == 1L)
   }
 
+  test("survivorship: per-field latest non-null, whole-null fallback") {
+    import graft.operators.Events
+    val log = Seq(
+      // user 1: latest row (ts 30) has null email; email survives
+      // from ts 20, name from ts 30 — fields diverge
+      (1L, 10L, Some("a@x"), Some("Al")),
+      (1L, 20L, Some("b@x"), None),
+      (1L, 30L, None, Some("Bo")),
+      // user 2: email null throughout -> stays null; name latest
+      (2L, 10L, None, Some("Cy")),
+      (2L, 20L, None, Some("Dee")),
+      // user 3: single row, all filled
+      (3L, 5L, Some("e@x"), Some("Ed"))
+    ).toDF("k", "seq", "email", "name")
+    val out = Events.survivorship(log, Seq("k"), Seq("seq"),
+        Seq("email", "name"))
+      .as[(Long, Option[String], Option[String])].collect()
+      .map { case (k, e, n) => k -> ((e, n)) }.toMap
+    assert(out == Map(
+      1L -> ((Some("b@x"), Some("Bo"))),
+      2L -> ((None, Some("Dee"))),
+      3L -> ((Some("e@x"), Some("Ed")))))
+    // deterministic under repartitioning (max_by over a total struct)
+    val again = Events.survivorship(log.repartition(7), Seq("k"),
+        Seq("seq"), Seq("email", "name"))
+      .orderBy("k").collect().toSeq
+    assert(again == Events.survivorship(log, Seq("k"), Seq("seq"),
+      Seq("email", "name")).orderBy("k").collect().toSeq)
+    // scale shape: no Window operator in the plan — one aggregate
+    val plan = Events.survivorship(log, Seq("k"), Seq("seq"),
+      Seq("email", "name")).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"), s"window crept in:\n$plan")
+  }
+
   test("Checks.run: metrics exact on a planted-violation fixture") {
     import graft.operators.Checks
     // 10 rows: 2 null ids (completeness 0.8), one duplicated key
