@@ -2174,6 +2174,23 @@ object Oracles {
         |FROM g CROSS JOIN (VALUES (250), (500), (750)) p(pm)
         |ORDER BY event_type NULLS FIRST, pm""".stripMargin,
 
+    // Weighted priority sampling (Sampling.prioritySample): DLT key
+    // = (md5-60(id||':ps') + 1)::DOUBLE / weight — one exactly-rounded
+    // double division, so both engines agree on the k smallest keys
+    // (ties by id) bit-for-bit.
+    "q_priority_sample" ->
+      """WITH d AS (SELECT lang, doc_id, n_chars,
+        |    (('0x' || substr(md5(doc_id::VARCHAR || ':ps'), 1, 15))
+        |       ::BIGINT + 1)::DOUBLE / n_chars::DOUBLE AS key
+        |  FROM documents WHERE n_chars > 0),
+        |r AS (SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY key, doc_id) AS rk
+        |  FROM d)
+        |SELECT lang, doc_id, n_chars, rk::BIGINT AS "rank"
+        |FROM r WHERE rk <= 40
+        |ORDER BY lang NULLS FIRST, rk""".stripMargin,
+
     // KMV set-overlap (Sketches.kmvOverlap): bottom-64 hash sketches
     // per side, union KMV = bottom-64 of the merged sketches, the
     // (k-1)/u_k estimator, jaccard = common-in-union-sample / |u|,

@@ -1634,6 +1634,18 @@ object QueriesLlm {
         t(s, dir, "events"), "event_type", "user_id", k = 64)
       .orderBy("group")
 
+  /** Weighted priority sampling (Sampling.prioritySample, k=40):
+    * per-language DLT sample of documents weighted by n_chars —
+    * distinct rows, heavier docs likelier kept, the key one double
+    * division both engines compute bit-identically. Complements
+    * q_pps_sample's exactly-k-copies systematic draw.
+    */
+  def prioritySampleQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.prioritySample(
+        t(s, dir, "documents").select("lang", "doc_id", "n_chars"),
+        "lang", "n_chars", "doc_id", k = 40)
+      .orderBy(col("lang").asc_nulls_first, col("rank"))
+
   /** KMV set-overlap (Sketches.kmvOverlap, k=64): distinct-user
     * union / intersection / Jaccard between the view and purchase
     * event streams from two bottom-k hash sketches — the
@@ -1821,6 +1833,7 @@ object QueriesLlm {
     "q_quantile_sketch" -> (quantileSketchQ _),
     "q_mad_sketch" -> (madSketchQ _),
     "q_kmv_overlap" -> (kmvOverlapQ _),
+    "q_priority_sample" -> (prioritySampleQ _),
     "q_hll_distinct" -> (hllDistinctQ _),
     "q_bloom_join" -> (bloomJoinQ _),
     "q_mixture_alloc" -> (mixtureAllocQ _),

@@ -352,6 +352,54 @@ object Sampling {
     *
     * @return sampled rows (copies >= 1) with a `copies` multiplicity
     */
+  /** Single-pass weighted PRIORITY sampling without replacement
+    * (Duffield–Lund–Thorup), deterministic and RNG-free — the
+    * distinct-rows complement to [[systematicWeighted]]'s
+    * exactly-k-copies systematic draw: here each row appears at most
+    * once, heavier rows are more likely to be among the k kept, and
+    * the same input always yields the same sample on any engine.
+    *
+    * Priorities: with u_i the row's md5-60 hash (value-independent,
+    * ':ps'-salted, +1 so it is never zero) the DLT priority is
+    * w_i / u_i; keeping the k LARGEST priorities is keeping the k
+    * smallest keys u_i / w_i. The key is ONE double division — a
+    * single exactly-rounded IEEE op, so Spark and a SQL oracle
+    * compute bit-identical keys and agree on the sample even where
+    * the double rounding perturbs the true rational order by an ulp
+    * (a different-but-identical-everywhere sample, statistically
+    * indistinguishable; contrast the A-ES u^(1/w) key, whose pow/log
+    * differ across math libraries — the reason [[systematicWeighted]]
+    * documents refusing that scheme).
+    *
+    * Scale shape: the `rank <= k` filter is the WindowGroupLimit
+    * pattern ([[graft.operators.Quantiles]]'s plan pin) — map tasks
+    * forward at most k rows per group before the exchange. Weights
+    * must be positive; non-positive rows are excluded (never
+    * sampled). Integral weight types are NOT required here (the
+    * double key handles fractional mass), matching DLT.
+    *
+    * @return sampled rows plus `rank` (1..k by descending priority)
+    */
+  def prioritySample(df: org.apache.spark.sql.DataFrame,
+      groupCol: String, weightCol: String, idCol: String, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    // full 60-bit hash (not the 1e6-bucket form): priority resolution;
+    // the long->double cast rounds past 2^53 identically in any engine
+    val u = (conv(substring(md5(concat(col(idCol).cast("string"),
+        lit(":ps"))), 1, 15), 16, 10).cast("long") + 1L)
+      .cast("double")
+    val key = (u / col(weightCol).cast("double")).as("__key")
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("__key").asc, col(idCol).asc)
+    df.where(col(weightCol) > 0)
+      .withColumn("__key", key)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .drop("__key")
+  }
+
   def systematicWeighted(df: org.apache.spark.sql.DataFrame,
       groupCol: String, weightCol: String, k: Int,
       orderCols: Seq[String]): org.apache.spark.sql.DataFrame = {

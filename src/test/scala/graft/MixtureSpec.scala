@@ -222,6 +222,38 @@ class MixtureSpec extends SparkSpec {
     assert(out == Set(("a", 2L, 1L), ("a", 3L, 4L), ("b", 9L, 5L)))
   }
 
+  test("prioritySample: hand-replayed keys, weight bias, plan pin") {
+    // replicate the engine's md5-60 ':ps' priority in plain JVM code
+    def h60(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id:ps".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val rows = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 1000000L),
+      (5L, 10L), (6L, 0L)) // id 6: non-positive weight, excluded
+    val df = rows.toDF("id", "w").withColumn("g", lit("all"))
+    val out = Sampling.prioritySample(df, "g", "w", "id", k = 3)
+      .select("id", "rank").as[(Long, Long)].collect().toMap
+    // expected: 3 smallest (h60(id)+1)/w, ties impossible here
+    val expect = rows.filter(_._2 > 0)
+      .map { case (id, w) => id -> (h60(id) + 1).toDouble / w }
+      .sortBy(_._2).take(3).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    assert(out == expect, s"got $out want $expect")
+    // the million-weight row's key is ~1e5 smaller: always sampled
+    assert(out.contains(4L))
+    assert(!out.contains(6L))
+    // deterministic under repartitioning + WindowGroupLimit pushdown
+    val again = Sampling.prioritySample(df.repartition(5), "g", "w",
+      "id", k = 3)
+    assert(again.select("id", "rank").as[(Long, Long)]
+      .collect().toMap == out)
+    val plan = Sampling.prioritySample(df, "g", "w", "id", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), "rank pushdown missing")
+  }
+
   test("systematicWeighted: fractional weight column is refused") {
     import spark.implicits._
     // ADVICE r18: a double weight like 0.9 passes the `> 0` filter but
