@@ -853,6 +853,28 @@ object Oracles {
     // Changelog compaction (Events.applyChangelog): latest entry per
     // user wins (ts_us, event_id ordering); users whose latest event
     // is an error (the tombstone op) drop out of the snapshot.
+    // Time-series resample + ffill (Events.resample): daily grid from
+    // the step-aligned per-user min to the max, ASOF-joined to the
+    // greatest-event_id-per-instant compaction (= asofBackward with
+    // tieCol=event_id).
+    "q_resample" ->
+      """WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us,
+        |    event_id, value FROM events),
+        |cpt AS (SELECT user_id, ts_us,
+        |    arg_max(event_id, event_id) AS event_id,
+        |    arg_max(value, event_id) AS value
+        |  FROM ev GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(ts_us) AS mn, max(ts_us) AS mx
+        |      FROM ev GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |    unnest(generate_series(mn - mn % 86400000000,
+        |                           mx, 86400000000)) AS ts_us
+        |  FROM b)
+        |SELECT g.user_id, g.ts_us, c.value, c.event_id
+        |FROM grid g ASOF LEFT JOIN cpt c
+        |  ON g.user_id = c.user_id AND g.ts_us >= c.ts_us
+        |ORDER BY g.user_id, g.ts_us""".stripMargin,
+
     // Field-level survivorship (Events.survivorship): each column's
     // survivor is the arg-max over (value IS NOT NULL, ts_us,
     // event_id) — one window per column here, the engine's max_by

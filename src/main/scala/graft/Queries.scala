@@ -1512,6 +1512,24 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** Time-series resample + forward fill (Events.resample): each
+    * user's event values aligned to a daily grid, every grid point
+    * carrying the latest at-or-before event's (event_id, value) —
+    * ties at one instant resolved by greatest event_id. The oracle is
+    * the DuckDB ASOF JOIN over a generate_series grid against the
+    * same greatest-tie compaction.
+    */
+  def resampleQ(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    val ev = raw.select(col("user_id"),
+      graft.operators.Events.tsMicros(raw).as("ts_us"),
+      col("event_id"), col("value"))
+    graft.operators.Events.resample(ev, Seq("user_id"), "ts_us",
+        Seq("value"), stepUs = 86400000000L,
+        tieCol = Some("event_id"))
+      .orderBy("user_id", "ts_us")
+  }
+
   /** Interval-overlap join (Intervals.overlapJoin): which browsing
     * states (SCD2 intervals over the non-error events) were current
     * during each session (gap-30min intervals over all events) — the
@@ -1961,6 +1979,7 @@ object Queries {
     "q_pit_join" -> (pitJoinQ _),
     "q_cdc_apply" -> (cdcApplyQ _),
     "q_survivorship" -> (survivorshipQ _),
+    "q_resample" -> (resampleQ _),
     "q_interval_join" -> (intervalJoinQ _),
     "q_funnel" -> (funnelQ _),
     "q_snapshot_delta" -> (snapshotDeltaQ _),

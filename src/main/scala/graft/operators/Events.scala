@@ -431,6 +431,65 @@ object Events {
     out
   }
 
+  /** Time-series resampling with forward fill — align each key's
+    * irregular event timeline to a regular `stepUs` grid, each grid
+    * point carrying the payload of the latest event at or before it
+    * (null before the key's first event only when the grid is aligned
+    * below it). The temporal regularization pass a metrics/sensor/
+    * feature pipeline runs before windowed training; Spark has no
+    * built-in for it.
+    *
+    * Composition, not reimplementation: the grid is one
+    * `sequence(alignedMin, max, step)` explosion off the per-key
+    * bounds aggregate (grid length = span/step per key, caller-
+    * bounded), and the fill is [[AsofJoin.asofBackward]] — the
+    * union + window shape, ONE shuffle of (grid + events) per key,
+    * no range join, with the bucketed twin available upstream for
+    * hot keys. Pass `tieCol` when one key can hold several events at
+    * the same instant (greatest tie wins, making the fill
+    * deterministic).
+    *
+    * The guard aggregates the per-key grid size and REFUSES a grid
+    * wider than `maxPointsPerKey` (a mis-chosen step over a years-long
+    * span would explode the output silently); the guard is its own
+    * narrow aggregation pass — set `maxPointsPerKey = 0` to skip it
+    * when the span/step ratio is already known safe.
+    *
+    * @return one row per (key, grid instant): keyCols ++ tsCol (grid,
+    *   long) ++ the right payload (valueCols and tieCol, forward-
+    *   filled)
+    */
+  def resample(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCols: Seq[String], stepUs: Long,
+      tieCol: Option[String] = None,
+      maxPointsPerKey: Long = 100000L): DataFrame = {
+    require(stepUs > 0, s"stepUs must be > 0, got $stepUs")
+    require(keyCols.nonEmpty && valueCols.nonEmpty,
+      "keys and value columns required")
+    def bounds = df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(tsCol).cast("long")).as("__mn"),
+        max(col(tsCol).cast("long")).as("__mx"))
+    if (maxPointsPerKey > 0) {
+      val worst = bounds
+        .agg(coalesce(max(((col("__mx") - col("__mn")) -
+          pmod(col("__mx") - col("__mn"), lit(stepUs))) / lit(stepUs)),
+          lit(0.0)))
+        .collect()(0).getDouble(0).toLong + 1L
+      require(worst <= maxPointsPerKey,
+        s"resample grid would reach $worst points on the widest key " +
+          s"(> maxPointsPerKey=$maxPointsPerKey); widen stepUs or " +
+          "raise the bound deliberately")
+    }
+    val grid = bounds.select(keyCols.map(col) :+
+      explode(sequence(
+        col("__mn") - pmod(col("__mn"), lit(stepUs)),
+        col("__mx"), lit(stepUs))).as(tsCol): _*)
+    val right = df.select((keyCols.map(col) :+
+      col(tsCol).cast("long").as(tsCol)) ++
+      (valueCols ++ tieCol.toSeq).map(col): _*)
+    AsofJoin.asofBackward(grid, right, keyCols, tsCol, tieCol)
+  }
+
   /** Field-level survivorship merge — the MDM/golden-record rule
     * [[applyChangelog]]'s whole-row latest cannot express: for each
     * key, EVERY value column independently takes its latest NON-NULL

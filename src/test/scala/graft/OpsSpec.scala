@@ -772,6 +772,39 @@ class OpsSpec extends SparkSpec {
     assert(ok.count() == 1L)
   }
 
+  test("resample: grid alignment, ffill across gaps, ties, guard") {
+    import graft.operators.Events
+    // key a: events at 15, 25, 25 (tie -> id 4 wins), 47; step 10
+    // grid aligns to 10: 10,20,30,40 — 10 precedes the first event
+    // (null fill), 30 and 40 carry the tie winner across the gap
+    val ev = Seq(
+      ("a", 15L, 1L, 1.5), ("a", 25L, 3L, 2.5), ("a", 25L, 4L, 9.9),
+      ("a", 47L, 5L, 4.7),
+      ("b", 30L, 6L, 3.0)
+    ).toDF("k", "ts", "eid", "v")
+    val out = Events.resample(ev, Seq("k"), "ts", Seq("v"),
+        stepUs = 10L, tieCol = Some("eid"))
+      .select("k", "ts", "v", "eid")
+      .as[(String, Long, Option[Double], Option[Long])]
+      .collect().toSet
+    assert(out == Set(
+      ("a", 10L, None, None),
+      ("a", 20L, Some(1.5), Some(1L)),
+      ("a", 30L, Some(9.9), Some(4L)), // tie: greatest eid's payload
+      ("a", 40L, Some(9.9), Some(4L)), // carried across the gap
+      ("b", 30L, Some(3.0), Some(6L))), s"got $out")
+    // the guard refuses a grid wider than maxPointsPerKey
+    val e = intercept[IllegalArgumentException] {
+      Events.resample(ev, Seq("k"), "ts", Seq("v"), stepUs = 1L,
+        tieCol = Some("eid"), maxPointsPerKey = 10L)
+    }
+    assert(e.getMessage.contains("widest key"))
+    // maxPointsPerKey = 0 skips the guard pass entirely:
+    // key a 15..47 inclusive = 33 points, key b 30..30 = 1
+    assert(Events.resample(ev, Seq("k"), "ts", Seq("v"), stepUs = 1L,
+      tieCol = Some("eid"), maxPointsPerKey = 0L).count() == 34L)
+  }
+
   test("survivorship: per-field latest non-null, whole-null fallback") {
     import graft.operators.Events
     val log = Seq(
