@@ -858,22 +858,24 @@ object Oracles {
     // greatest-event_id-per-instant compaction (= asofBackward with
     // tieCol=event_id).
     "q_resample" ->
-      """WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us,
+      """WITH ev AS (SELECT user_id,
+        |    coalesce(user_id, -4611686018427387904) AS uk,
+        |    epoch_ns(ts) // 1000 AS ts_us,
         |    event_id, value FROM events),
-        |cpt AS (SELECT user_id, ts_us,
+        |cpt AS (SELECT uk, ts_us,
         |    arg_max(event_id, event_id) AS event_id,
         |    arg_max(value, event_id) AS value
         |  FROM ev GROUP BY 1, 2),
-        |b AS (SELECT user_id, min(ts_us) AS mn, max(ts_us) AS mx
-        |      FROM ev GROUP BY 1),
-        |grid AS (SELECT user_id,
+        |b AS (SELECT user_id, uk, min(ts_us) AS mn, max(ts_us) AS mx
+        |      FROM ev GROUP BY 1, 2),
+        |grid AS (SELECT user_id, uk,
         |    unnest(generate_series(mn - mn % 86400000000,
         |                           mx, 86400000000)) AS ts_us
         |  FROM b)
         |SELECT g.user_id, g.ts_us, c.value, c.event_id
         |FROM grid g ASOF LEFT JOIN cpt c
-        |  ON g.user_id = c.user_id AND g.ts_us >= c.ts_us
-        |ORDER BY g.user_id, g.ts_us""".stripMargin,
+        |  ON g.uk = c.uk AND g.ts_us >= c.ts_us
+        |ORDER BY g.user_id NULLS FIRST, g.ts_us""".stripMargin,
 
     // Field-level survivorship (Events.survivorship): each column's
     // survivor is the arg-max over (value IS NOT NULL, ts_us,
@@ -2134,7 +2136,7 @@ object Oracles {
       """WITH pri AS (SELECT event_type, value, event_id,
         |    ('0x' || substr(md5(event_id::VARCHAR || ':qs'), 1, 15))::BIGINT
         |      AS pri
-        |  FROM events),
+        |  FROM events WHERE value IS NOT NULL),
         |sk AS (SELECT event_type, value FROM (
         |    SELECT event_type, value,
         |      row_number() OVER (PARTITION BY event_type
@@ -2182,7 +2184,7 @@ object Oracles {
       """WITH pri AS (SELECT event_type, value, event_id,
         |    ('0x' || substr(md5(event_id::VARCHAR || ':qs'), 1, 15))::BIGINT
         |      AS pri
-        |  FROM events),
+        |  FROM events WHERE value IS NOT NULL),
         |b AS (SELECT event_type, value,
         |    row_number() OVER (PARTITION BY event_type, pri % 64
         |                       ORDER BY pri, event_id) AS rn
@@ -2384,7 +2386,9 @@ object Oracles {
     "q_quality_checks" ->
       """WITH base AS (SELECT count(*) AS n,
         |    count(o_custkey) AS nn,
-        |    count(DISTINCT o_orderkey) AS du,
+        |    count(DISTINCT o_orderkey) +
+        |      CASE WHEN count(*) > count(o_orderkey)
+        |           THEN 1 ELSE 0 END AS du,
         |    sum(CASE WHEN o_totalprice IS NOT NULL
         |          AND o_totalprice BETWEEN 0 AND 250000
         |        THEN 1 ELSE 0 END) AS ir,
@@ -2414,7 +2418,7 @@ object Oracles {
         |  UNION ALL
         |  SELECT 'ref_integrity', 'o_custkey',
         |    round(orphans::DOUBLE / (SELECT n FROM base), 6), 0.0,
-        |    round(orphans::DOUBLE / (SELECT n FROM base), 6) = 0.0
+        |    orphans = 0
         |  FROM ri)
         |ORDER BY rule""".stripMargin,
 

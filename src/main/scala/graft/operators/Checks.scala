@@ -33,8 +33,11 @@ object Checks {
   /** share of non-null values must reach `minRatio`. */
   final case class NotNull(column: String, minRatio: Double = 1.0)
       extends Rule { val name = "not_null" }
-  /** column values must be globally unique (exact distinct == count,
-    * nulls counted as values — a null id is caught by NotNull).
+  /** column values must be globally unique, exact: distinct count
+    * (with NULL counted as one value, so a single null row can still
+    * be unique while two null rows are duplicates) must equal the row
+    * count. Pair with [[NotNull]] when null ids are themselves
+    * violations.
     */
   final case class Unique(column: String) extends Rule {
     val name = "unique"
@@ -66,24 +69,34 @@ object Checks {
     require(rules.nonEmpty, "no rules given")
     val spark = df.sparkSession
     import spark.implicits._
-    val rowRules = rules.filter(!_.isInstanceOf[RefIntegrity])
+    val rowRules = rules.zipWithIndex
+      .filter(!_._1.isInstanceOf[RefIntegrity])
     // one aggregation for every row-level + uniqueness rule: the
-    // single driver row below is metadata-scale by construction
+    // single driver row below is metadata-scale by construction.
+    // Every aggregate is coalesced — sum/max over ZERO rows is NULL,
+    // and getLong on a null slot throws, so an empty input would
+    // otherwise crash the gate instead of vacuously passing.
     val aggs: Seq[Column] = count(lit(1)).as("__n") +: rowRules
-      .zipWithIndex.map {
-        case (NotNull(c, _), i) =>
-          count(col(c)).as(s"__m$i")
-        case (Unique(c), i) =>
-          count_distinct(col(c)).as(s"__m$i")
-        case (InRange(c, lo, hi, _), i) =>
-          sum(when(col(c).isNotNull &&
-            col(c).cast("double").between(lo, hi), 1L)
-            .otherwise(0L)).as(s"__m$i")
-        case (InSet(c, vs, _), i) =>
-          sum(when(col(c).isNotNull &&
-            col(c).cast("string").isin(vs: _*), 1L)
-            .otherwise(0L)).as(s"__m$i")
-        case (r, _) => throw new IllegalArgumentException(r.toString)
+      .map { case (r, i) =>
+        val m = r match {
+          case NotNull(c, _) => count(col(c))
+          case Unique(c) =>
+            // nulls counted as ONE value (the scaladoc contract):
+            // count_distinct excludes them, so add the null flag back
+            count_distinct(col(c)) +
+              coalesce(max(when(col(c).isNull, 1L).otherwise(0L)),
+                lit(0L))
+          case InRange(c, lo, hi, _) =>
+            coalesce(sum(when(col(c).isNotNull &&
+              col(c).cast("double").between(lo, hi), 1L)
+              .otherwise(0L)), lit(0L))
+          case InSet(c, vs, _) =>
+            coalesce(sum(when(col(c).isNotNull &&
+              col(c).cast("string").isin(vs: _*), 1L)
+              .otherwise(0L)), lit(0L))
+          case x => throw new IllegalArgumentException(x.toString)
+        }
+        m.as(s"__m$i")
       }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val n = row.getLong(0)
@@ -91,33 +104,43 @@ object Checks {
       if (n == 0) 1.0
       else BigDecimal(num.toDouble / n)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val rowResults = rowRules.zipWithIndex.map { case (r, i) =>
-      val m = row.getLong(i + 1)
-      r match {
+    // results keyed by the rule's POSITION in the caller's list, so
+    // two rules of one type on one column report independently
+    // (keying by (name, column) collapsed them to the first rule's
+    // threshold and verdict)
+    val results = new Array[(String, String, Double, Double, Boolean)](
+      rules.size)
+    rowRules.zipWithIndex.foreach { case ((r, pos), slot) =>
+      val m = row.getLong(slot + 1)
+      results(pos) = r match {
         case NotNull(c, t) => (r.name, c, ratio(m), t, ratio(m) >= t)
-        case Unique(c) => (r.name, c, ratio(m), 1.0, m == n)
+        case Unique(c) =>
+          // pass on the EXACT count equality, not the rounded ratio
+          (r.name, c, ratio(m), 1.0, m == n)
         case InRange(c, _, _, t) =>
           (r.name, c, ratio(m), t, ratio(m) >= t)
         case InSet(c, _, t) => (r.name, c, ratio(m), t, ratio(m) >= t)
         case x => throw new IllegalStateException(x.toString)
       }
     }
-    val riResults = rules.collect { case RefIntegrity(c, dim, pk) =>
-      // orphan share: FK values (non-null) with no dim partner
-      val orphans = df.where(col(c).isNotNull)
-        .join(dim.select(col(pk).as("__pk")).distinct(),
-          col(c) === col("__pk"), "left_anti")
-        .count()
-      val share =
-        if (n == 0) 0.0
-        else BigDecimal(orphans.toDouble / n)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      ("ref_integrity", c, share, 0.0, share == 0.0)
+    rules.zipWithIndex.foreach {
+      case (RefIntegrity(c, dim, pk), pos) =>
+        // orphan share: FK values (non-null) with no dim partner
+        val orphans = df.where(col(c).isNotNull)
+          .join(dim.select(col(pk).as("__pk")).distinct(),
+            col(c) === col("__pk"), "left_anti")
+          .count()
+        val share =
+          if (n == 0) 0.0
+          else BigDecimal(orphans.toDouble / n)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        // pass on the EXACT orphan count: a 6-place-rounded share of
+        // 0.000000 can hide real orphans at large n
+        results(pos) = (RefIntegrity(c, dim, pk).name, c, share, 0.0,
+          orphans == 0L)
+      case _ => ()
     }
-    // emit in the caller's rule order
-    val byKey = (rowResults ++ riResults)
-      .groupBy(t => (t._1, t._2)).map { case (k, v) => k -> v.head }
-    rules.map(r => byKey((r.name, r.column)))
+    results.toSeq
       .toDF("rule", "column", "metric", "threshold", "pass")
   }
 }

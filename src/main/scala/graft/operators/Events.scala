@@ -470,10 +470,14 @@ object Events {
       .agg(min(col(tsCol).cast("long")).as("__mn"),
         max(col(tsCol).cast("long")).as("__mx"))
     if (maxPointsPerKey > 0) {
+      // span measured from the step-ALIGNED start (the grid's actual
+      // first point, which sits at or below __mn), not from __mn —
+      // otherwise the widest key's grid can exceed the bound by one
+      val span = col("__mx") - (col("__mn") - pmod(col("__mn"),
+        lit(stepUs)))
       val worst = bounds
-        .agg(coalesce(max(((col("__mx") - col("__mn")) -
-          pmod(col("__mx") - col("__mn"), lit(stepUs))) / lit(stepUs)),
-          lit(0.0)))
+        .agg(coalesce(max((span - pmod(span, lit(stepUs))) /
+          lit(stepUs)), lit(0.0)))
         .collect()(0).getDouble(0).toLong + 1L
       require(worst <= maxPointsPerKey,
         s"resample grid would reach $worst points on the widest key " +

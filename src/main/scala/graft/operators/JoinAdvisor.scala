@@ -77,18 +77,11 @@ object JoinAdvisor {
       .collect() // <= 2^p rows, bounded by construction
     val n = regs.map(_.getAs[Long]("c")).sum
     if (n == 0L) return SideProfile(0L, 0.0)
-    val alpha = m match {
-      case 16 => 0.673
-      case 32 => 0.697
-      case 64 => 0.709
-      case _  => 0.7213 / (1.0 + 1.079 / m)
-    }
-    val alphaNum = alpha * m * m // left-assoc, as in the oracle
-    val sorted = regs.sortBy(_.getAs[Long]("j"))
-    val zp = sorted.foldLeft(0.0)((a, row) =>
-      a + math.pow(2.0, -row.getAs[Long]("r").toDouble))
-    val nz = sorted.length
-    val est = BigDecimal(alphaNum / (zp + (m.toDouble - nz.toDouble)))
+    // ONE estimator implementation (Sketches.hllEstimateFromRegisters
+    // shares the alpha table and the ordered fold with the DataFrame
+    // form) — a local copy could drift and break the oracle replay
+    val est = BigDecimal(Sketches.hllEstimateFromRegisters(
+        regs.map(r => (r.getAs[Long]("j"), r.getAs[Long]("r"))).toSeq, p))
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
     SideProfile(n, est)
   }

@@ -49,10 +49,11 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
-  /** The 60-bit md5 hash idiom (same as [[Sketches]]/[[Sampling]]). */
+  /** The engine-wide 60-bit md5 hash — ONE definition, in
+    * [[Sketches.h60]]; a local copy would silently drift.
+    */
   private def h60(v: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column =
-    conv(substring(md5(v.cast("string")), 1, 15), 16, 10).cast("long")
+      : org.apache.spark.sql.Column = Sketches.h60(v)
 
   /** Build (or merge) the sketch: the k smallest-priority rows per
     * group. `idCol` must be unique per row (priority ties break on
@@ -71,11 +72,21 @@ object Quantiles {
     require(k >= 1, s"k must be >= 1, got $k")
     val g = groupCols.map(col)
     // a frame that already carries __pri is a (union of) sketch(es)
-    // being re-merged: reuse the priorities so merge == direct
+    // being re-merged: reuse the priorities so merge == direct, and
+    // DEDUP on (group, id) first — overlapping or re-delivered shard
+    // sketches would otherwise occupy k slots twice with the same row
+    // (the idempotence half of the mergeable contract; the frames are
+    // <= k rows per group, so the dedup is cheap)
     val withPri =
-      if (df.columns.contains("__pri")) df
-      else df.withColumn("__pri",
-        h60(concat(col(idCol).cast("string"), lit(":qs"))))
+      if (df.columns.contains("__pri"))
+        df.dropDuplicates(groupCols :+ idCol)
+      else df
+        // NULL values carry no rank information and would silently
+        // consume sample slots (and diverge from SQL replays whose
+        // list() keeps nulls) — excluded, like [[madOutliersSketch]]
+        .where(col(valueCol).isNotNull)
+        .withColumn("__pri",
+          h60(concat(col(idCol).cast("string"), lit(":qs"))))
     val pri = withPri.select(
       g :+ col("__pri") :+ col(idCol) :+ col(valueCol): _*)
     val w = Window.partitionBy(g: _*)
@@ -96,9 +107,10 @@ object Quantiles {
       idCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val withPri =
-      if (df.columns.contains("__pri")) df
-      else df.withColumn("__pri",
-        h60(concat(col(idCol).cast("string"), lit(":qs"))))
+      if (df.columns.contains("__pri")) df.dropDuplicates(idCol)
+      else df.where(col(valueCol).isNotNull) // see [[sampleSketch]]
+        .withColumn("__pri",
+          h60(concat(col(idCol).cast("string"), lit(":qs"))))
     withPri.select(col("__pri"), col(idCol), col(valueCol))
       .orderBy(col("__pri").asc, col(idCol).asc)
       .limit(k)
@@ -155,8 +167,10 @@ object Quantiles {
       valueCol: String, idCol: String, buckets: Int): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val g = groupCols.map(col)
-    val withPri = df.withColumn("__pri",
-      h60(concat(col(idCol).cast("string"), lit(":qs"))))
+    val withPri = df
+      .where(col(valueCol).isNotNull) // see [[sampleSketch]]
+      .withColumn("__pri",
+        h60(concat(col(idCol).cast("string"), lit(":qs"))))
     withPri
       .select(g :+ pmod(col("__pri"), lit(buckets.toLong)).as("j") :+
         struct(col("__pri"), col(idCol).as("id"),

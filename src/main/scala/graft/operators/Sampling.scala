@@ -385,10 +385,11 @@ object Sampling {
       : org.apache.spark.sql.DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
-    // full 60-bit hash (not the 1e6-bucket form): priority resolution;
-    // the long->double cast rounds past 2^53 identically in any engine
-    val u = (conv(substring(md5(concat(col(idCol).cast("string"),
-        lit(":ps"))), 1, 15), 16, 10).cast("long") + 1L)
+    // full 60-bit hash via the ONE engine-wide idiom (Sketches.h60,
+    // not the 1e6-bucket form): priority resolution; the long->double
+    // cast rounds past 2^53 identically in any engine
+    val u = (Sketches.h60(concat(col(idCol).cast("string"),
+        lit(":ps"))) + 1L)
       .cast("double")
     val key = (u / col(weightCol).cast("double")).as("__key")
     val w = Window.partitionBy(groupCol)

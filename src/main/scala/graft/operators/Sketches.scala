@@ -27,6 +27,32 @@ object Sketches {
   private[operators] def h60(v: Column): Column =
     conv(substring(md5(v.cast("string")), 1, 15), 16, 10).cast("long")
 
+  /** The standard HLL alpha constant for m registers — ONE table, used
+    * by [[hllMergeEstimate]]'s SQL form and by driver-side replays
+    * ([[JoinAdvisor.profile]]); a second copy could silently drift.
+    */
+  private[operators] def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** Driver-side raw-HLL estimate from collected (j, max-rank)
+    * registers — EXACTLY [[hllMergeEstimate]]'s arithmetic (register-
+    * id-ascending ordered fold, exact powers of two, left-associated
+    * alpha*m*m), unrounded, so a SQL oracle replays it bit-for-bit.
+    */
+  private[operators] def hllEstimateFromRegisters(
+      regs: Seq[(Long, Long)], p: Int): Double = {
+    val m = 1 << p
+    val alphaNum = hllAlpha(m) * m * m // left-assoc, as in the oracle
+    val sorted = regs.sortBy(_._1)
+    val zp = sorted.foldLeft(0.0)((a, jr) =>
+      a + math.pow(2.0, -jr._2.toDouble))
+    alphaNum / (zp + (m.toDouble - sorted.length.toDouble))
+  }
+
   /** KMV (k-minimum-values) distinct estimate per group: keep the k
     * smallest distinct hash values; with the k-th smallest normalized
     * to u = h_k / 2^60, the estimator is (k-1)/u. Groups with fewer
@@ -246,13 +272,7 @@ object Sketches {
       p: Int = 5): DataFrame = {
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
     val m = 1 << p
-    val alpha = m match {
-      case 16 => 0.673
-      case 32 => 0.697
-      case 64 => 0.709
-      case _  => 0.7213 / (1.0 + 1.079 / m)
-    }
-    val alphaNum = alpha * m * m // left-assoc, same in the oracle
+    val alphaNum = hllAlpha(m) * m * m // left-assoc, same in the oracle
     val g = groupCols.map(col)
     regs
       .groupBy(g :+ col("j"): _*)

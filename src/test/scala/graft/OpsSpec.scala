@@ -799,6 +799,20 @@ class OpsSpec extends SparkSpec {
         tieCol = Some("eid"), maxPointsPerKey = 10L)
     }
     assert(e.getMessage.contains("widest key"))
+    // guard measures from the ALIGNED start (review r19): span 15..20
+    // at step 10 aligns to 10 and emits TWO grid points (10, 20),
+    // while the pre-fix floor((20-15)/10)+1 counted one — a bound of
+    // 1 must refuse, not pass
+    val edge = Seq(("e", 15L, 9L, 1.0), ("e", 20L, 10L, 2.0))
+      .toDF("k", "ts", "eid", "v")
+    assert(Events.resample(edge, Seq("k"), "ts", Seq("v"),
+      stepUs = 10L, tieCol = Some("eid"),
+      maxPointsPerKey = 2L).count() == 2L)
+    val e2 = intercept[IllegalArgumentException] {
+      Events.resample(edge, Seq("k"), "ts", Seq("v"), stepUs = 10L,
+        tieCol = Some("eid"), maxPointsPerKey = 1L)
+    }
+    assert(e2.getMessage.contains("2 points"))
     // maxPointsPerKey = 0 skips the guard pass entirely:
     // key a 15..47 inclusive = 33 points, key b 30..30 = 1
     assert(Events.resample(ev, Seq("k"), "ts", Seq("v"), stepUs = 1L,
@@ -870,12 +884,34 @@ class OpsSpec extends SparkSpec {
       ("in_range", "v", 0.7, 0.7, true),
       ("in_set", "status", 0.6, 0.7, false),
       ("ref_integrity", "fk", 0.2, 0.0, false)), s"got $out")
-    // empty input: ratio rules vacuously pass, RI has no orphans
+    // empty input: ratio rules vacuously pass, RI has no orphans —
+    // INCLUDING InRange/InSet, whose sum-over-zero-rows is NULL and
+    // crashed the gate before the coalesce (review r19)
     val empty = Checks.run(df.where(lit(false)), Seq(
         Checks.NotNull("id"), Checks.Unique("k"),
+        Checks.InRange("v", 0.0, 50.0), Checks.InSet("status", Seq("A")),
         Checks.RefIntegrity("fk", dim, "pk")))
       .as[(String, String, Double, Double, Boolean)].collect().toList
     assert(empty.forall(_._5), s"empty input must pass: $empty")
+    // two rules of one type on one column report INDEPENDENTLY
+    // (review r19: keying by (name, column) collapsed them)
+    val dup = Checks.run(df, Seq(
+        Checks.InRange("v", 0.0, 50.0, minRatio = 0.5),
+        Checks.InRange("v", 0.0, 1000.0, minRatio = 0.99)))
+      .as[(String, String, Double, Double, Boolean)].collect().toList
+    assert(dup == List(
+      ("in_range", "v", 0.7, 0.5, true),
+      ("in_range", "v", 1.0, 0.99, true)), s"got $dup")
+    // unique with a SINGLE null row passes (null counts as one value);
+    // the fixture's two identical (k=18) rows still fail
+    val oneNull = Seq(Some(1L), Some(2L), None).toDF("u")
+    val un = Checks.run(oneNull, Seq(Checks.Unique("u")))
+      .as[(String, String, Double, Double, Boolean)].head()
+    assert(un._5 && un._3 == 1.0, s"got $un")
+    val twoNulls = Seq(Some(1L), None, None).toDF("u")
+    val un2 = Checks.run(twoNulls, Seq(Checks.Unique("u")))
+      .as[(String, String, Double, Double, Boolean)].head()
+    assert(!un2._5, s"two null rows must be duplicates: $un2")
   }
 
   test("funnel: strict ordering, stalls, same-instant, absent keys") {

@@ -164,6 +164,20 @@ class SketchesSpec extends SparkSpec {
       df.select("event_type", "__pri", "event_id", "value")
         .as[(String, Long, Long, Double)].collect().toSet
     assert(rows(merged) == rows(direct))
+    // IDEMPOTENT merge (review r19): re-delivering one shard twice
+    // must not let duplicate rows occupy k slots and evict real ones
+    val reMerged = Quantiles.sampleSketch(
+      shards.reduce(_ unionByName _).unionByName(shards.head),
+      Seq("event_type"), "value", "event_id", k = 128)
+    assert(rows(reMerged) == rows(direct))
+    // NULL values are excluded, not sampled (review r19): planting
+    // nulls leaves the sketch identical
+    val withNulls = ev.unionByName(ev.limit(40)
+      .withColumn("value", lit(null).cast("double"))
+      .withColumn("event_id", col("event_id") + 1000000L))
+    val nullSk = Quantiles.sampleSketch(withNulls, Seq("event_type"),
+      "value", "event_id", k = 128)
+    assert(rows(nullSk) == rows(direct))
     // and therefore identical quantiles, under any partitioning
     val pms = Seq(100, 500, 900)
     val qd = Quantiles.quantiles(direct, Seq("event_type"), "value", pms)
