@@ -877,6 +877,29 @@ object Oracles {
         |  ON g.uk = c.uk AND g.ts_us >= c.ts_us
         |ORDER BY g.user_id NULLS FIRST, g.ts_us""".stripMargin,
 
+    // Streaming survivorship (Queries.streamingSurvivorshipQ): the
+    // per-column max_by state is order-insensitive, so the streamed
+    // golden records equal the batch operator's — the oracle is
+    // q_survivorship's replay verbatim.
+    "q_streaming_survivorship" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |    epoch_ns(ts) // 1000 AS ts_us, event_type,
+        |    CASE WHEN event_type = 'error' THEN NULL
+        |         ELSE value END AS value
+        |  FROM events),
+        |t AS (SELECT user_id, event_type, row_number() OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY (event_type IS NOT NULL) DESC, ts_us DESC,
+        |      event_id DESC) AS rn FROM ev),
+        |v AS (SELECT user_id, value, row_number() OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY (value IS NOT NULL) DESC, ts_us DESC,
+        |      event_id DESC) AS rn FROM ev)
+        |SELECT t.user_id, t.event_type, v.value
+        |FROM t JOIN v ON t.user_id IS NOT DISTINCT FROM v.user_id
+        |WHERE t.rn = 1 AND v.rn = 1
+        |ORDER BY t.user_id NULLS FIRST""".stripMargin,
+
     // Field-level survivorship (Events.survivorship): each column's
     // survivor is the arg-max over (value IS NOT NULL, ts_us,
     // event_id) — one window per column here, the engine's max_by
@@ -2393,7 +2416,11 @@ object Oracles {
         |          AND o_totalprice BETWEEN 0 AND 250000
         |        THEN 1 ELSE 0 END) AS ir,
         |    sum(CASE WHEN o_orderstatus IN ('O', 'F')
-        |        THEN 1 ELSE 0 END) AS iset
+        |        THEN 1 ELSE 0 END) AS iset,
+        |    sum(CASE WHEN o_orderpriority LIKE '_-%'
+        |        THEN 1 ELSE 0 END) AS lk,
+        |    sum(CASE WHEN o_totalprice >= o_custkey * 100
+        |        THEN 1 ELSE 0 END) AS pr
         |  FROM orders),
         |ri AS (SELECT count(*) AS orphans FROM orders o
         |       WHERE o.o_custkey IS NOT NULL
@@ -2415,6 +2442,14 @@ object Oracles {
         |  SELECT 'in_set', 'o_orderstatus',
         |    round(iset::DOUBLE / n, 6), 0.5,
         |    round(iset::DOUBLE / n, 6) >= 0.5 FROM base
+        |  UNION ALL
+        |  SELECT 'like', 'o_orderpriority',
+        |    round(lk::DOUBLE / n, 6), 1.0,
+        |    round(lk::DOUBLE / n, 6) >= 1.0 FROM base
+        |  UNION ALL
+        |  SELECT 'predicate', 'o_totalprice',
+        |    round(pr::DOUBLE / n, 6), 0.5,
+        |    round(pr::DOUBLE / n, 6) >= 0.5 FROM base
         |  UNION ALL
         |  SELECT 'ref_integrity', 'o_custkey',
         |    round(orphans::DOUBLE / (SELECT n FROM base), 6), 0.0,

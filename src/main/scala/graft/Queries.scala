@@ -968,6 +968,9 @@ object Queries {
         Checks.Unique("o_orderkey"),
         Checks.InRange("o_totalprice", 0.0, 250000.0, minRatio = 0.4),
         Checks.InSet("o_orderstatus", Seq("O", "F"), minRatio = 0.5),
+        Checks.Like("o_orderpriority", "_-%", minRatio = 1.0),
+        Checks.Predicate("o_totalprice",
+          "o_totalprice >= o_custkey * 100", minRatio = 0.5),
         Checks.RefIntegrity("o_custkey", t(s, dir, "customer"),
           "c_custkey")))
       .orderBy("rule")
@@ -1492,6 +1495,46 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** Streaming golden record, driver-checkable: [[graft.operators
+    * .Events.survivorship]] is streaming-ready by construction — each
+    * column's max_by((notnull, seq)) is an ordinary aggregation whose
+    * per-key state is ONE (flag, seq, value) buffer per column,
+    * order-insensitive (max over a total struct order), run here in
+    * complete mode over multi-micro-batch JSONL arrival. However the
+    * batches slice the stream, the final per-user golden records
+    * equal the batch operator's exactly, so the oracle is
+    * [[survivorshipQ]]'s batch replay verbatim.
+    */
+  def streamingSurvivorshipQ(s: SparkSession, dir: String): DataFrame = {
+    val d = tmp("ssurv")
+    val raw = t(s, dir, "events")
+    raw.select(col("user_id"), col("event_id"),
+        graft.operators.Events.tsMicros(raw).as("ts_us"),
+        col("event_type"),
+        when(col("event_type") === "error",
+          lit(null).cast("double")).otherwise(col("value")).as("value"))
+      .write.mode("overwrite").json(s"$d/in")
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_id", LongType), StructField("ts_us", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val table =
+      "ssurv_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withShufflePartitions(s, 4) {
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").json(s"$d/in")
+      val q = graft.operators.Events.survivorship(src, Seq("user_id"),
+          Seq("ts_us", "event_id"), Seq("event_type", "value"))
+        .writeStream.format("memory").queryName(table)
+        .outputMode("complete")
+        .option("checkpointLocation", s"$d/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(table).orderBy("user_id")
+  }
+
   /** Field-level survivorship merge (Events.survivorship): per user,
     * each column independently takes its latest NON-NULL value —
     * `value` is planted null on error events, so a user whose final
@@ -1979,6 +2022,7 @@ object Queries {
     "q_pit_join" -> (pitJoinQ _),
     "q_cdc_apply" -> (cdcApplyQ _),
     "q_survivorship" -> (survivorshipQ _),
+    "q_streaming_survivorship" -> (streamingSurvivorshipQ _),
     "q_resample" -> (resampleQ _),
     "q_interval_join" -> (intervalJoinQ _),
     "q_funnel" -> (funnelQ _),

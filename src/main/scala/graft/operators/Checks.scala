@@ -50,8 +50,22 @@ object Checks {
     */
   final case class InSet(column: String, values: Seq[String],
       minRatio: Double = 1.0) extends Rule { val name = "in_set" }
+  /** share of non-null values matching the SQL LIKE pattern
+    * (`%`/`_` wildcards — identical semantics in Spark and ANSI SQL,
+    * unlike regex dialects) must reach `minRatio`.
+    */
+  final case class Like(column: String, pattern: String,
+      minRatio: Double = 1.0) extends Rule { val name = "like" }
+  /** share of rows satisfying an arbitrary SQL boolean expression
+    * (cross-column rules: `"a <= b"`, `"ship_date >= order_date"`)
+    * must reach `minRatio`. The expression must be ANSI SQL an
+    * external oracle evaluates identically; NULL counts as not
+    * satisfied. `column` is a display label only.
+    */
+  final case class Predicate(column: String, sqlExpr: String,
+      minRatio: Double = 1.0) extends Rule { val name = "predicate" }
   /** every non-null FK value must exist in `dim.pkCol` (metric =
-    * orphan share, passes when it is 0 after rounding).
+    * orphan share, passes only when the EXACT orphan count is 0).
     */
   final case class RefIntegrity(column: String, dim: DataFrame,
       pkCol: String) extends Rule { val name = "ref_integrity" }
@@ -94,6 +108,13 @@ object Checks {
             coalesce(sum(when(col(c).isNotNull &&
               col(c).cast("string").isin(vs: _*), 1L)
               .otherwise(0L)), lit(0L))
+          case Like(c, pat, _) =>
+            coalesce(sum(when(col(c).isNotNull &&
+              col(c).cast("string").like(pat), 1L)
+              .otherwise(0L)), lit(0L))
+          case Predicate(_, sqlExpr, _) =>
+            coalesce(sum(when(coalesce(expr(sqlExpr), lit(false)), 1L)
+              .otherwise(0L)), lit(0L))
           case x => throw new IllegalArgumentException(x.toString)
         }
         m.as(s"__m$i")
@@ -120,6 +141,9 @@ object Checks {
         case InRange(c, _, _, t) =>
           (r.name, c, ratio(m), t, ratio(m) >= t)
         case InSet(c, _, t) => (r.name, c, ratio(m), t, ratio(m) >= t)
+        case Like(c, _, t) => (r.name, c, ratio(m), t, ratio(m) >= t)
+        case Predicate(c, _, t) =>
+          (r.name, c, ratio(m), t, ratio(m) >= t)
         case x => throw new IllegalStateException(x.toString)
       }
     }

@@ -893,6 +893,21 @@ class OpsSpec extends SparkSpec {
         Checks.RefIntegrity("fk", dim, "pk")))
       .as[(String, String, Double, Double, Boolean)].collect().toList
     assert(empty.forall(_._5), s"empty input must pass: $empty")
+    // Like and Predicate rules: status 'A'/'B'/'C' single chars all
+    // match '_'; cross-column predicate v <= k*10 holds for the five
+    // 5.0 rows with k in 1..9 plus (5,99)? no — exactly where v=5.0
+    // and k*10 >= 5, i.e. all six v=5.0 rows; NULL ids don't matter
+    val lp = Checks.run(df, Seq(
+        Checks.Like("status", "_"),
+        Checks.Like("status", "A%", minRatio = 0.5),
+        Checks.Predicate("v_vs_k", "v <= k", minRatio = 0.5)))
+      .as[(String, String, Double, Double, Boolean)].collect().toList
+    assert(lp(0) == ("like", "status", 1.0, 1.0, true), s"got ${lp(0)}")
+    assert(lp(1) == ("like", "status", 0.2, 0.5, false), s"got ${lp(1)}")
+    // v <= k: v is 5.0 or 99.0, k is 10..18 -> exactly the 7 rows
+    // with v = 5.0 of 10
+    assert(lp(2) == ("predicate", "v_vs_k", 0.7, 0.5, true),
+      s"got ${lp(2)}")
     // two rules of one type on one column report INDEPENDENTLY
     // (review r19: keying by (name, column) collapsed them)
     val dup = Checks.run(df, Seq(
