@@ -2401,6 +2401,85 @@ object Oracles {
         |  (est_rows > 4.0 * (n_left + n_right)) AS explosive
         |FROM e""".stripMargin,
 
+    // Engine-exact Pearson (Profile.correlation): decimal(12,6)-exact
+    // moment sums (pairwise-complete via FILTER), one fixed-order
+    // double formula per pair — the term order below matches the
+    // engine exactly: (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) *
+    // (n*syy - sy*sy)).
+    "q_correlation" ->
+      """WITH a AS (SELECT
+        |    count(*) FILTER (WHERE l_quantity IS NOT NULL
+        |      AND l_extendedprice IS NOT NULL) AS n1,
+        |    sum(CAST(l_quantity AS DECIMAL(19,6)))
+        |      FILTER (WHERE l_quantity IS NOT NULL
+        |        AND l_extendedprice IS NOT NULL) AS sx1,
+        |    sum(CAST(l_extendedprice AS DECIMAL(19,6)))
+        |      FILTER (WHERE l_quantity IS NOT NULL
+        |        AND l_extendedprice IS NOT NULL) AS sy1,
+        |    sum(CAST(l_quantity AS DECIMAL(19,6)) *
+        |        CAST(l_quantity AS DECIMAL(19,6)))
+        |      FILTER (WHERE l_quantity IS NOT NULL
+        |        AND l_extendedprice IS NOT NULL) AS sxx1,
+        |    sum(CAST(l_extendedprice AS DECIMAL(19,6)) *
+        |        CAST(l_extendedprice AS DECIMAL(19,6)))
+        |      FILTER (WHERE l_quantity IS NOT NULL
+        |        AND l_extendedprice IS NOT NULL) AS syy1,
+        |    sum(CAST(l_quantity AS DECIMAL(19,6)) *
+        |        CAST(l_extendedprice AS DECIMAL(19,6)))
+        |      FILTER (WHERE l_quantity IS NOT NULL
+        |        AND l_extendedprice IS NOT NULL) AS sxy1,
+        |    count(*) FILTER (WHERE l_quantity IS NOT NULL
+        |      AND l_discount IS NOT NULL) AS n2,
+        |    sum(CAST(l_quantity AS DECIMAL(19,6)))
+        |      FILTER (WHERE l_quantity IS NOT NULL
+        |        AND l_discount IS NOT NULL) AS sx2,
+        |    sum(CAST(l_discount AS DECIMAL(19,6)))
+        |      FILTER (WHERE l_quantity IS NOT NULL
+        |        AND l_discount IS NOT NULL) AS sy2,
+        |    sum(CAST(l_quantity AS DECIMAL(19,6)) *
+        |        CAST(l_quantity AS DECIMAL(19,6)))
+        |      FILTER (WHERE l_quantity IS NOT NULL
+        |        AND l_discount IS NOT NULL) AS sxx2,
+        |    sum(CAST(l_discount AS DECIMAL(19,6)) *
+        |        CAST(l_discount AS DECIMAL(19,6)))
+        |      FILTER (WHERE l_quantity IS NOT NULL
+        |        AND l_discount IS NOT NULL) AS syy2,
+        |    sum(CAST(l_quantity AS DECIMAL(19,6)) *
+        |        CAST(l_discount AS DECIMAL(19,6)))
+        |      FILTER (WHERE l_quantity IS NOT NULL
+        |        AND l_discount IS NOT NULL) AS sxy2
+        |  FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |    n1::BIGINT AS n,
+        |    CASE WHEN n1 = 0
+        |      OR n1::DOUBLE * sxx1::DOUBLE - sx1::DOUBLE * sx1::DOUBLE
+        |         <= 0.0
+        |      OR n1::DOUBLE * syy1::DOUBLE - sy1::DOUBLE * sy1::DOUBLE
+        |         <= 0.0 THEN NULL
+        |      ELSE round(
+        |        (n1::DOUBLE * sxy1::DOUBLE - sx1::DOUBLE * sy1::DOUBLE)
+        |        / sqrt((n1::DOUBLE * sxx1::DOUBLE -
+        |                sx1::DOUBLE * sx1::DOUBLE) *
+        |               (n1::DOUBLE * syy1::DOUBLE -
+        |                sy1::DOUBLE * sy1::DOUBLE)), 6) END AS r
+        |  FROM a
+        |  UNION ALL
+        |  SELECT 'l_quantity', 'l_discount', n2::BIGINT,
+        |    CASE WHEN n2 = 0
+        |      OR n2::DOUBLE * sxx2::DOUBLE - sx2::DOUBLE * sx2::DOUBLE
+        |         <= 0.0
+        |      OR n2::DOUBLE * syy2::DOUBLE - sy2::DOUBLE * sy2::DOUBLE
+        |         <= 0.0 THEN NULL
+        |      ELSE round(
+        |        (n2::DOUBLE * sxy2::DOUBLE - sx2::DOUBLE * sy2::DOUBLE)
+        |        / sqrt((n2::DOUBLE * sxx2::DOUBLE -
+        |                sx2::DOUBLE * sx2::DOUBLE) *
+        |               (n2::DOUBLE * syy2::DOUBLE -
+        |                sy2::DOUBLE * sy2::DOUBLE)), 6) END AS r
+        |  FROM a)
+        |ORDER BY col_a, col_b""".stripMargin,
+
     // Data-quality rule engine (Checks.run): each metric is an exact
     // count over orders turned into one rounded ratio; uniqueness
     // passes on the EXACT equality (not the rounded metric);

@@ -953,6 +953,18 @@ object Queries {
       .orderBy("c_nationkey")
   }
 
+  /** Engine-exact Pearson correlation (Profile.correlation): the five
+    * moments as DECIMAL(12,6)-exact sums (partition-proof, unlike
+    * built-in corr's merge-order-dependent double moments), one
+    * fixed-order double formula per pair — replayed bit-for-bit by
+    * the oracle's FILTERed decimal sums.
+    */
+  def correlationQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.correlation(t(s, dir, "lineitem"),
+        Seq(("l_quantity", "l_extendedprice"),
+          ("l_quantity", "l_discount")))
+      .orderBy("col_a", "col_b")
+
   /** Data-quality rule engine (Checks.run): completeness, exact
     * uniqueness, range/set membership — all in ONE aggregation pass —
     * plus a left-anti referential-integrity probe against the
@@ -2017,6 +2029,7 @@ object Queries {
     "q_join_advisor" -> (joinAdvisorQ _),
     "q_auto_join" -> (autoJoinQ _),
     "q_quality_checks" -> (qualityChecksQ _),
+    "q_correlation" -> (correlationQ _),
     "q_event_dedup" -> (eventDedup _),
     "q_scd2" -> (scd2Q _),
     "q_pit_join" -> (pitJoinQ _),

@@ -357,4 +357,63 @@ object Profile {
       .select(col("bin"), (lit(mn) + col("bin") * w).as("lo"),
         (lit(mn) + (col("bin") + 1) * w - 1).as("hi"), col("n"))
   }
+
+  /** Pairwise Pearson correlation, engine-exact where built-in `corr`
+    * is not: Spark's corr accumulates running double moments whose
+    * value depends on partition merge order, so two runs (or two
+    * engines) disagree in the tail bits. Here the five moments are
+    * DECIMAL(12,6)-exact sums — associative and commutative, so any
+    * partitioning yields the same sums bit-for-bit; products carry
+    * scale 12 inside decimal(25,12), exact in both Spark and ANSI
+    * engines — and r evaluates as ONE fixed-order double formula on
+    * the collected scalars, replayable by an external oracle. All
+    * pairs compute in a single map-side-combinable aggregation pass;
+    * each pair uses its own pairwise-complete rows (both sides
+    * non-null).
+    *
+    * Contract: |values| < 10^6 with at most 6 decimal places — a
+    * wider value overflows the DECIMAL(12,6) cast LOUDLY (ANSI), and
+    * finer fractions are HALF_UP-quantized at 6 identically in both
+    * engines (r is then the correlation of the quantized values,
+    * stated not hidden). Zero variance on either side yields a null r.
+    *
+    * @return one row per pair: (col_a, col_b, n, r) with r rounded 6
+    */
+  def correlation(df: DataFrame, pairs: Seq[(String, String)])
+      : DataFrame = {
+    require(pairs.nonEmpty, "no column pairs given")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def d(c: String): Column = col(c).cast("decimal(12,6)")
+    val aggs = pairs.zipWithIndex.flatMap { case ((x, y), i) =>
+      val both = col(x).isNotNull && col(y).isNotNull
+      def s(e: Column, name: String) =
+        sum(when(both, e)).as(s"__${name}$i")
+      Seq(count(when(both, lit(1))).as(s"__n$i"),
+        s(d(x), "sx"), s(d(y), "sy"),
+        s(d(x) * d(x), "sxx"), s(d(y) * d(y), "syy"),
+        s(d(x) * d(y), "sxy"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val out = pairs.zipWithIndex.map { case ((x, y), i) =>
+      val n = row.getLong(row.fieldIndex(s"__n$i"))
+      def g(name: String): Double = {
+        val v = row.getDecimal(row.fieldIndex(s"__$name$i"))
+        if (v == null) 0.0 else v.doubleValue()
+      }
+      val r: Option[Double] =
+        if (n == 0) None
+        else {
+          val (nn, sx, sy) = (n.toDouble, g("sx"), g("sy"))
+          val varx = nn * g("sxx") - sx * sx
+          val vary = nn * g("syy") - sy * sy
+          if (varx <= 0.0 || vary <= 0.0) None
+          else Some(BigDecimal(
+            (nn * g("sxy") - sx * sy) / math.sqrt(varx * vary))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      (x, y, n, r)
+    }
+    out.toDF("col_a", "col_b", "n", "r")
+  }
 }

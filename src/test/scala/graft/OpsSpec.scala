@@ -517,6 +517,41 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("correlation: tracks corr, partition-proof, edge cases") {
+    import graft.operators.Profile
+    val li = spark.read
+      .parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val out = Profile.correlation(li,
+        Seq(("l_quantity", "l_extendedprice")))
+      .as[(String, String, Long, Option[Double])].head()
+    // tracks the built-in estimate (same statistic, different exact
+    // accumulation) to a loose tolerance
+    val builtin = li.agg(corr(col("l_quantity"), col("l_extendedprice")))
+      .as[Double].head()
+    assert(math.abs(out._4.get - builtin) < 1e-6,
+      s"got ${out._4} vs corr $builtin")
+    // BIT-deterministic under repartitioning — the property built-in
+    // corr does not have (decimal sums are order-free)
+    val again = Profile.correlation(li.repartition(13),
+        Seq(("l_quantity", "l_extendedprice")))
+      .as[(String, String, Long, Option[Double])].head()
+    assert(again == out)
+    // perfect correlation, zero variance, and empty input
+    val tiny = Seq((1.0, 2.0, 5.0), (2.0, 4.0, 5.0), (3.0, 6.0, 5.0))
+      .toDF("x", "y", "c")
+    val t = Profile.correlation(tiny, Seq(("x", "y"), ("x", "c")))
+      .as[(String, String, Long, Option[Double])].collect()
+    assert(t(0)._4.contains(1.0), s"got ${t(0)}")
+    assert(t(1)._4.isEmpty, "zero variance must yield null r")
+    assert(Profile.correlation(tiny.where(lit(false)), Seq(("x", "y")))
+      .as[(String, String, Long, Option[Double])].head()._4.isEmpty)
+    // out-of-contract magnitude overflows LOUDLY (ANSI decimal cast)
+    val big = Seq((1e9, 1.0), (2e9, 2.0)).toDF("x", "y")
+    intercept[Exception] {
+      Profile.correlation(big, Seq(("x", "y"))).collect()
+    }
+  }
+
   test("keySkew: uniform keys hit ln(n), a dominant key is named") {
     import graft.operators.Profile
     // 4 keys x 25 rows: perfectly uniform
