@@ -2387,14 +2387,24 @@ object Oracles {
         |  FROM rregs),
         |rd AS (SELECT n, round((0.697::DOUBLE * 32 * 32) /
         |         (zp + (32::DOUBLE - nz::DOUBLE)), 2) AS d FROM rz),
+        |lb AS (SELECT sum(56 + coalesce(strlen(o_orderstatus), 0)
+        |         + coalesce(strlen(o_orderpriority), 0))::BIGINT AS b
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        |rb AS (SELECT sum(44 + coalesce(strlen(c_name), 0)
+        |         + coalesce(strlen(c_mktsegment), 0))::BIGINT AS b
+        |  FROM customer WHERE c_custkey IS NOT NULL),
         |e AS (SELECT ld.n AS n_left, rd.n AS n_right,
         |    ld.d AS d_left, rd.d AS d_right,
+        |    lb.b AS b_left, rb.b AS b_right,
         |    round(ld.n::DOUBLE * rd.n::DOUBLE /
         |          greatest(ld.d, rd.d, 1.0::DOUBLE), 2) AS est_rows
-        |  FROM ld, rd)
-        |SELECT n_left, n_right, d_left, d_right, est_rows,
-        |  CASE WHEN n_right <= 2000 THEN 'broadcast_right'
-        |       WHEN n_left <= 2000 THEN 'broadcast_left'
+        |  FROM ld, rd, lb, rb)
+        |SELECT n_left, n_right, d_left, d_right, b_left, b_right,
+        |  est_rows,
+        |  CASE WHEN n_right <= 2000 AND b_right <= 10485760
+        |         THEN 'broadcast_right'
+        |       WHEN n_left <= 2000 AND b_left <= 10485760
+        |         THEN 'broadcast_left'
         |       WHEN n_right * 4 <= n_left THEN 'shuffle_hash_right'
         |       WHEN n_left * 4 <= n_right THEN 'shuffle_hash_left'
         |       ELSE 'sort_merge' END AS strategy,
@@ -2509,7 +2519,7 @@ object Oracles {
         |SELECT * FROM (
         |  SELECT 'not_null' AS rule, 'o_custkey' AS "column",
         |    round(nn::DOUBLE / n, 6) AS metric, 1.0 AS threshold,
-        |    round(nn::DOUBLE / n, 6) >= 1.0 AS pass FROM base
+        |    nn = n AS pass FROM base
         |  UNION ALL
         |  SELECT 'unique', 'o_orderkey', round(du::DOUBLE / n, 6),
         |    1.0, du = n FROM base
@@ -2524,7 +2534,7 @@ object Oracles {
         |  UNION ALL
         |  SELECT 'like', 'o_orderpriority',
         |    round(lk::DOUBLE / n, 6), 1.0,
-        |    round(lk::DOUBLE / n, 6) >= 1.0 FROM base
+        |    lk = n FROM base
         |  UNION ALL
         |  SELECT 'predicate', 'o_totalprice',
         |    round(pr::DOUBLE / n, 6), 0.5,

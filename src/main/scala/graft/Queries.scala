@@ -916,24 +916,26 @@ object Queries {
   }
 
   /** Join-cardinality advisor (JoinAdvisor.advise, p=5,
-    * broadcastRows=2000): exact per-side row counts + raw-HLL distinct
-    * estimates of the join keys, the containment output estimate, and
-    * the routed strategy — all bit-replayable (the [[graft.operators
-    * .Sketches]] md5-60 register idiom; strategy is a CASE over exact
-    * counts). At sf0.01 the 1500-row customer side routes
-    * broadcast_right; at sf0.1 it crosses the threshold and the 4x
-    * size ratio routes shuffle_hash_right — the oracle derives the
-    * same from the data.
+    * broadcastRows=2000): exact per-side row counts, raw-HLL distinct
+    * estimates of the join keys, EXACT estimated payload bytes (the
+    * deterministic width model: 8/row + defaultSize per fixed field +
+    * octet_length+8 per string field), the containment output
+    * estimate, and the routed strategy — all bit-replayable (the
+    * [[graft.operators.Sketches]] md5-60 register idiom; strategy is
+    * a CASE over exact counts AND exact bytes). At sf0.01 the
+    * 1500-row customer side routes broadcast_right; at sf0.1 it
+    * crosses the row threshold and the 4x size ratio routes
+    * shuffle_hash_right — the oracle derives the same from the data.
     */
   def joinAdvisorQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val a = graft.operators.JoinAdvisor.advise(
       t(s, dir, "orders"), t(s, dir, "customer"),
       "o_custkey", "c_custkey", p = 5, broadcastRows = 2000L)
-    Seq((a.nLeft, a.nRight, a.dLeft, a.dRight, a.estRows, a.strategy,
-        a.explosive))
-      .toDF("n_left", "n_right", "d_left", "d_right", "est_rows",
-        "strategy", "explosive")
+    Seq((a.nLeft, a.nRight, a.dLeft, a.dRight, a.bLeft, a.bRight,
+        a.estRows, a.strategy, a.explosive))
+      .toDF("n_left", "n_right", "d_left", "d_right", "b_left",
+        "b_right", "est_rows", "strategy", "explosive")
   }
 
   /** Advisor-routed equi-join (JoinAdvisor.autoJoin): the decided

@@ -25,7 +25,12 @@ import org.apache.spark.sql.functions._
   * Determinism: metrics are exact counts turned into one
   * HALF_UP-rounded ratio (6 places) — bit-replayable by a SQL oracle;
   * thresholds compare on the ROUNDED metric so engines agree on
-  * `pass` exactly.
+  * `pass` exactly — EXCEPT when `minRatio == 1.0`, where every rule
+  * gates on the EXACT count (satisfying == n): at n >= 2,000,001 a
+  * single violating row rounds to 1.000000 and a rounded-metric gate
+  * would silently pass, exactly the failure a 100 TB contract cannot
+  * afford. Unique and RefIntegrity were always exact; the rounded
+  * metric stays in the output for reporting either way.
   */
 object Checks {
 
@@ -42,17 +47,22 @@ object Checks {
   final case class Unique(column: String) extends Rule {
     val name = "unique"
   }
-  /** share of non-null values inside [lo, hi] must reach `minRatio`. */
+  /** share of ALL rows inside [lo, hi] must reach `minRatio` — the
+    * denominator is the row count, so NULLs count as violations (a
+    * mostly-null column fails; pair with a lower `minRatio` or a
+    * [[NotNull]] rule when null-tolerance is wanted).
+    */
   final case class InRange(column: String, lo: Double, hi: Double,
       minRatio: Double = 1.0) extends Rule { val name = "in_range" }
-  /** share of non-null values in the accepted set must reach
-    * `minRatio`.
+  /** share of ALL rows in the accepted set must reach `minRatio`;
+    * NULLs count as violations (see [[InRange]]).
     */
   final case class InSet(column: String, values: Seq[String],
       minRatio: Double = 1.0) extends Rule { val name = "in_set" }
-  /** share of non-null values matching the SQL LIKE pattern
+  /** share of ALL rows matching the SQL LIKE pattern
     * (`%`/`_` wildcards — identical semantics in Spark and ANSI SQL,
-    * unlike regex dialects) must reach `minRatio`.
+    * unlike regex dialects) must reach `minRatio`; NULLs count as
+    * violations (see [[InRange]]).
     */
   final case class Like(column: String, pattern: String,
       minRatio: Double = 1.0) extends Rule { val name = "like" }
@@ -125,6 +135,13 @@ object Checks {
       if (n == 0) 1.0
       else BigDecimal(num.toDouble / n)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // gate on the EXACT count when the threshold is 1.0: the rounded
+    // ratio saturates to 1.000000 from n >= 2,000,001 rows with one
+    // violation, and "every row must conform" is precisely the
+    // contract that must not be lossy. Sub-1.0 thresholds keep the
+    // rounded-metric comparison so oracle engines agree bit-for-bit.
+    def gate(m: Long, t: Double): Boolean =
+      if (t >= 1.0) m == n else ratio(m) >= t
     // results keyed by the rule's POSITION in the caller's list, so
     // two rules of one type on one column report independently
     // (keying by (name, column) collapsed them to the first rule's
@@ -134,35 +151,46 @@ object Checks {
     rowRules.zipWithIndex.foreach { case ((r, pos), slot) =>
       val m = row.getLong(slot + 1)
       results(pos) = r match {
-        case NotNull(c, t) => (r.name, c, ratio(m), t, ratio(m) >= t)
+        case NotNull(c, t) => (r.name, c, ratio(m), t, gate(m, t))
         case Unique(c) =>
           // pass on the EXACT count equality, not the rounded ratio
           (r.name, c, ratio(m), 1.0, m == n)
         case InRange(c, _, _, t) =>
-          (r.name, c, ratio(m), t, ratio(m) >= t)
-        case InSet(c, _, t) => (r.name, c, ratio(m), t, ratio(m) >= t)
-        case Like(c, _, t) => (r.name, c, ratio(m), t, ratio(m) >= t)
+          (r.name, c, ratio(m), t, gate(m, t))
+        case InSet(c, _, t) => (r.name, c, ratio(m), t, gate(m, t))
+        case Like(c, _, t) => (r.name, c, ratio(m), t, gate(m, t))
         case Predicate(c, _, t) =>
-          (r.name, c, ratio(m), t, ratio(m) >= t)
+          (r.name, c, ratio(m), t, gate(m, t))
         case x => throw new IllegalStateException(x.toString)
       }
     }
-    rules.zipWithIndex.foreach {
-      case (RefIntegrity(c, dim, pk), pos) =>
-        // orphan share: FK values (non-null) with no dim partner
-        val orphans = df.where(col(c).isNotNull)
+    // ALL referential-integrity probes share ONE action: each
+    // anti-join emits its rule position, the union is counted per
+    // position in a single job (one sequential `.count()` per rule
+    // serialized R probes — needless latency on a 50-rule contract).
+    // A rule absent from the grouped counts had zero orphans.
+    val riRules = rules.zipWithIndex.collect {
+      case (r: RefIntegrity, pos) => (r, pos)
+    }
+    if (riRules.nonEmpty) {
+      val tagged = riRules.map { case (RefIntegrity(c, dim, pk), pos) =>
+        df.where(col(c).isNotNull)
           .join(dim.select(col(pk).as("__pk")).distinct(),
             col(c) === col("__pk"), "left_anti")
-          .count()
+          .select(lit(pos).as("__rule"))
+      }.reduce(_ union _)
+      val orphanCounts = tagged.groupBy("__rule").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      riRules.foreach { case (RefIntegrity(c, _, _), pos) =>
+        val orphans = orphanCounts.getOrElse(pos, 0L)
         val share =
           if (n == 0) 0.0
           else BigDecimal(orphans.toDouble / n)
             .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
         // pass on the EXACT orphan count: a 6-place-rounded share of
         // 0.000000 can hide real orphans at large n
-        results(pos) = (RefIntegrity(c, dim, pk).name, c, share, 0.0,
-          orphans == 0L)
-      case _ => ()
+        results(pos) = ("ref_integrity", c, share, 0.0, orphans == 0L)
+      }
     }
     results.toSeq
       .toDF("rule", "column", "metric", "threshold", "pass")

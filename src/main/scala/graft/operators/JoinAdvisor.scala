@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Sketch-driven join planning — the join-shape sibling of
   * [[ShapeSelect]] (VERDICT r18 stretch): estimate a join's output
@@ -41,8 +42,11 @@ import org.apache.spark.sql.functions._
   */
 object JoinAdvisor {
 
-  /** Exact row count + raw-HLL distinct estimate of one join side. */
-  final case class SideProfile(rows: Long, distinctEst: Double)
+  /** Exact row count, raw-HLL distinct estimate, and EXACT estimated
+    * payload bytes (see [[rowWidth]]) of one join side.
+    */
+  final case class SideProfile(rows: Long, distinctEst: Double,
+      bytes: Long)
 
   /** The advisor's verdict and the evidence it derives from.
     * `estRows` is the containment estimate rounded at 2; `explosive`
@@ -51,8 +55,43 @@ object JoinAdvisor {
     * pre-aggregate rather than run blind.
     */
   final case class Advice(nLeft: Long, nRight: Long, dLeft: Double,
-      dRight: Double, estRows: Double, strategy: String,
-      explosive: Boolean)
+      dRight: Double, bLeft: Long, bRight: Long, estRows: Double,
+      strategy: String, explosive: Boolean)
+
+  /** Deterministic per-row width estimate in bytes, as a Column over
+    * the frame's own top-level schema: 8 bytes row overhead, each
+    * fixed-width field its Catalyst `defaultSize`, each string/binary
+    * field its EXACT `octet_length` + 8, each array-of-fixed field
+    * `size * elementSize + 8`, any other complex field its
+    * `defaultSize` + 8 (documented floor — nested var-width payloads
+    * under-count; pass an explicit budget when those dominate). Every
+    * term is exact arithmetic over the row, so the summed total is
+    * bit-replayable by a SQL oracle — no sampling, no RNG. The point
+    * of measuring at all: row COUNT says nothing about row WIDTH, and
+    * broadcasting 100k rows of 10 KB payloads ships a gigabyte to
+    * every executor (VERDICT r19 — the advisor's own 500M-row-dim
+    * warning applied to bytes).
+    */
+  private def fixedWidth(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+        FloatType | DoubleType | DateType | TimestampType |
+        TimestampNTZType | _: DecimalType => true
+    case _ => false
+  }
+
+  private[operators] def rowWidth(df: DataFrame): Column =
+    df.schema.fields.map { f =>
+      f.dataType match {
+        case StringType | BinaryType =>
+          coalesce(octet_length(col(f.name)).cast("long"), lit(0L)) +
+            lit(8L)
+        case ArrayType(et, _) if fixedWidth(et) =>
+          when(col(f.name).isNull, lit(8L))
+            .otherwise(size(col(f.name)).cast("long") *
+              lit(et.defaultSize.toLong) + lit(8L))
+        case dt => lit(dt.defaultSize.toLong)
+      }
+    }.reduce(_ + _) + lit(8L)
 
   /** One-pass side profile: register max-ranks AND per-register exact
     * counts from a single map-side-combinable aggregation; the <= 2^p
@@ -67,49 +106,67 @@ object JoinAdvisor {
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
     val m = 1 << p
     val regs = df.where(col(keyCol).isNotNull)
-      .select(Sketches.h60(col(keyCol)).as("h"))
+      // the width rides the SAME pass (summed per register alongside
+      // the exact count), so measuring bytes costs zero extra scans
+      .select(Sketches.h60(col(keyCol)).as("h"),
+        rowWidth(df).as("w"))
       .select(col("h").bitwiseAND(lit((m - 1).toLong)).as("j"),
         (lit(61 - p) -
           length(ltrim(bin(shiftright(col("h"), p)), "0")))
-          .cast("long").as("r"))
+          .cast("long").as("r"),
+        col("w"))
       .groupBy("j")
-      .agg(max(col("r")).as("r"), count(lit(1)).as("c"))
+      .agg(max(col("r")).as("r"), count(lit(1)).as("c"),
+        sum(col("w")).as("w"))
       .collect() // <= 2^p rows, bounded by construction
     val n = regs.map(_.getAs[Long]("c")).sum
-    if (n == 0L) return SideProfile(0L, 0.0)
+    if (n == 0L) return SideProfile(0L, 0.0, 0L)
+    val bytes = regs.map(_.getAs[Long]("w")).sum
     // ONE estimator implementation (Sketches.hllEstimateFromRegisters
     // shares the alpha table and the ordered fold with the DataFrame
     // form) — a local copy could drift and break the oracle replay
     val est = BigDecimal(Sketches.hllEstimateFromRegisters(
         regs.map(r => (r.getAs[Long]("j"), r.getAs[Long]("r"))).toSeq, p))
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
-    SideProfile(n, est)
+    SideProfile(n, est, bytes)
   }
 
-  /** Profile both sides and decide. Strategy, on EXACT counts:
-    * `broadcast_right`/`broadcast_left` when a side fits
-    * `broadcastRows`; else `shuffle_hash_right`/`_left` when one side
-    * is 4x+ smaller (hash-building the small side beats sorting both);
-    * else `sort_merge`. Right-side routes win ties (dims
-    * conventionally sit right).
+  /** Profile both sides and decide. Strategy, on EXACT measurements:
+    * `broadcast_right`/`broadcast_left` when a side fits BOTH
+    * `broadcastRows` AND `broadcastBytes` — the byte bound is the one
+    * that matters (a 100k-row dim of 10 KB payloads is a gigabyte per
+    * executor; a row-count gate alone is an OOM trap at 100x scale,
+    * VERDICT r19), defaulting near Spark's own 10 MB
+    * autoBroadcastJoinThreshold convention, with `broadcastRows` kept
+    * as a belt-and-braces row cap and caller override. Else
+    * `shuffle_hash_right`/`_left` when one side is 4x+ smaller
+    * (hash-building the small side beats sorting both); else
+    * `sort_merge`. Right-side routes win ties (dims conventionally
+    * sit right).
     */
   def advise(left: DataFrame, right: DataFrame, keyL: String,
       keyR: String, p: Int = 5, broadcastRows: Long = 10000000L,
-      explodeFactor: Double = 4.0): Advice = {
+      explodeFactor: Double = 4.0,
+      broadcastBytes: Long = 10L << 20): Advice = {
     require(broadcastRows > 0, s"broadcastRows > 0, got $broadcastRows")
+    require(broadcastBytes > 0,
+      s"broadcastBytes > 0, got $broadcastBytes")
     val l = profile(left, keyL, p)
     val r = profile(right, keyR, p)
     val est = BigDecimal(
       l.rows.toDouble * r.rows.toDouble /
         math.max(math.max(l.distinctEst, r.distinctEst), 1.0))
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def fits(s: SideProfile): Boolean =
+      s.rows <= broadcastRows && s.bytes <= broadcastBytes
     val strategy =
-      if (r.rows <= broadcastRows) "broadcast_right"
-      else if (l.rows <= broadcastRows) "broadcast_left"
+      if (fits(r)) "broadcast_right"
+      else if (fits(l)) "broadcast_left"
       else if (r.rows * 4 <= l.rows) "shuffle_hash_right"
       else if (l.rows * 4 <= r.rows) "shuffle_hash_left"
       else "sort_merge"
-    Advice(l.rows, r.rows, l.distinctEst, r.distinctEst, est, strategy,
+    Advice(l.rows, r.rows, l.distinctEst, r.distinctEst, l.bytes,
+      r.bytes, est, strategy,
       explosive = est > explodeFactor * (l.rows + r.rows).toDouble)
   }
 
@@ -118,19 +175,28 @@ object JoinAdvisor {
     * ShuffledHashJoin / SortMergeJoin accordingly. All strategies are
     * output-identical (the [[ShapeSelect]] licence: a probe
     * mis-estimate costs only the smaller tax, never correctness).
-    * Returns (joined frame, the advice it acted on).
+    * Both sides are wrapped in subquery aliases and the condition is
+    * built FROM the aliases — `left(keyL) === right(keyR)` on frames
+    * sharing lineage (a self-join on one DataFrame) is ambiguous and
+    * silently degenerates or throws (ADVICE r19); the aliases make
+    * self-joins resolve. Key names must be simple identifiers (no
+    * dots). Returns (joined frame, the advice it acted on).
     */
   def autoJoin(left: DataFrame, right: DataFrame, keyL: String,
       keyR: String, joinType: String = "inner", p: Int = 5,
-      broadcastRows: Long = 10000000L): (DataFrame, Advice) = {
-    val a = advise(left, right, keyL, keyR, p, broadcastRows)
-    val cond = left(keyL) === right(keyR)
+      broadcastRows: Long = 10000000L,
+      broadcastBytes: Long = 10L << 20): (DataFrame, Advice) = {
+    val a = advise(left, right, keyL, keyR, p, broadcastRows,
+      broadcastBytes = broadcastBytes)
+    val lf = left.alias("__advl")
+    val rf = right.alias("__advr")
+    val cond = col(s"__advl.$keyL") === col(s"__advr.$keyR")
     val joined = a.strategy match {
-      case "broadcast_right"    => left.join(broadcast(right), cond, joinType)
-      case "broadcast_left"     => broadcast(left).join(right, cond, joinType)
-      case "shuffle_hash_right" => left.join(right.hint("shuffle_hash"), cond, joinType)
-      case "shuffle_hash_left"  => left.hint("shuffle_hash").join(right, cond, joinType)
-      case _                    => left.join(right.hint("merge"), cond, joinType)
+      case "broadcast_right"    => lf.join(broadcast(rf), cond, joinType)
+      case "broadcast_left"     => broadcast(lf).join(rf, cond, joinType)
+      case "shuffle_hash_right" => lf.join(rf.hint("shuffle_hash"), cond, joinType)
+      case "shuffle_hash_left"  => lf.hint("shuffle_hash").join(rf, cond, joinType)
+      case _                    => lf.join(rf.hint("merge"), cond, joinType)
     }
     (joined, a)
   }

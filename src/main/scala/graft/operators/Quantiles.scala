@@ -137,10 +137,17 @@ object Quantiles {
       .agg(sort_array(collect_list(col(valueCol))).as("__vals"))
       .select(g :+ col("__vals") :+
         explode(array(permilles.map(lit): _*)).as("pm"): _*)
+      // true INTEGER division (IntegralDivide via the SQL `div`
+      // operator), not double `/` + truncating cast: a double quotient
+      // sitting 1 ulp below an exact integer boundary would truncate
+      // to index-1, and the bit-exactness contract above must not rest
+      // on a double-rounding argument (ADVICE r19)
+      .select(g :+ col("pm") :+ col("__vals") :+
+        (size(col("__vals")).cast("long") * col("pm") + 999L)
+          .as("__num"): _*)
       .select(g :+ col("pm") :+
         element_at(col("__vals"),
-          ((size(col("__vals")).cast("long") * col("pm") + 999L) /
-            1000L).cast("int")).as("q_est"): _*)
+          expr("CAST(__num div 1000 AS INT)")).as("q_est"): _*)
   }
 
   /** STREAMING-ready sketch variant: one row per (group, priority

@@ -964,6 +964,81 @@ class OpsSpec extends SparkSpec {
     assert(!un2._5, s"two null rows must be duplicates: $un2")
   }
 
+  test("Checks.run: minRatio=1.0 gates on EXACT counts past rounding " +
+      "saturation") {
+    import graft.operators.Checks
+    // 2,000,001 rows with ONE null: 2000000/2000001 = 0.9999995 rounds
+    // HALF_UP to 1.000000 — the rounded-metric gate silently passed
+    // pre-fix (ADVICE r19 medium); the exact gate must fail it
+    val big = spark.range(2000001L)
+      .withColumn("v", when(col("id") === 0L, lit(null).cast("long"))
+        .otherwise(col("id")))
+    val out = Checks.run(big, Seq(
+        Checks.NotNull("v"),                           // 1 null row
+        Checks.InRange("v", 0.0, 3000000.0),           // same 1 miss
+        Checks.Predicate("v_pos", "v >= 1")))          // same 1 miss
+      .as[(String, String, Double, Double, Boolean)].collect().toList
+    out.foreach { r =>
+      assert(r._3 == 1.0, s"metric must ROUND to 1.0: $r")
+      assert(!r._5, s"exact gate must still FAIL: $r")
+    }
+    // sub-1.0 thresholds keep the rounded comparison (engines agree)
+    val ok = Checks.run(big, Seq(Checks.NotNull("v", minRatio = 0.999)))
+      .as[(String, String, Double, Double, Boolean)].head()
+    assert(ok._5, s"got $ok")
+  }
+
+  test("Checks.run: ALL RefIntegrity probes share one action") {
+    import graft.operators.Checks
+    val df = Seq((1L, 10L, 100L), (2L, 20L, 999L), (3L, 30L, 101L))
+      .toDF("a", "b", "c")
+    val dimA = Seq(1L, 2L).toDF("pk")      // 3L orphan
+    val dimB = Seq(10L, 20L, 30L).toDF("pk") // zero orphans
+    val dimC = Seq(100L).toDF("pk")        // 999, 101 orphans
+    // with AQE and broadcast off, one action == one job: the whole
+    // run must be exactly 2 jobs (row-rule aggregate + RI union)
+    // regardless of how many RI rules are listed — the pre-fix code
+    // ran one count() job PER rule (VERDICT r19 #3)
+    val sc = spark.sparkContext
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
+      "10485760")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      sc.addSparkListener(listener)
+      val out = Checks.run(df, Seq(
+          Checks.NotNull("a"),
+          Checks.RefIntegrity("a", dimA, "pk"),
+          Checks.RefIntegrity("b", dimB, "pk"),
+          Checks.RefIntegrity("c", dimC, "pk")))
+        .as[(String, String, Double, Double, Boolean)].collect().toList
+      // listener bus is async; give queued JobStart events time to
+      // drain before asserting the count
+      Thread.sleep(500)
+      assert(out(1) == ("ref_integrity", "a", 0.333333, 0.0, false),
+        s"got ${out(1)}")
+      // zero-orphan rule: absent from the grouped counts, must still
+      // report share 0.0 / pass
+      assert(out(2) == ("ref_integrity", "b", 0.0, 0.0, true),
+        s"got ${out(2)}")
+      assert(out(3) == ("ref_integrity", "c", 0.666667, 0.0, false),
+        s"got ${out(3)}")
+      assert(jobs.get() <= 2,
+        s"expected <=2 jobs (agg + RI union), got ${jobs.get()}")
+    } finally {
+      sc.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+    }
+  }
+
   test("funnel: strict ordering, stalls, same-instant, absent keys") {
     import graft.operators.Events
     val ev = Seq(

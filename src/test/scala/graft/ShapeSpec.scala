@@ -230,4 +230,39 @@ class ShapeSpec extends SparkSpec {
       "k", "j")
     assert(ex.explosive, s"2000x2000-over-2-keys not flagged: $ex")
   }
+
+  test("JoinAdvisor: broadcast is BYTE-gated, not row-gated") {
+    import graft.operators.JoinAdvisor
+    val big = (1L to 40000L).map(i => (i, i % 97)).toDF("k", "pay")
+    // 5k rows — far under any row cap — but 10 KB payloads: ~50 MB.
+    // The pre-fix row-count gate would broadcast a multi-GB dim at
+    // 100x scale (VERDICT r19 #2); the byte gate must refuse.
+    val wide = (1L to 5000L).map(i => (i, "x" * 10240)).toDF("j", "blob")
+    val a = JoinAdvisor.advise(big, wide, "k", "j",
+      broadcastRows = 10000L)
+    assert(a.bRight > 5000L * 10240L, s"bytes under-measured: $a")
+    assert(a.strategy != "broadcast_right" &&
+      a.strategy != "broadcast_left", s"broadcast a 50MB dim: $a")
+    // same dim under a raised byte budget: rows still gate
+    val b = JoinAdvisor.advise(big, wide, "k", "j",
+      broadcastRows = 10000L, broadcastBytes = 100L << 20)
+    assert(b.strategy == "broadcast_right", s"got $b")
+    // exact width accounting: fixed-width side is bit-predictable
+    // (8 row overhead + 8 + 8 per (long, long) row)
+    assert(a.bLeft == 40000L * 24L, s"bLeft=${a.bLeft}")
+  }
+
+  test("JoinAdvisor.autoJoin: self-join on shared lineage resolves") {
+    import graft.operators.JoinAdvisor
+    // pre-fix, left(key) === right(key) on one DataFrame was
+    // ambiguous/trivially-true (ADVICE r19) — the subquery aliases
+    // must make this a real equi-join
+    val df = (1L to 100L).map(i => (i % 10, i)).toDF("k", "v")
+    val (j, _) = JoinAdvisor.autoJoin(df, df, "k", "k")
+    // 100 rows over 10 keys, 10 per key -> 10 keys * 10 * 10 = 1000
+    assert(j.count() == 1000L, s"got ${j.count()}")
+    val (m, _) = JoinAdvisor.autoJoin(df, df, "k", "k",
+      broadcastRows = 1L)
+    assert(m.count() == 1000L)
+  }
 }
