@@ -69,6 +69,22 @@ import scala.jdk.CollectionConverters._
   * first with > 1 s absolute growth) and flags `trend_contaminated`
   * when >= 5 queries degrade that way in one run; readers discard a
   * flagged run exactly as they do an ambient-contaminated one.
+  *
+  * I/O-ambient + cross-run gates (VERDICT r19 #1): the official r19
+  * artifact recorded 212 s where three same-day runs at the same HEAD
+  * read 140-155 s — an external DISK hog, invisible to the CPU gate
+  * because iowait is excluded from busy jiffies by design, and under
+  * the trend gate's bar at 4 degrading queries. Two more channels now
+  * close that hole: `ambient_io` samples whole-box iowait cores per
+  * inter-query interval (own threshold cpus/8 — iowait has no
+  * per-process attribution, but this bench's own local reads keep it
+  * near zero), and `crossrun` compares every query's min rep against
+  * the last committed clean run (`bench_runs/BENCH_REFERENCE.json`,
+  * override SPARK_GRAFT_BENCH_REF), flagging when >= 6 queries run
+  * past 2.5x reference with > 1 s growth — the at-a-glance check that
+  * would have caught the r19 artifact (10+ queries at 3-6x) while
+  * letting genuine single-query code regressions through to the
+  * trend analysis.
   */
 object Bench {
   private def loadAvg1m(): Double =
@@ -77,16 +93,26 @@ object Bench {
       try src.mkString.split("\\s+")(0).toDouble finally src.close()
     } catch { case _: Throwable => -1.0 }
 
-  /** (total busy jiffies across all cpus, this process's jiffies).
+  /** (total busy jiffies across all cpus, this process's jiffies,
+    * total IOWAIT jiffies).
     * Busy = /proc/stat cpu line minus idle+iowait; self = utime+stime
     * from /proc/self/stat (proc(5) fields 14-15 — they aggregate ALL
     * threads of the process, which under `run / fork := true` is
     * exactly this bench plus its in-JVM local[n] executors). The
     * difference per wall interval is CO-TENANT cpu, the thing the
-    * contamination gate actually cares about. Returns (-1, -1) when
-    * /proc is unreadable (non-Linux), which disables the gate.
+    * contamination gate actually cares about. Iowait (field 4) rides
+    * as a THIRD channel (VERDICT r19 #1): a co-tenant DISK hog is
+    * invisible to the busy measure by construction — cores starved on
+    * I/O read as idle — yet it is exactly what inflated the official
+    * r19 artifact 3-6x on I/O-heavy queries. Iowait cannot be
+    * self-subtracted (the kernel attributes it to no process), so its
+    * gate has its own, looser threshold: this bench's own parquet
+    * reads on a local disk with a warm page cache keep iowait near
+    * zero, while an external hog pushes whole cores into it. Returns
+    * (-1, -1, -1) when /proc is unreadable (non-Linux), which
+    * disables the gate.
     */
-  private def cpuTicks(): (Long, Long) =
+  private def cpuTicks(): (Long, Long, Long) =
     try {
       val stat = scala.io.Source.fromFile("/proc/stat")
       val cpu = try stat.getLines().next() finally stat.close()
@@ -100,13 +126,14 @@ object Bench {
       // is for.
       val busy = f.zipWithIndex.collect {
         case (v, i) if i <= 2 || (i >= 5 && i <= 7) => v }.sum
+      val iowait = if (f.length > 4) f(4) else 0L
       val self = scala.io.Source.fromFile("/proc/self/stat")
       val s = try self.mkString finally self.close()
       // comm (field 2) may contain spaces — parse past the closing ')'
       val rest = s.substring(s.lastIndexOf(')') + 2).split("\\s+")
       // rest(0) is field 3 (state); utime/stime are fields 14/15
-      (busy, rest(11).toLong + rest(12).toLong)
-    } catch { case _: Throwable => (-1L, -1L) }
+      (busy, rest(11).toLong + rest(12).toLong, iowait)
+    } catch { case _: Throwable => (-1L, -1L, -1L) }
 
   private def gcTotals(): (Long, Long) = {
     val beans = ManagementFactory.getGarbageCollectorMXBeans.asScala
@@ -145,17 +172,23 @@ object Bench {
       } catch { case _: Throwable => 100.0 }
     var ambBase = (System.nanoTime(), cpuTicks())
     var ambMaxCores = 0.0
+    var ioMaxCores = 0.0
     def sampleAmbient(): Unit = {
       val now = System.nanoTime()
       val dtSec = (now - ambBase._1) / 1e9
       if (dtSec >= 0.5) {
-        val (b0, s0) = ambBase._2
-        val (b1, s1) = cpuTicks()
+        val (b0, s0, w0) = ambBase._2
+        val t1 = cpuTicks()
+        val (b1, s1, w1) = t1
         if (b0 >= 0L && b1 >= 0L) {
           val ambient = math.max(0L, (b1 - b0) - (s1 - s0))
           ambMaxCores = math.max(ambMaxCores, ambient / clkTck / dtSec)
+          // whole-box iowait cores over the interval — the disk-hog
+          // channel the CPU gate is blind to (VERDICT r19 #1)
+          ioMaxCores = math.max(ioMaxCores,
+            math.max(0L, w1 - w0) / clkTck / dtSec)
         }
-        ambBase = (now, (b1, s1))
+        ambBase = (now, t1)
       }
     }
     // One timed run: wall seconds plus the GC milliseconds that elapsed
@@ -260,6 +293,69 @@ object Bench {
     val loadThreshold = cpus.toDouble / 4
     val contaminated = ambMaxCores > loadThreshold
     val amb = s"""{"max_cores":${math.rint(ambMaxCores * 100) / 100},"threshold_cores":$loadThreshold,"clk_tck":$clkTck}"""
+    // I/O-ambient gate (VERDICT r19 #1): the CPU gate excludes iowait
+    // from "busy" BY DESIGN (a starved core is idle), so an external
+    // disk hog that inflated I/O-heavy queries 3-6x read as 6.06
+    // ambient cores — under threshold. Whole-box iowait has no
+    // per-process attribution, so the threshold is absolute: this
+    // bench's own reads on local disk + warm page cache keep interval
+    // iowait under ~1 core; cpus/8 (4.0 at 32) flags only a sustained
+    // external drain.
+    val ioThreshold = cpus.toDouble / 8
+    val ioContaminated = ioMaxCores > ioThreshold
+    val ambIo = s"""{"max_cores":${math.rint(ioMaxCores * 100) / 100},"threshold_cores":$ioThreshold}"""
+    // Cross-run per-query ratio gate (VERDICT r19 #1): the decisive
+    // check the interval gates cannot give — compare each query's min
+    // rep against the last committed clean run. A contaminated run
+    // self-flags at a glance (the r19 artifact had 10+ queries at
+    // 3-6x the clean run); genuine single-query regressions (a code
+    // change) stay under the >= 6-query systematic bar. Reference:
+    // SPARK_GRAFT_BENCH_REF, else the committed
+    // bench_runs/BENCH_REFERENCE.json; absent -> gate disabled, null.
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF",
+      "bench_runs/BENCH_REFERENCE.json")
+    // ref times are only comparable at the SAME scale factor: a dev
+    // run at sf0.01 against the committed sf0.1 reference must not
+    // flag (or silently pass) — the gate disables itself and says why
+    val refParsed: Option[(Map[String, Double], String)] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(refPath)), "UTF-8")
+        val refSf = """"sf"\s*:\s*"([^"]*)"""".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        """"queries"\s*:\s*\{([^}]*)\}""".r
+          .findFirstMatchIn(txt).map(_.group(1))
+          .map(_.split(",").iterator.map { kv =>
+            val Array(k, v) = kv.split(":", 2)
+            k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble
+          }.toMap -> refSf)
+      } catch { case _: Throwable => None }
+    val refTimes = refParsed.collect {
+      case (m, refSf) if refSf == sfDir => m
+    }
+    val nowTimes = ok.map { case (k, ts) => k -> ts.map(_._1).min }.toMap
+    val crossDegraded: Seq[(String, Double)] = refTimes match {
+      case None => Seq.empty
+      case Some(ref) =>
+        nowTimes.toSeq.flatMap { case (k, now) =>
+          ref.get(k).collect {
+            case r if r > 0 && now > 2.5 * r && now - r > 1.0 =>
+              k -> math.rint(now / r * 100) / 100
+          }
+        }.sortBy(-_._2)
+    }
+    val crossContaminated = crossDegraded.size >= 6
+    val crossrun = refParsed match {
+      case None => "null"
+      case Some((_, refSf)) if refSf != sfDir =>
+        s"""{"ref":${jq(refPath)},"sf_mismatch":true,"ref_sf":${jq(refSf)}}"""
+      case Some((ref, _)) =>
+        val nCmp = nowTimes.keysIterator.count(ref.contains)
+        val worst = crossDegraded.take(10)
+          .map { case (k, r) => s"[${jq(k)},$r]" }
+          .mkString("[", ",", "]")
+        s"""{"ref":${jq(refPath)},"n_compared":$nCmp,"n_degraded":${crossDegraded.size},"worst":$worst}"""
+    }
     val rt = retried.map(jq).mkString("[", ",", "]")
     // Rep-trend gate (ADVICE r17): the r17 run degraded MONOTONICALLY
     // within single queries (2.6s -> 35.3s -> 30.1s across reps, load
@@ -283,7 +379,7 @@ object Bench {
     }
     val trendContaminated = degrading.size >= 5
     val trend = s"""{"n_degrading":${degrading.size},"queries":${degrading.take(10).map(jq).mkString("[", ",", "]")}}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"gc_ms":$gs,"errors":$es,"n_ok":${ok.size},"n_err":${errs.size},"reps":$reps,"retried":$rt,"load":$load,"ambient":$amb,"ambient_contaminated":$contaminated,"trend":$trend,"trend_contaminated":$trendContaminated,"gc":$gc,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"gc_ms":$gs,"errors":$es,"n_ok":${ok.size},"n_err":${errs.size},"reps":$reps,"retried":$rt,"load":$load,"ambient":$amb,"ambient_contaminated":$contaminated,"ambient_io":$ambIo,"io_contaminated":$ioContaminated,"crossrun":$crossrun,"crossrun_contaminated":$crossContaminated,"trend":$trend,"trend_contaminated":$trendContaminated,"gc":$gc,"sf":"$sfDir"}"""
     println(line)
     val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse {
       val ts = java.time.format.DateTimeFormatter
