@@ -1231,20 +1231,45 @@ object Dedup {
     def minOverlap(n: org.apache.spark.sql.Column) =
       ceil(n * threshold - 1e-6)
     // cached: the self-join below otherwise recomputes the
-    // freq-join + rarest-first window once PER SIDE
+    // freq-join + rarest-first window once PER SIDE. `p` (the gram's
+    // 1-indexed rank in the doc's FULL (f, gram)-ordered shingle list)
+    // rides along for the positional filter below.
     val prefix = cached(ex.join(freq, "gram")
-      .withColumn("rn", row_number().over(
+      .withColumn("p", row_number().over(
         Window.partitionBy("id").orderBy(col("f"), col("gram"))))
-      .where(col("rn") <= col("n") - minOverlap(col("n")) + 1)
-      .select(col("gram"), col("id"), col("n")))
+      .where(col("p") <= col("n") - minOverlap(col("n")) + 1)
+      .select(col("gram"), col("f"), col("id"), col("n"), col("p")))
+    // Positional filter (PPJoin, Xiao et al. WWW'08): J >= t forces
+    // overlap >= alpha = ceil(t/(1+t) * (n_a+n_b)) (epsilon-safe ceil,
+    // same argument as minOverlap — shrinking alpha only keeps extra
+    // candidates). At the pair's globally FIRST shared prefix gram
+    // (min (f, gram) across its matches — any earlier common token
+    // would sit inside both prefixes and BE an earlier match), no
+    // common token precedes, so overlap <= 1 + min(n_a-p_a, n_b-p_b).
+    // Pairs whose bound at that first match cannot reach alpha are
+    // dropped BEFORE the hashed verify stage with zero recall loss —
+    // the share-any-shingle oracle on the registered query gates
+    // exactly that. The groupBy replaces the old `.distinct()` (same
+    // keys, same shuffle); min(struct) carries the first match's
+    // positions, and n_a/n_b are constants per pair riding the struct.
+    val alphaNum = threshold / (1.0 + threshold)
     prefix.alias("a")
       .join(prefix.alias("b"),
         col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
       // size filter: t*|x| <= |y| <= |x|/t or J < t regardless of overlap
       .where(col("b.n") >= minOverlap(col("a.n")) &&
         col("a.n") >= minOverlap(col("b.n")))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      // n_a/n_b are per-doc constants (min == the value); only the
+      // argmin's positions ride the ordered struct, and the gram
+      // string in it collapses map-side (partial agg before shuffle)
+      .agg(min(struct(col("a.f"), col("a.gram"),
+        col("a.p").as("pa"), col("b.p").as("pb"))).as("m"),
+        min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
+      .where(lit(1L) +
+        least(col("na") - col("m.pa"), col("nb") - col("m.pb")) >=
+        ceil((col("na") + col("nb")) * alphaNum - 1e-6))
+      .select("id_a", "id_b")
   }
 
   private def pairJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
