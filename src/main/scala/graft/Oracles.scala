@@ -3321,6 +3321,66 @@ object Oracles {
          |FROM samp GROUP BY 1, 2
          |ORDER BY 1, 2 NULLS FIRST""".stripMargin,
 
+    // Declarative pipeline runner: all five stages replayed in order —
+    // each stage's data-derived parameters (source means, keeper sets,
+    // near-dup pairs) computed on the PRECEDING stage's survivors,
+    // exactly the runner's flag semantics. Near-dedup replays the
+    // share-any-shingle + exact-Jaccard chain (the q_jaccard_join
+    // idiom) over stage-2 survivors and drops distinct id_b.
+    "q_pipeline_runner" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text, lang, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000,
+         |    substr(text, 1, floor(length(text) * 60 / 100)::INT),
+         |    lang, source
+         |  FROM documents WHERE doc_id < 150),
+         |d AS (SELECT doc_id, text, lang, source,
+         |    length(text)::BIGINT AS n_chars FROM all_docs),
+         |s0 AS (SELECT * FROM d WHERE n_chars BETWEEN 20 AND 8000),
+         |good AS (SELECT source FROM s0 GROUP BY source
+         |         HAVING avg(n_chars) >= 500.0),
+         |s1 AS (SELECT * FROM s0
+         |       WHERE source IN (SELECT source FROM good)),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM
+         |  (SELECT doc_id, md5(${norm("text")}) AS f FROM s1)
+         |  GROUP BY f),
+         |s2 AS (SELECT s1.* FROM s1 JOIN keep USING (doc_id)),
+         |tok AS (SELECT doc_id, ${toks("text")} AS t FROM s2),
+         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3
+         |    THEN [coalesce(array_to_string(t, ' '), '')]
+         |    ELSE list_transform(generate_series(1, len(t) - 2),
+         |           i -> array_to_string(t[i:i+2], ' ')) END) AS s
+         |  FROM tok),
+         |shx AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |cands AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+         |  FROM shx a JOIN shx b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |j AS (SELECT idb, len(list_intersect(a.s, b.s))::DOUBLE /
+         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+         |      AS jr
+         |  FROM cands JOIN sh a ON a.doc_id = ida
+         |              JOIN sh b ON b.doc_id = idb),
+         |drops AS (SELECT DISTINCT idb FROM j WHERE jr >= 0.5),
+         |s3 AS (SELECT * FROM s2
+         |       WHERE doc_id NOT IN (SELECT idb FROM drops)),
+         |s4 AS (SELECT * FROM s3
+         |  WHERE ${md5_60("doc_id::VARCHAR || ':sample'")} % 1000000 <
+         |    CASE lang WHEN 'en' THEN 500000 ELSE 1000000 END),
+         |c AS (SELECT (SELECT count(*) FROM d) AS n_in,
+         |  (SELECT count(*) FROM s0) AS c0,
+         |  (SELECT count(*) FROM s1) AS c1,
+         |  (SELECT count(*) FROM s2) AS c2,
+         |  (SELECT count(*) FROM s3) AS c3,
+         |  (SELECT count(*) FROM s4) AS c4)
+         |SELECT * FROM (
+         |  SELECT 0 AS stage_ix, 'len_band' AS stage,
+         |    n_in AS rows_in, c0 AS rows_out FROM c
+         |  UNION ALL SELECT 1, 'source_filter', c0, c1 FROM c
+         |  UNION ALL SELECT 2, 'exact_dedup', c1, c2 FROM c
+         |  UNION ALL SELECT 3, 'near_dedup', c2, c3 FROM c
+         |  UNION ALL SELECT 4, 'stratified_sample', c3, c4 FROM c)
+         |ORDER BY stage_ix""".stripMargin,
+
     // Release manifest: ':sample' keep, ':split' train gate, ':shuffle'
     // shard + per-shard row_number + offset prefix sum, then the
     // per-shard rollup — the full salted chain replayed.

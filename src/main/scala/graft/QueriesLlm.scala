@@ -933,6 +933,37 @@ object QueriesLlm {
       .orderBy("split", "lang")
   }
 
+  /** Declarative pipeline runner (Pipeline.run): the five-stage
+    * curation spec — length band -> source mean gate -> exact dedup
+    * -> exact-Jaccard near-dedup (0.5, w=3) -> per-language
+    * downsample — evaluated as ONE flagged dataflow whose per-stage
+    * survivor manifest falls out of a single aggregation (no count()
+    * job per stage). Input = documents + 60%-truncation twins
+    * carrying lang/source, so the near-dedup stage has real work. The
+    * oracle replays every stage in SQL over the same construction;
+    * PipelineSpec separately proves composed == stage-by-stage.
+    */
+  def pipelineRunnerQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pipeline
+    val base = t(s, dir, "documents")
+      .select("doc_id", "text", "lang", "source")
+    val twins = base.where(col("doc_id") < 150)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        substring(col("text"), lit(1),
+          (length(col("text")) * 60 / 100).cast("int")).as("text"),
+        col("lang"), col("source"))
+    val docs = base.unionByName(twins)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    Pipeline.run(docs, "doc_id", Seq(
+        Pipeline.RowFilter("n_chars BETWEEN 20 AND 8000", "len_band"),
+        Pipeline.SourceFilter("source", "n_chars", minMean = 500.0),
+        Pipeline.ExactDedup("text"),
+        Pipeline.NearDedup("text", threshold = 0.5, shingleWidth = 3),
+        Pipeline.StratifiedSample("lang", Map("en" -> 500000L),
+          defaultPpm = 1000000L)))
+      .manifest.orderBy("stage_ix")
+  }
+
   /** Release-shard manifest — the end-to-end composition of the
     * sampling/split/shuffle primitives a dataset release runs last:
     * stratified keep (':sample' salt), train split assignment
@@ -1924,6 +1955,7 @@ object QueriesLlm {
     "q_neardup_indexed" -> (nearDupAgainstIndex _),
     "q_chunk_docs" -> (chunkDocsQ _),
     "q_curation_pipeline" -> (curationPipeline _),
+    "q_pipeline_runner" -> (pipelineRunnerQ _),
     "q_release_manifest" -> (releaseManifestQ _)
   )
 }
