@@ -228,6 +228,11 @@ object Oracles {
     "q_sessionize_auto" -> base("q_sessionize"),
     "q_session_prefixes_auto" -> base("q_session_prefixes"),
     "q_asof_auto" -> base("q_asof_join"),
+    // The streamed profile's register state is merge-order-free, so
+    // the streaming advisor's verdict IS the batch advisor's — one
+    // oracle serves both, and any streamed-vs-batch divergence reads
+    // as a red row on exactly one of the pair.
+    "q_streaming_advisor" -> base("q_join_advisor"),
 
     // Shape-probe verdicts (ShapeSelect.decide): replay the routing
     // predicate — top-key share >= 0.05 OR top-key rows >= 4e6 —

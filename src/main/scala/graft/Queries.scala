@@ -938,6 +938,54 @@ object Queries {
         "b_right", "est_rows", "strategy", "explosive")
   }
 
+  /** Streaming join advisor (JoinAdvisor.profileRegisters, VERDICT r19
+    * stretch): the fact side's profile accumulates as a complete-mode
+    * STREAMING aggregation — register state is <= 2^p rows forever,
+    * max/count/sum folds — over multi-micro-batch JSONL arrival, then
+    * the accumulated state routes the join against the batch-profiled
+    * dim exactly as the all-batch advisor would: registers are
+    * merge-order-free, so the streamed profile equals the batch
+    * profile bit-for-bit and the oracle IS the batch replay
+    * (q_join_advisor's SQL verbatim).
+    */
+  def streamingAdvisorQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.JoinAdvisor
+    val d = tmp("sadv")
+    t(s, dir, "orders").write.mode("overwrite").json(s"$d/in")
+    // explicit schema mirroring the parquet table: the width model is
+    // schema-derived, so the JSON round-trip must not retype columns
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType),
+      StructField("o_orderpriority", StringType)))
+    val table =
+      "sadv_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withShufflePartitions(s, 4) {
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").json(s"$d/in")
+      val q = JoinAdvisor.profileRegisters(src, "o_custkey", p = 5)
+        .writeStream.format("memory").queryName(table)
+        .outputMode("complete")
+        .option("checkpointLocation", s"$d/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val lp = JoinAdvisor.profileFromRegisters(
+      s.table(table).collect(), p = 5)
+    val rp = JoinAdvisor.profile(t(s, dir, "customer"), "c_custkey",
+      p = 5)
+    val a = JoinAdvisor.adviseProfiles(lp, rp, broadcastRows = 2000L)
+    Seq((a.nLeft, a.nRight, a.dLeft, a.dRight, a.bLeft, a.bRight,
+        a.estRows, a.strategy, a.explosive))
+      .toDF("n_left", "n_right", "d_left", "d_right", "b_left",
+        "b_right", "est_rows", "strategy", "explosive")
+  }
+
   /** Advisor-routed equi-join (JoinAdvisor.autoJoin): the decided
     * strategy enters the plan as a hint; every strategy is
     * output-identical, so the oracle is the plain join + rollup
@@ -2029,6 +2077,7 @@ object Queries {
     "q_asof_auto" -> (asofJoinAutoQ _),
     "q_shape_decision" -> (shapeDecisionQ _),
     "q_join_advisor" -> (joinAdvisorQ _),
+    "q_streaming_advisor" -> (streamingAdvisorQ _),
     "q_auto_join" -> (autoJoinQ _),
     "q_quality_checks" -> (qualityChecksQ _),
     "q_correlation" -> (correlationQ _),

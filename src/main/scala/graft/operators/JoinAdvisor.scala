@@ -102,10 +102,25 @@ object JoinAdvisor {
     * left-associated alpha constant — so a SQL oracle replays the
     * estimate bit-for-bit.
     */
-  def profile(df: DataFrame, keyCol: String, p: Int = 5): SideProfile = {
+  def profile(df: DataFrame, keyCol: String, p: Int = 5): SideProfile =
+    profileFromRegisters(profileRegisters(df, keyCol, p).collect(), p)
+
+  /** The profile's register table, exposed as a DataFrame:
+    * (j, r = max rank, c = exact count, w = exact byte sum), <= 2^p
+    * rows. STREAMING-READY by construction: max/count/sum are all
+    * commutative-associative folds, so the groupBy runs as a
+    * complete-mode streaming aggregation with bounded state (2^p rows
+    * FOREVER, whatever the stream volume), and the accumulated state
+    * equals the direct batch build bit-for-bit — a long-running
+    * ingest can route its next batch's join shape from state instead
+    * of re-scanning history ([[graft.Queries.streamingHllQ]]'s
+    * register discipline, applied to join planning).
+    */
+  def profileRegisters(df: DataFrame, keyCol: String,
+      p: Int = 5): DataFrame = {
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
     val m = 1 << p
-    val regs = df.where(col(keyCol).isNotNull)
+    df.where(col(keyCol).isNotNull)
       // the width rides the SAME pass (summed per register alongside
       // the exact count), so measuring bytes costs zero extra scans
       .select(Sketches.h60(col(keyCol)).as("h"),
@@ -118,7 +133,13 @@ object JoinAdvisor {
       .groupBy("j")
       .agg(max(col("r")).as("r"), count(lit(1)).as("c"),
         sum(col("w")).as("w"))
-      .collect() // <= 2^p rows, bounded by construction
+  }
+
+  /** Evaluate a collected register table (batch- or streaming-built —
+    * identical by the register algebra) into a [[SideProfile]].
+    */
+  def profileFromRegisters(regs: Array[org.apache.spark.sql.Row],
+      p: Int): SideProfile = {
     val n = regs.map(_.getAs[Long]("c")).sum
     if (n == 0L) return SideProfile(0L, 0.0, 0L)
     val bytes = regs.map(_.getAs[Long]("w")).sum
@@ -147,12 +168,22 @@ object JoinAdvisor {
   def advise(left: DataFrame, right: DataFrame, keyL: String,
       keyR: String, p: Int = 5, broadcastRows: Long = 10000000L,
       explodeFactor: Double = 4.0,
+      broadcastBytes: Long = 10L << 20): Advice =
+    adviseProfiles(profile(left, keyL, p), profile(right, keyR, p),
+      broadcastRows, explodeFactor, broadcastBytes)
+
+  /** The routing decision on two already-built profiles — the entry
+    * point for profiles accumulated as STREAMING state
+    * ([[profileRegisters]] + [[profileFromRegisters]]): a long-running
+    * ingest keeps its register tables current and routes each next
+    * batch's join without re-scanning history.
+    */
+  def adviseProfiles(l: SideProfile, r: SideProfile,
+      broadcastRows: Long = 10000000L, explodeFactor: Double = 4.0,
       broadcastBytes: Long = 10L << 20): Advice = {
     require(broadcastRows > 0, s"broadcastRows > 0, got $broadcastRows")
     require(broadcastBytes > 0,
       s"broadcastBytes > 0, got $broadcastBytes")
-    val l = profile(left, keyL, p)
-    val r = profile(right, keyR, p)
     val est = BigDecimal(
       l.rows.toDouble * r.rows.toDouble /
         math.max(math.max(l.distinctEst, r.distinctEst), 1.0))

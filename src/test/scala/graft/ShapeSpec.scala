@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, functions}
 import org.apache.spark.sql.functions.{concat, lit}
 
 import graft.operators.{AsofJoin, Events, ShapeSelect}
@@ -250,6 +250,36 @@ class ShapeSpec extends SparkSpec {
     // exact width accounting: fixed-width side is bit-predictable
     // (8 row overhead + 8 + 8 per (long, long) row)
     assert(a.bLeft == 40000L * 24L, s"bLeft=${a.bLeft}")
+  }
+
+  test("JoinAdvisor: register-table path == direct profile, " +
+      "adviseProfiles == advise") {
+    import graft.operators.JoinAdvisor
+    val left = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    val right = spark.read
+      .parquet("/root/testdata/sf0.01/customer.parquet")
+    // the streaming entry points (profileRegisters -> collect ->
+    // profileFromRegisters -> adviseProfiles) must agree bit-for-bit
+    // with the batch path — that identity is what lets the streaming
+    // advisor share the batch oracle
+    val lp = JoinAdvisor.profileFromRegisters(
+      JoinAdvisor.profileRegisters(left, "o_custkey", p = 5).collect(),
+      p = 5)
+    val rp = JoinAdvisor.profileFromRegisters(
+      JoinAdvisor.profileRegisters(right, "c_custkey", p = 5)
+        .collect(), p = 5)
+    assert(lp == JoinAdvisor.profile(left, "o_custkey"))
+    assert(rp == JoinAdvisor.profile(right, "c_custkey"))
+    assert(JoinAdvisor.adviseProfiles(lp, rp, broadcastRows = 2000L) ==
+      JoinAdvisor.advise(left, right, "o_custkey", "c_custkey",
+        broadcastRows = 2000L))
+    // sharded register tables union-merge into the same profile (the
+    // fold a streaming complete-mode aggregation performs)
+    val sharded = JoinAdvisor.profileRegisters(
+        left.repartition(7), "o_custkey", p = 5)
+      .groupBy("j").agg(functions.max("r").as("r"),
+        functions.sum("c").as("c"), functions.sum("w").as("w"))
+    assert(JoinAdvisor.profileFromRegisters(sharded.collect(), 5) == lp)
   }
 
   test("JoinAdvisor.autoJoin: self-join on shared lineage resolves") {
