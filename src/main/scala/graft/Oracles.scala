@@ -60,6 +60,46 @@ object Oracles {
   private def md5_60(c: String) =
     s"('0x' || substr(md5($c), 1, 15))::BIGINT"
 
+  /** Shared recursive-CTE chain replaying [[graft.functions
+    * .TextFunctions.bpeSegment]]'s greedy BPE over documents: one
+    * merge per iteration — the LEFTMOST occurrence of the
+    * minimum-rank adjacent pair (list_sort of (rk, i) structs), state
+    * bounded by word length. Ends with `bpecnt(doc_id, n)`, the BPE
+    * token count per document with >= 1 word; docs with none are
+    * absent (LEFT JOIN + coalesce 0 at the use site). Interpolating
+    * statements must begin `WITH RECURSIVE`.
+    */
+  private val bpeCtes: String = {
+    val vals = graft.functions.TextFunctions.demoMerges.zipWithIndex
+      .map { case ((l, r), k) => s"($k,'$l','$r')" }.mkString(",")
+    s"""mp AS (
+       |  SELECT map(list(l || chr(1) || r ORDER BY rk),
+       |             list(rk ORDER BY rk)) AS m
+       |  FROM (VALUES $vals) AS mg(rk, l, r)),
+       |bpe_tok AS (SELECT doc_id, ${toks("text")} AS t FROM documents),
+       |bpe_words AS (SELECT doc_id, generate_subscripts(t, 1) AS wid,
+       |    unnest(t) AS w FROM bpe_tok),
+       |bpe_step(doc_id, wid, s, it) AS (
+       |  SELECT doc_id, wid, string_split(w, ''), 0 FROM bpe_words
+       |  UNION ALL
+       |  SELECT doc_id, wid,
+       |    s[1:best.i - 1] || [s[best.i] || s[best.i + 1]] ||
+       |      s[best.i + 2:len(s)],
+       |    it + 1
+       |  FROM (
+       |    SELECT doc_id, wid, s, it,
+       |      list_sort(list_filter(list_transform(
+       |        generate_series(1, len(s) - 1),
+       |        i -> {'rk': map_extract(m, s[i] || chr(1) || s[i + 1])[1],
+       |              'i': i}),
+       |        x -> x.rk IS NOT NULL))[1] AS best
+       |    FROM bpe_step, mp) WHERE best IS NOT NULL),
+       |bpe_fin AS (SELECT doc_id, wid, max_by(s, it) AS s
+       |            FROM bpe_step GROUP BY 1, 2),
+       |bpecnt AS (SELECT doc_id, sum(len(s))::BIGINT AS n
+       |           FROM bpe_fin GROUP BY 1)""".stripMargin
+  }
+
   /** Shared CTE chain of the domain-mixture water-filling oracle,
     * through the per-source allocation table `a` — the closed form
     * [[graft.operators.Sampling.mixtureAllocation]] implements
@@ -3261,6 +3301,49 @@ object Oracles {
     // Token-budget selection: the oracle states the NAIVE global
     // running sum (one total order, inclusive frame); the engine's
     // bucketed two-phase prefix sum must reproduce it exactly.
+    // True BPE counts (TextFunctions.bpeSegment): the greedy apply
+    // loop replayed as a recursive CTE, one merge per iteration.
+    "q_bpe_tokens" ->
+      s"""WITH RECURSIVE $bpeCtes
+         |SELECT d.doc_id, coalesce(c.n, 0)::BIGINT AS n_bpe_tokens
+         |FROM documents d LEFT JOIN bpecnt c USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // Tokenizer-true budget selection: q_budget_select's running-sum
+    // replay with the cost swapped to the recursive-CTE BPE count.
+    "q_budget_select_bpe" ->
+      s"""WITH RECURSIVE $bpeCtes,
+         |c AS (SELECT d.doc_id, d.n_chars,
+         |    coalesce(b.n, 0)::BIGINT AS n_tokens
+         |  FROM documents d LEFT JOIN bpecnt b USING (doc_id)),
+         |r AS (SELECT doc_id, n_chars, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id)
+         |      ::BIGINT AS cum_cost
+         |  FROM c)
+         |SELECT doc_id AS "doc_id", n_chars AS "n_chars",
+         |  n_tokens AS "n_tokens", cum_cost AS "cum_cost"
+         |FROM r WHERE cum_cost <= 8000 ORDER BY 1""".stripMargin,
+
+    // Tokenizer-true per-language percentiles: q_token_percentiles's
+    // lang detection with n = the recursive-CTE BPE count.
+    "q_token_percentiles_bpe" ->
+      s"""WITH RECURSIVE $bpeCtes,
+         |h AS (SELECT doc_id,
+         |  ${hits(stopEn)} AS en, ${hits(stopDe)} AS de,
+         |  ${hits(stopFr)} AS fr, ${hits(stopEs)} AS es FROM bpe_tok),
+         |l AS (SELECT doc_id,
+         |  CASE WHEN en <= 0 AND de <= 0 AND fr <= 0 AND es <= 0 THEN 'und'
+         |       WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+         |       WHEN de >= fr AND de >= es THEN 'de'
+         |       WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang FROM h),
+         |v AS (SELECT l.lang, coalesce(b.n, 0)::BIGINT AS n
+         |      FROM l LEFT JOIN bpecnt b USING (doc_id))
+         |SELECT lang, count(*)::BIGINT AS "n_docs",
+         |  round(quantile_cont(n, 0.5), 6) AS "p50",
+         |  round(quantile_cont(n, 0.9), 6) AS "p90",
+         |  min(n) AS "min_tok", max(n) AS "max_tok"
+         |FROM v GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q_budget_select" ->
       s"""WITH c AS (SELECT doc_id, n_chars,
          |    len(${toks("text")})::BIGINT AS n_tokens FROM documents),

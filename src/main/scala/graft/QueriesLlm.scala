@@ -1365,6 +1365,52 @@ object QueriesLlm {
         min("n").as("min_tok"), max("n").as("max_tok"))
       .orderBy("lang")
 
+  /** TRUE BPE token counts (TextFunctions.bpeSegment — the public
+    * merge-table apply algorithm as a codegen'd native expression):
+    * per-word code-point symbols merged by leftmost-minimum-rank
+    * steps under [[graft.functions.TextFunctions.demoMerges]]. The
+    * oracle replays the greedy loop as a recursive CTE, one merge per
+    * iteration — the exactness bar a "BPE-ish" regex proxy cannot
+    * meet.
+    */
+  def bpeTokensQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        T.bpeTokenCount(col("text"), T.demoMerges).cast("long")
+          .as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** Tokenizer-true budget selection: [[budgetSelectQ]] with the cost
+    * column swapped from the whitespace proxy to the real BPE count —
+    * the budget now means model tokens, not words. Same two-phase
+    * bucketed prefix sum underneath.
+    */
+  def budgetSelectBpeQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val docs = t(s, dir, "documents").select(
+      col("doc_id"), col("n_chars"),
+      T.bpeTokenCount(col("text"), T.demoMerges).cast("long")
+        .as("n_tokens"))
+    Sampling.budgetSelect(docs, "doc_id", "n_tokens", "n_chars",
+        budget = 8000L, bucketWidth = 16L)
+      .select("doc_id", "n_chars", "n_tokens", "cum_cost")
+      .orderBy("doc_id")
+  }
+
+  /** Tokenizer-true per-language token percentiles:
+    * [[tokenPercentiles]] with n = the real BPE count.
+    */
+  def tokenPercentilesBpeQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(T.langId(col("text")).as("lang"),
+        T.bpeTokenCount(col("text"), T.demoMerges).cast("long").as("n"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(expr("percentile(n, 0.5)"), 6).as("p50"),
+        round(expr("percentile(n, 0.9)"), 6).as("p90"),
+        min("n").as("min_tok"), max("n").as("max_tok"))
+      .orderBy("lang")
+
   // ---- text analysis ---------------------------------------------------
 
   /** Token counts, length stats, punctuation/stopword ratios, quality
@@ -1906,6 +1952,9 @@ object QueriesLlm {
     "q_text_stats" -> (textStats _),
     "q_term_df" -> (termDf _),
     "q_token_percentiles" -> (tokenPercentiles _),
+    "q_bpe_tokens" -> (bpeTokensQ _),
+    "q_budget_select_bpe" -> (budgetSelectBpeQ _),
+    "q_token_percentiles_bpe" -> (tokenPercentilesBpeQ _),
     "q_hash_split" -> (hashSplit _),
     "q_vocab_topk" -> (vocabTopK _),
     "q_embed_meanpool" -> (embedMeanPool _),

@@ -406,4 +406,57 @@ object Kernels {
   def bloomMightContain(bf: org.apache.spark.util.sketch.BloomFilter,
       s: UTF8String): Boolean =
     bf.mightContainBinary(s.getBytes)
+
+  /** Greedy BPE segmentation of a token array under a caller-supplied
+    * ranked merge table (the public byte-pair-encoding apply
+    * algorithm, Sennrich et al. ACL'16): per word, symbols start as
+    * Unicode code points; each step merges the LEFTMOST occurrence of
+    * the minimum-rank adjacent pair and repeats until no pair is in
+    * the table. One merge per step (not all occurrences at once) —
+    * the contract an external SQL oracle replays exactly as a
+    * recursive CTE. Keys are `left + "\u0001" + right`; null tokens
+    * are skipped; output is the concatenation of every word's final
+    * symbols in word order.
+    */
+  def bpeSegment(tokens: ArrayData,
+      ranks: java.util.HashMap[String, Integer]): ArrayData = {
+    val out = new scala.collection.mutable.ArrayBuffer[Any]
+    val n = tokens.numElements()
+    var w = 0
+    while (w < n) {
+      if (!tokens.isNullAt(w)) {
+        val word = tokens.getUTF8String(w).toString
+        val syms = new scala.collection.mutable.ArrayBuffer[String]
+        var i = 0
+        while (i < word.length) {
+          val cc = Character.charCount(word.codePointAt(i))
+          syms += word.substring(i, i + cc)
+          i += cc
+        }
+        var done = syms.length < 2
+        while (!done) {
+          var bestRank = Int.MaxValue
+          var bestI = -1
+          var j = 0
+          while (j < syms.length - 1) {
+            val r = ranks.get(syms(j) + "\u0001" + syms(j + 1))
+            // strict <: ties keep the leftmost occurrence
+            if (r != null && r.intValue() < bestRank) {
+              bestRank = r.intValue(); bestI = j
+            }
+            j += 1
+          }
+          if (bestI < 0) done = true
+          else {
+            syms(bestI) = syms(bestI) + syms(bestI + 1)
+            syms.remove(bestI + 1)
+            done = syms.length < 2
+          }
+        }
+        syms.foreach(s => out += UTF8String.fromString(s))
+      }
+      w += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 }

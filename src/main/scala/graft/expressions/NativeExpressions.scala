@@ -234,6 +234,8 @@ object NativeExpressions {
     c(JaccardStrings(e(a), e(b)))
   def jaroWinkler(a: Column, b: Column): Column =
     c(JaroWinkler(e(a), e(b)))
+  def bpeSegment(tokens: Column, merges: Seq[(String, String)]): Column =
+    c(BpeSegment(e(tokens), merges))
   def cosine(a: Column, b: Column): Column =
     c(CosineSimilarity(e(a), e(b)))
   def signLshBandKeys(v: Column, planes: Seq[Seq[Double]], bands: Int)
@@ -271,5 +273,40 @@ object NativeExpressions {
     }
     override protected def withNewChildInternal(newChild: Expression)
         : BloomMightContain = copy(child = newChild)
+  }
+
+  /** array<string> tokens -> array<string> BPE symbols under a ranked
+    * merge table ([[Kernels.bpeSegment]] — greedy min-rank leftmost
+    * merge per word). The merge map is built once per expression
+    * instance and rides codegen as a reference object (the
+    * [[BloomMightContain]] vehicle), so tokenizer application stays
+    * inside the WholeStageCodegen span.
+    */
+  case class BpeSegment(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression {
+    require(merges.nonEmpty, "empty merge table")
+    private lazy val ranks: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](merges.size * 2)
+      merges.zipWithIndex.foreach { case ((l, r), k) =>
+        // first occurrence wins: BPE ranks are unique by construction,
+        // but a duplicated pair must not silently change its rank
+        m.putIfAbsent(l + "\u0001" + r, Integer.valueOf(k))
+      }
+      m
+    }
+    override def dataType: DataType = ArrayType(StringType,
+      containsNull = false)
+    override def prettyName: String = "bpe_segment"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.bpeSegment(input.asInstanceOf[ArrayData], ranks)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = {
+      val ranksRef = ctx.addReferenceObj("bpeRanks", ranks,
+        "java.util.HashMap<String, Integer>")
+      nullSafeCodeGen(ctx, ev,
+        c => s"${ev.value} = $kernels.bpeSegment($c, $ranksRef);")
+    }
+    override protected def withNewChildInternal(newChild: Expression)
+        : BpeSegment = copy(child = newChild)
   }
 }

@@ -48,11 +48,38 @@ object TextFunctions {
 
   /** BPE-ish token count: letter runs, digit runs, and single
     * non-letter-digit marks each count as one token — a deterministic
-    * stand-in for a real subword tokenizer's token count.
+    * stand-in for a real subword tokenizer's token count. For TRUE
+    * merge-table BPE counts see [[bpeTokenCount]].
     */
   def tokenCountBpe(text: Column): Column =
     size(regexp_extract_all(text, lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"),
       lit(0)))
+
+  /** TRUE byte-pair-encoding segmentation under a caller-supplied
+    * ranked merge table (the public BPE apply algorithm — Sennrich et
+    * al. ACL'16): whitespace words -> code-point symbols -> repeated
+    * leftmost-minimum-rank adjacent merges. A codegen'd native
+    * expression ([[graft.expressions.NativeExpressions.BpeSegment]]);
+    * the contract (one merge per step, leftmost of the minimal rank)
+    * is chosen to be replayable by an external SQL engine as a
+    * recursive CTE, which is exactly how the oracle checks it.
+    */
+  def bpeSegment(text: Column, merges: Seq[(String, String)]): Column =
+    graft.expressions.NativeExpressions.bpeSegment(tokens(text), merges)
+
+  /** Tokenizer-true token count: `size(bpeSegment(...))`. */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    size(bpeSegment(text, merges))
+
+  /** A small deterministic English-bigram merge table for the
+    * registered demo queries — callers supply their own learned table
+    * in production. Ranks are list positions.
+    */
+  val demoMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n"),
+    ("o", "n"), ("r", "e"), ("e", "n"), ("o", "r"), ("s", "t"),
+    ("a", "t"), ("e", "s"), ("o", "u"), ("in", "g"), ("t", "o"),
+    ("an", "d"), ("a", "r"), ("l", "l"), ("o", "m"), ("t", "i"))
 
   /** Stopword sets per language for the n-gram/stopword language-ID
     * heuristic. Function words are the highest-frequency, most

@@ -170,6 +170,64 @@ class ExpressionsSpec extends SparkSpec {
     assert(mg == Seq("a:3", "b:1"))
   }
 
+  test("bpeSegment: greedy min-rank leftmost merges, reference-exact") {
+    import graft.functions.{TextFunctions => T}
+    // independent Scala reference of the contract
+    def ref(text: String, merges: Seq[(String, String)]): Seq[String] = {
+      val rank = merges.zipWithIndex
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).min }
+      val words = text.trim.toLowerCase.replaceAll("\\s+", " ")
+        .split(" ").filter(_.nonEmpty)
+      words.toSeq.flatMap { w =>
+        var s = w.codePoints().toArray.toSeq
+          .map(cp => new String(Character.toChars(cp)))
+        var go = true
+        while (go && s.length > 1) {
+          val cands = s.indices.dropRight(1).flatMap(i =>
+            rank.get((s(i), s(i + 1))).map(r => (r, i)))
+          if (cands.isEmpty) go = false
+          else {
+            val (_, i) = cands.min
+            s = s.take(i) ++ Seq(s(i) + s(i + 1)) ++ s.drop(i + 2)
+          }
+        }
+        s
+      }
+    }
+    val merges = T.demoMerges
+    val cases = Seq(
+      "The thin another thing is interesting and the rest",
+      "standing on the corner with an orange",
+      "a", "", "   ", "THE the ThE",
+      "tttthhhh atat atatat",        // overlapping candidate runs
+      "xyz qqq",                     // no merge applies
+      "intéressant naïve") // non-ASCII code points
+    cases.foreach { txt =>
+      val got = Seq(Tuple1(txt)).toDF("t")
+        .select(T.bpeSegment(col("t"), merges).as("s"))
+        .as[Seq[String]].head()
+      assert(got == ref(txt, merges), s"text=`$txt` got=$got")
+    }
+    // a merge can CREATE the pair of an earlier rule: rank0 (b,c),
+    // rank1 (a,bc) — after (b,c) fires, (a,bc) must fire too, and the
+    // min-rank loop must pick (b,c) before the also-present (c,b)=r2
+    val chain = Seq(("b", "c"), ("a", "bc"), ("c", "b"))
+    val got2 = Seq(Tuple1("abcb")).toDF("t")
+      .select(T.bpeSegment(col("t"), chain).as("s"))
+      .as[Seq[String]].head()
+    assert(got2 == Seq("abc", "b"), s"got $got2")
+    // leftmost tie: rank0 (a,a) on "aaaa" -> aa,aa not a,aa,a
+    val got3 = Seq(Tuple1("aaaa")).toDF("t")
+      .select(T.bpeSegment(col("t"), Seq(("a", "a"))).as("s"))
+      .as[Seq[String]].head()
+    assert(got3 == Seq("aa", "aa"), s"got $got3")
+    // count wrapper
+    val cnt = Seq(Tuple1("the the")).toDF("t")
+      .select(T.bpeTokenCount(col("t"), merges).as("n"))
+      .as[Int].head()
+    assert(cnt == 2, s"got $cnt")
+  }
+
   test("interpreted eval agrees with codegen for every expression") {
     val planes = graft.functions.VectorFunctions.hyperplanes(8, 8)
     def results(): Seq[org.apache.spark.sql.Row] = {
@@ -181,7 +239,9 @@ class ExpressionsSpec extends SparkSpec {
         NativeExpressions.wordShingles(col("tok"), 2).as("sh"),
         NativeExpressions.minhashSignature(col("tok"), 8).as("sig"),
         NativeExpressions.simhash60(col("tok")).as("sim"),
-        NativeExpressions.jaccard(col("tok"), col("pair")).as("j"))
+        NativeExpressions.jaccard(col("tok"), col("pair")).as("j"),
+        NativeExpressions.bpeSegment(col("tok"),
+          graft.functions.TextFunctions.demoMerges).as("bpe"))
         .collect().toSeq ++
         vec.select(
           NativeExpressions.cosine(col("a"), col("b")).as("c"),
