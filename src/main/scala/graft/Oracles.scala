@@ -3301,6 +3301,35 @@ object Oracles {
     // Token-budget selection: the oracle states the NAIVE global
     // running sum (one total order, inclusive frame); the engine's
     // bucketed two-phase prefix sum must reproduce it exactly.
+    // Eval-set decontamination: 8-gram shingles (whole-text shingle
+    // under 8 tokens, the wordShingles contract), eval = first-12-token
+    // slices of doc_id%10==3 docs, md5-60 hash equality, per-doc count
+    // of shared grams (per-doc grams are list_distinct'd), flag at
+    // >= 3.
+    "q_decontaminate" ->
+      s"""WITH tok AS (SELECT doc_id, ${toks("text")} AS t
+         |            FROM documents),
+         |ev AS (SELECT DISTINCT ${md5_60("g")} AS gh FROM (
+         |  SELECT unnest(CASE WHEN len(et) < 8
+         |    THEN [coalesce(array_to_string(et, ' '), '')]
+         |    ELSE list_transform(generate_series(1, len(et) - 7),
+         |           i -> array_to_string(et[i:i+7], ' ')) END) AS g
+         |  FROM (SELECT t[1:12] AS et FROM tok
+         |        WHERE doc_id % 10 = 3))),
+         |tg AS (SELECT doc_id, ${md5_60("g")} AS gh FROM (
+         |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) < 8
+         |    THEN [coalesce(array_to_string(t, ' '), '')]
+         |    ELSE list_transform(generate_series(1, len(t) - 7),
+         |           i -> array_to_string(t[i:i+7], ' ')) END)) AS g
+         |  FROM tok)),
+         |sh AS (SELECT doc_id, count(*)::BIGINT AS n
+         |       FROM tg JOIN ev USING (gh) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(s.n, 0)::BIGINT AS n_shared,
+         |  coalesce(s.n, 0) >= 3 AS contaminated
+         |FROM documents d LEFT JOIN sh s USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
     // True BPE counts (TextFunctions.bpeSegment): the greedy apply
     // loop replayed as a recursive CTE, one merge per iteration.
     "q_bpe_tokens" ->

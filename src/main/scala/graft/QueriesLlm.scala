@@ -1411,6 +1411,25 @@ object QueriesLlm {
         min("n").as("min_tok"), max("n").as("max_tok"))
       .orderBy("lang")
 
+  /** Eval-set decontamination (Curation.decontaminate, the
+    * GPT-3/Gopher n-gram-overlap gate): eval = the first 12 tokens of
+    * every doc_id%10==3 document (guaranteed 8-gram overlap with its
+    * source), so those train docs must flag at minShared=3 while the
+    * rest stay clean except genuine template overlap — the oracle
+    * replays shingling, the broadcast-set semi-probe, and the per-doc
+    * distinct-shared count exactly.
+    */
+  def decontaminateQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val eval = docs.where(col("doc_id") % 10 === 3)
+      .select(concat_ws(" ", slice(T.tokens(col("text")), 1, 12))
+        .as("text"))
+    graft.operators.Curation.decontaminate(docs, eval, "doc_id",
+        "text", shingleWidth = 8, minShared = 3)
+      .select("doc_id", "n_shared", "contaminated")
+      .orderBy("doc_id")
+  }
+
   // ---- text analysis ---------------------------------------------------
 
   /** Token counts, length stats, punctuation/stopword ratios, quality
@@ -1953,6 +1972,7 @@ object QueriesLlm {
     "q_term_df" -> (termDf _),
     "q_token_percentiles" -> (tokenPercentiles _),
     "q_bpe_tokens" -> (bpeTokensQ _),
+    "q_decontaminate" -> (decontaminateQ _),
     "q_budget_select_bpe" -> (budgetSelectBpeQ _),
     "q_token_percentiles_bpe" -> (tokenPercentilesBpeQ _),
     "q_hash_split" -> (hashSplit _),

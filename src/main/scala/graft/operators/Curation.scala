@@ -25,6 +25,52 @@ object Curation {
     * count. The corpus itself shuffles once (for the aggregate) and
     * never carries extra columns.
     */
+  /** Eval-set decontamination — the n-gram-overlap pass every LLM
+    * training pipeline runs before a release so benchmark text cannot
+    * leak into the training corpus (public precedent: GPT-3's 13-gram
+    * and Gopher's n-gram eval-overlap filters): flag every train
+    * document sharing >= `minShared` distinct `shingleWidth`-word
+    * shingles with ANY eval document.
+    *
+    * Scale shape: the EVAL side collapses to its distinct 60-bit
+    * shingle-hash set — benchmarks are tiny next to a 100 TB corpus,
+    * so that set broadcasts and the train side's exploded shingles
+    * semi-probe it map-side (no shuffle of the corpus by shingle key,
+    * which matters because shingle frequencies are Zipf-skewed); the
+    * only corpus-keyed shuffle is the per-doc count aggregate, which
+    * is map-side combinable. Hashes are the engine's md5-60
+    * ([[Sketches.h60]]'s idiom), so an external SQL oracle replays
+    * the flag bit-for-bit; a 60-bit collision can only ADD a shared
+    * shingle (false-positive direction — conservative for a
+    * decontamination gate, never hiding real overlap... and both
+    * engines hash identically, so they agree even on collisions).
+    *
+    * @return train's rows plus (n_shared = distinct shared shingles,
+    *         contaminated = n_shared >= minShared)
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, shingleWidth: Int = 8,
+      minShared: Int = 1): DataFrame = {
+    require(shingleWidth >= 1 && minShared >= 1,
+      s"shingleWidth/minShared must be >= 1: $shingleWidth/$minShared")
+    import graft.functions.{HashFunctions => H, TextFunctions => T}
+    def grams(df: DataFrame): org.apache.spark.sql.Column =
+      array_distinct(H.wordShingles(T.tokens(col(textCol)),
+        shingleWidth))
+    val evalSet = eval
+      .select(explode(grams(eval)).as("__g"))
+      .select(Sketches.h60(col("__g")).as("__gh")).distinct()
+    val shared = train
+      .select(col(idCol), explode(grams(train)).as("__g"))
+      .select(col(idCol), Sketches.h60(col("__g")).as("__gh"))
+      .join(broadcast(evalSet), Seq("__gh"))
+      // per-doc grams are array_distinct'd, so count == distinct
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+    train.join(shared, Seq(idCol), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("contaminated", col("n_shared") >= minShared)
+  }
+
   def sourceFilter(docs: DataFrame, srcCol: String, scoreCol: String,
       minMean: Double): DataFrame = {
     val good = docs.groupBy(srcCol)

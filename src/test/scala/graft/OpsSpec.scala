@@ -1039,6 +1039,36 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate: planted eval overlap flags, clean docs do not") {
+    import graft.operators.Curation
+    // 10-token docs with w=4 shingles: doc 1's middle 6 tokens form
+    // the eval set (3 shared 4-grams), doc 2 shares exactly TWO
+    // 4-grams (under minShared=3), doc 3 shares none
+    val train = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y c d e f g zz ww qq"),  // "c d e f","d e f g" shared
+      (3L, "p q r s t u v w p2 q2")
+    ).toDF("doc_id", "text")
+    val eval = Seq(Tuple1("c d e f g h")).toDF("text")
+    val m = Curation.decontaminate(train, eval, "doc_id", "text",
+        shingleWidth = 4, minShared = 3)
+      .select("doc_id", "n_shared", "contaminated")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(1L) == ((3L, true)), s"got ${m(1L)}")
+    assert(m(2L) == ((2L, false)), s"got ${m(2L)}")
+    assert(m(3L) == ((0L, false)), s"got ${m(3L)}")
+    // short-doc contract: under w tokens, the whole text is one
+    // shingle — an eval doc equal to a short train doc still flags
+    // at minShared=1
+    val shortT = Seq((9L, "tiny doc here")).toDF("doc_id", "text")
+    val shortE = Seq(Tuple1("tiny doc here")).toDF("text")
+    val sm = Curation.decontaminate(shortT, shortE, "doc_id", "text",
+        shingleWidth = 8, minShared = 1)
+      .select("n_shared", "contaminated").as[(Long, Boolean)].head()
+    assert(sm == ((1L, true)), s"got $sm")
+  }
+
   test("funnel: strict ordering, stalls, same-instant, absent keys") {
     import graft.operators.Events
     val ev = Seq(
