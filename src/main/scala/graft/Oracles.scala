@@ -60,6 +60,61 @@ object Oracles {
   private def md5_60(c: String) =
     s"('0x' || substr(md5($c), 1, 15))::BIGINT"
 
+  /** Generated unrolled replay of [[graft.operators.Tokenizer
+    * .bpeTrain]]: k iterations, each = greedy-min-rank segmentation
+    * of the distinct-word table under the rules learned so far (the
+    * recursive-CTE loop of the q_bpe_tokens oracle, parameterized by
+    * a per-iteration map CTE over best0..best{i-1}), then
+    * frequency-weighted adjacent-pair counts and the (n DESC, l, r)
+    * argmax. Built WITHOUT stripMargin so `||` list concatenation can
+    * never lose a pipe to margin stripping.
+    */
+  private def bpeTrainSql(k: Int): String = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    parts += s"""words AS (SELECT w, count(*)::BIGINT AS cnt FROM (
+  SELECT unnest(${toks("text")}) AS w FROM documents) GROUP BY w)"""
+    parts += "fin0 AS (SELECT w, cnt, string_split(w, '') AS s FROM words)"
+    def pairsBlock(i: Int): String =
+      s"""pairs$i AS (SELECT p.l AS l, p.r AS r, sum(cnt)::BIGINT AS n FROM (
+  SELECT cnt, unnest(list_transform(generate_series(1, len(s) - 1),
+    i -> {'l': s[i], 'r': s[i + 1]})) AS p
+  FROM fin$i WHERE len(s) >= 2) GROUP BY 1, 2),
+best$i AS (SELECT $i AS rank, l, r, n FROM pairs$i
+  ORDER BY n DESC, l, r LIMIT 1)"""
+    def segBlock(i: Int): String = {
+      val union = (0 until i)
+        .map(j => s"SELECT rank, l, r FROM best$j").mkString(" UNION ALL ")
+      s"""mp$i AS (SELECT map(list(l || chr(1) || r ORDER BY rank),
+    list(rank ORDER BY rank)) AS m FROM ($union)),
+step$i(w, cnt, s, it) AS (
+  SELECT w, cnt, string_split(w, ''), 0 FROM words
+  UNION ALL
+  SELECT w, cnt,
+    s[1:best.i - 1] || [s[best.i] || s[best.i + 1]] ||
+      s[best.i + 2:len(s)],
+    it + 1
+  FROM (
+    SELECT w, cnt, s, it,
+      list_sort(list_filter(list_transform(
+        generate_series(1, len(s) - 1),
+        i -> {'rk': map_extract(m, s[i] || chr(1) || s[i + 1])[1],
+              'i': i}),
+        x -> x.rk IS NOT NULL))[1] AS best
+    FROM step$i, mp$i) WHERE best IS NOT NULL),
+fin$i AS (SELECT w, max_by(cnt, it) AS cnt, max_by(s, it) AS s
+           FROM step$i GROUP BY w)"""
+    }
+    (0 until k).foreach { i =>
+      parts += pairsBlock(i)
+      if (i + 1 < k) parts += segBlock(i + 1)
+    }
+    val fin = (0 until k)
+      .map(j => s"SELECT * FROM best$j").mkString(" UNION ALL ")
+    "WITH RECURSIVE " + parts.mkString(",\n") +
+      s"""\nSELECT rank, l AS "left", r AS "right", n AS n_pairs""" +
+      s"\nFROM ($fin) ORDER BY rank"
+  }
+
   /** Shared recursive-CTE chain replaying [[graft.functions
     * .TextFunctions.bpeSegment]]'s greedy BPE over documents: one
     * merge per iteration — the LEFTMOST occurrence of the
@@ -3329,6 +3384,10 @@ object Oracles {
          |  coalesce(s.n, 0) >= 3 AS contaminated
          |FROM documents d LEFT JOIN sh s USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // Distributed BPE training (Tokenizer.bpeTrain): the 6-iteration
+    // learn loop replayed unrolled (see bpeTrainSql).
+    "q_bpe_train" -> bpeTrainSql(6),
 
     // True BPE counts (TextFunctions.bpeSegment): the greedy apply
     // loop replayed as a recursive CTE, one merge per iteration.

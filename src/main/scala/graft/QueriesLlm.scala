@@ -1380,6 +1380,20 @@ object QueriesLlm {
           .as("n_bpe_tokens"))
       .orderBy("doc_id")
 
+  /** Distributed BPE TRAINING (Tokenizer.bpeTrain): learn 6 merge
+    * rules from the documents corpus — corpus collapses once to the
+    * distinct-word frequency table, each iteration is one
+    * map-side-combinable pair-count aggregation + a single-row
+    * argmax. The oracle unrolls all six iterations (each with the
+    * recursive-CTE greedy segmentation under the rules learned so
+    * far), so the learned table is engine-exact including the
+    * composite later-rank merges.
+    */
+  def bpeTrainQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Tokenizer.bpeTrain(
+        t(s, dir, "documents").select("text"), "text", merges = 6)
+      .orderBy("rank")
+
   /** Tokenizer-true budget selection: [[budgetSelectQ]] with the cost
     * column swapped from the whitespace proxy to the real BPE count —
     * the budget now means model tokens, not words. Same two-phase
@@ -1972,6 +1986,7 @@ object QueriesLlm {
     "q_term_df" -> (termDf _),
     "q_token_percentiles" -> (tokenPercentiles _),
     "q_bpe_tokens" -> (bpeTokensQ _),
+    "q_bpe_train" -> (bpeTrainQ _),
     "q_decontaminate" -> (decontaminateQ _),
     "q_budget_select_bpe" -> (budgetSelectBpeQ _),
     "q_token_percentiles_bpe" -> (tokenPercentilesBpeQ _),

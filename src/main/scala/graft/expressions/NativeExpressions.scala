@@ -284,7 +284,10 @@ object NativeExpressions {
     */
   case class BpeSegment(child: Expression, merges: Seq[(String, String)])
       extends UnaryExpression {
-    require(merges.nonEmpty, "empty merge table")
+    // an EMPTY merge table is legal: no merge ever applies, so the
+    // expression degrades to pure code-point segmentation — exactly
+    // the iteration-0 state BPE TRAINING needs ([[graft.operators
+    // .Tokenizer.bpeTrain]])
     private lazy val ranks: java.util.HashMap[String, Integer] = {
       val m = new java.util.HashMap[String, Integer](merges.size * 2)
       merges.zipWithIndex.foreach { case ((l, r), k) =>
