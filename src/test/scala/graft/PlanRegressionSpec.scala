@@ -449,6 +449,30 @@ class PlanRegressionSpec extends SparkSpec {
     }
   }
 
+  test("round-20 operators: decontaminate broadcasts the eval set; " +
+      "BPE stays UDF-free codegen") {
+    // decontaminate: the eval shingle-hash set is the broadcast side —
+    // a shuffle of the Zipf-skewed corpus shingles by key would be the
+    // 100 TB regression this pin guards against
+    val pd = plan("q_decontaminate")
+    assert(pd.contains("BroadcastHashJoin"), pd.take(600))
+    assert(!pd.contains("ScalaUDF"), "UDF in decontaminate")
+    assert(!pd.contains("CartesianProduct"))
+    // bpe apply/train surfaces: native expressions, never UDFs;
+    // q_bpe_tokens is projection-only (its single exchange is the
+    // display orderBy)
+    for (q <- Seq("q_bpe_tokens", "q_budget_select_bpe",
+        "q_token_percentiles_bpe")) {
+      val p = plan(q)
+      assert(!p.contains("ScalaUDF"), s"UDF in $q")
+      assert(p.contains("bpe_segment") || p.contains("BpeSegment") ||
+        p.contains("bpesegment"), s"native expression missing in $q")
+    }
+    val pb = plan("q_bpe_tokens")
+    assert("Exchange".r.findAllIn(pb).size <= 1,
+      s"q_bpe_tokens grew a shuffle beyond the display sort:\n$pb")
+  }
+
   test("q_dataset_card: text scanned once, aggregates read the cached " +
       "narrow frame") {
     val p = plan("q_dataset_card")
