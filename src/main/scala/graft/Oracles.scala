@@ -1035,6 +1035,44 @@ fin$i AS (SELECT w, max_by(cnt, it) AS cnt, max_by(s, it) AS s
         |  AND (event_type <> 'error' OR event_type IS NULL)
         |ORDER BY user_id""".stripMargin,
 
+    // Full-changelog SCD2 history (Events.scd2History): the cdc
+    // changelog with lead()-closed validity intervals, deletes dropped
+    // AFTER closing their predecessor (the lead runs over ALL ops, the
+    // filter after).
+    "q_scd2_history" ->
+      """WITH log AS (SELECT user_id, event_id,
+        |    epoch_ns(ts) // 1000 AS ts_us, event_type, value,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+        |  FROM events),
+        |w AS (SELECT *,
+        |    lead(ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS nt,
+        |    lead(event_id) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS ne
+        |  FROM log)
+        |SELECT user_id, event_id, ts_us, event_type, value,
+        |  ts_us AS valid_from_ts_us, nt AS valid_to_ts_us,
+        |  event_id AS valid_from_event_id, ne AS valid_to_event_id,
+        |  (nt IS NULL) AS is_current
+        |FROM w WHERE op <> 'D'
+        |ORDER BY user_id, valid_from_ts_us, valid_from_event_id"""
+        .stripMargin,
+
+    // Cohort retention (Events.cohortRetention): weekly
+    // epoch-microsecond buckets, per-user min bucket = cohort,
+    // distinct (user, bucket) activity joined back, user counts per
+    // (cohort, offset). NULL users excluded on both engines.
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id AS u,
+        |    (epoch_ns(ts) // 1000) // 604800000000 AS b
+        |  FROM events WHERE user_id IS NOT NULL),
+        |c AS (SELECT u, min(b) AS cohort FROM e GROUP BY u),
+        |a AS (SELECT DISTINCT u, b FROM e)
+        |SELECT c.cohort, a.b - c.cohort AS period_offset,
+        |  count(*)::BIGINT AS n_users
+        |FROM a JOIN c USING (u)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // Interval-overlap join (Intervals.overlapJoin): session intervals
     // (30-min gap over all events) x SCD2 state intervals (non-error
     // events, half-open valid_to -> closed v_end = valid_to - 1, open

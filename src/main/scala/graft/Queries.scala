@@ -1557,6 +1557,36 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** Full-changelog SCD2 history (Events.scd2History): the cdcApplyQ
+    * changelog kept as a complete type-2 dimension — every upsert
+    * becomes a history row valid until the key's next change
+    * ((ts_us, event_id) lead), deletes close intervals and emit
+    * nothing. Complements q_scd2 (one tracked column, same-value runs
+    * collapsed) with the full-payload CDC form. One per-key window
+    * shuffle; the oracle replays the lead verbatim.
+    */
+  def scd2HistoryQ(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    val log = raw.select(col("user_id"), col("event_id"),
+        graft.operators.Events.tsMicros(raw).as("ts_us"),
+        col("event_type"), col("value"))
+      .withColumn("op",
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+    graft.operators.Events.scd2History(log, Seq("user_id"),
+        Seq("ts_us", "event_id"), "op", "D")
+      .orderBy("user_id", "valid_from_ts_us", "valid_from_event_id")
+  }
+
+  /** Cohort retention (Events.cohortRetention): users by first-active
+    * week x weeks-since-cohort active-user counts — pure integer
+    * epoch-microsecond bucket arithmetic, three map-side-combinable
+    * aggregations, one user-key join, no window.
+    */
+  def cohortRetentionQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.cohortRetention(t(s, dir, "events"),
+        "user_id")
+      .orderBy("cohort", "period_offset")
+
   /** Streaming golden record, driver-checkable: [[graft.operators
     * .Events.survivorship]] is streaming-ready by construction — each
     * column's max_by((notnull, seq)) is an ordinary aggregation whose
@@ -2085,6 +2115,8 @@ object Queries {
     "q_scd2" -> (scd2Q _),
     "q_pit_join" -> (pitJoinQ _),
     "q_cdc_apply" -> (cdcApplyQ _),
+    "q_scd2_history" -> (scd2HistoryQ _),
+    "q_cohort_retention" -> (cohortRetentionQ _),
     "q_survivorship" -> (survivorshipQ _),
     "q_streaming_survivorship" -> (streamingSurvivorshipQ _),
     "q_resample" -> (resampleQ _),

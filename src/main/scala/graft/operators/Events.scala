@@ -537,4 +537,75 @@ object Events {
       .where(col(opCol) =!= lit(deleteOp))
       .drop(opCol)
   }
+
+  /** Full-changelog SCD2 history — [[applyChangelog]]'s sibling that
+    * keeps EVERY version instead of compacting to the last, and
+    * [[scd2]]'s sibling for CDC input (scd2 tracks ONE column's value
+    * changes and collapses same-value runs; this preserves each
+    * changelog row's whole payload and understands tombstones): each
+    * non-delete changelog row becomes a history row whose validity
+    * interval runs from its own sequence to the NEXT change of the
+    * same key (`lead` per key in `seqCols` order; a delete row closes
+    * its predecessor's interval and emits nothing). `seqCols` must
+    * totally order each key's history (ties make `lead`
+    * nondeterministic — same contract as [[applyChangelog]]); rows
+    * with a NULL op drop, [[applyChangelog]]'s `=!=` convention.
+    *
+    * Scale shape: ONE shuffle (the per-key window partition); no
+    * key's reducer sees more than that key's own history, and history
+    * lengths are bounded by update frequency, not corpus size.
+    *
+    * @return log's columns minus `opCol`, plus `valid_from_<c>` /
+    *   `valid_to_<c>` per seq column (to-side NULL on the current
+    *   version) and `is_current`
+    */
+  def scd2History(log: DataFrame, keyCols: Seq[String],
+      seqCols: Seq[String], opCol: String,
+      deleteOp: String): DataFrame = {
+    require(keyCols.nonEmpty && seqCols.nonEmpty, "keys and seq required")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(seqCols.map(col): _*)
+    val withNext = log.withColumn("__next",
+      lead(struct(seqCols.map(col): _*), 1).over(w))
+    val out = seqCols.foldLeft(withNext) { (df, c) =>
+      df.withColumn(s"valid_from_$c", col(c))
+        .withColumn(s"valid_to_$c", col(s"__next.$c"))
+    }
+    out.withColumn("is_current", col("__next").isNull)
+      .where(col(opCol) =!= lit(deleteOp))
+      .drop("__next", opCol)
+  }
+
+  /** Cohort retention matrix — the product-analytics staple: users
+    * bucketed by their FIRST activity period (the cohort), then
+    * counted in every later period they were active, as
+    * (cohort, period_offset, n_users). Periods are epoch-microsecond
+    * buckets of `bucketMicros` (default weekly), pure integer
+    * arithmetic an external engine replays exactly. NULL users
+    * (anonymous events) are excluded.
+    *
+    * Scale shape: three map-side-combinable aggregations — the
+    * per-user first-bucket min, the distinct (user, bucket) activity
+    * set, and the final (cohort, offset) rollup — joined once on the
+    * user key; no window, no per-user history materialization. The
+    * output is bounded by periods^2, metadata scale.
+    */
+  def cohortRetention(events: DataFrame, userCol: String,
+      tsCol: String = "ts",
+      bucketMicros: Long = 7L * 86400 * 1000000L): DataFrame = {
+    require(bucketMicros > 0, s"bucketMicros > 0, got $bucketMicros")
+    val e = events
+      .select(col(userCol).as("u"), tsMicros(events, tsCol).as("__us"))
+      .where(col("u").isNotNull)
+      .select(col("u"), expr(s"__us div $bucketMicros").as("b"))
+    val cohorts = e.groupBy("u").agg(min("b").as("cohort"))
+    e.distinct()
+      .join(cohorts, "u")
+      .groupBy(col("cohort"), (col("b") - col("cohort"))
+        .as("period_offset"))
+      // the joined frame is distinct per (u, b), so count(*) counts
+      // USERS — no count_distinct shuffle needed
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -1091,6 +1091,51 @@ class OpsSpec extends SparkSpec {
       5L -> (Some(10L), Some(20L), Some(25L))))
   }
 
+  test("scd2History: intervals close at the next change, deletes close " +
+      "but never emit, resurrection reopens") {
+    import graft.operators.Events
+    val log = Seq(
+      (1L, 10L, "a", "U"),  // v1: valid [10, 20)
+      (1L, 20L, "b", "U"),  // v2: valid [20, 30)
+      (1L, 30L, "x", "D"),  // tombstone: closes v2, emits nothing
+      (1L, 40L, "c", "U"),  // resurrection: valid [40, null) current
+      (2L, 15L, "z", "U"),  // single version, current
+      (3L, 11L, "q", "D")   // delete-only key: no history at all
+    ).toDF("k", "seq", "v", "op")
+    val out = Events.scd2History(log, Seq("k"), Seq("seq"), "op", "D")
+      .select("k", "seq", "v", "valid_from_seq", "valid_to_seq",
+        "is_current")
+      .as[(Long, Long, String, Long, Option[Long], Boolean)]
+      .collect().toSet
+    assert(out == Set(
+      (1L, 10L, "a", 10L, Some(20L), false),
+      (1L, 20L, "b", 20L, Some(30L), false),
+      (1L, 40L, "c", 40L, None, true),
+      (2L, 15L, "z", 15L, None, true)), s"got $out")
+  }
+
+  test("cohortRetention: hand-computed matrix, null users excluded") {
+    import graft.operators.Events
+    // buckets of 100 us; exact epoch-microsecond TIMESTAMPs
+    def ts(us: Long) = java.sql.Timestamp.from(
+      java.time.Instant.EPOCH.plus(us, java.time.temporal.ChronoUnit.MICROS))
+    val ev = Seq(
+      (Some(1L), 10L), (Some(1L), 110L), (Some(1L), 115L), // u1: b0, b1 (dup in b1)
+      (Some(1L), 310L),                                    // u1: b3
+      (Some(2L), 120L), (Some(2L), 220L),                  // u2: cohort b1, +0, +1
+      (Some(3L), 130L),                                    // u3: cohort b1 only
+      (None, 10L)                                          // anonymous: excluded
+    ).map { case (u, us) => (u, ts(us)) }
+      .toDF("user_id", "ts")
+    val out = Events.cohortRetention(ev, "user_id", "ts",
+        bucketMicros = 100L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (0L, 0L, 1L), (0L, 1L, 1L), (0L, 3L, 1L),  // u1
+      (1L, 0L, 2L), (1L, 1L, 1L)),               // u2+u3 at +0, u2 at +1
+      s"got $out")
+  }
+
   test("applyChangelog: latest wins, deletes drop keys, resurrection") {
     import graft.operators.Events
     val log = Seq(
