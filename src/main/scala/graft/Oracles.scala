@@ -1073,6 +1073,110 @@ fin$i AS (SELECT w, max_by(cnt, it) AS cnt, max_by(s, it) AS s
         |FROM a JOIN c USING (u)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // Ranking evaluation (RankEval.metricsAtK over the 1996-01-01
+    // order-history split): per-user metrics are exact IEEE divisions
+    // (bit-identical across engines); NDCG discounts are 12-decimal
+    // HALF_UP constants of 1/log2(r+1) (verified equal to the JVM's at
+    // 12 places), so DCG sums are exact decimals; macro-averages are
+    // decimal sums divided once in double, rounded to 6.
+    "q_rank_metrics" ->
+      """WITH fact AS (SELECT o_custkey AS u, l_partkey AS i,
+        |    o_orderdate AS d, l_quantity AS q
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |tr AS (SELECT u, i, count(*) AS n_buy,
+        |    sum(q::DECIMAL(18,6)) AS qty
+        |  FROM fact WHERE d < TIMESTAMP '1996-01-01' GROUP BY 1, 2),
+        |recs AS (SELECT u, i, r FROM (SELECT u, i, row_number() OVER (
+        |      PARTITION BY u ORDER BY n_buy DESC, qty DESC, i) AS r
+        |    FROM tr) WHERE r <= 10),
+        |truth AS (SELECT DISTINCT u, i FROM fact
+        |  WHERE d >= TIMESTAMP '1996-01-01'),
+        |nrel AS (SELECT u, count(*) AS n_rel FROM truth GROUP BY 1),
+        |disc AS (SELECT i AS r,
+        |    round(1 / log2(i + 1), 12)::DECIMAL(28,12) AS disc
+        |  FROM generate_series(1, 10) t(i)),
+        |cum AS (SELECT r,
+        |    (sum(disc) OVER (ORDER BY r))::DECIMAL(28,12) AS c
+        |  FROM disc),
+        |ks AS (SELECT unnest([5, 10]) AS k),
+        |hits AS (SELECT recs.u, recs.r FROM recs JOIN truth USING (u, i)),
+        |puk AS (SELECT k, u, count(*) AS n_hit, min(r) AS first_hit,
+        |    sum(disc) AS dcg
+        |  FROM hits JOIN ks ON r <= k JOIN disc USING (r) GROUP BY 1, 2),
+        |pu AS (SELECT k,
+        |    round(coalesce(n_hit, 0)::DOUBLE / k, 12)
+        |      ::DECIMAL(28,12) AS p_u,
+        |    round(coalesce(n_hit, 0)::DOUBLE / n_rel, 12)
+        |      ::DECIMAL(28,12) AS r_u,
+        |    round(coalesce(dcg, 0)::DOUBLE / cum.c::DOUBLE, 12)
+        |      ::DECIMAL(28,12) AS ndcg_u,
+        |    round(CASE WHEN first_hit IS NOT NULL
+        |          THEN 1.0::DOUBLE / first_hit ELSE 0 END, 12)
+        |      ::DECIMAL(28,12) AS rr_u,
+        |    CASE WHEN coalesce(n_hit, 0) > 0 THEN 1 ELSE 0 END AS hit_u
+        |  FROM (SELECT * FROM nrel CROSS JOIN ks) univ
+        |  LEFT JOIN puk USING (k, u)
+        |  JOIN cum ON cum.r = least(univ.k, univ.n_rel))
+        |SELECT k, count(*)::BIGINT AS n_users,
+        |  round(sum(p_u)::DOUBLE / count(*), 6) AS "precision",
+        |  round(sum(r_u)::DOUBLE / count(*), 6) AS recall,
+        |  round(sum(ndcg_u)::DOUBLE / count(*), 6) AS ndcg,
+        |  round(sum(rr_u)::DOUBLE / count(*), 6) AS mrr,
+        |  round(sum(hit_u)::DOUBLE / count(*), 6) AS hit_rate
+        |FROM pu GROUP BY k ORDER BY k""".stripMargin,
+
+    // Off-policy evaluation (OffPolicy.ipsEstimates with the log's own
+    // greedy policy): propensities and weights are IEEE divisions of
+    // exact counts (bit-identical across engines), each summed term is
+    // rounded to 12 decimals and decimal-accumulated, the final
+    // estimates divided once in double and rounded to 6. Policy
+    // tie-break is action DESC (the engine's max-struct order).
+    "q_ips_eval" ->
+      """WITH log AS (SELECT user_id % 20 AS x, event_type AS a,
+        |    value AS r FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND value IS NOT NULL),
+        |xa AS (SELECT x, a, count(*) AS n_xa FROM log GROUP BY 1, 2),
+        |xc AS (SELECT x, sum(n_xa) AS n_x FROM xa GROUP BY 1),
+        |tot AS (SELECT x, a, sum(r::DECIMAL(18,6)) AS tot
+        |  FROM log GROUP BY 1, 2),
+        |pol AS (SELECT x, a AS pi_a FROM (SELECT x, a, row_number()
+        |      OVER (PARTITION BY x ORDER BY tot DESC, a DESC) AS rn
+        |    FROM tot) WHERE rn = 1),
+        |j AS (SELECT l.x, l.r,
+        |    CASE WHEN l.a = pol.pi_a THEN 1 ELSE 0 END AS m,
+        |    1.0::DOUBLE / (n_xa::DOUBLE / n_x::DOUBLE) AS w,
+        |    least(1.0::DOUBLE / (n_xa::DOUBLE / n_x::DOUBLE),
+        |      5.0::DOUBLE) AS wc
+        |  FROM log l JOIN xa USING (x, a) JOIN xc USING (x)
+        |  LEFT JOIN pol USING (x))
+        |SELECT count(*)::BIGINT AS n, sum(m)::BIGINT AS matched,
+        |  round(sum(round(r * w * m, 12)::DECIMAL(28,12))::DOUBLE
+        |    / count(*), 6) AS ips,
+        |  round(sum(round(r * wc * m, 12)::DECIMAL(28,12))::DOUBLE
+        |    / count(*), 6) AS ips_capped,
+        |  round(sum(round(r * w * m, 12)::DECIMAL(28,12))::DOUBLE
+        |    / sum(round(w * m, 12)::DECIMAL(28,12))::DOUBLE, 6)
+        |    AS snips
+        |FROM j""".stripMargin,
+
+    // Compaction plan (io/Compaction.plan): per-source smallest-first
+    // packing order, bin = starting byte offset integer-divided by the
+    // 20 kB target. bin_offset is unique per (source) except for
+    // zero-byte files, so the sort adds file as the final tie key.
+    "q_compaction_plan" ->
+      """WITH m AS (SELECT source, 'doc-' || doc_id AS "file",
+        |    n_chars AS bytes FROM documents),
+        |w AS (SELECT source, "file", bytes,
+        |    sum(bytes) OVER (PARTITION BY source ORDER BY bytes, "file"
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - bytes AS bin_offset
+        |  FROM m)
+        |SELECT source, "file", bytes::BIGINT AS bytes,
+        |  bin_offset::BIGINT AS bin_offset,
+        |  (bin_offset // 20000)::BIGINT AS bin
+        |FROM w ORDER BY source, bin_offset, "file"""".stripMargin,
+
     // Interval-overlap join (Intervals.overlapJoin): session intervals
     // (30-min gap over all events) x SCD2 state intervals (non-error
     // events, half-open valid_to -> closed v_end = valid_to - 1, open

@@ -1587,6 +1587,72 @@ object Queries {
         "user_id")
       .orderBy("cohort", "period_offset")
 
+  /** Offline ranking evaluation ([[graft.operators.RankEval]]):
+    * time-split the order history at 1996-01-01, recommend each
+    * customer their top-10 training-window parts (purchase count,
+    * then exact decimal quantity, then partkey — fully deterministic
+    * ranks), and score precision/recall/NDCG/MRR/hit-rate at k=5,10
+    * against the test-window purchases. The scorer's data-sized work
+    * is one (user,item) equi-join; everything downstream is one row
+    * per (user,cutoff).
+    */
+  def rankMetricsQ(s: SparkSession, dir: String): DataFrame = {
+    val fact = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("user_id"),
+        col("l_partkey").as("item_id"), col("o_orderdate"),
+        col("l_quantity"))
+    val split = to_timestamp(lit("1996-01-01"))
+    val train = fact.where(col("o_orderdate") < split)
+    val truth = fact.where(col("o_orderdate") >= split)
+      .select("user_id", "item_id")
+    val ranked = train
+      .groupBy("user_id", "item_id")
+      .agg(count(lit(1)).as("n_buy"),
+        sum(col("l_quantity").cast("decimal(18,6)")).as("qty"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("n_buy").desc, col("qty").desc,
+            col("item_id"))))
+      .where(col("rank") <= 10)
+      .select("user_id", "item_id", "rank")
+    graft.operators.RankEval.metricsAtK(ranked, truth, Seq(5, 10))
+  }
+
+  /** Off-policy evaluation ([[graft.operators.OffPolicy]]): context =
+    * user_id % 20, action = event_type, reward = value; empirical
+    * propensities from the log, target policy = the log's own greedy
+    * argmax-reward action per context, weight cap 5. Single-row IPS /
+    * capped-IPS / SNIPS estimates, every sum an order-free decimal of
+    * 12-decimal-rounded IEEE terms.
+    */
+  def ipsEvalQ(s: SparkSession, dir: String): DataFrame = {
+    val log = t(s, dir, "events")
+      .select((col("user_id") % 20).as("context"),
+        col("event_type").as("action"), col("value").as("reward"))
+    val policy = graft.operators.OffPolicy.greedyPolicy(log)
+    graft.operators.OffPolicy.ipsEstimates(log, policy, cap = 5.0)
+  }
+
+  /** Compaction planning ([[graft.io.Compaction]]): documents as a
+    * file manifest (source = table partition, n_chars = bytes), packed
+    * into 20 kB bins by the one-window offset-div-target rule. The
+    * window parallelizes across sources — compaction never crosses a
+    * partition boundary.
+    */
+  def compactionPlanQ(s: SparkSession, dir: String): DataFrame = {
+    val manifest = t(s, dir, "documents")
+      .select(col("source"),
+        concat(lit("doc-"), col("doc_id")).as("file"),
+        col("n_chars").as("bytes"))
+    graft.io.Compaction.plan(manifest, "file", "bytes", 20000L,
+        Seq("source"))
+      .select(col("source"), col("file"), col("bytes").cast("long")
+        .as("bytes"), col("bin_offset"), col("bin"))
+      .orderBy("source", "bin_offset", "file")
+  }
+
   /** Streaming golden record, driver-checkable: [[graft.operators
     * .Events.survivorship]] is streaming-ready by construction — each
     * column's max_by((notnull, seq)) is an ordinary aggregation whose
@@ -2117,6 +2183,9 @@ object Queries {
     "q_cdc_apply" -> (cdcApplyQ _),
     "q_scd2_history" -> (scd2HistoryQ _),
     "q_cohort_retention" -> (cohortRetentionQ _),
+    "q_rank_metrics" -> (rankMetricsQ _),
+    "q_ips_eval" -> (ipsEvalQ _),
+    "q_compaction_plan" -> (compactionPlanQ _),
     "q_survivorship" -> (survivorshipQ _),
     "q_streaming_survivorship" -> (streamingSurvivorshipQ _),
     "q_resample" -> (resampleQ _),
