@@ -1125,6 +1125,82 @@ fin$i AS (SELECT w, max_by(cnt, it) AS cnt, max_by(s, it) AS s
         |  round(sum(hit_u)::DOUBLE / count(*), 6) AS hit_rate
         |FROM pu GROUP BY k ORDER BY k""".stripMargin,
 
+    // Beyond-accuracy metrics (RankEval.catalogMetrics): coverage is a
+    // ratio of distinct counts; popularity/novelty terms are IEEE
+    // ratios (novelty via log2, whose 12-decimal rounding aligns the
+    // engines), decimal-summed and divided once.
+    "q_rec_coverage" ->
+      """WITH fact AS (SELECT o_custkey AS u, l_partkey AS i,
+        |    o_orderdate AS d, l_quantity AS q
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |tr AS (SELECT u, i, count(*) AS n_buy,
+        |    sum(q::DECIMAL(18,6)) AS qty
+        |  FROM fact WHERE d < TIMESTAMP '1996-01-01' GROUP BY 1, 2),
+        |recs AS (SELECT u, i FROM (SELECT u, i, row_number() OVER (
+        |      PARTITION BY u ORDER BY n_buy DESC, qty DESC, i) AS r
+        |    FROM tr) WHERE r <= 10),
+        |inter AS (SELECT DISTINCT u, i FROM fact),
+        |iu AS (SELECT i, count(*) AS n_iu FROM inter GROUP BY 1),
+        |sz AS (SELECT count(DISTINCT i) AS catalog_size,
+        |    count(DISTINCT u) AS n_users FROM inter),
+        |rws AS (SELECT recs.i, coalesce(n_iu, 0) AS n_iu,
+        |    catalog_size, n_users
+        |  FROM recs LEFT JOIN iu USING (i) CROSS JOIN sz)
+        |SELECT 10 AS k, max(n_users)::BIGINT AS n_users,
+        |  max(catalog_size)::BIGINT AS catalog_size,
+        |  count(DISTINCT i)::BIGINT AS n_rec_items,
+        |  round(count(DISTINCT i)::DOUBLE / max(catalog_size), 6)
+        |    AS coverage,
+        |  round(sum(round(-log2((n_iu + 1)::DOUBLE / (n_users + 1)), 12)
+        |    ::DECIMAL(28,12))::DOUBLE / count(*), 6) AS novelty,
+        |  round(sum(round(n_iu::DOUBLE / n_users, 12)
+        |    ::DECIMAL(28,12))::DOUBLE / count(*), 6) AS avg_popularity
+        |FROM rws""".stripMargin,
+
+    // Item-item CF (ItemSim.cosineNeighbors): co-counts and supports
+    // are exact integers after the 100-item user cap; cosine is one
+    // long multiply + IEEE sqrt + IEEE divide (bit-identical across
+    // engines); ties rank by neighbor id.
+    "q_item_cf" ->
+      """WITH ui AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |uc AS (SELECT u FROM (SELECT u, count(*) AS nu FROM ui
+        |  GROUP BY 1) WHERE nu <= 100),
+        |capped AS (SELECT ui.u, ui.i FROM ui JOIN uc USING (u)),
+        |ic AS (SELECT i, count(*) AS ni FROM capped GROUP BY 1),
+        |pairs AS (SELECT a.i AS ia, b.i AS ib, count(*) AS co
+        |  FROM capped a JOIN capped b ON a.u = b.u AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT ia AS item, ib AS neighbor, co FROM pairs
+        |  UNION ALL SELECT ib, ia, co FROM pairs),
+        |sc AS (SELECT item, neighbor, co,
+        |    co::DOUBLE / sqrt((n1.ni * n2.ni)::DOUBLE) AS sim
+        |  FROM sym JOIN ic n1 ON n1.i = item JOIN ic n2 ON n2.i = neighbor),
+        |r AS (SELECT item, neighbor, co, sim, row_number() OVER (
+        |    PARTITION BY item ORDER BY sim DESC, neighbor) AS rn
+        |  FROM sc)
+        |SELECT item, neighbor, co::BIGINT AS co, round(sim, 6) AS sim,
+        |  rn::BIGINT AS "rank"
+        |FROM r WHERE rn <= 10 ORDER BY item, rn""".stripMargin,
+
+    // Multi-source BFS (Graph.bfsDistances): the engine's monotone
+    // min-relaxation after h iterations equals shortest-walk-within-h
+    // (Bellman-Ford), which this recursive CTE enumerates directly;
+    // integer mins are merge-order-free on both sides.
+    "q_graph_bfs" ->
+      """WITH RECURSIVE e AS (SELECT DISTINCT l_partkey AS src,
+        |    l_suppkey + 10000000 AS dst FROM lineitem),
+        |und AS (SELECT src, dst FROM e
+        |  UNION SELECT dst, src FROM e),
+        |bfs AS (
+        |  SELECT DISTINCT src AS node, 0::BIGINT AS d FROM e
+        |  WHERE src < 10
+        |  UNION
+        |  SELECT und.src AS node, b.d + 1 AS d FROM bfs b
+        |  JOIN und ON und.dst = b.node WHERE b.d < 4)
+        |SELECT node, min(d)::BIGINT AS dist FROM bfs
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Off-policy evaluation (OffPolicy.ipsEstimates with the log's own
     // greedy policy): propensities and weights are IEEE divisions of
     // exact counts (bit-identical across engines), each summed term is

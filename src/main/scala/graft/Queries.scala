@@ -1596,18 +1596,23 @@ object Queries {
     * is one (user,item) equi-join; everything downstream is one row
     * per (user,cutoff).
     */
-  def rankMetricsQ(s: SparkSession, dir: String): DataFrame = {
-    val fact = t(s, dir, "orders")
+  /** Shared ranking-eval fixture: the order history as (user, item)
+    * interactions with the purchase date and exact decimal quantity.
+    */
+  private def orderFact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
       .join(t(s, dir, "lineitem"),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("user_id"),
         col("l_partkey").as("item_id"), col("o_orderdate"),
         col("l_quantity"))
-    val split = to_timestamp(lit("1996-01-01"))
-    val train = fact.where(col("o_orderdate") < split)
-    val truth = fact.where(col("o_orderdate") >= split)
-      .select("user_id", "item_id")
-    val ranked = train
+
+  /** Top-10 training-window recommendations per customer (purchase
+    * count, then exact decimal quantity, then partkey — fully
+    * deterministic ranks) from the pre-1996 half of [[orderFact]].
+    */
+  private def trainTopRecs(fact: DataFrame): DataFrame =
+    fact.where(col("o_orderdate") < to_timestamp(lit("1996-01-01")))
       .groupBy("user_id", "item_id")
       .agg(count(lit(1)).as("n_buy"),
         sum(col("l_quantity").cast("decimal(18,6)")).as("qty"))
@@ -1617,7 +1622,49 @@ object Queries {
             col("item_id"))))
       .where(col("rank") <= 10)
       .select("user_id", "item_id", "rank")
-    graft.operators.RankEval.metricsAtK(ranked, truth, Seq(5, 10))
+
+  def rankMetricsQ(s: SparkSession, dir: String): DataFrame = {
+    val fact = orderFact(s, dir)
+    val truth = fact
+      .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01")))
+      .select("user_id", "item_id")
+    graft.operators.RankEval.metricsAtK(trainTopRecs(fact), truth,
+      Seq(5, 10))
+  }
+
+  /** Beyond-accuracy metrics ([[graft.operators.RankEval
+    * .catalogMetrics]]): catalog coverage, smoothed self-information
+    * novelty, and exposure bias of the same top-10 recommendations,
+    * measured against the FULL interaction log.
+    */
+  def recCoverageQ(s: SparkSession, dir: String): DataFrame = {
+    val fact = orderFact(s, dir)
+    graft.operators.RankEval.catalogMetrics(trainTopRecs(fact),
+      fact.select("user_id", "item_id"), 10)
+  }
+
+  /** Item-item CF neighbors ([[graft.operators.ItemSim]]): cosine over
+    * the binary customer-part matrix with the per-user pair fan-out
+    * capped at 100 items, pairs below 2 shared users pruned, top-10
+    * neighbors per part.
+    */
+  def itemCfQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ItemSim.cosineNeighbors(
+      orderFact(s, dir).select("user_id", "item_id"))
+
+  /** Multi-source BFS ([[graft.operators.Graph.bfsDistances]]) over
+    * the bipartite part-supplier graph (suppliers offset by 1e7 into a
+    * disjoint id range), seeded at parts with key < 10, horizon 4 hops.
+    */
+  def graphBfsQ(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("src"),
+        (col("l_suppkey") + 10000000L).as("dst"))
+      .distinct()
+    val seeds = edges.select(col("src")).where(col("src") < 10)
+    graft.operators.Graph.bfsDistances(edges, "src", "dst", seeds,
+        "src", maxHops = 4)
+      .orderBy("node")
   }
 
   /** Off-policy evaluation ([[graft.operators.OffPolicy]]): context =
@@ -2184,6 +2231,9 @@ object Queries {
     "q_scd2_history" -> (scd2HistoryQ _),
     "q_cohort_retention" -> (cohortRetentionQ _),
     "q_rank_metrics" -> (rankMetricsQ _),
+    "q_rec_coverage" -> (recCoverageQ _),
+    "q_item_cf" -> (itemCfQ _),
+    "q_graph_bfs" -> (graphBfsQ _),
     "q_ips_eval" -> (ipsEvalQ _),
     "q_compaction_plan" -> (compactionPlanQ _),
     "q_survivorship" -> (survivorshipQ _),

@@ -250,4 +250,56 @@ object Graph {
         out
     }
   }
+
+  /** Multi-source BFS hop distances over the symmetrized graph:
+    * dist(v) = fewest edges from any seed, nodes unreached within
+    * `maxHops` absent from the output.
+    *
+    * Implemented as monotone min-distance relaxation, not a frontier
+    * queue: each of the `maxHops` unrolled iterations joins the edge
+    * list with the CURRENT distance vector (O(nodes) side, keyed on
+    * the node), proposes dist+1 across every edge, and re-minimizes
+    * with a map-side-combinable min aggregate. Integer mins are
+    * exactly associative/commutative, so the result is partition- and
+    * merge-order-independent — replayable by a recursive-CTE oracle
+    * row for row. After h iterations every node within h hops holds
+    * its true BFS distance (standard Bellman-Ford argument), so
+    * `maxHops` >= the seed eccentricity gives exact distances; smaller
+    * values give the exact-within-horizon prefix. No driver state, no
+    * collect; same bounded-unrolled-loop discipline as [[pageRank]].
+    */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int,
+      cache: Option[StorageLevel] = None,
+      pinsOut: Option[scala.collection.mutable.Buffer[DataFrame]] = None)
+      : DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val level = cache.getOrElse(StorageLevel.MEMORY_AND_DISK)
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    val und = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(level) // feeds one join per hop (pin pattern above)
+    var dist = seeds.select(col(seedCol).as("node"))
+      .where(col("node").isNotNull).distinct()
+      .withColumn("dist", lit(0L))
+    for (_ <- 1 to maxHops) {
+      val relaxed = und.join(dist, col("node") === col("dst"))
+        .select(col("src").as("node"), (col("dist") + 1L).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("node").agg(min("dist").as("dist"))
+    }
+    pinsOut match {
+      case Some(buf) => // lazy composition: see [[pageRank]]
+        buf += und
+        dist
+      case None =>
+        val out = dist.persist(level)
+        out.count() // terminal action: materialize, then free the pin
+        und.unpersist(blocking = false)
+        out
+    }
+  }
 }

@@ -132,4 +132,63 @@ object RankEval {
           count(lit(1)).cast("double"), 6).as("hit_rate"))
       .orderBy("k")
   }
+
+  /** Beyond-accuracy recommendation metrics at cutoff `k`: catalog
+    * coverage (share of the interaction catalog any user's top-k
+    * reaches), novelty (mean self-information -log2(popularity) of the
+    * recommended rows, add-one-smoothed so never-interacted items stay
+    * defined), and exposure bias (mean raw popularity of recommended
+    * rows — high means the recommender mostly re-serves head items).
+    *
+    * Scale shape: two distinct-aggregations over the interaction log
+    * (catalog and user universes — scalar results), one per-item user
+    * count, one join of the top-k slice against it on the item key,
+    * one single-row aggregate. Popularities are exact count ratios,
+    * novelty terms 12-decimal-rounded before the decimal sum.
+    */
+  def catalogMetrics(recs: DataFrame, interactions: DataFrame, k: Int,
+      userCol: String = "user_id", itemCol: String = "item_id",
+      rankCol: String = "rank"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dec = DecimalType(28, 12)
+
+    val inter = interactions
+      .select(col(userCol).as("u"), col(itemCol).as("i"))
+      .where(col("u").isNotNull && col("i").isNotNull)
+      .distinct()
+    val itemUsers = inter.groupBy("i").agg(count(lit(1)).as("n_iu"))
+
+    val topK = recs
+      .select(col(itemCol).as("i"), col(rankCol).cast("int").as("r"))
+      .where(col("i").isNotNull && col("r").between(1, k))
+
+    // Scalar universes: one row each, cross-joined back (broadcast).
+    val sizes = inter.agg(
+      countDistinct(col("i")).as("catalog_size"),
+      countDistinct(col("u")).as("n_users"))
+
+    topK
+      .join(itemUsers, Seq("i"), "left")
+      .crossJoin(broadcast(sizes))
+      .select(col("i"),
+        (coalesce(col("n_iu"), lit(0L)).cast("double") /
+          col("n_users").cast("double")).as("pop"),
+        ((coalesce(col("n_iu"), lit(0L)) + lit(1L)).cast("double") /
+          (col("n_users") + lit(1L)).cast("double")).as("pop_s"),
+        col("catalog_size"), col("n_users"))
+      .agg(first(col("n_users")).as("n_users"),
+        first(col("catalog_size")).as("catalog_size"),
+        countDistinct(col("i")).as("n_rec_items"),
+        sum(round(-log2(col("pop_s")), 12).cast(dec)).as("nov_sum"),
+        sum(round(col("pop"), 12).cast(dec)).as("pop_sum"),
+        count(lit(1)).as("n_rows"))
+      .select(lit(k).as("k"), col("n_users"), col("catalog_size"),
+        col("n_rec_items"),
+        round(col("n_rec_items").cast("double") /
+          col("catalog_size").cast("double"), 6).as("coverage"),
+        round(col("nov_sum").cast("double") /
+          col("n_rows").cast("double"), 6).as("novelty"),
+        round(col("pop_sum").cast("double") /
+          col("n_rows").cast("double"), 6).as("avg_popularity"))
+  }
 }

@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.{Graph, ItemSim, RankEval}
+
+/** Hand-checkable fixtures for item-CF cosine, beyond-accuracy
+  * metrics, and multi-source BFS.
+  */
+class ItemSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosineNeighbors: cosine math, both directions, minCo prune") {
+    // items: A with users {1,2,3}; B with {1,2}; C with {3}
+    // pairs: (A,B) co=2, (A,C) co=1 (pruned at minCo=2)
+    val ui = Seq((1L, "A"), (2L, "A"), (3L, "A"), (1L, "B"), (2L, "B"),
+      (3L, "C"), (3L, "C") /* dup collapses */)
+      .toDF("user_id", "item_id")
+    val out = ItemSim.cosineNeighbors(ui, minCo = 2L).collect()
+    assert(out.length == 2) // A->B and B->A only
+    val m = out.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getDouble(3), r.getInt(4))).toMap
+    val expSim = BigDecimal(2.0 / math.sqrt(6.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m(("A", "B")) == ((2L, expSim, 1)))
+    assert(m(("B", "A")) == ((2L, expSim, 1)))
+  }
+
+  test("cosineNeighbors: hyperactive users excluded before pairing") {
+    // user 9 touches 3 items -> excluded at cap 2; only user 1's pair
+    // survives, and supports count the capped population (n=1 each)
+    val ui = (Seq((9L, "A"), (9L, "B"), (9L, "C")) ++
+      Seq((1L, "A"), (1L, "B"))).toDF("user_id", "item_id")
+    val out = ItemSim
+      .cosineNeighbors(ui, maxUserItems = 2, minCo = 1L).collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getDouble(3) == 1.0)) // 1/sqrt(1*1)
+    intercept[IllegalArgumentException] {
+      ItemSim.cosineNeighbors(ui, maxUserItems = 1)
+    }
+  }
+
+  test("cosineNeighbors: topN cuts by sim desc then neighbor asc") {
+    // item X co-occurs with Y (2 shared) and Z (1 shared of 1-user set)
+    val ui = Seq((1L, "X"), (1L, "Y"), (2L, "X"), (2L, "Y"), (3L, "X"),
+      (3L, "Z")).toDF("user_id", "item_id")
+    val ranks = ItemSim.cosineNeighbors(ui, minCo = 1L, topN = 1)
+      .where($"item" === "X").collect()
+    assert(ranks.length == 1)
+    // sim(X,Y) = 2/sqrt(3*2) = .8165 > sim(X,Z) = 1/sqrt(3*1) = .577
+    assert(ranks.head.getString(1) == "Y")
+  }
+
+  test("catalogMetrics: coverage, novelty smoothing, exposure bias") {
+    // catalog {A,B,C,D} (4 items), users {1,2}; recs: top-1 per user
+    val inter = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "C"),
+      (1L, "D")).toDF("user_id", "item_id")
+    val recs = Seq((1L, "A", 1), (2L, "Z", 1))
+      .toDF("user_id", "item_id", "rank")
+    val r = RankEval.catalogMetrics(recs, inter, 1).collect().head
+    assert(r.getAs[Long]("catalog_size") == 4)
+    assert(r.getAs[Long]("n_users") == 2)
+    assert(r.getAs[Long]("n_rec_items") == 2)
+    assert(r.getAs[Double]("coverage") == 0.5)
+    // pops: A = 2/2 = 1.0, Z = 0 -> avg 0.5
+    assert(r.getAs[Double]("avg_popularity") == 0.5)
+    // novelty: -log2(3/3) = 0 for A; -log2(1/3) for Z (smoothed)
+    val exp = (0.0 + math.log(3.0) / math.log(2.0)) / 2.0
+    assert(math.abs(r.getAs[Double]("novelty") - exp) < 1e-6)
+  }
+
+  test("bfsDistances: hop distances, horizon cut, unreached absent") {
+    // path graph 1-2-3-4-5 plus isolated edge 8-9; seed {1}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("s")
+    val d = Graph.bfsDistances(edges, "src", "dst", seeds, "s", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L)) // 5: 4 hops
+  }
+
+  test("bfsDistances: multi-seed takes the nearer seed; undirected") {
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 4L), (4L, 3L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 5L).toDF("s")
+    val d = Graph.bfsDistances(edges, "src", "dst", seeds, "s", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 3 is 2 hops from both; 2 is 1 from seed 1; 4 is 1 from seed 5
+    assert(d == Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
+  }
+}
