@@ -1236,6 +1236,78 @@ fin$i AS (SELECT w, max_by(cnt, it) AS cnt, max_by(s, it) AS s
         |    AS snips
         |FROM j""".stripMargin,
 
+    // Target encoding (Encoding.targetEncode): exact decimal sums,
+    // one prior*smoothing multiply and one shrinkage divide in IEEE.
+    "q_target_encode" ->
+      """WITH base AS (SELECT c_mktsegment AS category,
+        |    o_totalprice::DECIMAL(18,6) AS y
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |  WHERE c_mktsegment IS NOT NULL AND o_totalprice IS NOT NULL),
+        |per AS (SELECT category, count(*) AS n, sum(y) AS sum_y
+        |  FROM base GROUP BY 1),
+        |g AS (SELECT sum(y)::DOUBLE / count(*) AS prior FROM base)
+        |SELECT category, n::BIGINT AS n,
+        |  round((sum_y::DOUBLE + prior * 10.0) / (n::DOUBLE + 10.0), 6)
+        |    AS enc
+        |FROM per CROSS JOIN g ORDER BY category""".stripMargin,
+
+    // Leave-one-out encoding (Encoding.leaveOneOut): per-row
+    // (sum - y)/(n - 1) on the exact per-category sums; singleton
+    // categories fall back to the global prior.
+    "q_target_encode_loo" ->
+      """WITH rws AS (SELECT o_orderkey, c_mktsegment, o_totalprice
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IS NOT NULL AND o_totalprice IS NOT NULL),
+        |per AS (SELECT c_mktsegment, count(*) AS n,
+        |    sum(o_totalprice::DECIMAL(18,6)) AS s
+        |  FROM rws GROUP BY 1),
+        |g AS (SELECT sum(o_totalprice::DECIMAL(18,6))::DOUBLE
+        |    / count(*) AS prior FROM rws)
+        |SELECT o_orderkey, c_mktsegment, o_totalprice,
+        |  round(CASE WHEN n > 1 THEN (s::DOUBLE -
+        |      o_totalprice::DECIMAL(18,6)::DOUBLE) / (n - 1)
+        |    ELSE prior END, 6) AS loo
+        |FROM rws JOIN per USING (c_mktsegment) CROSS JOIN g
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Decayed popularity (Popularity.decayedScores): 365-day
+    // half-life from the log's max date; each pow(0.5, age/hl) term
+    // 12-decimal-rounded before the exact decimal sum.
+    "q_decayed_pop" ->
+      """WITH ref AS (SELECT max(epoch_us(o_orderdate)) AS r
+        |  FROM orders),
+        |it AS (SELECT l_partkey AS item, epoch_us(o_orderdate) AS ts
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |w AS (SELECT item, round(pow(0.5,
+        |    ((r - ts)::DOUBLE / 86400000000.0) / 365.0), 12)
+        |    ::DECIMAL(28,12) AS w
+        |  FROM it CROSS JOIN ref)
+        |SELECT item, count(*)::BIGINT AS n,
+        |  round(sum(w)::DOUBLE, 6) AS score
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Concentration profile (Popularity.concentrationProfile): Gini
+    // from the sorted-count identity — exact integers to one final
+    // IEEE division; head shares via ceil'd top-percent ranks.
+    "q_pop_profile" ->
+      """WITH c AS (SELECT l_partkey AS item, count(*) AS c
+        |  FROM lineitem GROUP BY 1),
+        |r AS (SELECT item, c,
+        |    row_number() OVER (ORDER BY c ASC, item ASC) AS ia,
+        |    row_number() OVER (ORDER BY c DESC, item ASC) AS idx,
+        |    count(*) OVER () AS n_tot
+        |  FROM c)
+        |SELECT count(*)::BIGINT AS n_items,
+        |  sum(c)::BIGINT AS n_interactions,
+        |  round(2.0 * sum((ia * c)::DECIMAL(38,0))::DOUBLE
+        |      / (count(*)::DOUBLE * sum(c)::DOUBLE)
+        |    - (count(*) + 1)::DOUBLE / count(*), 6) AS gini,
+        |  round(sum(CASE WHEN idx <= ceil(n_tot / 100.0) THEN c
+        |    ELSE 0 END)::DOUBLE / sum(c), 6) AS top1_share,
+        |  round(sum(CASE WHEN idx <= ceil(n_tot / 10.0) THEN c
+        |    ELSE 0 END)::DOUBLE / sum(c), 6) AS top10_share
+        |FROM r""".stripMargin,
+
     // Compaction plan (io/Compaction.plan): per-source smallest-first
     // packing order, bin = starting byte offset integer-divided by the
     // 20 kB target. bin_offset is unique per (source) except for

@@ -1667,6 +1667,58 @@ object Queries {
       .orderBy("node")
   }
 
+  /** Smoothed target encoding ([[graft.operators.Encoding]]): market
+    * segment encoded by mean order value with pseudo-count 10 —
+    * one keyed aggregation plus a broadcast scalar prior.
+    */
+  def targetEncodeQ(s: SparkSession, dir: String): DataFrame = {
+    val co = t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .select(col("c_mktsegment"), col("o_totalprice"))
+    graft.operators.Encoding.targetEncode(co, "c_mktsegment",
+      "o_totalprice", 10.0)
+  }
+
+  /** Leave-one-out encoding ([[graft.operators.Encoding
+    * .leaveOneOut]]): each order's segment mean computed without the
+    * order itself — the leakage-free row-level variant.
+    */
+  def targetEncodeLooQ(s: SparkSession, dir: String): DataFrame = {
+    val rows = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment"),
+        col("o_totalprice"))
+    graft.operators.Encoding.leaveOneOut(rows, "c_mktsegment",
+        "o_totalprice")
+      .select("o_orderkey", "c_mktsegment", "o_totalprice", "loo")
+      .orderBy("o_orderkey")
+  }
+
+  /** Half-life-decayed part popularity ([[graft.operators
+    * .Popularity.decayedScores]]): 365-day half-life, as-of clock =
+    * the order log's max date (one scalar aggregate, injected — never
+    * wall-clock).
+    */
+  def decayedPopQ(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val ref = o.agg(max(graft.operators.Events.tsMicros(o,
+      "o_orderdate"))).head().getLong(0)
+    val joined = t(s, dir, "lineitem")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+    val inter = joined.select(col("l_partkey").as("item"),
+      graft.operators.Events.tsMicros(joined, "o_orderdate").as("ts_us"))
+    graft.operators.Popularity.decayedScores(inter, "item", "ts_us",
+      ref, 365.0)
+  }
+
+  /** Long-tail concentration ([[graft.operators.Popularity
+    * .concentrationProfile]]): Gini + head shares of part interaction
+    * counts — exact integer arithmetic to a single final division.
+    */
+  def popProfileQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Popularity.concentrationProfile(
+      t(s, dir, "lineitem").select(col("l_partkey").as("item")), "item")
+
   /** Off-policy evaluation ([[graft.operators.OffPolicy]]): context =
     * user_id % 20, action = event_type, reward = value; empirical
     * propensities from the log, target policy = the log's own greedy
@@ -2236,6 +2288,10 @@ object Queries {
     "q_graph_bfs" -> (graphBfsQ _),
     "q_ips_eval" -> (ipsEvalQ _),
     "q_compaction_plan" -> (compactionPlanQ _),
+    "q_target_encode" -> (targetEncodeQ _),
+    "q_target_encode_loo" -> (targetEncodeLooQ _),
+    "q_decayed_pop" -> (decayedPopQ _),
+    "q_pop_profile" -> (popProfileQ _),
     "q_survivorship" -> (survivorshipQ _),
     "q_streaming_survivorship" -> (streamingSurvivorshipQ _),
     "q_resample" -> (resampleQ _),
