@@ -1236,6 +1236,45 @@ fin$i AS (SELECT w, max_by(cnt, it) AS cnt, max_by(s, it) AS s
         |    AS snips
         |FROM j""".stripMargin,
 
+    // Experiment arm summary (Experiment.armSummary): exact decimal
+    // (n, s, ss) moments; mean and unbiased variance derived in IEEE.
+    "q_ab_arms" ->
+      """WITH log AS (SELECT 'arm_' || (user_id % 3) AS arm,
+        |    value::DECIMAL(18,6) AS y FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |m AS (SELECT arm, count(*) AS n, sum(y) AS s, sum(y * y) AS ss
+        |  FROM log GROUP BY 1)
+        |SELECT arm, n::BIGINT AS n, round(s::DOUBLE / n, 6) AS mean,
+        |  round(CASE WHEN n > 1 THEN (ss::DOUBLE -
+        |      s::DOUBLE * s::DOUBLE / n) / (n - 1) END, 6) AS variance
+        |FROM m ORDER BY arm""".stripMargin,
+
+    // Welch A/B comparison (Experiment.compare vs arm_0): lifts, the
+    // unequal-variance standard error, and the t statistic — a fixed
+    // IEEE tree over the exact per-arm moments.
+    "q_ab_compare" ->
+      """WITH log AS (SELECT 'arm_' || (user_id % 3) AS arm,
+        |    value::DECIMAL(18,6) AS y FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |m AS (SELECT arm, count(*) AS n, sum(y) AS s, sum(y * y) AS ss
+        |  FROM log GROUP BY 1),
+        |d AS (SELECT arm, n, s::DOUBLE / n AS mean,
+        |    CASE WHEN n > 1 THEN (ss::DOUBLE -
+        |      s::DOUBLE * s::DOUBLE / n) / (n - 1) END AS vr
+        |  FROM m),
+        |c AS (SELECT n AS n_c, mean AS mean_c, vr AS var_c FROM d
+        |  WHERE arm = 'arm_0'),
+        |t AS (SELECT * FROM d WHERE arm <> 'arm_0')
+        |SELECT arm, t.n::BIGINT AS n_t, n_c::BIGINT AS n_c,
+        |  round(mean, 6) AS mean_t, round(mean_c, 6) AS mean_c,
+        |  round(mean - mean_c, 6) AS lift_abs,
+        |  round(CASE WHEN mean_c <> 0 THEN (mean - mean_c) / mean_c
+        |    END, 6) AS lift_rel,
+        |  round(sqrt(vr / t.n + var_c / n_c), 6) AS se,
+        |  round((mean - mean_c) / sqrt(vr / t.n + var_c / n_c), 6)
+        |    AS t_stat
+        |FROM t CROSS JOIN c ORDER BY arm""".stripMargin,
+
     // Target encoding (Encoding.targetEncode): exact decimal sums,
     // one prior*smoothing multiply and one shrinkage divide in IEEE.
     "q_target_encode" ->

@@ -1719,6 +1719,27 @@ object Queries {
     graft.operators.Popularity.concentrationProfile(
       t(s, dir, "lineitem").select(col("l_partkey").as("item")), "item")
 
+  /** Experiment-arm fixture: users hashed into three arms by id. */
+  private def abLog(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(concat(lit("arm_"), (col("user_id") % 3).cast("string"))
+        .as("arm"), col("value"))
+
+  /** Per-arm experiment moments ([[graft.operators.Experiment
+    * .armSummary]]): one keyed aggregation of exact decimal moments,
+    * IEEE-derived mean/variance.
+    */
+  def abArmsQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Experiment.armSummary(abLog(s, dir), "arm", "value")
+
+  /** Welch A/B readout ([[graft.operators.Experiment.compare]]):
+    * every treatment arm vs arm_0 — lifts, unequal-variance SE, and
+    * t statistic, all from the same exact moments.
+    */
+  def abCompareQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Experiment.compare(abLog(s, dir), "arm", "value",
+      "arm_0")
+
   /** Off-policy evaluation ([[graft.operators.OffPolicy]]): context =
     * user_id % 20, action = event_type, reward = value; empirical
     * propensities from the log, target policy = the log's own greedy
@@ -2288,6 +2309,8 @@ object Queries {
     "q_graph_bfs" -> (graphBfsQ _),
     "q_ips_eval" -> (ipsEvalQ _),
     "q_compaction_plan" -> (compactionPlanQ _),
+    "q_ab_arms" -> (abArmsQ _),
+    "q_ab_compare" -> (abCompareQ _),
     "q_target_encode" -> (targetEncodeQ _),
     "q_target_encode_loo" -> (targetEncodeLooQ _),
     "q_decayed_pop" -> (decayedPopQ _),
