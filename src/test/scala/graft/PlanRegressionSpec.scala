@@ -473,6 +473,43 @@ class PlanRegressionSpec extends SparkSpec {
       s"q_bpe_tokens grew a shuffle beyond the display sort:\n$pb")
   }
 
+  test("round-20 second wave: eval/CF/BFS plans stay equi-join + " +
+      "window-limit shaped") {
+    // item-CF: the user-key self-join and the support joins are all
+    // equi-joins (an all-pairs fallback here is THE item-CF scale
+    // cliff), and the per-item top-N is WindowGroupLimit-prunable so
+    // the rank exchange moves O(items x N) rows, not every pair
+    val pcf = plan("q_item_cf")
+    assert(!pcf.contains("CartesianProduct"), "cartesian in q_item_cf")
+    assert(!pcf.contains("BroadcastNestedLoopJoin"),
+      "nested loop in q_item_cf")
+    assert(pcf.contains("WindowGroupLimit"),
+      "top-N window lost its group-limit pruning")
+    // rank metrics: the only data-sized join (recs x truth) must stay
+    // an equi hash/merge join; the cutoff fan-out is a deliberate
+    // broadcast of the tiny k table, so nested-loop IS expected —
+    // cartesian of two data-sized sides is not
+    val prm = plan("q_rank_metrics")
+    assert(!prm.contains("CartesianProduct"), "cartesian in q_rank_metrics")
+    // IPS: the policy table joins by broadcast (context-space-sized
+    // dimension); shuffling the log against it would be the regression
+    val pips = plan("q_ips_eval")
+    assert(pips.contains("BroadcastHashJoin"),
+      "policy join lost its broadcast")
+    assert(!pips.contains("CartesianProduct"), "cartesian in q_ips_eval")
+    // BFS: every hop is a keyed equi-join of edges x distances
+    val pbfs = plan("q_graph_bfs")
+    assert(!pbfs.contains("CartesianProduct"), "cartesian in q_graph_bfs")
+    assert(!pbfs.contains("BroadcastNestedLoopJoin"),
+      "nested loop in q_graph_bfs")
+    // compaction: the packing window must stay partitioned by the
+    // table-partition key — losing it silently serializes the whole
+    // manifest through one partition
+    val pcp = plan("q_compaction_plan")
+    assert(pcp.contains("hashpartitioning(source"),
+      s"packing window lost its source partitioning:\n${pcp.take(600)}")
+  }
+
   test("q_dataset_card: text scanned once, aggregates read the cached " +
       "narrow frame") {
     val p = plan("q_dataset_card")
