@@ -1236,6 +1236,87 @@ fin$i AS (SELECT w, max_by(cnt, it) AS cnt, max_by(s, it) AS s
         |    AS snips
         |FROM j""".stripMargin,
 
+    // Markov transitions (Events.transitionMatrix): lead over the
+    // tie-free (ts, event_id) per-user order; probabilities are exact
+    // count ratios.
+    "q_transitions" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |    epoch_ns(ts) // 1000 AS us, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |st AS (SELECT event_type AS state, lead(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id) AS nxt
+        |  FROM ev),
+        |cnt AS (SELECT state, nxt AS next_state, count(*) AS n
+        |  FROM st WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT state, sum(n) AS n_out FROM cnt GROUP BY 1)
+        |SELECT state, next_state, n::BIGINT AS n,
+        |  round(n::DOUBLE / n_out::DOUBLE, 6) AS p
+        |FROM cnt JOIN tot USING (state)
+        |ORDER BY state, next_state""".stripMargin,
+
+    // Kaplan-Meier (Events.kaplanMeier over per-user activity spans):
+    // risk sets and death/censor counts are exact integers; each
+    // ln(1 - d/n) factor is 12-decimal-rounded before the exact
+    // decimal running sum, exponentiated once; a d = n_risk step
+    // drives survival exactly to 0 thereafter.
+    "q_kaplan_meier" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |    epoch_ns(ts) // 1000 AS us, event_type FROM events
+        |  WHERE user_id IS NOT NULL),
+        |lastt AS (SELECT user_id, event_type AS last_type
+        |  FROM (SELECT user_id, event_type, row_number() OVER (
+        |      PARTITION BY user_id ORDER BY us DESC, event_id DESC)
+        |      AS rn FROM ev) WHERE rn = 1),
+        |per AS (SELECT ev.user_id,
+        |    (max(us) - min(us)) // 86400000000 AS duration,
+        |    max(last_type = 'error') AS observed
+        |  FROM ev JOIN lastt ON ev.user_id = lastt.user_id
+        |  GROUP BY 1),
+        |g AS (SELECT duration,
+        |    sum(CASE WHEN observed THEN 1 ELSE 0 END) AS d,
+        |    sum(CASE WHEN observed THEN 0 ELSE 1 END) AS c
+        |  FROM per GROUP BY 1),
+        |w AS (SELECT duration, d, c,
+        |    sum(d + c) OVER (ORDER BY duration ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS thru,
+        |    sum(d + c) OVER () AS tot
+        |  FROM g),
+        |r AS (SELECT duration, d, c, tot - thru + d + c AS n_risk
+        |  FROM w),
+        |sv AS (SELECT duration, n_risk, d, c,
+        |    max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (
+        |      ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS dead,
+        |    sum((CASE WHEN d < n_risk
+        |        THEN round(ln(1 - d::DOUBLE / n_risk), 12)
+        |        ELSE 0.0 END)::DECIMAL(28,12)) OVER (
+        |      ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS lnsum
+        |  FROM r)
+        |SELECT duration, n_risk::BIGINT AS n_risk, d::BIGINT AS d,
+        |  c::BIGINT AS c,
+        |  CASE WHEN dead = 1 THEN 0.0
+        |    ELSE round(exp(lnsum::DOUBLE), 6) END AS survival
+        |FROM sv ORDER BY duration""".stripMargin,
+
+    // Streaming decayed popularity: however the micro-batches slice
+    // the stream, the complete-mode per-item (count, decimal sum)
+    // state equals the batch aggregation exactly — the oracle is
+    // q_decayed_pop's replay over the events-derived items.
+    "q_streaming_decayed_pop" ->
+      """WITH ref AS (SELECT max(epoch_ns(ts) // 1000) AS r
+        |  FROM events),
+        |it AS (SELECT user_id % 100 AS item,
+        |    epoch_ns(ts) // 1000 AS ts FROM events
+        |  WHERE user_id IS NOT NULL),
+        |w AS (SELECT item, round(pow(0.5,
+        |    ((r - ts)::DOUBLE / 86400000000.0) / 30.0), 12)
+        |    ::DECIMAL(28,12) AS w
+        |  FROM it CROSS JOIN ref)
+        |SELECT item, count(*)::BIGINT AS n,
+        |  round(sum(w)::DOUBLE, 6) AS score
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Experiment arm summary (Experiment.armSummary): exact decimal
     // (n, s, ss) moments; mean and unbiased variance derived in IEEE.
     "q_ab_arms" ->

@@ -1719,6 +1719,75 @@ object Queries {
     graft.operators.Popularity.concentrationProfile(
       t(s, dir, "lineitem").select(col("l_partkey").as("item")), "item")
 
+  /** Markov transition matrix ([[graft.operators.Events
+    * .transitionMatrix]]): per-user event-type step counts and
+    * row-normalized probabilities, ordered by (ts, event_id).
+    */
+  def transitionsQ(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    val log = raw.select(col("user_id"), col("event_id"),
+      graft.operators.Events.tsMicros(raw).as("ts_us"),
+      col("event_type"))
+    graft.operators.Events.transitionMatrix(log, "user_id",
+      Seq("ts_us", "event_id"), "event_type")
+  }
+
+  /** Kaplan-Meier survival ([[graft.operators.Events.kaplanMeier]]):
+    * per-user activity span in whole days as the duration, "last
+    * event is an error" as the observed-event flag (everyone else
+    * right-censored).
+    */
+  def kaplanMeierQ(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    val log = raw.select(col("user_id"), col("event_id"),
+        graft.operators.Events.tsMicros(raw).as("ts_us"),
+        col("event_type"))
+      .where(col("user_id").isNotNull)
+    val per = log.groupBy("user_id")
+      .agg(min("ts_us").as("first_us"), max("ts_us").as("last_us"),
+        max(struct(col("ts_us"), col("event_id"), col("event_type")))
+          .getField("event_type").as("last_type"))
+      .select(expr("(last_us - first_us) div 86400000000")
+          .as("duration_days"),
+        (col("last_type") === "error").as("observed"))
+    graft.operators.Events.kaplanMeier(per, "duration_days", "observed")
+  }
+
+  /** Streaming decayed popularity: [[graft.operators.Popularity
+    * .decayedScores]] is streaming-ready by construction — each decay
+    * term is computed row-local against the injected as-of clock and
+    * the per-item state is one (count, decimal sum) pair,
+    * merge-order-free — run here in complete mode over multi-batch
+    * JSONL arrival. The oracle is the batch replay verbatim.
+    */
+  def streamingDecayedPopQ(s: SparkSession, dir: String): DataFrame = {
+    val d = tmp("sdecay")
+    val raw = t(s, dir, "events")
+    val ref = raw.agg(max(graft.operators.Events.tsMicros(raw)))
+      .head().getLong(0)
+    raw.where(col("user_id").isNotNull)
+      .select((col("user_id") % 100).as("item"),
+        graft.operators.Events.tsMicros(raw).as("ts_us"))
+      .write.mode("overwrite").json(s"$d/in")
+    val schema = StructType(Seq(StructField("item", LongType),
+      StructField("ts_us", LongType)))
+    val table =
+      "sdecay_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withShufflePartitions(s, 4) {
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").json(s"$d/in")
+      val q = graft.operators.Popularity.decayedScores(src, "item",
+          "ts_us", ref, 30.0)
+        .writeStream.format("memory").queryName(table)
+        .outputMode("complete")
+        .option("checkpointLocation", s"$d/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(table).orderBy("item")
+  }
+
   /** Experiment-arm fixture: users hashed into three arms by id. */
   private def abLog(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -2311,6 +2380,9 @@ object Queries {
     "q_compaction_plan" -> (compactionPlanQ _),
     "q_ab_arms" -> (abArmsQ _),
     "q_ab_compare" -> (abCompareQ _),
+    "q_transitions" -> (transitionsQ _),
+    "q_kaplan_meier" -> (kaplanMeierQ _),
+    "q_streaming_decayed_pop" -> (streamingDecayedPopQ _),
     "q_target_encode" -> (targetEncodeQ _),
     "q_target_encode_loo" -> (targetEncodeLooQ _),
     "q_decayed_pop" -> (decayedPopQ _),

@@ -608,4 +608,99 @@ object Events {
       // USERS — no count_distinct shuffle needed
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** First-order Markov transition matrix over each key's
+    * time-ordered state sequence: counts and row-normalized
+    * probabilities of state -> next-state steps — the
+    * sequence-modeling summary (next-event prediction priors, funnel
+    * leak maps) read straight off the event log.
+    *
+    * One shuffle on the key for the lag window, one (state, next)
+    * count aggregation with map-side combine; output is
+    * state-alphabet², not log-sized. Probabilities are exact-count
+    * IEEE ratios, bit-identical on any engine.
+    *
+    * @param orderCols total per-key order (e.g. ts then event id) —
+    *                  must be tie-free or the lag is nondeterministic.
+    * @return (state, next_state, n, p) ordered by (state, next_state),
+    *         p = n / outgoing transitions FROM state, 6-decimal.
+    */
+  def transitionMatrix(events: DataFrame, keyCol: String,
+      orderCols: Seq[String], stateCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val steps = events
+      .where(col(keyCol).isNotNull && col(stateCol).isNotNull)
+      .withColumn("__next", lead(col(stateCol), 1).over(w))
+      .where(col("__next").isNotNull)
+      .groupBy(col(stateCol).as("state"), col("__next").as("next_state"))
+      .agg(count(lit(1)).as("n"))
+    val outTotals = steps.groupBy("state").agg(sum("n").as("n_out"))
+    steps.join(outTotals, Seq("state"))
+      .select(col("state"), col("next_state"), col("n"),
+        round(col("n").cast("double") / col("n_out").cast("double"), 6)
+          .as("p"))
+      .orderBy("state", "next_state")
+  }
+
+  /** Kaplan-Meier survival estimate over right-censored durations —
+    * time-to-churn / time-to-conversion curves from observational
+    * logs where many subjects simply haven't "died" yet.
+    *
+    * At each distinct duration t (ascending): n_risk = subjects with
+    * duration >= t, d = observed events at t, c = censored exits at
+    * t; the survival estimate multiplies (1 - d/n_risk) over all
+    * event times <= t. The product is computed as
+    * exp(Σ ln(1 - d/n)) with each log term rounded to 12 decimals
+    * before the exact decimal running sum — the factors are IEEE
+    * ratios of exact counts, so the curve is engine-reproducible; a
+    * step where d = n_risk drives survival exactly to 0 from there on
+    * (guarded, no ln(0)).
+    *
+    * Scale note: the per-duration grid (the only windowed frame) is
+    * distinct-duration-sized, not subject-sized — the subject table
+    * is touched by one grouping aggregation. The running window is a
+    * single ordered pass over that grid.
+    *
+    * @param durations one row per subject: duration (numeric) +
+    *                  observed flag (true = event, false = censored).
+    * @return (duration, n_risk, d, c, survival) ordered by duration,
+    *         survival 6-decimal.
+    */
+  def kaplanMeier(durations: DataFrame, durationCol: String,
+      observedCol: String): DataFrame = {
+    val grid = durations
+      .where(col(durationCol).isNotNull && col(observedCol).isNotNull)
+      .groupBy(col(durationCol).as("duration"))
+      .agg(sum(when(col(observedCol), 1L).otherwise(0L)).as("d"),
+        sum(when(col(observedCol), 0L).otherwise(1L)).as("c"))
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy(col("duration"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val withRisk = grid
+      .withColumn("__exited_thru",
+        sum(col("d") + col("c")).over(ord))
+      .withColumn("__total",
+        sum(col("d") + col("c")).over(org.apache.spark.sql.expressions
+          .Window.partitionBy(lit(1))))
+      .withColumn("n_risk",
+        col("__total") - col("__exited_thru") + col("d") + col("c"))
+    withRisk
+      .withColumn("__dead",
+        max(when(col("d") === col("n_risk"), 1L).otherwise(0L))
+          .over(ord))
+      .withColumn("__lnsum",
+        sum(when(col("d") < col("n_risk"),
+            round(log(lit(1.0) - col("d").cast("double") /
+              col("n_risk").cast("double")), 12))
+          .otherwise(lit(0.0)).cast("decimal(28,12)")).over(ord))
+      .select(col("duration"), col("n_risk"), col("d"), col("c"),
+        when(col("__dead") === 1L, lit(0.0))
+          .otherwise(round(exp(col("__lnsum").cast("double")), 6))
+          .as("survival"))
+      .orderBy("duration")
+  }
 }
