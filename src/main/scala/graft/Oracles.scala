@@ -2684,6 +2684,35 @@ fin$i AS (SELECT w, max_by(cnt, it) AS cnt, max_by(s, it) AS s
         |                   (990)) p(pm)
         |ORDER BY event_type NULLS FIRST, pm""".stripMargin,
 
+    // Winsorization (Quantiles.winsorizeSketch): the same bottom-k
+    // priority sketch evaluated at p50/p950 permilles; clip bounds are
+    // selected inputs, the clip a pure comparison — zero new
+    // arithmetic. NULL event_type rows drop at the equi-join.
+    "q_winsorize" ->
+      """WITH pri AS (SELECT event_type, value, event_id,
+        |    ('0x' || substr(md5(event_id::VARCHAR || ':qs'), 1, 15))::BIGINT
+        |      AS pri
+        |  FROM events WHERE value IS NOT NULL),
+        |sk AS (SELECT event_type, value FROM (
+        |    SELECT event_type, value,
+        |      row_number() OVER (PARTITION BY event_type
+        |                         ORDER BY pri, event_id) AS rn
+        |    FROM pri) WHERE rn <= 256),
+        |g AS (SELECT event_type, list(value ORDER BY value) AS vals,
+        |    count(*) AS m
+        |  FROM sk GROUP BY event_type),
+        |b AS (SELECT event_type,
+        |    vals[((m * 50 + 999) // 1000)::BIGINT] AS lo,
+        |    vals[((m * 950 + 999) // 1000)::BIGINT] AS hi
+        |  FROM g)
+        |SELECT event_id, e.event_type, value, lo, hi,
+        |  CASE WHEN value < lo THEN lo
+        |       WHEN value > hi THEN hi ELSE value END AS clipped,
+        |  (value < lo OR value > hi) AS was_clipped
+        |FROM events e JOIN b ON e.event_type = b.event_type
+        |WHERE value IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+
     // Continuous MAD gate (Quantiles.madOutliersSketch): median and
     // MAD are nearest-rank statistics of the 512 smallest-md5-priority
     // rows; the gate is |v - med| <= 3 * mad with every step a single

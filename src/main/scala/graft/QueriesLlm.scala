@@ -1788,6 +1788,23 @@ object QueriesLlm {
         k = 256, permilles = Seq(100, 250, 500, 750, 900, 990))
       .orderBy("event_type", "pm")
 
+  /** Sketch-bounded winsorization (Quantiles.winsorizeSketch): event
+    * values clipped per event_type to the sketch [p5, p95] band —
+    * bounds are SELECTED inputs and the clip is a pure comparison, so
+    * the whole output replays bit-for-bit off the sketch CTE. Rows
+    * with a NULL group key drop at the bound join (equi-join
+    * semantics), matching the oracle's.
+    */
+  def winsorizeQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantiles.winsorizeSketch(
+        t(s, dir, "events").select(col("event_id"), col("event_type"),
+          col("value")),
+        Seq("event_type"), "value", "event_id", k = 256,
+        loPermille = 50, hiPermille = 950)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("lo"), col("hi"), col("clipped"), col("was_clipped"))
+      .orderBy("event_id")
+
   /** Continuous-column MAD outlier gate (Quantiles.madOutliersSketch,
     * sketchK=512, k=3): median and MAD read from the bounded global
     * priority sample instead of exact percentile's unbounded
@@ -1941,6 +1958,7 @@ object QueriesLlm {
     "q_hll_merge" -> (hllMergeQ _),
     "q_kmv_distinct" -> (kmvDistinctQ _),
     "q_quantile_sketch" -> (quantileSketchQ _),
+    "q_winsorize" -> (winsorizeQ _),
     "q_mad_sketch" -> (madSketchQ _),
     "q_kmv_overlap" -> (kmvOverlapQ _),
     "q_priority_sample" -> (prioritySampleQ _),

@@ -195,6 +195,52 @@ object Quantiles {
     quantiles(sampleSketch(df, groupCols, valueCol, idCol, k),
       groupCols, valueCol, permilles)
 
+  /** Winsorization: clip `valueCol` to the per-group
+    * [loPermille, hiPermille] band estimated from the bottom-k
+    * priority sketch — the robust-cleaning step (cap the crawler's
+    * 10 GB "document", floor the negative price) that a 100 TB
+    * pipeline cannot run off exact per-group sorts.
+    *
+    * The clip bounds are SELECTED input values (nearest-rank, integer
+    * index arithmetic — see [[quantiles]]) and the clip itself is a
+    * pure comparison, so the output involves NO new arithmetic at
+    * all: bit-reproducible by construction, replayable by the same
+    * SQL that replays the sketch. Bounds sit within the sketch's DKW
+    * rank band of the true quantiles; groups with <= k rows clip at
+    * EXACT quantiles.
+    *
+    * Scale shape: the sketch shuffle carries O(groups x k) rows
+    * (WindowGroupLimit pattern); the bounds table is groups-sized and
+    * joins back by broadcast; the data-sized frame is touched by one
+    * scan + one broadcast join. NULL values are dropped (the sketch
+    * carries no rank information for them).
+    *
+    * @return `df`'s non-null-value rows plus `lo`, `hi`, `clipped`
+    *         (the winsorized value) and `was_clipped`.
+    */
+  def winsorizeSketch(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, idCol: String, k: Int,
+      loPermille: Int, hiPermille: Int): DataFrame = {
+    require(loPermille < hiPermille,
+      s"need loPermille < hiPermille, got $loPermille/$hiPermille")
+    val bounds = sketchQuantiles(df, groupCols, valueCol, idCol, k,
+        Seq(loPermille, hiPermille))
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(when(col("pm") === loPermille, col("q_est"))).as("lo"),
+        min(when(col("pm") === hiPermille, col("q_est"))).as("hi"))
+    val joined =
+      if (groupCols.isEmpty) df.crossJoin(broadcast(bounds))
+      else df.join(broadcast(bounds), groupCols)
+    joined
+      .where(col(valueCol).isNotNull)
+      .withColumn("clipped",
+        when(col(valueCol) < col("lo"), col("lo"))
+          .when(col(valueCol) > col("hi"), col("hi"))
+          .otherwise(col(valueCol)))
+      .withColumn("was_clipped",
+        col(valueCol) < col("lo") || col(valueCol) > col("hi"))
+  }
+
   /** MAD outlier gate for CONTINUOUS columns — the bounded-state
     * companion to [[Curation.madOutliers]], which is exact but buffers
     * per-distinct-value counts (fine for its documented integer

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{RuntimeFilter, Sketches}
+import graft.operators.{Quantiles, RuntimeFilter, Sketches}
 
 /** Distinct-count sketches + the Bloom runtime-filter join. */
 class SketchesSpec extends SparkSpec {
@@ -340,5 +340,35 @@ class SketchesSpec extends SparkSpec {
       k = 64).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),
       s"global bottom-k not a TakeOrdered:\n$plan")
+  }
+
+  test("winsorizeSketch: exact bounds below k, pure-comparison clip") {
+    // 10 rows, k=100 -> the sketch IS the group: p50/p950 permilles hit
+    // the nearest-rank values ceil(10*.05)=1st and ceil(10*.95)=10th...
+    // with lo=50 -> index (10*50+999) div 1000 = 1 (value 1.0) and
+    // hi=950 -> index (10*950+999) div 1000 = 10 (value 10.0): nothing
+    // clips. Tighter band lo=250/hi=750 -> 3.0 / 8.0.
+    val df = (1 to 10).map(i => (i.toLong, "g", i.toDouble))
+      .toDF("id", "grp", "v")
+    val out = Quantiles.winsorizeSketch(df, Seq("grp"), "v", "id",
+      k = 100, loPermille = 250, hiPermille = 750)
+    val rows = out.collect().map(r => r.getAs[Double]("v") ->
+      (r.getAs[Double]("clipped"), r.getAs[Boolean]("was_clipped")))
+      .toMap
+    assert(rows(1.0) == ((3.0, true)))
+    assert(rows(3.0) == ((3.0, false)))
+    assert(rows(5.0) == ((5.0, false)))
+    assert(rows(9.0) == ((8.0, true)))
+    assert(rows(10.0) == ((8.0, true)))
+    // null group keys drop at the bound join; null values drop too
+    val extra = Seq((99L, Option.empty[String], Option(5.0)),
+      (98L, Option("g"), Option.empty[Double])).toDF("id", "grp", "v")
+    val n = Quantiles.winsorizeSketch(df.unionByName(extra),
+      Seq("grp"), "v", "id",
+      k = 100, loPermille = 250, hiPermille = 750).count()
+    assert(n == 10L)
+    intercept[IllegalArgumentException] {
+      Quantiles.winsorizeSketch(df, Seq("grp"), "v", "id", 100, 900, 100)
+    }
   }
 }
