@@ -1254,6 +1254,52 @@ fin$i AS (SELECT w, max_by(cnt, it) AS cnt, max_by(s, it) AS s
         |FROM cnt JOIN tot USING (state)
         |ORDER BY state, next_state""".stripMargin,
 
+    // Skip-gram pairs (Events.skipGramPairs): lead columns over the
+    // tie-safe per-customer order, symmetric union, exact counts.
+    "q_skipgram" ->
+      """WITH f AS (SELECT o_custkey AS u, l_partkey AS item,
+        |    o_orderdate AS d, l_orderkey AS ok, l_linenumber AS ln
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |l AS (SELECT u, item,
+        |    lead(item, 1) OVER w AS c1, lead(item, 2) OVER w AS c2
+        |  FROM f WINDOW w AS (PARTITION BY u ORDER BY d, ok, ln, item)),
+        |p AS (SELECT item AS a, c1 AS b FROM l WHERE c1 IS NOT NULL
+        |  UNION ALL SELECT item, c2 FROM l WHERE c2 IS NOT NULL),
+        |s AS (SELECT a AS center, b AS context FROM p
+        |  UNION ALL SELECT b, a FROM p)
+        |SELECT center, context, count(*)::BIGINT AS n FROM s
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Spike detection (Events.spikes): trailing-7 exact decimal frame
+    // sums; mean/variance/z a fixed IEEE tree; zero-variance baseline
+    // flags any deviation; short history (< 3) reports null.
+    "q_spike_detect" ->
+      """WITH ev AS (SELECT event_type,
+        |    (epoch_ns(ts) // 1000) // 86400000000 AS day FROM events),
+        |c AS (SELECT event_type, day, count(*) AS x FROM ev
+        |  GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, x,
+        |    count(y) OVER f AS base_n, sum(y) OVER f AS s,
+        |    sum(y * y) OVER f AS ss
+        |  FROM (SELECT *, x::DECIMAL(18,6) AS y FROM c)
+        |  WINDOW f AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT event_type, day, x, base_n,
+        |    s::DOUBLE / base_n AS mean,
+        |    sqrt((ss::DOUBLE - s::DOUBLE * s::DOUBLE / base_n)
+        |      / base_n) AS sd
+        |  FROM w)
+        |SELECT event_type, day, x::BIGINT AS x,
+        |  base_n::BIGINT AS base_n,
+        |  CASE WHEN base_n >= 3 THEN round(mean, 6) END AS base_mean,
+        |  CASE WHEN base_n >= 3 AND sd > 0
+        |    THEN round((x::DOUBLE - mean) / sd, 6) END AS z,
+        |  CASE WHEN base_n >= 3 THEN
+        |    CASE WHEN sd > 0 THEN abs((x::DOUBLE - mean) / sd) > 2.0
+        |      ELSE (x::DOUBLE - mean) <> 0 END
+        |  END AS spike
+        |FROM z ORDER BY event_type NULLS FIRST, day""".stripMargin,
+
     // Kaplan-Meier (Events.kaplanMeier over per-user activity spans):
     // risk sets and death/censor counts are exact integers; each
     // ln(1 - d/n) factor is 12-decimal-rounded before the exact

@@ -1788,6 +1788,43 @@ object Queries {
     s.table(table).orderBy("item")
   }
 
+  /** Skip-gram pair extraction ([[graft.operators.Events
+    * .skipGramPairs]]): symmetric (center, context) part counts
+    * within 2 positions of each customer's time-ordered purchase
+    * sequence — one window pass with lead columns, no positional
+    * self-join.
+    */
+  def skipgramQ(s: SparkSession, dir: String): DataFrame = {
+    val fact = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("user_id"),
+        col("l_partkey").as("item"), col("o_orderdate"),
+        col("l_orderkey"), col("l_linenumber"))
+    graft.operators.Events.skipGramPairs(fact, "user_id",
+      Seq("o_orderdate", "l_orderkey", "l_linenumber", "item"),
+      "item", window = 2)
+  }
+
+  /** Trailing-window spike detection ([[graft.operators.Events
+    * .spikes]]): daily event counts per type against their own
+    * previous 7 days, k = 2 — exact decimal frame sums, IEEE z.
+    */
+  def spikeDetectQ(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    val counts = raw
+      .select(col("event_type"),
+        graft.operators.Events.tsMicros(raw).as("__us"))
+      .withColumn("day", expr("__us div 86400000000"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("x"))
+    graft.operators.Events.spikes(counts, "event_type", "day", "x",
+        base = 7, k = 2.0)
+      .select(col("event_type"), col("day"), col("x"), col("base_n"),
+        col("base_mean"), col("z"), col("spike"))
+      .orderBy("event_type", "day")
+  }
+
   /** Experiment-arm fixture: users hashed into three arms by id. */
   private def abLog(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -2381,6 +2418,8 @@ object Queries {
     "q_ab_arms" -> (abArmsQ _),
     "q_ab_compare" -> (abCompareQ _),
     "q_transitions" -> (transitionsQ _),
+    "q_skipgram" -> (skipgramQ _),
+    "q_spike_detect" -> (spikeDetectQ _),
     "q_kaplan_meier" -> (kaplanMeierQ _),
     "q_streaming_decayed_pop" -> (streamingDecayedPopQ _),
     "q_target_encode" -> (targetEncodeQ _),

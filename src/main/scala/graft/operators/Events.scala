@@ -644,6 +644,92 @@ object Events {
       .orderBy("state", "next_state")
   }
 
+  /** Skip-gram (center, context) pair counts over each key's
+    * time-ordered item sequence — the embedding-training data prep
+    * (item2vec / word2vec-style) read off interaction logs: every
+    * ordered pair within `window` positions, both directions, counted.
+    *
+    * Implemented as ONE window pass with `window` lead columns
+    * (posexplode'd), not a positional self-join — the fan-out is
+    * exactly `window` rows per input row before the count
+    * aggregation, and the only shuffles are the key-order window and
+    * the (center, context) count. `orderCols` must be tie-free or
+    * have payload-equal ties (include the item column).
+    *
+    * @return (center, context, n) ordered by (center, context, n
+    *         implied unique); symmetric — n(a,b) == n(b,a).
+    */
+  def skipGramPairs(df: DataFrame, keyCol: String,
+      orderCols: Seq[String], itemCol: String, window: Int)
+      : DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    // window exprs first, THEN the generator — Spark cannot evaluate a
+    // generator over window functions in one projection
+    val withLeads = (1 to window).foldLeft(
+      df.where(col(keyCol).isNotNull && col(itemCol).isNotNull)) {
+      case (d, i) => d.withColumn(s"__l$i", lead(col(itemCol), i).over(w))
+    }
+    val pairs = withLeads
+      .withColumn("__ctx",
+        explode(array((1 to window).map(i => col(s"__l$i")): _*)))
+      .where(col("__ctx").isNotNull)
+      .select(col(itemCol).as("a"), col("__ctx").as("b"))
+    pairs.select(col("a").as("center"), col("b").as("context"))
+      .unionAll(pairs.select(col("b").as("center"), col("a").as("context")))
+      .groupBy("center", "context")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("center", "context")
+  }
+
+  /** Trailing-window spike detection over a keyed time series: each
+    * point is compared against the mean/stddev of its own previous
+    * `base` points — the metric-anomaly gate (traffic spikes, error
+    * bursts) that needs no global model. Baselines are exact decimal
+    * frame sums with mean/variance derived in IEEE; a point with
+    * fewer than `minBase` predecessors reports null (insufficient
+    * history), a zero-variance baseline flags any deviation.
+    *
+    * One key-partitioned ordered window (two decimal frame sums + a
+    * count, all in the same frame); nothing else touches the series.
+    *
+    * @return input plus (base_n, base_mean, z, spike); z 6-decimal,
+    *         null when sd == 0 or history short; spike null when
+    *         history short.
+    */
+  def spikes(series: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String, base: Int, k: Double = 3.0,
+      minBase: Int = 3): DataFrame = {
+    require(base >= minBase && minBase >= 2,
+      s"need base >= minBase >= 2, got base=$base minBase=$minBase")
+    val frame = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(-base, -1)
+    val y = col(valueCol).cast("decimal(18,6)")
+    val withBase = series
+      .withColumn("base_n", count(y).over(frame))
+      .withColumn("__s", sum(y).over(frame))
+      .withColumn("__ss", sum(y * y).over(frame))
+    val meanC = col("__s").cast("double") / col("base_n").cast("double")
+    // population variance of the baseline window
+    val varC = (col("__ss").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double") /
+        col("base_n").cast("double")) / col("base_n").cast("double")
+    val sdC = sqrt(varC)
+    val dev = col(valueCol).cast("double") - meanC
+    withBase
+      .withColumn("base_mean",
+        when(col("base_n") >= minBase, round(meanC, 6)))
+      .withColumn("z", when(col("base_n") >= minBase && sdC > 0.0,
+        round(dev / sdC, 6)))
+      .withColumn("spike", when(col("base_n") >= minBase,
+        when(sdC > 0.0, abs(dev / sdC) > lit(k))
+          .otherwise(dev =!= 0.0)))
+      .drop("__s", "__ss")
+  }
+
   /** Kaplan-Meier survival estimate over right-censored durations —
     * time-to-churn / time-to-conversion curves from observational
     * logs where many subjects simply haven't "died" yet.

@@ -50,4 +50,54 @@ class SurvivalSpec extends SparkSpec {
     // risk set still shrinks
     assert(out.map(_.getLong(1)).toSeq == Seq(2L, 1L))
   }
+
+  test("skipGramPairs: window-bounded symmetric pairs, exact counts") {
+    // user 1 sequence: A B C D with window 2 ->
+    // forward pairs: AB AC BC BD CD; symmetric: 10 directed rows
+    val ev = Seq((1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "C"),
+      (1L, 4L, "D")).toDF("u", "seq", "item")
+    val out = Events.skipGramPairs(ev, "u", Seq("seq"), "item", 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getLong(2)).toMap
+    assert(out.size == 10)
+    assert(out(("A", "B")) == 1L && out(("B", "A")) == 1L)
+    assert(out(("A", "C")) == 1L)
+    assert(!out.contains(("A", "D"))) // 3 positions apart
+    // repeated co-occurrence accumulates
+    val ev2 = Seq((1L, 1L, "X"), (1L, 2L, "Y"), (2L, 1L, "X"),
+      (2L, 2L, "Y")).toDF("u", "seq", "item")
+    val out2 = Events.skipGramPairs(ev2, "u", Seq("seq"), "item", 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getLong(2)).toMap
+    assert(out2(("X", "Y")) == 2L)
+  }
+
+  test("spikes: trailing baseline, z, zero-variance and short history") {
+    // key g: values 1,1,1,1,100 -> the 100 sees base {1,1,1,1}: sd 0
+    // -> spike (deviation on flat baseline); first 3 points: history
+    // short (< minBase after 0/1/2 predecessors) -> nulls
+    val s = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0), (4L, 1.0),
+      (5L, 100.0)).map { case (t, v) => ("g", t, v) }
+      .toDF("k", "t", "v")
+    val out = Events.spikes(s, "k", "t", "v", base = 4, k = 2.0)
+      .orderBy("t").collect()
+    assert(out.take(3).forall(_.isNullAt(out.head.fieldIndex("spike"))))
+    val fourth = out(3) // base {1,1,1}: mean 1, sd 0, v=1 -> no spike
+    assert(fourth.getAs[Boolean]("spike") == false)
+    val fifth = out(4)  // base {1,1,1,1}: sd 0, v=100 -> spike
+    assert(fifth.getAs[Boolean]("spike") == true)
+    assert(fifth.isNullAt(fifth.fieldIndex("z"))) // sd 0 -> z null
+    assert(fifth.getAs[Double]("base_mean") == 1.0)
+    // varying baseline produces a real z
+    val s2 = Seq(1.0, 3.0, 1.0, 3.0, 12.0).zipWithIndex
+      .map { case (v, i) => ("g", i.toLong, v) }.toDF("k", "t", "v")
+    val r5 = Events.spikes(s2, "k", "t", "v", base = 4, k = 2.0)
+      .orderBy("t").collect().last
+    // base {1,3,1,3}: mean 2, sd 1 -> z = 10
+    assert(r5.getAs[Double]("z") == 10.0)
+    assert(r5.getAs[Boolean]("spike") == true)
+    intercept[IllegalArgumentException] {
+      Events.spikes(s2, "k", "t", "v", base = 2, k = 2.0, minBase = 3)
+    }
+  }
 }
