@@ -3882,6 +3882,25 @@ fin$i AS (SELECT w, max_by(cnt, it) AS cnt, max_by(s, it) AS s
          |FROM documents d LEFT JOIN bpecnt c USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
+    // Tokenizer fitness (bpeStatsQ): word/token/merged counts off the
+    // same per-word greedy replay, two IEEE ratios. Empty docs count
+    // in n_docs via the LEFT JOIN (they have no bpe_fin rows).
+    "q_bpe_stats" ->
+      s"""WITH RECURSIVE $bpeCtes,
+         |per AS (SELECT doc_id, count(*) AS w, sum(len(s)) AS tk,
+         |    sum(len(list_filter(s, x -> len(x) > 1))) AS mg
+         |  FROM bpe_fin GROUP BY 1),
+         |agg AS (SELECT count(*) AS n_docs,
+         |    sum(coalesce(w, 0)) AS n_words,
+         |    sum(coalesce(tk, 0)) AS n_tokens,
+         |    sum(coalesce(mg, 0)) AS n_merged
+         |  FROM documents d LEFT JOIN per USING (doc_id))
+         |SELECT n_docs::BIGINT AS n_docs, n_words::BIGINT AS n_words,
+         |  n_tokens::BIGINT AS n_tokens, n_merged::BIGINT AS n_merged,
+         |  round(n_tokens::DOUBLE / n_words, 6) AS fertility,
+         |  round(n_merged::DOUBLE / n_tokens, 6) AS merged_share
+         |FROM agg""".stripMargin,
+
     // Tokenizer-true budget selection: q_budget_select's running-sum
     // replay with the cost swapped to the recursive-CTE BPE count.
     "q_budget_select_bpe" ->

@@ -1380,6 +1380,32 @@ object QueriesLlm {
           .as("n_bpe_tokens"))
       .orderBy("doc_id")
 
+  /** Tokenizer fitness report: corpus-level fertility (BPE tokens per
+    * whitespace-ish word — the compression a vocabulary buys) and
+    * merged-token share (how much text the merge table actually
+    * covers vs falling through to single code points — the OOV-rate
+    * analogue for a merges-only vocab). Exact integer sums from the
+    * same codegen'd [[graft.functions.TextFunctions.bpeSegment]]
+    * expression, two IEEE ratios; the oracle replays the greedy loop
+    * per word and aggregates identically.
+    */
+  def bpeStatsQ(s: SparkSession, dir: String): DataFrame = {
+    val seg = T.bpeSegment(col("text"), T.demoMerges)
+    t(s, dir, "documents")
+      .select(size(T.tokens(col("text"))).cast("long").as("w"),
+        size(seg).cast("long").as("tk"),
+        size(filter(seg, t => length(t) > lit(1))).cast("long")
+          .as("mg"))
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("n_words"),
+        sum("tk").as("n_tokens"), sum("mg").as("n_merged"))
+      .select(col("n_docs"), col("n_words"), col("n_tokens"),
+        col("n_merged"),
+        round(col("n_tokens").cast("double") /
+          col("n_words").cast("double"), 6).as("fertility"),
+        round(col("n_merged").cast("double") /
+          col("n_tokens").cast("double"), 6).as("merged_share"))
+  }
+
   /** Distributed BPE TRAINING (Tokenizer.bpeTrain): learn 6 merge
     * rules from the documents corpus — corpus collapses once to the
     * distinct-word frequency table, each iteration is one
@@ -2004,6 +2030,7 @@ object QueriesLlm {
     "q_term_df" -> (termDf _),
     "q_token_percentiles" -> (tokenPercentiles _),
     "q_bpe_tokens" -> (bpeTokensQ _),
+    "q_bpe_stats" -> (bpeStatsQ _),
     "q_bpe_train" -> (bpeTrainQ _),
     "q_decontaminate" -> (decontaminateQ _),
     "q_budget_select_bpe" -> (budgetSelectBpeQ _),
