@@ -1376,6 +1376,20 @@ fin$i AS (SELECT w, max_by(cnt, it) AS cnt, max_by(s, it) AS s
         |      s::DOUBLE * s::DOUBLE / n) / (n - 1) END, 6) AS variance
         |FROM m ORDER BY arm""".stripMargin,
 
+    // Streaming experiment readout: however the micro-batches slice
+    // the log, the complete-mode per-arm (n, Σy, Σy²) state equals
+    // the batch moments exactly — q_ab_arms' replay serves verbatim.
+    "q_streaming_ab" ->
+      """WITH log AS (SELECT 'arm_' || (user_id % 3) AS arm,
+        |    value::DECIMAL(18,6) AS y FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |m AS (SELECT arm, count(*) AS n, sum(y) AS s, sum(y * y) AS ss
+        |  FROM log GROUP BY 1)
+        |SELECT arm, n::BIGINT AS n, round(s::DOUBLE / n, 6) AS mean,
+        |  round(CASE WHEN n > 1 THEN (ss::DOUBLE -
+        |      s::DOUBLE * s::DOUBLE / n) / (n - 1) END, 6) AS variance
+        |FROM m ORDER BY arm""".stripMargin,
+
     // Welch A/B comparison (Experiment.compare vs arm_0): lifts, the
     // unequal-variance standard error, and the t statistic — a fixed
     // IEEE tree over the exact per-arm moments.

@@ -1846,6 +1846,35 @@ object Queries {
     graft.operators.Experiment.compare(abLog(s, dir), "arm", "value",
       "arm_0")
 
+  /** Streaming experiment readout: [[graft.operators.Experiment
+    * .armSummary]] is streaming-ready by construction — per-arm state
+    * is one (count, decimal Σy, decimal Σy²) triple, order-free —
+    * run in complete mode over multi-batch JSONL arrival; the oracle
+    * is q_ab_arms' batch replay verbatim. This is the live-experiment
+    * monitor: arm moments stay current as interaction files land.
+    */
+  def streamingAbQ(s: SparkSession, dir: String): DataFrame = {
+    val d = tmp("sab")
+    abLog(s, dir).where(col("arm").isNotNull && col("value").isNotNull)
+      .write.mode("overwrite").json(s"$d/in")
+    val schema = StructType(Seq(StructField("arm", StringType),
+      StructField("value", DoubleType)))
+    val table =
+      "sab_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withShufflePartitions(s, 4) {
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").json(s"$d/in")
+      val q = graft.operators.Experiment.armSummary(src, "arm", "value")
+        .writeStream.format("memory").queryName(table)
+        .outputMode("complete")
+        .option("checkpointLocation", s"$d/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(table).orderBy("arm")
+  }
+
   /** Off-policy evaluation ([[graft.operators.OffPolicy]]): context =
     * user_id % 20, action = event_type, reward = value; empirical
     * propensities from the log, target policy = the log's own greedy
@@ -2417,6 +2446,7 @@ object Queries {
     "q_compaction_plan" -> (compactionPlanQ _),
     "q_ab_arms" -> (abArmsQ _),
     "q_ab_compare" -> (abCompareQ _),
+    "q_streaming_ab" -> (streamingAbQ _),
     "q_transitions" -> (transitionsQ _),
     "q_skipgram" -> (skipgramQ _),
     "q_spike_detect" -> (spikeDetectQ _),
