@@ -316,6 +316,7 @@ fin$i AS (SELECT w, max_by(cnt, it) AS cnt, max_by(s, it) AS s
     // both, and a divergence between the two engines' shapes reads as
     // a red row on exactly one of the pair.
     "q_sessionize_bucketed" -> base("q_sessionize"),
+    "q_transitions_bucketed" -> base("q_transitions"),
     "q_session_prefixes_bucketed" -> base("q_session_prefixes"),
     "q_asof_join_bucketed" -> base("q_asof_join"),
     // The auto routes probe the key distribution and pick a shape;

@@ -1732,6 +1732,20 @@ object Queries {
       Seq("ts_us", "event_id"), "event_type")
   }
 
+  /** Hot-key-safe transition matrix ([[graft.operators.Events
+    * .transitionMatrixBucketed]], 1-hour buckets): output-identical
+    * to [[transitionsQ]] — the oracle is the SAME SQL — but no
+    * reducer ever sorts one user's whole timeline.
+    */
+  def transitionsBucketedQ(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    val log = raw.select(col("user_id"), col("event_id"),
+      graft.operators.Events.tsMicros(raw).as("ts_us"),
+      col("event_type"))
+    graft.operators.Events.transitionMatrixBucketed(log, "user_id",
+      "ts_us", Seq("event_id"), "event_type")
+  }
+
   /** Kaplan-Meier survival ([[graft.operators.Events.kaplanMeier]]):
     * per-user activity span in whole days as the duration, "last
     * event is an error" as the observed-event flag (everyone else
@@ -2448,6 +2462,7 @@ object Queries {
     "q_ab_compare" -> (abCompareQ _),
     "q_streaming_ab" -> (streamingAbQ _),
     "q_transitions" -> (transitionsQ _),
+    "q_transitions_bucketed" -> (transitionsBucketedQ _),
     "q_skipgram" -> (skipgramQ _),
     "q_spike_detect" -> (spikeDetectQ _),
     "q_kaplan_meier" -> (kaplanMeierQ _),

@@ -730,6 +730,64 @@ object Events {
       .drop("__s", "__ss")
   }
 
+  /** Hot-key-safe form of [[transitionMatrix]]: OUTPUT-IDENTICAL
+    * (same oracle), but no reducer ever sorts one key's whole
+    * timeline — the [[sessionizeBucketed]] discipline applied to
+    * adjacent-pair extraction.
+    *
+    * Two phases: (1) within-bucket lead pairs under a (key, time
+    * bucket) window, so the sort unit is one key's one bucket;
+    * (2) boundary pairs from a per-(key, bucket) aggregate table
+    * (first/last state via struct min/max — map-side combinable)
+    * joined to the NEXT OCCUPIED bucket with a lead over that compact
+    * per-bucket table (rows = occupied buckets, not events — empty
+    * buckets in between are skipped correctly). A 14%-hot key costs
+    * its share of buckets, never one reducer.
+    *
+    * @param tsCol     numeric (e.g. epoch-micros) primary order column
+    *                  — the bucketing key.
+    * @param tieCols   trailing order columns making (ts, ties)
+    *                  tie-free per key.
+    */
+  def transitionMatrixBucketed(events: DataFrame, keyCol: String,
+      tsCol: String, tieCols: Seq[String], stateCol: String,
+      bucketMicros: Long = 3600L * 1000000L): DataFrame = {
+    require(bucketMicros > 0, s"bucketMicros > 0, got $bucketMicros")
+    val base = events
+      .where(col(keyCol).isNotNull && col(stateCol).isNotNull)
+      .withColumn("__b", expr(s"$tsCol div ${bucketMicros}L"))
+    val ord = (col(tsCol) +: tieCols.map(col))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol), col("__b")).orderBy(ord: _*)
+    val within = base
+      .withColumn("__next", lead(col(stateCol), 1).over(wIn))
+      .where(col("__next").isNotNull)
+      .select(col(stateCol).as("state"), col("__next").as("next_state"))
+    // per-(key, occupied-bucket) first/last over the total struct
+    // order (ts, ties..., state) — state rides along, never compared
+    // first
+    val orderedStruct = struct(ord :+ col(stateCol).as("__st"): _*)
+    val perBucket = base
+      .groupBy(col(keyCol), col("__b"))
+      .agg(min(orderedStruct).getField("__st").as("__first"),
+        max(orderedStruct).getField("__st").as("__last"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("__b"))
+    val boundary = perBucket
+      .withColumn("__nextFirst", lead(col("__first"), 1).over(wB))
+      .where(col("__nextFirst").isNotNull)
+      .select(col("__last").as("state"),
+        col("__nextFirst").as("next_state"))
+    val steps = within.unionByName(boundary)
+      .groupBy("state", "next_state").agg(count(lit(1)).as("n"))
+    val outTotals = steps.groupBy("state").agg(sum("n").as("n_out"))
+    steps.join(outTotals, Seq("state"))
+      .select(col("state"), col("next_state"), col("n"),
+        round(col("n").cast("double") / col("n_out").cast("double"), 6)
+          .as("p"))
+      .orderBy("state", "next_state")
+  }
+
   /** Kaplan-Meier survival estimate over right-censored durations —
     * time-to-churn / time-to-conversion curves from observational
     * logs where many subjects simply haven't "died" yet.

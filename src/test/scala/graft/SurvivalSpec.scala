@@ -51,6 +51,29 @@ class SurvivalSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).toSeq == Seq(2L, 1L))
   }
 
+  test("transitionMatrixBucketed == transitionMatrix: boundaries, " +
+      "empty buckets, randomized") {
+    // deterministic pseudo-random log: 200 events, 5 users, 4 states,
+    // timestamps spread so bucket width 10 leaves many empty buckets
+    // between occupied ones, and several bucket-boundary transitions
+    val rows = (0 until 200).map { i =>
+      val u = (i * 7919) % 5
+      val ts = ((i * 104729) % 1000).toLong
+      val st = "s" + ((i * 31 + u) % 4)
+      (u.toLong, ts, i.toLong, st)
+    }
+    import spark.implicits._
+    val df = rows.toDF("u", "ts", "id", "state")
+    val plain = Events.transitionMatrix(df, "u", Seq("ts", "id"),
+      "state").collect().map(_.toSeq).toSet
+    for (bucket <- Seq(1L, 10L, 100L, 100000L)) {
+      val bucketed = Events.transitionMatrixBucketed(df, "u", "ts",
+        Seq("id"), "state", bucketMicros = bucket)
+        .collect().map(_.toSeq).toSet
+      assert(bucketed == plain, s"divergence at bucket width $bucket")
+    }
+  }
+
   test("skipGramPairs: window-bounded symmetric pairs, exact counts") {
     // user 1 sequence: A B C D with window 2 ->
     // forward pairs: AB AC BC BD CD; symmetric: 10 directed rows
