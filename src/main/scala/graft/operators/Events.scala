@@ -735,6 +735,15 @@ object Events {
     * timeline — the [[sessionizeBucketed]] discipline applied to
     * adjacent-pair extraction.
     *
+    * MEASURED trade (BENCH_SKEW_TRANSITIONS_r20.json): unlike the
+    * sessionize/prefix windows (which carry per-row state and lose
+    * 2-3x on a 14% hot key at x100), a transition LEAD is one string
+    * per row — cheap enough that the plain form stays 4x FASTER even
+    * at x100 with the planted hot key. Prefer [[transitionMatrix]]
+    * unless a single key's timeline exceeds the executor sort/spill
+    * budget (order 1e8+ events per key); this form is the documented
+    * escape hatch for exactly that regime, not a default.
+    *
     * Two phases: (1) within-bucket lead pairs under a (key, time
     * bucket) window, so the sort unit is one key's one bucket;
     * (2) boundary pairs from a per-(key, bucket) aggregate table
