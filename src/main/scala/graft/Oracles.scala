@@ -4127,6 +4127,23 @@ fin$i AS (SELECT w, max_by(cnt, it) AS cnt, max_by(s, it) AS s
       """SELECT doc_id + 100000 AS "batch_id", doc_id AS "corpus_id"
         |FROM documents WHERE doc_id < 150 ORDER BY 1""".stripMargin,
 
+    // Split-leakage audit (splitLeakageQ): the planted twin pairs
+    // whose members land on opposite sides of the 80/20 salted-bucket
+    // split — the same closed-form planted-recall contract as
+    // q_neardup_against, with the side assignment recomputed from the
+    // identical md5 bucket arithmetic.
+    "q_split_leakage" ->
+      s"""WITH pairs AS (SELECT doc_id AS orig, doc_id + 100000 AS twin
+         |  FROM documents WHERE doc_id < 150),
+         |so AS (SELECT orig, (${md5_60("orig::VARCHAR || ':split'")}
+         |    % 1000000) >= 800000 AS t FROM pairs),
+         |st AS (SELECT twin, (${md5_60("twin::VARCHAR || ':split'")}
+         |    % 1000000) >= 800000 AS t FROM pairs)
+         |SELECT CASE WHEN so.t THEN orig ELSE twin END AS test_id,
+         |  CASE WHEN so.t THEN twin ELSE orig END AS train_id
+         |FROM pairs JOIN so USING (orig) JOIN st USING (twin)
+         |WHERE so.t <> st.t ORDER BY test_id, train_id""".stripMargin,
+
     // Index-probed variant: identical planted-recall contract — the
     // persisted (band, id) index must change WHERE signatures come
     // from, never WHAT collides.

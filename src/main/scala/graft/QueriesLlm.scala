@@ -850,6 +850,38 @@ object QueriesLlm {
       .orderBy("batch_id")
   }
 
+  /** Train/test split leakage audit — the composition a training
+    * pipeline runs before shipping a split: hash-split the
+    * twin-planted corpus 80/20 by the engine's salted bucket, then
+    * probe the TEST side against the TRAIN side with the banded
+    * minhash near-dup join. Any planted twin pair whose members
+    * landed on opposite sides of the split is a leak (the test set
+    * contains a near-copy of a training document) and must surface;
+    * the output is restricted to the planted pairs so the oracle is a
+    * closed form over the same md5 bucket arithmetic — recall 1.0 on
+    * the 90% twins is the gate, exactly as in [[nearDupAgainst]].
+    * (For leak-PROOF splits use `Sampling.groupAwareSplit` /
+    * `q_group_split`, which hashes on the dedup-group root; this
+    * audit is the detector for splits that didn't.)
+    */
+  def splitLeakageQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val sided = docsWithTwins(s, dir, pct = 90)
+      .withColumn("is_test",
+        Sampling.saltedBucket(col("doc_id"), Sampling.SplitSalt) >=
+          800000L)
+    val test = sided.where(col("is_test")).select("doc_id", "text")
+    val train = sided.where(!col("is_test")).select("doc_id", "text")
+    Dedup.minhashNearDupsAgainst(test, train, "doc_id", "text",
+        shingleWidth = 3, numHashes = 32, bands = 16, threshold = 0.3,
+        cache = Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .where(abs(col("batch_id") - col("corpus_id")) === 100000L &&
+        least(col("batch_id"), col("corpus_id")) < 150)
+      .select(col("batch_id").as("test_id"),
+        col("corpus_id").as("train_id"))
+      .orderBy("test_id", "train_id")
+  }
+
   /** Near-dup against a PERSISTED minhash index
     * (Dedup.minhashIndexWrite + minhashNearDupsAgainstIndex): the
     * index is built once from the corpus — including an APPEND of the
@@ -2081,6 +2113,7 @@ object QueriesLlm {
     "q_length_filter" -> (lengthFilterQ _),
     "q_unigram_logprob" -> (unigramLogProbQ _),
     "q_neardup_against" -> (nearDupAgainst _),
+    "q_split_leakage" -> (splitLeakageQ _),
     "q_neardup_indexed" -> (nearDupAgainstIndex _),
     "q_chunk_docs" -> (chunkDocsQ _),
     "q_curation_pipeline" -> (curationPipeline _),
