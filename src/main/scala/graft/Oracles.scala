@@ -317,6 +317,10 @@ fin$i AS (SELECT w, max_by(cnt, it) AS cnt, max_by(s, it) AS s
     // a red row on exactly one of the pair.
     "q_sessionize_bucketed" -> base("q_sessionize"),
     "q_transitions_bucketed" -> base("q_transitions"),
+    // Incremental item-CF folds a delta into the log with pair
+    // fan-out only for touched users; pair counts partition
+    // additively by user, so the full-rebuild oracle serves verbatim.
+    "q_item_cf_incremental" -> base("q_item_cf"),
     "q_session_prefixes_bucketed" -> base("q_session_prefixes"),
     "q_asof_join_bucketed" -> base("q_asof_join"),
     // The auto routes probe the key distribution and pick a shape;

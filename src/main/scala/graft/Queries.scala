@@ -1652,6 +1652,22 @@ object Queries {
     graft.operators.ItemSim.cosineNeighbors(
       orderFact(s, dir).select("user_id", "item_id"))
 
+  /** Incremental item-CF ([[graft.operators.ItemSim
+    * .cosineNeighborsIncremental]]): fold the post-1996 orders into
+    * the pre-1996 log, pair fan-out computed only for the users the
+    * delta touches — output-identical to the full rebuild, so
+    * [[itemCfQ]]'s oracle serves verbatim.
+    */
+  def itemCfIncrementalQ(s: SparkSession, dir: String): DataFrame = {
+    val fact = orderFact(s, dir)
+    val split = to_timestamp(lit("1996-01-01"))
+    graft.operators.ItemSim.cosineNeighborsIncremental(
+      fact.where(col("o_orderdate") < split)
+        .select("user_id", "item_id"),
+      fact.where(col("o_orderdate") >= split)
+        .select("user_id", "item_id"))
+  }
+
   /** Multi-source BFS ([[graft.operators.Graph.bfsDistances]]) over
     * the bipartite part-supplier graph (suppliers offset by 1e7 into a
     * disjoint id range), seeded at parts with key < 10, horizon 4 hops.
@@ -2455,6 +2471,7 @@ object Queries {
     "q_rank_metrics" -> (rankMetricsQ _),
     "q_rec_coverage" -> (recCoverageQ _),
     "q_item_cf" -> (itemCfQ _),
+    "q_item_cf_incremental" -> (itemCfIncrementalQ _),
     "q_graph_bfs" -> (graphBfsQ _),
     "q_ips_eval" -> (ipsEvalQ _),
     "q_compaction_plan" -> (compactionPlanQ _),

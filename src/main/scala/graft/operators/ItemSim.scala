@@ -50,45 +50,98 @@ object ItemSim {
       s"with fewer than 2 items contributes no pairs), got $maxUserItems")
     require(topN >= 1 && minCo >= 1, s"topN/minCo must be >= 1")
 
-    val ui = interactions
+    val ui = cleaned(interactions, userCol, itemCol)
+    val capped = capUsers(ui, maxUserItems)
+    score(pairCounts(capped, minCo),
+      capped.groupBy("i").agg(count(lit(1)).as("n_i")), topN)
+  }
+
+  private def cleaned(interactions: DataFrame, userCol: String,
+      itemCol: String): DataFrame =
+    interactions
       .select(col(userCol).as("u"), col(itemCol).as("i"))
       .where(col("u").isNotNull && col("i").isNotNull)
       .distinct()
 
+  private def capUsers(ui: DataFrame, maxUserItems: Int): DataFrame = {
     val keptUsers = ui.groupBy("u").agg(count(lit(1)).as("n_u"))
       .where(col("n_u") <= maxUserItems)
       .select("u")
-    val capped = ui.join(keptUsers, Seq("u"))
+    ui.join(keptUsers, Seq("u"))
+  }
 
-    // Item supports AFTER the cap, so the cosine denominator counts the
-    // same population as the numerator.
-    val itemN = capped.groupBy("i").agg(count(lit(1)).as("n_i"))
-
+  /** Unordered-pair co-counts (ia < ib) over a capped population. */
+  private def pairCounts(capped: DataFrame, minCo: Long): DataFrame = {
     val a = capped.select(col("u"), col("i").as("ia"))
     val b = capped.select(col("u"), col("i").as("ib"))
-    val co = a.join(b, a("u") === b("u") && col("ia") < col("ib"))
+    a.join(b, a("u") === b("u") && col("ia") < col("ib"))
       .groupBy("ia", "ib").agg(count(lit(1)).as("co"))
       .where(col("co") >= minCo)
+  }
 
+  /** Symmetrize, cosine-score against the supports, rank top-N. */
+  private def score(co: DataFrame, itemN: DataFrame, topN: Int)
+      : DataFrame = {
     val sym = co.select(col("ia").as("item"), col("ib").as("neighbor"),
         col("co"))
       .unionAll(co.select(col("ib").as("item"), col("ia").as("neighbor"),
         col("co")))
-
-    val scored = sym
+    sym
       .join(itemN.withColumnRenamed("i", "item")
         .withColumnRenamed("n_i", "n_item"), Seq("item"))
       .join(itemN.withColumnRenamed("i", "neighbor")
         .withColumnRenamed("n_i", "n_nb"), Seq("neighbor"))
       .withColumn("sim", col("co").cast("double") /
         sqrt((col("n_item") * col("n_nb")).cast("double")))
-
-    scored
       .withColumn("rank", row_number().over(Window.partitionBy("item")
         .orderBy(col("sim").desc, col("neighbor"))))
       .where(col("rank") <= topN)
       .select(col("item"), col("neighbor"), col("co"),
         round(col("sim"), 6).as("sim"), col("rank"))
       .orderBy("item", "rank")
+  }
+
+  /** Incremental maintenance: the neighbor table after folding a
+    * DELTA of new interactions into an existing log, computing the
+    * quadratic pair fan-out ONLY for the users the delta touches.
+    * OUTPUT-IDENTICAL to `cosineNeighbors(existing union delta)` —
+    * pair counts partition additively by user (a pair is counted
+    * within exactly one user), so
+    * counts(full) = counts(existing, unaffected users)
+    *              + counts(full, affected users),
+    * and the cap decision for an unaffected user is unchanged by the
+    * delta. Supports are one cheap re-aggregation of the capped full
+    * population.
+    *
+    * Scale shape: the daily-delta regime this serves has |affected
+    * users| << |users|, so the expensive stage (per-user pair
+    * fan-out) shrinks from the whole log to the touched histories;
+    * everything else is the same bounded joins as the batch build.
+    */
+  def cosineNeighborsIncremental(existing: DataFrame, delta: DataFrame,
+      userCol: String = "user_id", itemCol: String = "item_id",
+      maxUserItems: Int = 100, minCo: Long = 2L, topN: Int = 10)
+      : DataFrame = {
+    require(maxUserItems >= 2 && topN >= 1 && minCo >= 1,
+      s"bad params: cap=$maxUserItems topN=$topN minCo=$minCo")
+    val oldUi = cleaned(existing, userCol, itemCol)
+    val deltaUi = cleaned(delta, userCol, itemCol)
+    val affected = deltaUi.select("u").distinct()
+    val fullUi = oldUi.unionByName(deltaUi).distinct()
+
+    val cappedFull = capUsers(fullUi, maxUserItems)
+    // minCo must apply AFTER the union of the two count sources: a
+    // pair can clear the threshold only jointly, so both branches
+    // count with minCo = 1 and the threshold gates the merged counts
+    val coUnaffected = pairCounts(
+      capUsers(oldUi.join(affected, Seq("u"), "left_anti"),
+        maxUserItems), minCo = 1L)
+    val coAffected = pairCounts(cappedFull.join(affected, Seq("u")),
+      minCo = 1L)
+    val co = coUnaffected.unionByName(coAffected)
+      .groupBy("ia", "ib").agg(sum("co").as("co"))
+      .where(col("co") >= minCo)
+    score(co, cappedFull.groupBy("i").agg(count(lit(1)).as("n_i")),
+      topN)
   }
 }

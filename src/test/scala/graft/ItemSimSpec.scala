@@ -49,6 +49,36 @@ class ItemSimSpec extends SparkSpec {
     assert(ranks.head.getString(1) == "Y")
   }
 
+  test("cosineNeighborsIncremental == full rebuild: randomized, " +
+      "joint-threshold pairs, cap flips") {
+    // deterministic pseudo-random interactions; the delta adds items
+    // to EXISTING users (re-pairing their history), brand-new users,
+    // and pushes one user over the cap
+    val old = (0 until 120).map { i =>
+      ((i * 13) % 12L, "i" + ((i * 29) % 15)) }
+    val dlt = (0 until 60).map { i =>
+      ((i * 7) % 14L, "i" + ((i * 31) % 15)) }
+    val oldDf = old.toDF("user_id", "item_id")
+    val dltDf = dlt.toDF("user_id", "item_id")
+    for ((cap, minCo) <- Seq((100, 2L), (8, 1L), (6, 3L))) {
+      val full = graft.operators.ItemSim.cosineNeighbors(
+        oldDf.unionByName(dltDf), maxUserItems = cap, minCo = minCo)
+        .collect().map(_.toSeq).toSet
+      val inc = graft.operators.ItemSim.cosineNeighborsIncremental(
+        oldDf, dltDf, maxUserItems = cap, minCo = minCo)
+        .collect().map(_.toSeq).toSet
+      assert(inc == full, s"divergence at cap=$cap minCo=$minCo")
+    }
+    // a pair clearing minCo only JOINTLY (one old user, one delta
+    // user) must survive — the reason both branches count at 1
+    val o2 = Seq((1L, "a"), (1L, "b")).toDF("user_id", "item_id")
+    val d2 = Seq((2L, "a"), (2L, "b")).toDF("user_id", "item_id")
+    val joint = graft.operators.ItemSim.cosineNeighborsIncremental(
+      o2, d2, minCo = 2L).collect()
+    assert(joint.length == 2) // (a,b) co=2 survives, both directions
+    assert(joint.forall(_.getLong(2) == 2L))
+  }
+
   test("catalogMetrics: coverage, novelty smoothing, exposure bias") {
     // catalog {A,B,C,D} (4 items), users {1,2}; recs: top-1 per user
     val inter = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "C"),
