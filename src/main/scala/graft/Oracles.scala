@@ -1188,6 +1188,46 @@ fin$i AS (SELECT w, max_by(cnt, it) AS cnt, max_by(s, it) AS s
         |  rn::BIGINT AS "rank"
         |FROM r WHERE rn <= 10 ORDER BY item, rn""".stripMargin,
 
+    // Personalized PageRank (Graph.personalizedPageRank, seeds =
+    // parts < 10, two unrolled iterations over the symmetrized
+    // part-supplier graph): restart mass (1-d)/|S| on the seeds only,
+    // per-destination DECIMAL(30,15) sums, same determinism discipline
+    // as q_pagerank.
+    "q_ppr" ->
+      """WITH e0 AS (SELECT DISTINCT l_partkey AS s,
+        |    l_suppkey + 10000000 AS d FROM lineitem),
+        |edg AS (SELECT s AS esrc, d AS edst FROM e0
+        |  UNION SELECT d, s FROM e0),
+        |nodes AS (SELECT DISTINCT esrc AS node FROM edg),
+        |sd AS (SELECT DISTINCT s AS node FROM e0 WHERE s < 10),
+        |ns AS (SELECT count(*) AS k FROM sd),
+        |deg AS (SELECT esrc, count(*) AS od FROM edg GROUP BY 1),
+        |r0 AS (SELECT node, CASE WHEN node IN (SELECT node FROM sd)
+        |    THEN 1::DOUBLE / (SELECT k FROM ns)
+        |    ELSE 0::DOUBLE END AS r FROM nodes),
+        |s1 AS (SELECT e.edst, sum((r.r / d.od)::DECIMAL(30,15))::DOUBLE
+        |    AS s
+        |  FROM edg e JOIN r0 r ON r.node = e.esrc
+        |  JOIN deg d ON d.esrc = e.esrc GROUP BY 1),
+        |r1 AS (SELECT n.node,
+        |    (CASE WHEN n.node IN (SELECT node FROM sd)
+        |       THEN (1::DOUBLE - 0.85::DOUBLE) / (SELECT k FROM ns)
+        |       ELSE 0::DOUBLE END +
+        |     0.85::DOUBLE * coalesce(s1.s, 0::DOUBLE)) AS r
+        |  FROM nodes n LEFT JOIN s1 ON s1.edst = n.node),
+        |s2 AS (SELECT e.edst, sum((r.r / d.od)::DECIMAL(30,15))::DOUBLE
+        |    AS s
+        |  FROM edg e JOIN r1 r ON r.node = e.esrc
+        |  JOIN deg d ON d.esrc = e.esrc GROUP BY 1),
+        |r2 AS (SELECT n.node,
+        |    (CASE WHEN n.node IN (SELECT node FROM sd)
+        |       THEN (1::DOUBLE - 0.85::DOUBLE) / (SELECT k FROM ns)
+        |       ELSE 0::DOUBLE END +
+        |     0.85::DOUBLE * coalesce(s2.s, 0::DOUBLE)) AS r
+        |  FROM nodes n LEFT JOIN s2 ON s2.edst = n.node)
+        |SELECT node, round(r, 6) AS "rank" FROM r2
+        |ORDER BY node""".stripMargin,
+
     // Multi-source BFS (Graph.bfsDistances): the engine's monotone
     // min-relaxation after h iterations equals shortest-walk-within-h
     // (Bellman-Ford), which this recursive CTE enumerates directly;

@@ -1668,6 +1668,25 @@ object Queries {
         .select("user_id", "item_id"))
   }
 
+  /** Personalized PageRank ([[graft.operators.Graph
+    * .personalizedPageRank]]): restart mass on parts with key < 10
+    * over the symmetrized part-supplier graph, two unrolled
+    * iterations — seed-neighborhood relevance, decimal-exact mass.
+    */
+  def pprQ(s: SparkSession, dir: String): DataFrame = {
+    val e0 = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("src"),
+        (col("l_suppkey") + 10000000L).as("dst"))
+      .distinct()
+    val edges = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = e0.select(col("src")).where(col("src") < 10)
+    graft.operators.Graph.personalizedPageRank(edges, "src", "dst",
+        seeds, "src", iters = 2)
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+      .orderBy("node")
+  }
+
   /** Multi-source BFS ([[graft.operators.Graph.bfsDistances]]) over
     * the bipartite part-supplier graph (suppliers offset by 1e7 into a
     * disjoint id range), seeded at parts with key < 10, horizon 4 hops.
@@ -2473,6 +2492,7 @@ object Queries {
     "q_item_cf" -> (itemCfQ _),
     "q_item_cf_incremental" -> (itemCfIncrementalQ _),
     "q_graph_bfs" -> (graphBfsQ _),
+    "q_ppr" -> (pprQ _),
     "q_ips_eval" -> (ipsEvalQ _),
     "q_compaction_plan" -> (compactionPlanQ _),
     "q_ab_arms" -> (abArmsQ _),

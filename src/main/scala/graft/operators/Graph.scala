@@ -251,6 +251,76 @@ object Graph {
     }
   }
 
+  /** Personalized PageRank: random-walk-with-restart mass from a SEED
+    * set — the item-graph recommendation primitive ("items related to
+    * what this user touched", seeds = the user's items) and the
+    * seed-expansion tool for curation (grow a topic slice from a few
+    * known-good documents). Same synchronous unrolled loop, decimal
+    * mass sums, and pinned-edge discipline as [[pageRank]]; the only
+    * change is the teleport vector: restart mass (1-d)/|seeds| lands
+    * on the seeds instead of (1-d)/N everywhere, and the walk starts
+    * at the seeds. Nodes the walk hasn't reached report exactly 0.0.
+    *
+    * Directionality follows the edge list as given — pass a
+    * symmetrized list for undirected graphs (every node then has
+    * out-edges; with directed input, dangling-node mass is simply not
+    * redistributed, as in [[pageRank]]). Seeds are intersected with
+    * the graph's nodes; an empty intersection is refused loudly.
+    *
+    * Output: (node, rank), unrounded.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, seedCol: String, iters: Int,
+      damping: Double = 0.85, cache: Option[StorageLevel] = None,
+      pinsOut: Option[scala.collection.mutable.Buffer[DataFrame]] = None)
+      : DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
+    val level = cache.getOrElse(StorageLevel.MEMORY_AND_DISK)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist(level)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val seedNodes = seeds.select(col(seedCol).as("node"))
+      .where(col("node").isNotNull).distinct()
+      .join(nodes, Seq("node"))
+      .withColumn("__seed", lit(1))
+    val nS = seedNodes.count() // scalar; also fills e's pin via nodes
+    require(nS > 0, "no seed intersects the graph's node set")
+    val start = 1.0 / nS
+    val tele = (1.0 - damping) / nS
+    val deg = e.groupBy("src").agg(count(lit(1)).as("od"))
+    def withSeed(df: DataFrame) =
+      df.join(seedNodes, Seq("node"), "left_outer")
+    var r = withSeed(nodes)
+      .select(col("node"),
+        when(col("__seed").isNotNull, lit(start)).otherwise(lit(0.0))
+          .as("r"))
+    for (_ <- 1 to iters) {
+      val sums = e.join(r, col("node") === col("src"))
+        .join(deg, "src")
+        .select(col("dst"), (col("r") / col("od")).as("c"))
+        .groupBy("dst")
+        .agg(sum(col("c").cast("decimal(30,15)")).cast("double").as("s"))
+      r = withSeed(nodes)
+        .join(sums, col("node") === col("dst"), "left_outer")
+        .select(col("node"),
+          (when(col("__seed").isNotNull, lit(tele)).otherwise(lit(0.0)) +
+            lit(damping) * coalesce(col("s"), lit(0.0))).as("r"))
+    }
+    pinsOut match {
+      case Some(buf) => // lazy composition: see [[pageRank]]
+        buf += e
+        r.select(col("node"), col("r").as("rank"))
+      case None =>
+        val out = r.select(col("node"), col("r").as("rank"))
+          .persist(level)
+        out.count()
+        e.unpersist(blocking = false)
+        out
+    }
+  }
+
   /** Multi-source BFS hop distances over the symmetrized graph:
     * dist(v) = fewest edges from any seed, nodes unreached within
     * `maxHops` absent from the output.

@@ -107,6 +107,29 @@ class ItemSimSpec extends SparkSpec {
     assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L)) // 5: 4 hops
   }
 
+  test("personalizedPageRank: seed restart, mass conservation, zeros") {
+    import graft.operators.Graph
+    // symmetrized path 1-2-3, seed {1}, d = 0.5:
+    // r1 = [.5, .5, 0]; r2 = [.625, .25, .125]
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("s")
+    val r = Graph.personalizedPageRank(edges, "src", "dst", seeds, "s",
+        iters = 2, damping = 0.5)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r == Map(1L -> 0.625, 2L -> 0.25, 3L -> 0.125))
+    // unreached node stays exactly 0.0
+    val e2 = edges.unionByName(Seq((8L, 9L), (9L, 8L)).toDF("src", "dst"))
+    val r2 = Graph.personalizedPageRank(e2, "src", "dst", seeds, "s",
+        iters = 2, damping = 0.5)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r2(8L) == 0.0 && r2(9L) == 0.0)
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges, "src", "dst",
+        Seq(99L).toDF("s"), "s", iters = 1)
+    }
+  }
+
   test("bfsDistances: multi-seed takes the nearer seed; undirected") {
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 4L), (4L, 3L))
       .toDF("src", "dst")
