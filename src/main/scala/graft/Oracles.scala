@@ -321,6 +321,11 @@ fin$i AS (SELECT w, max_by(cnt, it) AS cnt, max_by(s, it) AS s
     // fan-out only for touched users; pair counts partition
     // additively by user, so the full-rebuild oracle serves verbatim.
     "q_item_cf_incremental" -> base("q_item_cf"),
+    // Streaming IPS over logged propensities: the complete-mode global
+    // sum of 12-decimal terms equals the batch aggregation exactly,
+    // and the fixture's precomputed propensities are the same
+    // empirical ratios the batch query derives inline.
+    "q_streaming_ips" -> base("q_ips_eval"),
     "q_session_prefixes_bucketed" -> base("q_session_prefixes"),
     "q_asof_join_bucketed" -> base("q_asof_join"),
     // The auto routes probe the key distribution and pick a shape;

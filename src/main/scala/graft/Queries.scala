@@ -1939,6 +1939,53 @@ object Queries {
     graft.operators.OffPolicy.ipsEstimates(log, policy, cap = 5.0)
   }
 
+  /** Streaming off-policy monitor: with LOGGED propensities,
+    * [[graft.operators.OffPolicy.ipsEstimates]] is one stream-static
+    * broadcast join (the policy is a dimension) plus one complete-mode
+    * global aggregation of 12-decimal-rounded terms — order-free
+    * state, so the estimates equal the batch run however the
+    * micro-batches slice the log. The fixture precomputes the SAME
+    * empirical propensities [[ipsEvalQ]] derives inline and streams
+    * the propensity-carrying rows, so q_ips_eval's oracle serves
+    * verbatim.
+    */
+  def streamingIpsQ(s: SparkSession, dir: String): DataFrame = {
+    val d = tmp("sips")
+    val log = t(s, dir, "events")
+      .select((col("user_id") % 20).as("context"),
+        col("event_type").as("action"), col("value").as("reward"))
+      .where(col("context").isNotNull && col("action").isNotNull &&
+        col("reward").isNotNull)
+    val xa = log.groupBy("context", "action")
+      .agg(count(lit(1)).as("n_xa"))
+    val xc = xa.groupBy("context").agg(sum("n_xa").as("n_x"))
+    log.join(xa, Seq("context", "action")).join(xc, Seq("context"))
+      .withColumn("prop",
+        col("n_xa").cast("double") / col("n_x").cast("double"))
+      .select("context", "action", "reward", "prop")
+      .write.mode("overwrite").json(s"$d/in")
+    val policy = graft.operators.OffPolicy.greedyPolicy(log)
+    val schema = StructType(Seq(StructField("context", LongType),
+      StructField("action", StringType),
+      StructField("reward", DoubleType),
+      StructField("prop", DoubleType)))
+    val table =
+      "sips_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withShufflePartitions(s, 4) {
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").json(s"$d/in")
+      val q = graft.operators.OffPolicy.ipsEstimates(src, policy,
+          propensityCol = Some("prop"), cap = 5.0)
+        .writeStream.format("memory").queryName(table)
+        .outputMode("complete")
+        .option("checkpointLocation", s"$d/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(table)
+  }
+
   /** Compaction planning ([[graft.io.Compaction]]): documents as a
     * file manifest (source = table partition, n_chars = bytes), packed
     * into 20 kB bins by the one-window offset-div-target rule. The
@@ -2494,6 +2541,7 @@ object Queries {
     "q_graph_bfs" -> (graphBfsQ _),
     "q_ppr" -> (pprQ _),
     "q_ips_eval" -> (ipsEvalQ _),
+    "q_streaming_ips" -> (streamingIpsQ _),
     "q_compaction_plan" -> (compactionPlanQ _),
     "q_ab_arms" -> (abArmsQ _),
     "q_ab_compare" -> (abCompareQ _),
