@@ -12,6 +12,9 @@ object ExplainDump {
     val sfDir = args.head
     val spark =
       SparkBoot.session(SparkBoot.cpus(default = 4), logLevel = "ERROR")
+    // full plans wanted here: undo the SparkBoot render cap (runtime conf)
+    spark.conf.set("spark.sql.maxPlanStringLength",
+      (Int.MaxValue - 16).toString)
     args.tail.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

@@ -29,12 +29,26 @@ object SparkBoot {
     */
   def session(cores: String, shufflePartitions: Option[String] = None,
       logLevel: String = "WARN"): SparkSession = {
+    // Plan-string render cap (round-21 profiling, guide §7.3): Spark
+    // renders the FULL plan string for listener events on every action
+    // start AND every AQE plan update — and a plan that scans persisted
+    // intermediates re-renders each InMemoryRelation's whole lineage
+    // every time. With the UI off and no event log those strings go
+    // nowhere, yet an in-process stack sampler showed them DOMINATING
+    // cache-heavy queries (jaccard stage-2: 33 s -> 6 s once capped).
+    // The cost is per plan NODE, not per data byte, so the cap is just
+    // as right on a 100 TB cluster driver as on local[n]; anything
+    // needing full plans (ExplainDump, plan-regression specs) must
+    // raise SPARK_GRAFT_MAX_PLAN_STR for its own session.
+    val maxPlanStr =
+      sys.env.getOrElse("SPARK_GRAFT_MAX_PLAN_STR", "8192")
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions",
         shufflePartitions.getOrElse(cores))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.maxPlanStringLength", maxPlanStr)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel(logLevel)
