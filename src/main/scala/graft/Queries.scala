@@ -1653,19 +1653,24 @@ object Queries {
       orderFact(s, dir).select("user_id", "item_id"))
 
   /** Incremental item-CF ([[graft.operators.ItemSim
-    * .cosineNeighborsIncremental]]): fold the post-1996 orders into
-    * the pre-1996 log, pair fan-out computed only for the users the
-    * delta touches — output-identical to the full rebuild, so
-    * [[itemCfQ]]'s oracle serves verbatim.
+    * .cosineNeighborsIncremental]]): build the pair-count state from
+    * the existing log, then fold the delta in through the TRUE
+    * maintenance path (state − touched-old + touched-full). Round 21:
+    * the delta is the 1998 orders of the `user_id % 101 == 0` slice —
+    * a plain date split cannot model the daily-delta regime on this
+    * fixture (TPC-H customers order uniformly across the window, so
+    * even one month touches ~2/3 of users), while this slice touches
+    * ~1% of users, which is what daily maintenance sees. existing and
+    * delta PARTITION the log, so the output equals the full rebuild
+    * and [[itemCfQ]]'s oracle serves verbatim.
     */
   def itemCfIncrementalQ(s: SparkSession, dir: String): DataFrame = {
     val fact = orderFact(s, dir)
-    val split = to_timestamp(lit("1996-01-01"))
+    val isDelta = col("o_orderdate") >= to_timestamp(lit("1998-01-01")) &&
+      pmod(col("user_id"), lit(101)) === 0
     graft.operators.ItemSim.cosineNeighborsIncremental(
-      fact.where(col("o_orderdate") < split)
-        .select("user_id", "item_id"),
-      fact.where(col("o_orderdate") >= split)
-        .select("user_id", "item_id"))
+      fact.where(!isDelta).select("user_id", "item_id"),
+      fact.where(isDelta).select("user_id", "item_id"))
   }
 
   /** Personalized PageRank ([[graft.operators.Graph
