@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through UNWRAPPED. sbt's default
+// LoggedOutput strategy prefixes every stdout line with "[info] ",
+// which breaks any line-wise JSON parse of the bench/verify contract
+// line ({"metric":...} became `[info] {"metric":...}` — not JSON).
+// The bench evidence file under bench_runs/ is unaffected either way.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

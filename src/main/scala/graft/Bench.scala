@@ -80,11 +80,18 @@ import scala.jdk.CollectionConverters._
   * per-process attribution, but this bench's own local reads keep it
   * near zero), and `crossrun` compares every query's min rep against
   * the last committed clean run (`bench_runs/BENCH_REFERENCE.json`,
-  * override SPARK_GRAFT_BENCH_REF), flagging when >= 6 queries run
-  * past 2.5x reference with > 1 s growth — the at-a-glance check that
+  * override SPARK_GRAFT_BENCH_REF) — the at-a-glance check that
   * would have caught the r19 artifact (10+ queries at 3-6x) while
   * letting genuine single-query code regressions through to the
   * trend analysis.
+  *
+  * Self-healing splice (VERDICT r20 #2, round 22): queries the
+  * crossrun gate flags are re-run once after the sweep and the extra
+  * sample spliced into their runs — a transient co-tenant spike
+  * re-measures fast and un-flags, a genuine regression re-measures
+  * slow and stays. `crossrun.respliced` lists them; the contamination
+  * trip is >= 3 still-degraded-after-resplice (was >= 6, which let
+  * three consecutive official boards ship with known-spiked queries).
   */
 object Bench {
   private def loadAvg1m(): Double =
@@ -263,9 +270,72 @@ object Bench {
       }
     def jq(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
-    val ok = results.collect { case (n, Right((ts, _))) => n -> ts }
-    val retried = results.collect { case (n, Right((_, true))) => n }
-    val errs = results.collect { case (n, Left(m)) => n -> m }
+    // Cross-run reference (VERDICT r19 #1), parsed BEFORE the summary:
+    // the self-healing splice below needs it. Reference must be at the
+    // SAME scale factor: a dev run at sf0.01 against the committed
+    // sf0.1 reference must not flag (or silently pass) — the gate
+    // disables itself and says why.
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF",
+      "bench_runs/BENCH_REFERENCE.json")
+    val refParsed: Option[(Map[String, Double], String)] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(refPath)), "UTF-8")
+        val refSf = """"sf"\s*:\s*"([^"]*)"""".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        """"queries"\s*:\s*\{([^}]*)\}""".r
+          .findFirstMatchIn(txt).map(_.group(1))
+          .map(_.split(",").iterator.map { kv =>
+            val Array(k, v) = kv.split(":", 2)
+            k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble
+          }.toMap -> refSf)
+      } catch { case _: Throwable => None }
+    val refTimes = refParsed.collect {
+      case (m, refSf) if refSf == sfDir => m
+    }
+    def degradedVs(times: Map[String, Double]): Seq[(String, Double)] =
+      refTimes match {
+        case None => Seq.empty
+        case Some(ref) =>
+          times.toSeq.flatMap { case (k, now) =>
+            ref.get(k).collect {
+              case r if r > 0 && now > 2.5 * r && now - r > 1.0 =>
+                k -> math.rint(now / r * 100) / 100
+            }
+          }.sortBy(-_._2)
+      }
+    // Self-healing official stamp (VERDICT r20 #2): for three rounds
+    // running the artifact named BENCH_r<N>.json shipped with a few
+    // known-spiked queries — transient co-tenant bursts land on 3-5
+    // queries, under the old >= 6 systematic-contamination bar, so the
+    // board was stamped official while cleaner full runs sat in
+    // bench_runs. Heal instead of ship: re-run exactly the flagged
+    // queries once after the sweep and splice the extra sample into
+    // their runs (min picks it up iff it is faster). A transient spike
+    // re-measures fast and un-flags; a genuine regression re-measures
+    // slow and stays flagged. Post-splice the contamination trip drops
+    // to >= 3 — surviving degradation is confirmed by re-measurement,
+    // not noise to wave through.
+    val firstTimes = results.collect {
+      case (n, Right((ts, _))) => n -> ts.map(_._1).min }.toMap
+    val healed = degradedVs(firstTimes).map(_._1)
+    val resultsHealed = if (healed.isEmpty) results else {
+      val healSet = healed.toSet
+      results.map {
+        case (n, Right((ts, retr))) if healSet(n) =>
+          if (!sys.env.contains("SPARK_GRAFT_NO_CLEARCACHE"))
+            spark.catalog.clearCache()
+          sampleAmbient()
+          once(selected(n)) match {
+            case Right(t) => n -> Right((ts :+ t, retr))
+            case Left(_)  => n -> Right((ts, retr))
+          }
+        case other => other
+      }
+    }
+    val ok = resultsHealed.collect { case (n, Right((ts, _))) => n -> ts }
+    val retried = resultsHealed.collect { case (n, Right((_, true))) => n }
+    val errs = resultsHealed.collect { case (n, Left(m)) => n -> m }
     val qs = ok.map { case (k, ts) => jq(k) + ":" + ts.map(_._1).min }
       .mkString("{", ",", "}")
     val rs = ok.map { case (k, ts) =>
@@ -304,47 +374,15 @@ object Bench {
     val ioThreshold = cpus.toDouble / 8
     val ioContaminated = ioMaxCores > ioThreshold
     val ambIo = s"""{"max_cores":${math.rint(ioMaxCores * 100) / 100},"threshold_cores":$ioThreshold}"""
-    // Cross-run per-query ratio gate (VERDICT r19 #1): the decisive
-    // check the interval gates cannot give — compare each query's min
-    // rep against the last committed clean run. A contaminated run
-    // self-flags at a glance (the r19 artifact had 10+ queries at
-    // 3-6x the clean run); genuine single-query regressions (a code
-    // change) stay under the >= 6-query systematic bar. Reference:
-    // SPARK_GRAFT_BENCH_REF, else the committed
-    // bench_runs/BENCH_REFERENCE.json; absent -> gate disabled, null.
-    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF",
-      "bench_runs/BENCH_REFERENCE.json")
-    // ref times are only comparable at the SAME scale factor: a dev
-    // run at sf0.01 against the committed sf0.1 reference must not
-    // flag (or silently pass) — the gate disables itself and says why
-    val refParsed: Option[(Map[String, Double], String)] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(refPath)), "UTF-8")
-        val refSf = """"sf"\s*:\s*"([^"]*)"""".r
-          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-        """"queries"\s*:\s*\{([^}]*)\}""".r
-          .findFirstMatchIn(txt).map(_.group(1))
-          .map(_.split(",").iterator.map { kv =>
-            val Array(k, v) = kv.split(":", 2)
-            k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble
-          }.toMap -> refSf)
-      } catch { case _: Throwable => None }
-    val refTimes = refParsed.collect {
-      case (m, refSf) if refSf == sfDir => m
-    }
+    // Cross-run per-query ratio gate (VERDICT r19 #1), evaluated on
+    // the POST-SPLICE times: compare each query's min rep against the
+    // last committed clean run. With the healing pass above, anything
+    // still degraded here was confirmed by an immediate re-measure, so
+    // >= 3 such queries flags the run (was >= 6 when a single spike
+    // could not be told from a regression).
     val nowTimes = ok.map { case (k, ts) => k -> ts.map(_._1).min }.toMap
-    val crossDegraded: Seq[(String, Double)] = refTimes match {
-      case None => Seq.empty
-      case Some(ref) =>
-        nowTimes.toSeq.flatMap { case (k, now) =>
-          ref.get(k).collect {
-            case r if r > 0 && now > 2.5 * r && now - r > 1.0 =>
-              k -> math.rint(now / r * 100) / 100
-          }
-        }.sortBy(-_._2)
-    }
-    val crossContaminated = crossDegraded.size >= 6
+    val crossDegraded: Seq[(String, Double)] = degradedVs(nowTimes)
+    val crossContaminated = crossDegraded.size >= 3
     val crossrun = refParsed match {
       case None => "null"
       case Some((_, refSf)) if refSf != sfDir =>
@@ -354,7 +392,8 @@ object Bench {
         val worst = crossDegraded.take(10)
           .map { case (k, r) => s"[${jq(k)},$r]" }
           .mkString("[", ",", "]")
-        s"""{"ref":${jq(refPath)},"n_compared":$nCmp,"n_degraded":${crossDegraded.size},"worst":$worst}"""
+        val resp = healed.map(jq).mkString("[", ",", "]")
+        s"""{"ref":${jq(refPath)},"n_compared":$nCmp,"n_degraded":${crossDegraded.size},"respliced":$resp,"worst":$worst}"""
     }
     val rt = retried.map(jq).mkString("[", ",", "]")
     // Rep-trend gate (ADVICE r17): the r17 run degraded MONOTONICALLY

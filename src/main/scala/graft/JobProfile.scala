@@ -16,8 +16,9 @@ object JobProfile {
     val spark = SparkBoot.session(SparkBoot.cpus(), logLevel = "ERROR")
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val done = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, String)]
-    var stages = 0
-    var tasks = 0
+    // written on the listener-bus thread, read from main (ADVICE r21)
+    val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+    val tasks = new java.util.concurrent.atomic.AtomicInteger(0)
     val stageRows = scala.collection.mutable.ArrayBuffer
       .empty[(Int, Int, Double, Double, Long, Long, String)]
     val listener = new SparkListener {
@@ -32,7 +33,7 @@ object JobProfile {
         }
       }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
-        stages += 1; tasks += s.stageInfo.numTasks
+        stages.incrementAndGet(); tasks.addAndGet(s.stageInfo.numTasks)
         val m = s.stageInfo.taskMetrics
         stageRows.synchronized {
           stageRows += ((s.stageInfo.stageId, s.stageInfo.numTasks,
@@ -82,7 +83,7 @@ object JobProfile {
       // warm once so codegen/readers don't pollute the attribution
       SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
       spark.catalog.clearCache()
-      done.synchronized(done.clear()); stages = 0; tasks = 0
+      done.synchronized(done.clear()); stages.set(0); tasks.set(0)
       stageRows.synchronized(stageRows.clear())
       tally.clear()
       sampling = true
@@ -99,7 +100,7 @@ object JobProfile {
       println(f"\n===== $name wall=${(t3 - t0) / 1e9}%.2f s " +
         f"(build=${(t1 - t0) / 1e9}%.2f plan=${(t2 - t1) / 1e9}%.2f " +
         f"exec=${(t3 - t2) / 1e9}%.2f) jobs=${js.size} " +
-        f"stages=$stages tasks=$tasks jobsum=${js.map(_._2).sum}%.2f s")
+        f"stages=${stages.get} tasks=${tasks.get} jobsum=${js.map(_._2).sum}%.2f s")
       import scala.jdk.CollectionConverters._
       val tot = tally.values.asScala.map(_.toInt).sum.max(1)
       tally.asScala.toSeq.sortBy(-_._2.toInt).take(12).foreach { case (k, v) =>

@@ -34,6 +34,23 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Rebalance an under-parallel scan (round 22, guide §2.5 "one huge
+    * unsplittable file … repartition immediately after the read"): a
+    * single-row-group parquet file scans as ONE task, and everything
+    * codegen-fused into that stage (broadcast-join probes, struct/array
+    * building, partial aggregation) runs serially — q_ri_pipeline's
+    * profile showed a 2.8 s single-task stage doing the order-batch
+    * join ahead of 32 idle cores. Round-robin repartition only when
+    * the scan has fewer partitions than the session's parallelism, so
+    * a production table with natural split parallelism pays no extra
+    * exchange. Placement-only: every consumer is an aggregate, a keyed
+    * join, or a totally-ordered window, so results are unchanged.
+    */
+  private def balancedScan(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   private def tmp(tag: String): String =
     Files.createTempDirectory(s"graft-$tag-").toString
 
@@ -63,9 +80,17 @@ object Queries {
     * status rows. Orders whose lineitems are all filtered keep a null
     * rec array (exercises posexplode_outer's outer semantics).
     */
-  def riBatch(s: SparkSession, dir: String): DataFrame = {
+  /** @param rebalance parallelize the orders scan before the batch
+    *   join (see [[balancedScan]]). Opt-in per consumer: worth ~1 s
+    *   where the full struct/array assembly is kept (riPipeline, the
+    *   sinks), pure exchange overhead where column pruning leaves the
+    *   serial stage trivial (counts, the split projections).
+    */
+  def riBatch(s: SparkSession, dir: String,
+      rebalance: Boolean = false): DataFrame = {
     val li = t(s, dir, "lineitem")
-    val o = t(s, dir, "orders")
+    val o0 = t(s, dir, "orders")
+    val o = if (rebalance) balancedScan(o0) else o0
     val recs = li.where(col("l_quantity") < 48)
       .groupBy("l_orderkey")
       .agg(sort_array(collect_list(struct(col("l_linenumber"),
@@ -119,7 +144,7 @@ object Queries {
     * rewrite,U1) — reference `related_items_etl.py:99-315`.
     */
   def riPipeline(s: SparkSession, dir: String): DataFrame = {
-    val (ok, _) = Ops.splitErrors(riBatch(s, dir))
+    val (ok, _) = Ops.splitErrors(riBatch(s, dir, rebalance = true))
     val merged = Ops.mapUsers(ok, riMapping(s, dir))
     val exploded = Ops.explodeRecs(merged, "input.itemId", "queryItemId",
       Seq("USER_ID" -> "userId"))
@@ -328,7 +353,7 @@ object Queries {
     */
   def errorsSink(s: SparkSession, dir: String): DataFrame = {
     val d = tmp("errsink")
-    val (_, errs) = Ops.splitErrors(riBatch(s, dir))
+    val (_, errs) = Ops.splitErrors(riBatch(s, dir, rebalance = true))
     val clock = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
     require(Writers.errors(errs, d, "related_items", clock,
       enabled = false).isEmpty, "disabled gate wrote anyway")
@@ -1010,9 +1035,20 @@ object Queries {
     * the oracle's FILTERed decimal sums.
     */
   def correlationQ(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Profile.correlation(t(s, dir, "lineitem"),
+    // scale 2 (round 22): quantity is integral, price/discount carry
+    // exactly 2 decimals, so the decimal sums — and hence r — are
+    // bit-identical to the scale-6 form while the accumulation stays
+    // on the long-backed Decimal fast path (see the operator's doc;
+    // was 2.8 s of BigDecimal adds in one scan-fused serial stage)
+    // balancedScan: the whole decimal-moment aggregation fuses into
+    // the scan stage, which a single-row-group file caps at 1-3 tasks
+    // (2.5 s serial cpu); the moments are associative decimal sums —
+    // partitioning cannot change them — so rebalancing is free
+    graft.operators.Profile.correlation(
+        balancedScan(t(s, dir, "lineitem")
+          .select("l_quantity", "l_extendedprice", "l_discount")),
         Seq(("l_quantity", "l_extendedprice"),
-          ("l_quantity", "l_discount")))
+          ("l_quantity", "l_discount")), scale = 2)
       .orderBy("col_a", "col_b")
 
   /** Data-quality rule engine (Checks.run): completeness, exact
@@ -1653,14 +1689,20 @@ object Queries {
       orderFact(s, dir).select("user_id", "item_id"))
 
   /** Incremental item-CF ([[graft.operators.ItemSim
-    * .cosineNeighborsIncremental]]): build the pair-count state from
-    * the existing log, then fold the delta in through the TRUE
-    * maintenance path (state − touched-old + touched-full). Round 21:
-    * the delta is the 1998 orders of the `user_id % 101 == 0` slice —
-    * a plain date split cannot model the daily-delta regime on this
-    * fixture (TPC-H customers order uniformly across the window, so
-    * even one month touches ~2/3 of users), while this slice touches
-    * ~1% of users, which is what daily maintenance sees. existing and
+    * .cosineNeighborsIncremental]]): the one-shot (existing, delta)
+    * entry point, which computes the rebuild-equivalent form directly
+    * (ONE fan-out over existing ∪ delta — see its scaladoc for why a
+    * one-shot evaluation must not build state it immediately
+    * discards). The TRUE maintenance path (state − touched-old +
+    * touched-full) lives in [[graft.operators.ItemSim
+    * .cosineNeighborsFromState]]; ItemSimSpec proves it
+    * output-identical and [[graft.ItemCfDeltaProbe]] measures its
+    * delta-proportional cost against a persisted state table. Round
+    * 21 fixture note: the delta is the 1998 orders of the
+    * `user_id % 101 == 0` slice — a plain date split cannot model the
+    * daily-delta regime on this fixture (TPC-H customers order
+    * uniformly across the window, so even one month touches ~2/3 of
+    * users), while this slice touches ~1% of users. existing and
     * delta PARTITION the log, so the output equals the full rebuild
     * and [[itemCfQ]]'s oracle serves verbatim.
     */

@@ -1918,8 +1918,18 @@ object QueriesLlm {
     */
   def pageRankQ(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
+    // Lazy localCheckpoint between build and consumer (round 22, guide
+    // §3.3): the knnGraph edge list is tiny (corpus x kG rows of three
+    // scalars) but its LINEAGE is the deepest plan in the registry —
+    // under a plain pin every downstream stage's task binary carries
+    // the whole centroid-literal build plan, and deserializing it per
+    // task cost more than the iteration's real work (profile: 32-task
+    // stages at 5-6 s cpu reading an 8k-row cache). The leaf rewrap
+    // drops that to a LogicalRDD read; rows are unchanged. Same
+    // pattern at the other three knnGraph-fed graph queries.
     val edges = Ann.knnGraph(
       e.select(col("vec_id"), col("embedding")), kG = 4, nCells = 16)
+      .localCheckpoint(false)
     graft.operators.Graph.pageRank(edges, "src", "dst", iters = 2)
       .select(col("node"), round(col("rank"), 6).as("rank"))
       .orderBy("node")
@@ -1934,6 +1944,7 @@ object QueriesLlm {
     val e = t(s, dir, "embeddings")
     val edges = Ann.knnGraph(
       e.select(col("vec_id"), col("embedding")), kG = 4, nCells = 16)
+      .localCheckpoint(false) // see pageRankQ's note
     graft.operators.Graph.pageRank(edges, "src", "dst", iters = 2,
         weightCol = Some("cosine"))
       .select(col("node"), round(col("rank"), 6).as("rank"))
@@ -1950,6 +1961,7 @@ object QueriesLlm {
     val e = t(s, dir, "embeddings")
     val edges = Ann.knnGraph(
       e.select(col("vec_id"), col("embedding")), kG = 4, nCells = 16)
+      .localCheckpoint(false) // see pageRankQ's note
     graft.operators.Graph.labelPropagation(edges, "src", "dst", iters = 2)
       .orderBy("node")
   }
@@ -2002,6 +2014,7 @@ object QueriesLlm {
     val e = t(s, dir, "embeddings")
     val edges = Ann.knnGraph(
       e.select(col("vec_id"), col("embedding")), kG = 4, nCells = 16)
+      .localCheckpoint(false) // see pageRankQ's note
     graft.operators.Graph.triangleCount(edges, "src", "dst")
       .orderBy("node")
   }

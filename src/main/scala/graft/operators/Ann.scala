@@ -364,8 +364,22 @@ object Ann {
       transform(
         slice(reverse(array_sort(centroidScores(v, centroids))), 1, n),
         x => x.getField("c"))
-    val c = corpus.select(col(corpusIdCol).as("vec_id"),
-        V.toDouble(col(vecCol)).as("cv"))
+    val base = corpus.select(col(corpusIdCol).as("vec_id"),
+      V.toDouble(col(vecCol)).as("cv"))
+    // The per-row cell assignment (nCells centroid cosines + a sort,
+    // the build's CPU-heaviest projection) runs at the SCAN's
+    // parallelism — for a single-row-group parquet file that is ONE
+    // task (round-22 profile: a 0.9 s serial stage ahead of a 16-way
+    // join; guide §2.5 "one huge unsplittable file … repartition
+    // immediately after the read"). Rebalance only when the scan is
+    // actually under-parallel, so a 100 TB scan with natural
+    // parallelism pays no extra exchange; rows are (id, vector) —
+    // the exchange is narrow and placement-independent (every
+    // downstream ranking breaks ties totally).
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val balanced =
+      if (base.rdd.getNumPartitions < par) base.repartition(par) else base
+    val c = balanced
       .withColumn("cell", explode(nearestCells(col("cv"), nAssign)))
     // score each UNORDERED pair once and mirror: cosine is exactly
     // symmetric (identical summation order either way), so the mirror

@@ -147,6 +147,15 @@ object ItemSim {
     *
     * @param statePairs    (ia, ib, co) from [[pairCountState]]
     * @param stateSupports (i, n_i) from [[pairCountState]]
+    * @param maxUserItems  MUST equal the cap `pairCountState` was
+    *                      built with, and the state must keep the full
+    *                      minCo=1 tail (both are what `pairCountState`
+    *                      produces). The subtract branch re-derives the
+    *                      OLD cap decision from `existing`; a different
+    *                      cap (or a pre-filtered state) makes that
+    *                      re-derivation disagree with what the state
+    *                      actually counted and silently corrupts the
+    *                      merged counts — nothing here can detect it.
     */
   def cosineNeighborsFromState(statePairs: DataFrame,
       stateSupports: DataFrame, existing: DataFrame, delta: DataFrame,

@@ -108,10 +108,34 @@ object Pipeline {
     // is exactly what sequential execution would hand the stage
     var alive: Column = lit(true)
     val flags = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Truncate the plan before every stage whose construction
+    // references `cur` TWICE (params subtree + main stream): without
+    // it the logical tree DOUBLES at each such stage — five stages
+    // deep the terminal action was optimizing a 29k-line plan with
+    // ~3,000 Exchange nodes (round-22 profile: 7.2 s of an 8.4 s wall
+    // inside Catalyst, 1.3 s of actual job time; guide §7.3 "planning
+    // time itself can become the bottleneck", §3.3 "materialising an
+    // intermediate truncates the plan"). A LAZY localCheckpoint
+    // rewraps the stage-so-far as a LogicalRDD LEAF at build time
+    // without running anything — the single terminal action below
+    // still materializes the whole chain in one DAG (each level
+    // persists at the checkpoint's storage level as it computes), so
+    // the one-action contract and the per-stage manifest semantics
+    // are untouched, but planning cost is now the SUM of per-stage
+    // small trees instead of their product. Merely persist()ing `cur`
+    // does NOT fix this: cache substitution rewrites the plan only at
+    // execution, so analysis + cache-lookup still walk the
+    // exponential tree (measured: pins alone made the query SLOWER,
+    // 13.4 s vs 9.8 s). Trade (same as Dedup.dedupGroups' doc): the
+    // truncated levels live as checkpoint blocks outside CacheManager
+    // — release() cannot drop them (the ContextCleaner frees them
+    // when the RDDs are GC'd), and on executor loss a level cannot
+    // recompute from lineage.
     stages.zipWithIndex.foreach { case (st, i) =>
       val fc = s"__s$i"
       st match {
         case SourceFilter(src, score, minMean, _) =>
+          cur = cur.localCheckpoint(false)
           val good = cur.where(alive).groupBy(col(src))
             .agg(avg(col(score)).as("__mean"))
             .where(col("__mean") >= minMean)
@@ -122,6 +146,7 @@ object Pipeline {
           cur = cur.withColumn(fc,
             coalesce(expr(sqlExpr).cast("boolean"), lit(false)))
         case ExactDedup(textCol, _) =>
+          cur = cur.localCheckpoint(false)
           val keepers = cur.where(alive)
             .select(col(idCol), T.fingerprint(col(textCol)).as("__fp"))
             .groupBy("__fp").agg(min(col(idCol)).as(idCol))
@@ -129,6 +154,7 @@ object Pipeline {
           cur = cur.join(keepers, Seq(idCol), "left")
             .withColumn(fc, coalesce(col(fc), lit(false)))
         case NearDedup(textCol, thr, w, _) =>
+          cur = cur.localCheckpoint(false)
           // pins route into THIS pipeline's buffer (ownership
           // transfer): jaccardJoin returns lazily and our single
           // terminal action below materializes its internals too

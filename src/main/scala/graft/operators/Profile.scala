@@ -371,20 +371,33 @@ object Profile {
     * each pair uses its own pairwise-complete rows (both sides
     * non-null).
     *
-    * Contract: |values| < 10^6 with at most 6 decimal places — a
-    * wider value overflows the DECIMAL(12,6) cast LOUDLY (ANSI), and
-    * finer fractions are HALF_UP-quantized at 6 identically in both
-    * engines (r is then the correlation of the quantized values,
-    * stated not hidden). Zero variance on either side yields a null r.
+    * Contract: |values| < 10^6 with at most `scale` decimal places — a
+    * wider value overflows the DECIMAL(12,scale) cast LOUDLY (ANSI),
+    * and finer fractions are HALF_UP-quantized at `scale` identically
+    * in both engines (r is then the correlation of the quantized
+    * values, stated not hidden). Zero variance on either side yields a
+    * null r.
+    *
+    * `scale` (default 6, the original contract) is a PERFORMANCE knob
+    * with exactness unchanged for data that fits it (round 22): a
+    * product carries scale 2x`scale`, so at scale 6 one row's unscaled
+    * product is already ~10^18 and the sum leaves Spark's long-backed
+    * Decimal fast path after the FIRST row — every accumulate is then
+    * a BigDecimal add (profile: 2.8 s of a 3.1 s wall in one serial
+    * scan-fused aggregate). At scale 2 (money/discount columns) the
+    * whole sum stays long-backed. For values with k decimal places,
+    * any scale >= k yields mathematically identical sums, hence
+    * bit-identical r.
     *
     * @return one row per pair: (col_a, col_b, n, r) with r rounded 6
     */
-  def correlation(df: DataFrame, pairs: Seq[(String, String)])
-      : DataFrame = {
+  def correlation(df: DataFrame, pairs: Seq[(String, String)],
+      scale: Int = 6): DataFrame = {
     require(pairs.nonEmpty, "no column pairs given")
+    require(scale >= 0 && scale <= 6, s"scale in [0,6], got $scale")
     val spark = df.sparkSession
     import spark.implicits._
-    def d(c: String): Column = col(c).cast("decimal(12,6)")
+    def d(c: String): Column = col(c).cast(s"decimal(12,$scale)")
     val aggs = pairs.zipWithIndex.flatMap { case ((x, y), i) =>
       val both = col(x).isNotNull && col(y).isNotNull
       def s(e: Column, name: String) =
